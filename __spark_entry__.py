@@ -1,38 +1,447 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ the north-star extensions); ``oracle_sql()`` holds the
+DuckDB twin of each. Operator docs live in pond_spark/ — each query
+here names the SURVEY §2 id it exercises.
+
+Numeric-determinism convention: aggregates over double columns go
+through DECIMAL(18,4) so summation is exact and engine-independent,
+then cast to double at the end; averages divide the exact sums.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pond_spark.filters import FilterSpec
+from pond_spark.functions.anonymize import anonymize_ip, anonymize_ip_sql
+from pond_spark.functions.sanitize import sanitize_site, sanitize_site_sql
+from pond_spark.functions.geoip import geoip_country
+from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
+from pond_spark.operators.sessionize import track_visitors
+from pond_spark.operators.stats import stats
+from pond_spark.query import Query
+from pond_spark.schema import events_as_logs
+
+# ---------------------------------------------------------------------------
+# shared pieces
+
+#: events → pond log schema (see pond_spark.schema.events_as_logs)
+LOGS_CTE = (
+    'logs AS (SELECT event_id AS id, ts AS "timestamp", event_type AS site, '
+    "CAST(user_id AS VARCHAR) AS remote_host, value, props AS message FROM events)"
+)
+
+SINCE = dt.datetime(2024, 1, 5)
+UNTIL = dt.datetime(2024, 1, 12)
+AGE_NOW = dt.datetime(2024, 12, 31)
+
+_D = "decimal(18,4)"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship (entry): TPC-H Q1-shaped pricing summary — scan → filter →
+# partial agg → final agg; fully codegen'd, no Python in the hot path.
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    dec = lambda c: F.col(c).cast(_D)  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast(_D) - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(_D) + dec("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: broadcast the small dims (customer), shuffle
+    only lineitem on the join key; top-10 via TakeOrderedAndProject."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(dt.datetime(2000, 1, 1))
+    )
+    li = _lineitem(spark, sf_dir)
+    revenue = (
+        F.col("l_extendedprice").cast(_D)
+        * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D))
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+TOP_REVENUE_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# pond operator surface on the events log stand-in
+
+
+def q_scan_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q4+F1+F5: filtered scan, canonical (timestamp, id) order,
+    WINDOW max@skip pagination."""
+    logs = events_as_logs(spark, sf_dir)
+    spec = FilterSpec(
+        sites=frozenset({"click", "view"}), since=SINCE, until=UNTIL
+    )
+    return Query(logs).filter(spec).window(max=100, skip=20).to_df()
+
+
+SCAN_WINDOW_SQL = f"""
+WITH {LOGS_CTE}
+SELECT * FROM logs
+WHERE coalesce(site, '') IN ('click', 'view')
+  AND "timestamp" >= TIMESTAMP '{SINCE}' AND "timestamp" <= TIMESTAMP '{UNTIL}'
+ORDER BY "timestamp", id
+LIMIT 100 OFFSET 20
+"""
+
+
+def q_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: LAST — most recent match via reverse seek
+    (TakeOrderedAndProject(1))."""
+    logs = events_as_logs(spark, sf_dir)
+    return Query(logs).filter(FilterSpec(sites=frozenset({"purchase"}))).last().to_df()
+
+
+LAST_SQL = f"""
+WITH {LOGS_CTE}
+SELECT * FROM logs WHERE coalesce(site, '') IN ('purchase')
+ORDER BY "timestamp" DESC NULLS LAST, id DESC LIMIT 1
+"""
+
+
+def q_group_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: GROUP_SITE 2@1 — site-clustered output, sites in
+    first-appearance order, pagination over non-empty sites."""
+    logs = events_as_logs(spark, sf_dir)
+    return Query(logs).group_site(max=2, skip=1).to_df()
+
+
+GROUP_SITE_SQL = f"""
+WITH {LOGS_CTE},
+fs AS (SELECT site, min(id) AS first_id FROM logs WHERE site IS NOT NULL GROUP BY site),
+ranked AS (SELECT site, row_number() OVER (ORDER BY first_id) AS r FROM fs)
+SELECT l.* FROM logs l JOIN ranked USING (site) WHERE r > 1 AND r <= 3
+"""
+
+
+def q_accumulate_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: --accumulate=remote_host,top,10."""
+    logs = events_as_logs(spark, sf_dir)
+    return accumulate_top(logs, "remote_host", 10)
+
+
+ACCUMULATE_TOP_SQL = f"""
+WITH {LOGS_CTE}
+SELECT count(*) AS count, remote_host AS value FROM logs
+WHERE remote_host IS NOT NULL GROUP BY remote_host
+ORDER BY count DESC, value ASC LIMIT 10
+"""
+
+
+def q_accumulate_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: --accumulate=site,more,100 (HAVING count >= N)."""
+    logs = events_as_logs(spark, sf_dir)
+    return accumulate_more(logs, "site", 100)
+
+
+ACCUMULATE_MORE_SQL = f"""
+WITH {LOGS_CTE}
+SELECT count(*) AS count, site AS value FROM logs
+WHERE site IS NOT NULL GROUP BY site HAVING count(*) >= 100
+"""
+
+
+def q_age_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: --age-only (whole-second ages against a pinned 'now')."""
+    logs = events_as_logs(spark, sf_dir)
+    return age_only(logs, F.lit(AGE_NOW))
+
+
+AGE_ONLY_SQL = f"""
+WITH {LOGS_CTE}
+SELECT CAST(floor(epoch(TIMESTAMP '{AGE_NOW}')) AS BIGINT)
+     - CAST(floor(epoch("timestamp")) AS BIGINT) AS age_s
+FROM logs WHERE "timestamp" IS NOT NULL
+"""
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A4: STATS — n_records + approximate memory usage."""
+    logs = events_as_logs(spark, sf_dir)
+    return stats(logs, size_cols=["site", "remote_host", "message"])
+
+
+STATS_SQL = f"""
+WITH {LOGS_CTE}
+SELECT count(*) AS n_records,
+  CAST(sum(coalesce(len(site),0) + coalesce(len(remote_host),0)
+           + coalesce(len(message),0)) AS BIGINT) AS memory_usage
+FROM logs
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: --track-visitors — 30-min-idle sessionization, readable
+    host/ordinal ids (the observable grouping; opaque ids are a
+    display detail)."""
+    logs = events_as_logs(spark, sf_dir)
+    return track_visitors(logs, opaque=False).select("id", "visitor_id")
+
+
+SESSIONIZE_SQL = f"""
+WITH {LOGS_CTE},
+base AS (
+  SELECT id, remote_host, "timestamp",
+         epoch_us("timestamp")
+           - lag(epoch_us("timestamp")) OVER (PARTITION BY remote_host
+               ORDER BY "timestamp" NULLS FIRST, id) AS gap_us
+  FROM logs),
+marked AS (
+  SELECT id, remote_host, "timestamp",
+         CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM base),
+sess AS (
+  SELECT id, remote_host,
+         sum(brk) OVER (PARTITION BY remote_host ORDER BY "timestamp" NULLS FIRST, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ordinal
+  FROM marked)
+SELECT id, remote_host || '/' || CAST(ordinal AS BIGINT) AS visitor_id FROM sess
+"""
+
+# synthesized client IPs (the events table has no IP column): v4 for most
+# rows, v6 every 10th — deterministic arithmetic over (id, remote_host).
+_IP_SPARK = None  # built inline below
+_IP_SQL = (
+    "CASE WHEN id % 10 = 0 THEN '2001:db8:' || CAST(id % 9 AS VARCHAR) || '::1' "
+    "ELSE '10.' || CAST(CAST(remote_host AS BIGINT) % 250 AS VARCHAR) || '.' "
+    "|| CAST(id % 250 AS VARCHAR) || '.' || CAST(id % 97 + 1 AS VARCHAR) END"
+)
+
+
+def _with_ip(logs: DataFrame) -> DataFrame:
+    rid = F.col("id")
+    v4 = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("remote_host").cast("long") % 250).cast("string"),
+        (rid % 250).cast("string"),
+        (rid % 97 + 1).cast("string"),
+    )
+    v6 = F.concat(F.lit("2001:db8:"), (rid % 9).cast("string"), F.lit("::1"))
+    return logs.withColumn("ip", F.when(rid % 10 == 0, v6).otherwise(v4))
+
+
+def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: --anonymize — zero the IPv4 tail / truncate the IPv6 tail."""
+    logs = _with_ip(events_as_logs(spark, sf_dir))
+    return logs.select("id", "ip", anonymize_ip(F.col("ip")).alias("ip_anon"))
+
+
+ANONYMIZE_SQL = f"""
+WITH {LOGS_CTE},
+withip AS (SELECT id, {_IP_SQL} AS ip FROM logs)
+SELECT id, ip, {anonymize_ip_sql("ip")} AS ip_anon FROM withip
+"""
+
+
+def q_sanitize_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: site-name sanitization for the per-site sink."""
+    logs = events_as_logs(spark, sf_dir)
+    return logs.select(
+        "id", sanitize_site(F.col("message")).alias("site_sanitized")
+    )
+
+
+SANITIZE_SQL = f"""
+WITH {LOGS_CTE}
+SELECT id, {sanitize_site_sql("message")} AS site_sanitized FROM logs
+"""
+
+
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: --geoip — broadcast range join against an ip-range dim."""
+    logs = _with_ip(events_as_logs(spark, sf_dir))
+    geo = logs.sparkSession.createDataFrame(
+        [
+            (167772160, 167797759, "DE"),   # 10.0.0.0 - 10.0.99.255
+            (167797760, 167810559, "FR"),   # 10.0.100.0 - 10.0.149.255
+            (167823360, 173015039, "US"),   # 10.0.200.0 - 10.79.255.255
+        ],
+        "ip_start BIGINT, ip_end BIGINT, country STRING",
+    )
+    out = geoip_country(logs, geo, host_col="ip")
+    return out.select("id", "ip", "country")
+
+
+GEOIP_SQL = f"""
+WITH {LOGS_CTE},
+withip AS (SELECT id, {_IP_SQL} AS ip FROM logs),
+geo(ip_start, ip_end, country) AS (VALUES
+  (167772160, 167797759, 'DE'), (167797760, 167810559, 'FR'),
+  (167823360, 173015039, 'US')),
+probed AS (
+  SELECT id, ip,
+    CASE WHEN regexp_matches(ip, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+      THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT)
+      ELSE NULL END AS ipnum
+  FROM withip)
+SELECT p.id, p.ip, coalesce(g.country, '-') AS country
+FROM probed p LEFT JOIN geo g ON p.ipnum >= g.ip_start AND p.ipnum <= g.ip_end
+"""
+
+
+def q_duration_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: duration_longer= — NULL never matches, >= threshold."""
+    logs = events_as_logs(spark, sf_dir)
+    spec = FilterSpec(duration_longer_us=150, columns={"duration_us": "value"})
+    return Query(logs).filter(spec).to_df()
+
+
+DURATION_SQL = f"""
+WITH {LOGS_CTE}
+SELECT * FROM logs WHERE value >= 150
+"""
+
+
+def q_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5+F7 analog on orders: type equality, inclusive time range,
+    half-open numeric range — compiled via FilterSpec."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spec = FilterSpec(
+        type="O",
+        since=dt.datetime(1996, 1, 1),
+        until=dt.datetime(1998, 12, 31),
+        status_begin=10000,
+        status_end=200000,
+        columns={
+            "type": "o_orderstatus",
+            "timestamp": "o_orderdate",
+            "http_status": "o_totalprice",
+        },
+    )
+    return orders.filter(spec.to_column())
+
+
+FILTER_SURFACE_SQL = """
+SELECT * FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1998-12-31'
+  AND o_totalprice >= 10000 AND o_totalprice < 200000
+"""
+
+
+def q_uri_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11 analog on part: exact match OR-set + starts-with."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    spec = FilterSpec(uri_prefix="PRO", columns={"http_uri": "p_type"})
+    return part.filter(spec.to_column())
+
+
+URI_PREFIX_SQL = "SELECT * FROM part WHERE starts_with(p_type, 'PRO')"
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
+    "last": (q_last, LAST_SQL),
+    "group_site": (q_group_site, GROUP_SITE_SQL),
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "age_only": (q_age_only, AGE_ONLY_SQL),
+    "stats": (q_stats, STATS_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
+    "geoip": (q_geoip, GEOIP_SQL),
+    "duration_longer": (q_duration_longer, DURATION_SQL),
+    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
+    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None
+    }

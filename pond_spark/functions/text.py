@@ -1,0 +1,168 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(north-star extensions beyond the reference surface — SURVEY.md §7 M5).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen); every operator has a DuckDB-SQL twin builder for
+the oracle gate. Deterministic by construction — no library hash
+functions (Spark's xxhash64 and DuckDB's hash differ), polynomial
+hashes over character codes instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+HASH_BASE = 31
+
+# ---------------------------------------------------------------------------
+# token counting
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+"))).alias("n_tokens")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END"
+    )
+
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: word / number / punctuation runs — the
+    standard pre-tokenization regex shape used by byte-pair encoders."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: blend of length saturation,
+    alpha-character ratio and stopword presence (longer, prose-like,
+    function-word-bearing text scores higher). Deterministic arithmetic
+    only; rounded to 6 decimals for stable cross-engine hashing."""
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    words = _words(col)
+    n_words = F.size(words).cast("double")
+    n_stop = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS])))
+    len_sat = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_hit = F.when(n_words > 0, F.least(n_stop.cast("double"), F.lit(3.0)) / 3.0).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(
+        0.4 * len_sat + 0.4 * alpha_ratio + 0.2 * stop_hit, 6
+    ).alias("quality")
+
+
+def quality_score_sql(expr: str) -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""round(
+      0.4 * least(len({expr}) / 500.0, 1.0)
+      + 0.4 * (CASE WHEN len({expr}) > 0
+               THEN len(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) * 1.0 / len({expr})
+               ELSE 0.0 END)
+      + 0.2 * (CASE WHEN len(regexp_split_to_array(trim(lower({expr})), '\\s+')) > 0
+               THEN least(len(list_intersect(regexp_split_to_array(trim(lower({expr})), '\\s+'),
+                                             [{stop}])) * 1.0, 3.0) / 3.0
+               ELSE 0.0 END), 6)"""
+
+
+# ---------------------------------------------------------------------------
+# language id (n-gram / marker-word heuristic)
+
+#: tiny per-language marker lists (function words); the heuristic votes
+#: by marker hits and falls back to 'und'. Real deployments would swap
+#: in fastText/CLD — this keeps the engine dependency-free.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "los", "una"),
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker-word hits; ties broken by language code order;
+    'und' when nothing matches."""
+    words = _words(col)
+    scores = [
+        (
+            code,
+            F.size(
+                F.array_intersect(words, F.array(*[F.lit(w) for w in markers]))
+            ),
+        )
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for code, s in reversed(scores):  # earlier codes win ties → apply last
+        out = F.when((best_score > 0) & (s == best_score), F.lit(code)).otherwise(out)
+    return out.alias("lang_pred")
+
+
+def lang_id_sql(expr: str) -> str:
+    w = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    score = {
+        code: f"len(list_intersect({w}, [{', '.join(chr(39) + m + chr(39) for m in markers)}]))"
+        for code, markers in sorted(LANG_MARKERS.items())
+    }
+    best = f"greatest({', '.join(score.values())})"
+    whens = " ".join(
+        f"WHEN {s} = __best THEN '{code}'" for code, s in score.items()
+    )
+    return (
+        f"(SELECT CASE WHEN __best = 0 THEN 'und' {whens} ELSE 'und' END "
+        f"FROM (SELECT {best} AS __best))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (polynomial rolling hash)
+
+
+def char_codes(col: Column) -> Column:
+    return F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial hash of the full text:
+    ``h = fold(h * 31 + code mod 1e9+7)``. Cross-engine deterministic
+    (same arithmetic in the DuckDB twin); used for exact-dup detection
+    and as the shingle hash in MinHash."""
+    return F.aggregate(
+        char_codes(col),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+    ).alias("fingerprint")
+
+
+def fingerprint_sql(expr: str) -> str:
+    # list_reduce has no initial accumulator — prepend the zero seed.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
