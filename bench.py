@@ -1,0 +1,65 @@
+"""Benchmark runner: executes the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Execution is measured end-to-end per query with a ``noop``-format write
+so the full plan runs (scan → shuffle → sink) without driver-side
+collection skewing the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entrymod
+    from pond_spark.session import get_spark
+
+    spark = get_spark("pond_spark_bench")
+
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers once with the cheapest query
+    try:
+        qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

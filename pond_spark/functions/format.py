@@ -47,7 +47,7 @@ def _d(col: Column) -> Column:
     return F.coalesce(col.cast("string"), F.lit("-"))
 
 
-def one_line(df: DataFrame, opts: OneLineOptions = OneLineOptions()) -> Column:
+def one_line(opts: OneLineOptions = OneLineOptions()) -> Column:
     """The formatted line as a Column (select it, or feed the text sink).
 
     Layout (CLF-ish, matching the reference's field order): ``[site]

@@ -1,0 +1,70 @@
+"""Property-based cross-check: random FilterSpec combinations evaluated
+by the Spark compiler vs FilterSpec.to_sql on DuckDB over the same rows
+(SURVEY.md §5 test plan item 4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pond_spark.filters import FilterSpec
+from tests.conftest import make_log_rows
+
+
+def random_spec(rng: random.Random) -> FilterSpec:
+    kw = {}
+    if rng.random() < 0.4:
+        kw["sites"] = frozenset(
+            rng.sample(["a", "b", "c", "", "zz"], rng.randint(1, 3))
+        )
+    if rng.random() < 0.3:
+        kw["hosts"] = frozenset(rng.sample(["h1", "h2", "", "nope"], rng.randint(1, 2)))
+    if rng.random() < 0.3:
+        kw["type"] = rng.choice(["http_access", "http_error", "ssh", "job"])
+    if rng.random() < 0.4:
+        kw["since"] = dt.datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 23))
+    if rng.random() < 0.4:
+        kw["until"] = dt.datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 23))
+    if rng.random() < 0.3:
+        b = rng.choice([200, 204, 301, 400, 404, 500])
+        kw["status_begin"], kw["status_end"] = b, b + rng.choice([1, 100])
+    if rng.random() < 0.3:
+        kw["duration_longer_us"] = rng.choice([0, 999, 1000, 500_000, 10**9])
+    if rng.random() < 0.3:
+        kw["methods"] = frozenset(rng.sample(["GET", "POST", "HEAD", "PUT"], rng.randint(1, 2)))
+    elif rng.random() < 0.2:
+        kw["unsafe_method"] = True
+    if rng.random() < 0.25:
+        kw["uri_prefix"] = rng.choice(["/api", "/api/v1/", "/static", "/"])
+    elif rng.random() < 0.2:
+        kw["uri"] = rng.choice(["/api/v1/x", "/index.html", "/nope"])
+    return FilterSpec(**kw)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    pdf = pd.DataFrame(make_log_rows())
+    con.register("logs_src", pdf)
+    con.execute("CREATE TABLE logs AS SELECT * FROM logs_src")
+    return con
+
+
+def test_random_filters_match_duckdb(logs, duck):
+    rng = random.Random(1234)
+    for i in range(80):
+        spec = random_spec(rng)
+        spark_ids = sorted(
+            r.id for r in logs.filter(spec.to_column()).select("id").collect()
+        )
+        duck_ids = sorted(
+            r[0]
+            for r in duck.execute(
+                f"SELECT id FROM logs WHERE {spec.to_sql()}"
+            ).fetchall()
+        )
+        assert spark_ids == duck_ids, f"iteration {i}: {spec} → {spark_ids} vs {duck_ids}"

@@ -1,0 +1,153 @@
+"""Operator tests: accumulate, age-only, stats, sessionization,
+anonymize, sanitize, geoip, formatter."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pond_spark.functions.anonymize import anonymize_ip
+from pond_spark.functions.format import OneLineOptions, one_line
+from pond_spark.functions.geoip import geoip_country, ipv4_to_long, resolve_forwarded_to
+from pond_spark.functions.sanitize import sanitize_site
+from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
+from pond_spark.operators.sessionize import track_visitors
+from pond_spark.operators.stats import stats
+
+
+def test_accumulate_top(logs):
+    out = accumulate_top(logs, "remote_host", 2).collect()
+    assert [(r["count"], r["value"]) for r in out] == [(3, "1.2.3.4"), (2, "1.2.3.5")]
+
+
+def test_accumulate_top_drops_nulls(logs):
+    out = accumulate_top(logs, "host", 10).collect()
+    values = {r["value"] for r in out}
+    assert None not in values
+    assert ("h1") in values and ("") in values
+
+
+def test_accumulate_more(logs):
+    out = accumulate_more(logs, "site", 2).collect()
+    assert {(r["count"], r["value"]) for r in out} == {(3, "a"), (2, "b")}
+
+
+def test_age_only(logs):
+    now = F.lit(dt.datetime(2024, 1, 3, 9))
+    out = age_only(logs, now).collect()
+    assert len(out) == 7  # NULL-timestamp record skipped
+    # id 8 at 08:00:00.000001 — whole-second truncation before subtraction
+    assert min(r.age_s for r in out) == 3600
+
+
+def test_stats(logs):
+    row = stats(logs).collect()[0]
+    assert row.n_records == 8
+    assert row.memory_usage > 0
+
+
+def test_sessionize_gap_splits():
+    import pandas as pd
+    from pond_spark.session import get_spark
+
+    spark = get_spark("pond_spark_tests")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        # host A: 3 hits within 30 min → one session, then 31-min gap → new
+        (1, t0, "A"),
+        (2, t0 + dt.timedelta(minutes=10), "A"),
+        (3, t0 + dt.timedelta(minutes=29), "A"),
+        (4, t0 + dt.timedelta(minutes=60, seconds=1), "A"),
+        # host B independent
+        (5, t0, "B"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "timestamp", "remote_host"])
+    )
+    out = track_visitors(df, opaque=False).orderBy("id").collect()
+    vids = [r.visitor_id for r in out]
+    assert vids[0] == vids[1] == vids[2] == "A/1"
+    assert vids[3] == "A/2"
+    assert vids[4] == "B/1"
+
+
+def test_sessionize_scope_reset():
+    import pandas as pd
+    from pond_spark.session import get_spark
+
+    spark = get_spark("pond_spark_tests")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, t0, "A", "s1"), (2, t0 + dt.timedelta(minutes=5), "A", "s2")],
+            columns=["id", "timestamp", "remote_host", "site"],
+        )
+    )
+    # per-file scope (P3 reset, ResultWriter.cxx:358-362): same host in two
+    # scopes gets independent ordinals
+    out = track_visitors(df, scope_col="site", opaque=False).orderBy("id").collect()
+    assert [r.visitor_id for r in out] == ["s1/A/1", "s2/A/1"]
+
+
+def test_anonymize(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("10.0.200.255",), ("2001:db8:1:2::5",), ("not-an-ip",), (None,)],
+        "ip string",
+    )
+    out = [r.a for r in df.select(anonymize_ip(F.col("ip")).alias("a")).collect()]
+    assert out == ["1.2.3.0", "10.0.200.0", "2001:db8::", "not-an-ip", None]
+
+
+def test_sanitize(spark):
+    df = spark.createDataFrame(
+        [("foo.example",), ("a/b",), ("ok123",), ("!!!",), (None,)], "s string"
+    )
+    out = [r.x for r in df.select(sanitize_site(F.col("s")).alias("x")).collect()]
+    assert out == ["foo_example", "a_b", "ok123", None, None]
+
+
+def test_ipv4_to_long(spark):
+    df = spark.createDataFrame([("0.0.0.1",), ("10.0.0.0",), ("junk",)], "ip string")
+    out = [r.n for r in df.select(ipv4_to_long(F.col("ip")).alias("n")).collect()]
+    assert out == [1, 167772160, None]
+
+
+def test_geoip_country(spark):
+    logs = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.9.9.9"), (3, "fe80::1"), (4, None)],
+        "id long, remote_host string",
+    )
+    geo = spark.createDataFrame(
+        [(167772160, 167772415, "DE")],  # 10.0.0.0 - 10.0.0.255
+        "ip_start long, ip_end long, country string",
+    )
+    out = {r.id: r.country for r in geoip_country(logs, geo).collect()}
+    assert out == {1: "DE", 2: "-", 3: "-", 4: "-"}
+
+
+def test_resolve_forwarded_to(spark):
+    logs = spark.createDataFrame(
+        [(1, "10.0.0.1:8080"), (2, "10.0.0.9:8080"), (3, None)],
+        "id long, forwarded_to string",
+    )
+    lut = spark.createDataFrame(
+        [("10.0.0.1:8080", "backend-a")], "address string, name string"
+    )
+    out = {r.id: r.forwarded_to for r in resolve_forwarded_to(logs, lut).collect()}
+    assert out == {1: "backend-a", 2: "10.0.0.9:8080", 3: None}
+
+
+def test_one_line_format(logs):
+    out = logs.filter(F.col("id") == 1).select(one_line()).collect()[0].line
+    assert out == (
+        'a 1.2.3.4 - - [01/Jan/2024:10:00:00 +0000] "GET /api/v1/x" 200 - "-" "-"'
+    )
+
+
+def test_one_line_toggles(logs):
+    opts = OneLineOptions(show_site=False, show_host=True, iso8601=True,
+                          show_referer=False, show_agent=False)
+    out = logs.filter(F.col("id") == 4).select(one_line(opts)).collect()[0].line
+    # empty-string host renders as the empty field (only NULL gets '-')
+    assert out == '2001:db8::1  - - [2024-01-02T09:00:00.000Z] "HEAD /index.html" 204 -'

@@ -1,0 +1,71 @@
+"""Time-expression parser tests (F12/F13 — doc/index.rst:353-383)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pond_spark.timeparse import parse_time_spec, since_until
+
+NOW = dt.datetime(2024, 6, 15, 13, 45, 30)
+
+
+def test_now_today_yesterday_tomorrow():
+    assert parse_time_spec("now", NOW) == (NOW, dt.timedelta(0))
+    assert parse_time_spec("today", NOW) == (dt.datetime(2024, 6, 15), dt.timedelta(days=1))
+    assert parse_time_spec("yesterday", NOW) == (dt.datetime(2024, 6, 14), dt.timedelta(days=1))
+    assert parse_time_spec("tomorrow", NOW) == (dt.datetime(2024, 6, 16), dt.timedelta(days=1))
+
+
+def test_relative_offsets():
+    assert parse_time_spec("-1h", NOW)[0] == NOW - dt.timedelta(hours=1)
+    assert parse_time_spec("-30s", NOW)[0] == NOW - dt.timedelta(seconds=30)
+    assert parse_time_spec("+2d", NOW)[0] == NOW + dt.timedelta(days=2)
+    assert parse_time_spec("-5m", NOW)[0] == NOW - dt.timedelta(minutes=5)
+
+
+def test_partial_dates_imply_duration():
+    start, dur = parse_time_spec("2019-02-04", NOW)
+    assert start == dt.datetime(2019, 2, 4)
+    assert dur == dt.timedelta(days=1)
+    start, dur = parse_time_spec("2019-02", NOW)
+    assert (start, dur) == (dt.datetime(2019, 2, 1), dt.timedelta(days=28))
+    start, dur = parse_time_spec("2020", NOW)
+    assert (start, dur) == (dt.datetime(2020, 1, 1), dt.timedelta(days=366))
+
+
+def test_full_timestamps():
+    start, dur = parse_time_spec("2019-02-04T12:30", NOW)
+    assert (start, dur) == (dt.datetime(2019, 2, 4, 12, 30), dt.timedelta(minutes=1))
+    start, dur = parse_time_spec("2019-02-04 12:30:45", NOW)
+    assert (start, dur) == (dt.datetime(2019, 2, 4, 12, 30, 45), dt.timedelta(seconds=1))
+
+
+def test_time_of_day_uses_today():
+    start, dur = parse_time_spec("09:15", NOW)
+    assert (start, dur) == (dt.datetime(2024, 6, 15, 9, 15), dt.timedelta(minutes=1))
+
+
+def test_since_until_whole_day_coverage():
+    # until=2019-02-04 covers the whole day (src/client/Main.cxx:169-178)
+    lo, hi = since_until(since="2019-02-01", until="2019-02-04", now=NOW)
+    assert lo == dt.datetime(2019, 2, 1)
+    assert hi == dt.datetime(2019, 2, 4, 23, 59, 59, 999999)
+
+
+def test_date_shortcut_spans_24h():
+    lo, hi = since_until(date="2024-03-10", now=NOW)
+    assert lo == dt.datetime(2024, 3, 10)
+    assert hi == dt.datetime(2024, 3, 10, 23, 59, 59, 999999)
+
+
+def test_today_shortcut():
+    lo, hi = since_until(today=True, now=NOW)
+    assert lo == dt.datetime(2024, 6, 15)
+    assert hi == dt.datetime(2024, 6, 15, 23, 59, 59, 999999)
+
+
+def test_unparseable_raises():
+    with pytest.raises(ValueError):
+        parse_time_spec("not-a-time", NOW)
