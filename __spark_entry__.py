@@ -409,6 +409,236 @@ URI_PREFIX_SQL = "SELECT * FROM part WHERE starts_with(p_type, 'PRO')"
 
 
 # ---------------------------------------------------------------------------
+# north-star extensions: dedup / text analysis / similarity / multimodal
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest. The corpus has no exact dups, so
+    union a shifted copy to exercise the keep-min-id semantics."""
+    from pond_spark.dedup import exact_duplicate_groups
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return exact_duplicate_groups(docs.unionAll(dup), "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = """
+WITH allrows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM allrows GROUP BY sha256(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality scoring."""
+    from pond_spark.functions.text import bpe_token_count, quality_score, token_count
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _text_stats_sql() -> str:
+    from pond_spark.functions.text import (
+        bpe_token_count_sql,
+        quality_score_sql,
+        token_count_sql,
+    )
+
+    return f"""
+SELECT doc_id, {token_count_sql('text')} AS n_tokens,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens,
+       {quality_score_sql('text')} AS quality
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language id heuristic."""
+    from pond_spark.functions.text import lang_id
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    from pond_spark.functions.text import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint."""
+    from pond_spark.functions.text import fingerprint
+
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _fingerprint_sql() -> str:
+    from pond_spark.functions.text import fingerprint_sql
+
+    return f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, lang-blocked, τ=0.8."""
+    from pond_spark.dedup import ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+
+
+NGRAM_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+         AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (no SQL oracle — rows-only check;
+    recall vs the exact ngram pairs is asserted in tests)."""
+    from pond_spark.dedup import minhash_lsh_pairs
+
+    docs = _documents(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, Hamming <= 3 (rows-only check)."""
+    from pond_spark.dedup import simhash_near_pairs
+
+    docs = _documents(spark, sf_dir)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+#: deterministic 64-dim query vector shared by Spark and the oracle
+QUERY_VEC = [(i % 7) / 7.0 for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against a fixed query vector."""
+    from pond_spark.similarity import brute_force_topk
+
+    return brute_force_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10)
+
+
+EMBEDDING_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT vec_id, round(
+    list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, {_QVEC_SQL}),
+                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (a,b)->a+b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform({_QVEC_SQL},
+                x -> x*x)), (a,b)->a+b))), 6) AS cosine
+  FROM embeddings)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-10 (rows-only; recall vs brute force is
+    asserted in tests)."""
+    from pond_spark.similarity import lsh_topk
+
+    return lsh_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10, nbits=6)
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via RHP-LSH buckets (rows-only)."""
+    from pond_spark.similarity import embedding_near_pairs
+
+    # the synthetic embeddings' max pairwise cosine is ~0.48 — use a
+    # threshold that exercises the verify step with nonzero results
+    return embedding_near_pairs(
+        _embeddings(spark, sf_dir), dim=64, threshold=0.35, nbits=4
+    )
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table from documents: payload = magic prefix
+    + utf8 text (the container ships no binary media fixtures)."""
+    docs = _documents(spark, sf_dir)
+    png = F.lit(bytes.fromhex("89504e47"))
+    jpg = F.lit(bytes.fromhex("ffd8ffe0"))
+    body = F.encode(F.col("text"), "utf-8")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(png, body))
+        .when(F.col("doc_id") % 3 == 1, F.concat(jpg, body))
+        .otherwise(body)
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 2, "audio").otherwise("image").alias("kind"),
+        payload.alias("payload"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass: payload size + magic-byte mime sniff
+    (JVM-side; payload never crosses to Python)."""
+    from pond_spark.multimodal import extract_media_meta
+
+    return extract_media_meta(_media(spark, sf_dir)).select(
+        "media_id", "payload_bytes", "sniffed_mime"
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END AS BIGINT)
+    AS payload_bytes,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+       ELSE NULL END AS sniffed_mime
+FROM documents
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (fake codec): byte counts per
+    media row; the feature vector path is exercised in tests."""
+    from pond_spark.multimodal import decode_media_batch
+
+    decoded = decode_media_batch(_media(spark, sf_dir))
+    return decoded.select("media_id", "n_pixels")
+
+
+MEDIA_DECODE_SQL = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) + CASE WHEN doc_id % 3 IN (0, 1) THEN 4 ELSE 0 END AS BIGINT)
+    AS n_pixels
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -434,6 +664,25 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "text_stats": (q_text_stats, None),  # sql built lazily below
+    "lang_id": (q_lang_id, None),
+    "fingerprint": (q_fingerprint, None),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_near_pairs": (q_embedding_near_pairs, None),
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+}
+
+#: lazily-built oracle SQL (uses the twin builders in functions.text)
+_LAZY_SQL: dict[str, Callable[[], str]] = {
+    "text_stats": _text_stats_sql,
+    "lang_id": _lang_id_sql,
+    "fingerprint": _fingerprint_sql,
 }
 
 
@@ -442,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None
-    }
+    out = {name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None}
+    for name, build in _LAZY_SQL.items():
+        out[name] = build()
+    return out

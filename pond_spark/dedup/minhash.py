@@ -1,0 +1,144 @@
+"""MinHash + LSH near-duplicate detection.
+
+Pipeline (the standard shingle → minhash → band → bucket-join shape):
+
+1. tokenize + shingle (word n-grams, default unigram), hash each
+   shingle to int64 with ``xxhash64`` (JVM built-in, vectorized);
+2. k permutation minima via universal hashing
+   ``h_i(x) = (a_i * x + b_i) mod p`` — computed as k array
+   ``transform``/``array_min`` expressions over the shingle-hash array
+   (no explode: one row per doc throughout this stage);
+3. split the signature into b bands of r rows; band key =
+   ``hash(band_idx, minhash values…)``;
+4. explode bands (b rows/doc — the only row multiplication) and
+   self-join on the band key to get candidate pairs;
+5. verify candidates with exact Jaccard over distinct shingle sets.
+
+Scale notes: the band join shuffles (band_key) — a narrow key — and
+AQE's skew handling splits hot buckets (identical boilerplate docs).
+The verify step joins back to shingle arrays by doc id; candidates are
+tiny relative to the corpus, so those joins are broadcast-able in
+practice. Tunables (k, bands) trade recall vs cost exactly as in the
+Broder/LSH literature: P(candidate) = 1 - (1 - j^r)^b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-31: keeps a*x (a, x < p) under 2^62 — no int64 overflow in
+# the JVM's ANSI arithmetic
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a splitmix64-style mix —
+    reproducible across runs without RNG state."""
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(k):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        a = (z % (MERSENNE_P - 1)) + 1
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        b = x % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 1
+) -> DataFrame:
+    """Append ``_shingles``: distinct int64 hashes of word n-grams."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    return df.withColumn(
+        "_shingles",
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    n: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _shingles, _sig[k]) — one row per doc, no explode."""
+    sh = shingle_hashes(df, text_col, n)
+
+    def perm(a: int, b: int):
+        # (a*x + b) mod p over non-negative x — map the signed xxhash
+        # into [0, p) first so the modulus is well-defined. Closure
+        # factory keeps the lambda unary (PySpark infers lambda arity
+        # from the Python signature).
+        return lambda x: (
+            F.lit(a) * F.pmod(x, F.lit(MERSENNE_P)) + F.lit(b)
+        ) % F.lit(MERSENNE_P)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_shingles"), perm(a, b)))
+        for a, b in _perm_params(k, seed)
+    ]
+    return sh.select(F.col(id_col), "_shingles", F.array(*sig_cols).alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with
+    jaccard >= threshold, id_a < id_b."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
+
+    banded = sigs.select(
+        F.col(id_col),
+        "_shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.lit("band"), i, F.slice(F.col("_sig"), i * r + 1, r)),
+            )
+        ).alias("_band_key"),
+    )
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"), "_band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"), "_band_key"
+    )
+    cand = (
+        left.join(right, "_band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = (
+        F.size("_sh_a").cast("double") + F.size("_sh_b").cast("double") - inter
+    )
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,91 @@
+"""SimHash (Charikar) fingerprints and near-duplicate pairs.
+
+simhash64: 64-bit fingerprint — bit b of the hash is the sign of
+``Σ_tokens (bit_b(h(token)) ? +1 : -1)``. Near-dups are pairs within a
+small Hamming distance.
+
+Candidate generation uses the pigeonhole principle: split the 64-bit
+fingerprint into ``d+1`` chunks — any pair with Hamming distance <= d
+agrees on at least one full chunk — and join on (chunk_idx, chunk
+value), then verify with ``bit_count(xor)``.
+
+Scale notes: per-doc work is one explode over tokens + 64 conditional
+sums (all codegen'd); the pair join shuffles on 16-bit chunk values ×
+chunk idx — narrow keys, high fan-out only for pathological boilerplate
+(AQE skew-split applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) — 64-bit fingerprint as a signed long."""
+    toks = F.explode(
+        F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    ).alias("_tok")
+    tokens = df.select(F.col(id_col), toks).withColumn("_h", F.xxhash64("_tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        # shiftleft on a long handles bit 63 (wraps to the sign bit);
+        # a python-side 1 << 63 literal would overflow signed int64
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        fp = fp.bitwiseOR(F.when(F.col(f"_b{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fps = simhash64(df, text_col, id_col)
+
+    chunked = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, "simhash", "_c.ci", "_c.cv")
+
+    left = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "ci", "cv"
+    )
+    right = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "ci", "cv"
+    )
+    return (
+        left.join(right, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

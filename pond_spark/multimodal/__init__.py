@@ -1,0 +1,13 @@
+from pond_spark.multimodal.binaryops import (
+    MEDIA_SCHEMA,
+    decode_media_batch,
+    extract_media_meta,
+    frame_sample,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "extract_media_meta",
+    "decode_media_batch",
+    "frame_sample",
+]

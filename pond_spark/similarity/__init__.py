@@ -1,0 +1,10 @@
+from pond_spark.similarity.brute import brute_force_topk, cosine_similarity
+from pond_spark.similarity.lsh import embedding_near_pairs, lsh_topk, rhp_bucket
+
+__all__ = [
+    "cosine_similarity",
+    "brute_force_topk",
+    "rhp_bucket",
+    "lsh_topk",
+    "embedding_near_pairs",
+]

@@ -1,0 +1,84 @@
+"""Brute-force cosine similarity search over an embedding column.
+
+The exact baseline: score every vector against the query with built-in
+array expressions (``zip_with`` + ``aggregate`` — JVM-side, no Python),
+then top-k via ``orderBy().limit(k)`` → TakeOrderedAndProject (per-
+partition heaps, no global sort). This is the correct-by-construction
+reference; the LSH/IVF variants in .lsh trade recall for candidate
+pruning at scale.
+
+Determinism: all arithmetic in double, summation strictly left-to-right
+(``aggregate`` folds sequentially), results rounded to 6 decimals —
+bit-compatible with the DuckDB oracle's identical fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec``:
+    ``(id, cosine)``, ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """Exact k-NN join: for each left row, its k nearest right rows by
+    cosine. Broadcast the smaller right side; at scale prefer
+    lsh.embedding_near_pairs."""
+    from pyspark.sql.window import Window
+
+    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
+    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
+    scored = l.join(F.broadcast(r), F.lit(True)).select(
+        "qid", "nid", cosine_similarity(F.col("_qv"), F.col("_nv")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )

@@ -1,0 +1,145 @@
+"""Random-hyperplane LSH for approximate nearest neighbors over an
+embedding column — the scale path next to brute.brute_force_topk.
+
+Bucketing: sign bits of dot products with ``nbits`` deterministic
+pseudo-random hyperplanes (splitmix64-seeded, generated driver-side and
+embedded as literal arrays — no RNG at execution time, reproducible
+across runs/partitions). Vectors whose signatures agree land in the
+same bucket; a query probes its own bucket (and optionally
+multi-probes neighboring buckets at 1-bit flips).
+
+Scale notes: signature computation is a pure map (nbits dot products
+per row, codegen'd); the bucket join shuffles on an int key. Recall is
+tuned by nbits (bucket granularity) and n_tables (independent
+signatures OR-ed together) — the standard LSH trade.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.similarity.brute import cosine_similarity
+
+
+def _splitmix(seed: int):
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    while True:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        yield (z ^ (z >> 31)) / 2**64  # uniform [0,1)
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian-ish hyperplanes via Box-Muller over a
+    splitmix64 stream."""
+    gen = _splitmix(seed)
+    planes = []
+    for _ in range(nbits):
+        v = []
+        while len(v) < dim:
+            u1, u2 = next(gen), next(gen)
+            u1 = max(u1, 1e-12)
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def _sig(vec: Column, planes: list[list[float]]) -> Column:
+    bits = []
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def rhp_bucket(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``bucket`` (int64 signature) to each row."""
+    planes = hyperplanes(dim, nbits, seed)
+    return df.withColumn("bucket", _sig(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's bucket (plus
+    ``multiprobe`` 1-bit-flip neighbor buckets)."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, nbits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(min(multiprobe * nbits, nbits))]
+
+    bucketed = rhp_bucket(df, dim, nbits, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket join (same RHP
+    bucket) then exact cosine verify >= threshold."""
+    b = rhp_bucket(df, dim, nbits, seed, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,87 @@
+"""Dedup family tests: exact keeper semantics, minhash recall vs exact
+Jaccard, simhash self-consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from pond_spark.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),      # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),      # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over a lazy dog today"),  # near dup of 1
+        (6, "zzz yyy xxx www vvv uuu ttt sss"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(docs):
+    groups = {r.keep_id: r.n_dups for r in exact_duplicate_groups(docs).collect()}
+    assert groups[1] == 2          # ids 1+2 collapse
+    assert sum(groups.values()) == 6
+    assert len(groups) == 5
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # one-token substitution
+    assert (4, 6) not in pairs
+
+
+def test_minhash_finds_exact_pairs_as_candidates(docs):
+    """LSH with enough bands must recover the high-jaccard pairs the
+    exact method finds (identical verify step → same jaccard values)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.7, k=64, bands=32).collect()
+    }
+    # identical-docs pair is always found (every band collides)
+    assert (1, 2) in mh and mh[(1, 2)] == 1.0
+    # minhash candidates are a subset of exact pairs after verification
+    for pair, j in mh.items():
+        assert pair in exact
+        assert abs(j - exact[pair]) < 1e-9
+
+
+def test_simhash_identical_and_distant(docs):
+    fps = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    # near-dup pair at small hamming distance
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert (4, 6) not in pairs
+
+
+def test_simhash_pairs_respect_hamming_bound(docs):
+    for r in simhash_near_pairs(docs, max_hamming=3).collect():
+        assert r.hamming <= 3

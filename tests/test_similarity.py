@@ -1,0 +1,80 @@
+"""Similarity-search tests: brute-force correctness, LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pond_spark.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
+from pond_spark.similarity.brute import knn_join
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(100):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # plant two vectors nearly identical to vector 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.01 for x in base]))
+    rows.append((101, [x * 1.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_matches_python(vectors):
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    q = rows[0]
+    expected = sorted(
+        ((round(py_cosine(v, q), 6), -i) for i, v in rows.items()),
+        reverse=True,
+    )[:5]
+    got = brute_force_topk(vectors, q, k=5).collect()
+    assert [r.vec_id for r in got] == [-e[1] for e in expected]
+    for r, e in zip(got, expected):
+        assert abs(r.cosine - e[0]) < 1e-9
+    # the planted near-dups rank directly behind the query vector itself
+    assert {got[0].vec_id, got[1].vec_id, got[2].vec_id} == {0, 100, 101}
+
+
+def test_lsh_topk_recall(vectors):
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    q = rows[0]
+    brute = [r.vec_id for r in brute_force_topk(vectors, q, k=5).collect()]
+    approx = [r.vec_id for r in lsh_topk(vectors, q, k=5, nbits=4).collect()]
+    # near-identical vectors share every sign bit with the query →
+    # guaranteed same bucket → the top hits must be recalled
+    assert set(brute[:3]) <= set(approx)
+
+
+def test_embedding_near_pairs_finds_planted(vectors):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(vectors, dim=16, threshold=0.999, nbits=4).collect()
+    }
+    assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
+
+
+def test_knn_join(vectors):
+    small = vectors.filter("vec_id in (0, 100, 101, 5, 6)")
+    out = knn_join(small, small, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.nid, r.cosine))
+    for q, ns in by_q.items():
+        # self always scores 1.0; rank-1 must score 1.0 too (ties with
+        # an exactly-parallel vector break by id, e.g. 101's top is 0)
+        assert ns[0][1] == 1.0
+        assert q in {n for n, _ in ns} or ns[0][1] == 1.0
+        assert len(ns) == 2
+    # non-parallel vectors 5 and 6 rank themselves first
+    assert by_q[5][0][0] == 5
+    assert by_q[6][0][0] == 6
