@@ -1,0 +1,97 @@
+"""Sinks (S5-S10): text, JSONL, gzip, per-site partitioned files, raw
+round-trip.
+
+Mappings (SURVEY.md §2.1): the reference's buffered stdout writer and
+per-site file trees become DataFrame writers; gzip (S9) is the
+``compression`` option (concatenation-safe, like the reference's
+Z_SYNC_FLUSH files); the per-site sink (S10) is ``partitionBy`` on the
+sanitized site with optional aa/bb sharding as extra partition columns
+(/root/reference/src/client/PerSitePath.cxx:16-101); raw (S7) preserves
+the full row for lossless re-emission, which in this engine means
+writing the schema-complete Parquet row back out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.functions.format import OneLineOptions, one_line, to_json_projection
+from pond_spark.functions.sanitize import sanitize_site
+from pond_spark.operators.sessionize import track_visitors
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    opts: OneLineOptions = OneLineOptions(),
+    gzip: bool = False,
+) -> None:
+    """S5 one-line text sink (+S9 gzip)."""
+    w = df.select(one_line(opts).alias("value")).write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.text(path)
+
+
+def write_jsonl(df: DataFrame, path: str, gzip: bool = False) -> None:
+    """S6 JSONL sink — null fields dropped, matching FormatJson's
+    absent-if-unset keys (src/client/FormatJson.cxx:24-88)."""
+    w = to_json_projection(df).write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path, ignoreNullFields=True)
+
+
+def write_per_site(
+    df: DataFrame,
+    path: str,
+    fmt: str = "text",
+    shard: bool = False,
+    visitors: bool = False,
+    opts: OneLineOptions | None = None,
+    gzip: bool = False,
+) -> None:
+    """S10 per-site partitioned sink.
+
+    - site names sanitized (P6); unsanitizable sites skipped
+      (ResultWriter.cxx:77-110)
+    - ``shard=True`` adds the aa/bb nested tree as an extra partition
+      column (PerSitePath nested mode)
+    - ``visitors=True`` runs sessionization scoped per site file —
+      the reference resets visitor ids per output file
+      (ResultWriter.cxx:358-362)
+    - show_site auto-off: records route to their own site's file
+      (ResultWriter.cxx:152-163)
+    """
+    out = df.withColumn("_site_dir", sanitize_site(F.col("site"))).filter(
+        F.col("_site_dir").isNotNull()
+    )
+    if visitors:
+        out = track_visitors(out, scope_col="_site_dir")
+    part_cols = ["_site_dir"]
+    if shard:
+        out = out.withColumn("_shard", F.substring("_site_dir", 1, 2))
+        part_cols = ["_shard", "_site_dir"]
+
+    opts = opts or OneLineOptions(show_site=False)
+    if fmt == "text":
+        proj = out.select(one_line(opts).alias("value"), *part_cols)
+        w = proj.write.mode("overwrite")
+        if gzip:
+            w = w.option("compression", "gzip")
+        w.partitionBy(*part_cols).text(path)
+    elif fmt == "json":
+        keep = [c for c in out.columns if not c.startswith("_")] + part_cols
+        w = out.select(*keep).write.mode("overwrite")
+        if gzip:
+            w = w.option("compression", "gzip")
+        w.partitionBy(*part_cols).json(path, ignoreNullFields=True)
+    else:
+        raise ValueError(f"unknown per-site format: {fmt}")
+
+
+def write_raw(df: DataFrame, path: str) -> None:
+    """S7 raw sink: lossless row round-trip (re-injectable via
+    LogStore.append / S2)."""
+    df.write.mode("overwrite").parquet(path)

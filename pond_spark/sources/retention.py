@@ -1,0 +1,101 @@
+"""Retention job — the Spark-storage analog of the reference's ring
+buffer + max_age reaper (SURVEY.md §1.3).
+
+The reference evicts oldest-first when the arena fills
+(/root/reference/src/Database.cxx:31-51, test/TestDatabase.cxx:61-70)
+and reaps records older than ``max_age`` once a minute
+(/root/reference/src/Instance.cxx:34,190-203). With Parquet the
+granularity is the file: drop whole files whose newest timestamp is
+too old (max_age) and then oldest-first until under the size budget.
+
+File-level min/max come from the Parquet footers (no data scan), so the
+job's cost is O(#files). Readers get snapshot isolation per query (the
+file listing is fixed at planning time) — strictly stronger than the
+reference's live-cursor FixDeleted repair (src/Cursor.cxx:8-16).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+
+@dataclass
+class RetentionReport:
+    dropped_age: list[str]
+    dropped_size: list[str]
+    remaining_bytes: int
+
+
+def _file_stats(path: str) -> tuple[int, dt.datetime | None]:
+    """(bytes, max timestamp) from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    size = os.path.getsize(path)
+    try:
+        md = pq.ParquetFile(path).metadata
+        newest = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for c in range(row_group.num_columns):
+                col = row_group.column(c)
+                if col.path_in_schema not in ("timestamp", "ts"):
+                    continue
+                stats = col.statistics
+                if stats is not None and stats.has_min_max:
+                    mx = stats.max
+                    if isinstance(mx, dt.datetime) and (newest is None or mx > newest):
+                        newest = mx
+        return size, newest
+    except Exception:
+        return size, None
+
+
+def apply_retention(
+    store_dir: str,
+    max_age: dt.timedelta | None = None,
+    max_bytes: int | None = None,
+    now: dt.datetime | None = None,
+    dry_run: bool = False,
+) -> RetentionReport:
+    """Drop aged files, then oldest-first down to the size budget."""
+    now = now or dt.datetime.utcnow()
+    files = [
+        os.path.join(store_dir, f)
+        for f in sorted(os.listdir(store_dir))
+        if f.endswith(".parquet")
+    ]
+    stats = {f: _file_stats(f) for f in files}
+
+    dropped_age: list[str] = []
+    if max_age is not None:
+        cutoff = now - max_age
+        for f in files:
+            _, newest = stats[f]
+            if newest is not None and newest < cutoff:
+                dropped_age.append(f)
+    live = [f for f in files if f not in dropped_age]
+
+    dropped_size: list[str] = []
+    if max_bytes is not None:
+        total = sum(stats[f][0] for f in live)
+        # oldest-first (ring-buffer eviction order): sort by newest ts,
+        # files without stats considered oldest
+        by_age = sorted(
+            live, key=lambda f: (stats[f][1] or dt.datetime.min)
+        )
+        for f in by_age:
+            if total <= max_bytes:
+                break
+            dropped_size.append(f)
+            total -= stats[f][0]
+
+    if not dry_run:
+        for f in dropped_age + dropped_size:
+            os.remove(f)
+
+    remaining = sum(
+        stats[f][0] for f in files if f not in dropped_age and f not in dropped_size
+    )
+    return RetentionReport(dropped_age, dropped_size, remaining)

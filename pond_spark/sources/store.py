@@ -1,0 +1,72 @@
+"""LogStore — the engine's storage layout for the one log table.
+
+Write discipline (the Spark analog of the reference's index
+structures, SURVEY.md §1.4):
+
+- **partition by date** (`p_date=YYYY-MM-DD` derived from timestamp):
+  since/until predicates prune whole directories — the skip-deque
+  time-seek, at file-system granularity.
+- **sort within partitions by (site, timestamp, id)** before write:
+  Parquet row-group min/max stats on site and timestamp make both the
+  per-site index (Q2) and the time seek effective inside each file.
+- **clone (S3)** is a full-table copy job; **inject (S2)** an append.
+
+At 100 TB: date partitioning bounds every time-ranged query to its
+days; the site-major sort within files gives row-group pruning for
+site-filtered scans without the small-files explosion a
+partitionBy(site) would cause at ~50k sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pond_spark.schema import LOG_SCHEMA
+
+
+class LogStore:
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def append(self, df: DataFrame) -> None:
+        """S2 INJECT_LOG_RECORD / ingest append."""
+        out = (
+            df.withColumn(
+                "p_date",
+                F.coalesce(
+                    F.date_format("timestamp", "yyyy-MM-dd"), F.lit("unknown")
+                ),
+            )
+            .repartition("p_date")
+            .sortWithinPartitions("site", "timestamp", "id")
+        )
+        out.write.mode("append").partitionBy("p_date").parquet(self.path)
+
+    def read(self) -> DataFrame:
+        # copy — StructType.add would mutate the shared LOG_SCHEMA
+        schema = T.StructType(
+            LOG_SCHEMA.fields + [T.StructField("p_date", T.StringType())]
+        )
+        df = self.spark.read.schema(schema).parquet(self.path)
+        return df.drop("p_date")
+
+    def clone_from(self, other: "LogStore") -> None:
+        """S3 CLONE (/root/reference/src/Clone.cxx:20-127): wholesale
+        copy; clear-on-first-record → overwrite semantics."""
+        df = other.read()
+        (
+            df.withColumn(
+                "p_date",
+                F.coalesce(
+                    F.date_format("timestamp", "yyyy-MM-dd"), F.lit("unknown")
+                ),
+            )
+            .repartition("p_date")
+            .sortWithinPartitions("site", "timestamp", "id")
+            .write.mode("overwrite")
+            .partitionBy("p_date")
+            .parquet(self.path)
+        )

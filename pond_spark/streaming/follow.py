@@ -1,0 +1,107 @@
+"""FOLLOW / CONTINUE — live tailing on Structured Streaming (Q6/Q7).
+
+Reference semantics (SURVEY.md §2.3, §2.6):
+
+- FOLLOW (/root/reference/src/Protocol.hxx:34-41, src/Database.cxx:
+  205-211): push each *new* matching record; no history. Mapped to a
+  file-source stream over the store directory that skips files already
+  present at subscription time (``modifiedAfter``).
+- CONTINUE (/root/reference/src/Protocol.hxx:133-141): emit matching
+  history, then keep tailing. A Structured Streaming file source does
+  exactly this — existing files first, then new arrivals.
+- The 10-second jitter slack the reference scans past ``until``
+  (src/Selection.cxx:8-20) is a watermark: ``withWatermark('timestamp',
+  '10 seconds')`` bounds how long we keep waiting for late data.
+
+The same FilterSpec compiles onto the stream — predicates behave
+identically in batch and streaming (Catalyst shares the expression
+layer), which is the engine-level guarantee the reference gets from
+reusing its Filter struct on the append listener
+(src/Selection.cxx:116-127).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pond_spark.filters import FilterSpec
+from pond_spark.operators.sessionize import SESSION_TIMEOUT_S
+from pond_spark.schema import LOG_SCHEMA
+
+
+def _source(
+    spark: SparkSession,
+    store_dir: str,
+    modified_after: dt.datetime | None,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    reader = spark.readStream.schema(LOG_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(store_dir)
+    if modified_after is not None:
+        # `modifiedAfter` is a batch-only option; on streams the file
+        # metadata column gives the same no-history cut (Q6: FOLLOW
+        # delivers only records arriving after subscription)
+        df = df.withColumn("_mtime", F.col("_metadata.file_modification_time")).filter(
+            F.col("_mtime") > F.lit(modified_after)
+        ).drop("_mtime")
+    return df
+
+
+def follow_stream(
+    spark: SparkSession,
+    store_dir: str,
+    spec: FilterSpec | None = None,
+    since_now: dt.datetime | None = None,
+    watermark: str = "10 seconds",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Q6 FOLLOW: new records only (files modified after subscription),
+    filtered, watermarked. Append-mode sink compatible."""
+    since_now = since_now or dt.datetime.now()
+    df = _source(spark, store_dir, since_now, max_files_per_trigger)
+    if spec is not None:
+        df = df.filter(spec.to_column())
+    return df.withWatermark("timestamp", watermark)
+
+
+def continue_stream(
+    spark: SparkSession,
+    store_dir: str,
+    spec: FilterSpec | None = None,
+    watermark: str = "10 seconds",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Q7 CONTINUE: history first (existing files), then live tail —
+    the file source's native processing order."""
+    df = _source(spark, store_dir, None, max_files_per_trigger)
+    if spec is not None:
+        df = df.filter(spec.to_column())
+    return df.withWatermark("timestamp", watermark)
+
+
+def follow_visitors(
+    stream: DataFrame,
+    timeout_s: int = SESSION_TIMEOUT_S,
+) -> DataFrame:
+    """Streaming visitor tracking (P3 on the live path): native
+    ``session_window`` with the 30-minute idle gap — one row per
+    (remote_host, session) with start/end and hit count."""
+    return (
+        stream.filter(F.col("remote_host").isNotNull())
+        .groupBy(
+            F.session_window("timestamp", f"{timeout_s} seconds"),
+            F.col("remote_host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "remote_host",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_hits",
+        )
+    )

@@ -1,0 +1,135 @@
+"""Ingest pipeline tests: parse/malformed counters, the per-site token
+bucket (behavior port of test/TestDatabase.cxx:425-496), retention
+(port of the eviction test, TestDatabase.cxx:48-97), store round-trip."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pond_spark.sources import LogStore, apply_retention, ingest_batch, rate_limit
+
+
+def _dg(i, ts=None, site=None, type_="http_access", **kw):
+    rec = {"id": i, "type": type_}
+    if ts is not None:
+        rec["timestamp"] = ts.isoformat()
+    if site is not None:
+        rec["site"] = site
+    rec.update(kw)
+    return json.dumps(rec)
+
+
+def test_ingest_counts_malformed(spark):
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (_dg(1, t0, "a"),),
+        ("not json at all",),
+        (_dg(2, t0, "b"),),
+        (None,),
+        ("x" * 4096,),  # truncation guard: size >= 4096 ⇒ malformed
+    ]
+    raw = spark.createDataFrame(rows, "payload string")
+    res = ingest_batch(raw)
+    assert res.n_received == 5
+    assert res.n_malformed == 3
+    assert res.n_discarded == 0
+    assert sorted(r.id for r in res.stored.collect()) == [1, 2]
+
+
+def _msg_rows(spark, n, site, t0, spacing_s=0.0):
+    rows = []
+    for i in range(n):
+        ts = t0 + dt.timedelta(seconds=i * spacing_s)
+        rows.append((i + 1, ts, site, "http_error"))
+    return spark.createDataFrame(rows, "id long, timestamp timestamp, site string, type string")
+
+
+def test_rate_limit_burst_then_discard(spark):
+    # rate=10/s, burst=100: 150 messages in the same second → 100 pass
+    t0 = dt.datetime(2024, 1, 1, 10)
+    df = _msg_rows(spark, 150, "a", t0, spacing_s=0)
+    out = rate_limit(df, rate=10.0)
+    kept = out.filter("not _discarded").count()
+    assert kept == 100
+    # the *first* 100 in (timestamp, id) order are the ones kept
+    kept_ids = sorted(r.id for r in out.filter("not _discarded").collect())
+    assert kept_ids == list(range(1, 101))
+
+
+def test_rate_limit_refill(spark):
+    # after the burst is drained, 10/s refill admits ~10 more per second
+    t0 = dt.datetime(2024, 1, 1, 10)
+    burst = _msg_rows(spark, 100, "a", t0, spacing_s=0)
+    later = spark.createDataFrame(
+        [(1000 + i, t0 + dt.timedelta(seconds=5), "a", "http_error") for i in range(60)],
+        "id long, timestamp timestamp, site string, type string",
+    )
+    out = rate_limit(burst.unionByName(later), rate=10.0)
+    kept_later = out.filter("not _discarded and id >= 1000").count()
+    assert kept_later == 50  # 5 s × 10/s refill
+
+
+def test_rate_limit_per_site_independent(spark):
+    t0 = dt.datetime(2024, 1, 1, 10)
+    a = _msg_rows(spark, 120, "a", t0, spacing_s=0)
+    b = _msg_rows(spark, 120, "b", t0, spacing_s=0).selectExpr(
+        "id + 1000 as id", "timestamp", "site", "type"
+    )
+    out = rate_limit(a.unionByName(b), rate=10.0)
+    assert out.filter("not _discarded and site = 'a'").count() == 100
+    assert out.filter("not _discarded and site = 'b'").count() == 100
+
+
+def test_rate_limit_only_messages_with_site(spark):
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = (
+        [(i, t0, "a", "http_access") for i in range(1, 201)]       # not messages
+        + [(200 + i, t0, None, "http_error") for i in range(1, 201)]  # no site
+    )
+    df = spark.createDataFrame(rows, "id long, timestamp timestamp, site string, type string")
+    out = rate_limit(df, rate=1.0)
+    assert out.filter("_discarded").count() == 0
+
+
+def test_retention_age_and_size(spark, tmp_path):
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    t0 = dt.datetime(2024, 1, 1)
+    for day in range(1, 6):
+        df = spark.createDataFrame(
+            [(day * 100 + i, t0 + dt.timedelta(days=day, minutes=i)) for i in range(50)],
+            "id long, timestamp timestamp",
+        )
+        df.coalesce(1).toPandas().to_parquet(f"{store}/day{day}.parquet")
+    rep = apply_retention(
+        store,
+        max_age=dt.timedelta(days=3),
+        now=t0 + dt.timedelta(days=5, hours=1),
+    )
+    assert [os.path.basename(f) for f in rep.dropped_age] == ["day1.parquet", "day2.parquet"]
+    remaining = sorted(os.listdir(store))
+    assert remaining == ["day3.parquet", "day4.parquet", "day5.parquet"]
+    # size cap: keep only the newest file's worth of bytes
+    one_file = os.path.getsize(f"{store}/day5.parquet")
+    rep2 = apply_retention(store, max_bytes=one_file + 10)
+    assert len(rep2.dropped_size) == 2
+    assert sorted(os.listdir(store)) == ["day5.parquet"]
+
+
+def test_store_roundtrip_and_clone(spark, tmp_path, logs):
+    s1 = LogStore(spark, str(tmp_path / "s1"))
+    s1.append(logs)
+    back = s1.read()
+    assert back.count() == 8
+    assert sorted(r.id for r in back.select("id").collect()) == list(range(1, 9))
+    # clone (S3): wholesale copy into a second store
+    s2 = LogStore(spark, str(tmp_path / "s2"))
+    s2.clone_from(s1)
+    assert s2.read().count() == 8
+    # inject (S2): append more rows
+    s2.append(logs.limit(2))
+    assert s2.read().count() == 10

@@ -1,0 +1,80 @@
+"""Sink tests: text/jsonl/gzip/per-site/raw round-trip."""
+
+from __future__ import annotations
+
+import glob
+import gzip as gzmod
+import json
+import os
+
+from pond_spark.sinks import write_jsonl, write_per_site, write_raw, write_text
+
+
+def _read_lines(path, pattern="part-*"):
+    lines = []
+    for f in sorted(glob.glob(os.path.join(path, pattern))):
+        if f.endswith(".gz"):
+            with gzmod.open(f, "rt") as fh:
+                lines += [l.rstrip("\n") for l in fh]
+        elif not f.endswith(".crc"):
+            with open(f) as fh:
+                lines += [l.rstrip("\n") for l in fh]
+    return [l for l in lines if l]
+
+
+def test_write_text(logs, tmp_path):
+    out = str(tmp_path / "text")
+    write_text(logs, out)
+    lines = _read_lines(out)
+    assert len(lines) == 8
+    assert any(l.startswith("a 1.2.3.4 ") for l in lines)
+
+
+def test_write_text_gzip(logs, tmp_path):
+    out = str(tmp_path / "textgz")
+    write_text(logs, out, gzip=True)
+    assert glob.glob(os.path.join(out, "part-*.gz"))
+    assert len(_read_lines(out, "part-*.gz")) == 8
+
+
+def test_write_jsonl_drops_nulls(logs, tmp_path):
+    out = str(tmp_path / "jsonl")
+    write_jsonl(logs, out)
+    recs = [json.loads(l) for l in _read_lines(out)]
+    assert len(recs) == 8
+    by_site = {r.get("site"): r for r in recs}
+    # null fields absent, not null-valued (FormatJson absent-if-unset)
+    assert all("host" not in r or r["host"] is not None for r in recs)
+    assert by_site["c"]["message"] == "login"
+    assert "http_status" not in by_site["c"]
+
+
+def test_write_per_site_tree(logs, tmp_path):
+    out = str(tmp_path / "persite")
+    write_per_site(logs, out)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "_site_dir=*"))
+    )
+    # sites a, b, c; "" and NULL unsanitizable → skipped
+    assert dirs == ["_site_dir=a", "_site_dir=b", "_site_dir=c"]
+    a_lines = _read_lines(os.path.join(out, "_site_dir=a"))
+    assert len(a_lines) == 3
+    # show_site auto-off in per-site files: line starts with remote_host
+    assert all(not l.startswith("a ") for l in a_lines)
+
+
+def test_write_per_site_sharded(logs, tmp_path):
+    out = str(tmp_path / "persite_sh")
+    write_per_site(logs, out, shard=True)
+    assert glob.glob(os.path.join(out, "_shard=a/_site_dir=a"))
+
+
+def test_write_raw_roundtrip(logs, spark, tmp_path):
+    out = str(tmp_path / "raw")
+    write_raw(logs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 8
+    assert set(back.columns) == set(logs.columns)
+    orig = {tuple(r) for r in logs.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert orig == got

@@ -1,0 +1,114 @@
+"""FOLLOW/CONTINUE streaming tests — behavior port of the reference's
+AppendListener test (test/TestDatabase.cxx:498-551): interleaved sites,
+listener sees only matches; continue sees history then live records."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from pond_spark.filters import FilterSpec
+from pond_spark.schema import LOG_SCHEMA
+from pond_spark.streaming import continue_stream, follow_stream, follow_visitors
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _rows(ids, site, t0):
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    out = []
+    for i in ids:
+        r = dict(base)
+        r.update(
+            id=i,
+            timestamp=t0 + dt.timedelta(seconds=i),
+            site=site,
+            type="http_access",
+            remote_host=f"10.0.0.{i % 5}",
+        )
+        out.append(r)
+    return out
+
+
+def _drain(stream, name, timeout=60):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_continue_history_then_live(spark, tmp_path):
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    _write_batch(spark, store, _rows(range(1, 6), "a", t0))
+    _write_batch(spark, store, _rows(range(6, 11), "b", t0))
+
+    spec = FilterSpec(sites=frozenset({"a"}))
+    stream = continue_stream(spark, store, spec)
+    _drain(stream, "cont1")
+    got = {r.id for r in spark.sql("select id from cont1").collect()}
+    assert got == {1, 2, 3, 4, 5}  # history, site-filtered
+
+    # live phase: new files arrive, only matches delivered
+    _write_batch(spark, store, _rows(range(11, 14), "a", t0))
+    _write_batch(spark, store, _rows(range(14, 16), "b", t0))
+    stream2 = continue_stream(spark, store, spec)
+    _drain(stream2, "cont2")
+    got2 = {r.id for r in spark.sql("select id from cont2").collect()}
+    assert got2 == {1, 2, 3, 4, 5, 11, 12, 13}
+
+
+def test_follow_skips_history(spark, tmp_path):
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    _write_batch(spark, store, _rows(range(1, 6), "a", t0))
+    time.sleep(1.1)  # modifiedAfter has 1 s granularity
+    subscribe_at = dt.datetime.now()
+
+    _write_batch(spark, store, _rows(range(6, 9), "a", t0))
+    stream = follow_stream(spark, store, FilterSpec(sites=frozenset({"a"})),
+                           since_now=subscribe_at)
+    _drain(stream, "fol1")
+    got = {r.id for r in spark.sql("select id from fol1").collect()}
+    assert got == {6, 7, 8}  # no history (Q6: FOLLOW has no initial snapshot)
+
+
+def test_follow_visitors_session_window(spark, tmp_path):
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, (host, offset_s) in enumerate(
+        [("h1", 0), ("h1", 60), ("h1", 4000), ("h2", 0)], start=1
+    ):
+        r = dict(base)
+        r.update(id=i, timestamp=t0 + dt.timedelta(seconds=offset_s),
+                 site="a", type="http_access", remote_host=host)
+        rows.append(r)
+    _write_batch(spark, store, rows)
+
+    sessions = follow_visitors(continue_stream(spark, store))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("vis1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.remote_host, r.n_hits)
+        for r in spark.sql("select remote_host, n_hits from vis1").collect()
+    }
+    # h1 splits into two sessions (gap > 30 min), h2 one session
+    assert got == {("h1", 2), ("h1", 1), ("h2", 1)}
