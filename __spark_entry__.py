@@ -497,43 +497,58 @@ def _fingerprint_sql() -> str:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs, lang-blocked, τ=0.8."""
+    """3-gram Jaccard near-dup pairs, lang-blocked, τ=0.8.
+
+    3-word shingles (the standard near-dup shingle width): on this
+    corpus unigram sets are degenerate — 25% of ALL doc pairs exceed
+    0.8 unigram-jaccard, making the true answer itself quadratic —
+    while 3-gram jaccard cleanly separates planted near-dups from
+    background."""
     from pond_spark.dedup import ngram_jaccard_pairs
 
     docs = _documents(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "text", "doc_id", block_col="lang", threshold=0.8)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+    )
 
 
 NGRAM_JACCARD_SQL = """
 WITH t AS (
-  SELECT doc_id, lang,
-         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
-  FROM documents)
+  SELECT doc_id, lang, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
          AS jaccard
 FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
 """
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (no SQL oracle — rows-only check;
-    recall vs the exact ngram pairs is asserted in tests)."""
+    """MinHash+LSH near-dup pairs over 3-word shingles (no SQL oracle —
+    rows-only check; recall vs the exact ngram pairs is asserted in
+    tests)."""
     from pond_spark.dedup import minhash_lsh_pairs
 
     docs = _documents(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, Hamming <= 3 (rows-only check)."""
+    """SimHash near-dup pairs over 3-word shingle features,
+    Hamming <= 3 (rows-only check). Unigram features are degenerate on
+    this corpus (see q_ngram_jaccard) — 3-gram features separate
+    planted near-dups from background."""
     from pond_spark.dedup import simhash_near_pairs
 
     docs = _documents(spark, sf_dir)
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3, n=3)
 
 
 #: deterministic 64-dim query vector shared by Spark and the oracle

@@ -110,9 +110,13 @@ def minhash_lsh_pairs(
     r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
 
+    # Band join carries ONLY (id, band_key) — shingle arrays would blow
+    # up the shuffle and get duplicated per candidate pair. Candidates
+    # are deduped on ids first, then the (small) pair set joins back to
+    # the shingle arrays for exact verification. At cluster scale,
+    # persist `sigs` to avoid recomputing signatures for the two uses.
     banded = sigs.select(
         F.col(id_col),
-        "_shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -121,24 +125,35 @@ def minhash_lsh_pairs(
         ).alias("_band_key"),
     )
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a"), "_band_key"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b"), "_band_key"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "_band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "_band_key")
     cand = (
         left.join(right, "_band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
-    union = (
-        F.size("_sh_a").cast("double") + F.size("_sh_b").cast("double") - inter
+    shingles = sigs.select(F.col(id_col), "_shingles")
+    pairs = cand.join(
+        shingles.select(
+            F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a")
+        ),
+        "id_a",
+    ).join(
+        shingles.select(
+            F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")
+        ),
+        "id_b",
     )
+    # size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # failing the ratio test can't reach the threshold — skip the
+    # O(|A|+|B|) intersect for them
+    sa, sb = F.size("_sh_a").cast("double"), F.size("_sh_b").cast("double")
+    pairs = pairs.filter((sa >= sb * threshold) & (sb >= sa * threshold))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = sa + sb - inter
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,20 +1,46 @@
-"""N-gram Jaccard near-duplicate pairs with key blocking.
+"""N-gram Jaccard near-duplicate pairs with prefix filtering.
 
 The oracle-checkable member of the near-dup family: exact Jaccard over
-distinct token n-gram sets, restricted to candidate pairs sharing a
-blocking key (e.g. language) so the self-join is block-local instead of
-O(n²) global. For unblocked discovery at scale, use minhash_lsh_pairs —
-same verify step, LSH candidates instead of blocks.
+distinct token n-gram sets. Instead of a quadratic self-join, candidate
+generation uses **prefix filtering** (Bayardo et al., "Scaling Up All
+Pairs Similarity Search", WWW'07): under a global total order on grams,
+any pair with jaccard >= tau must share at least one gram within each
+side's first ``|g| - ceil(tau*|g|) + 1`` grams. Exploding only those
+prefix grams and equi-joining on the gram turns the candidate step into
+a shuffle on gram keys — linear in corpus size for non-degenerate data.
 
-Scale notes: the self-join shuffles on the blocking key; block sizes
-bound the quadratic term, and AQE skew-join splits oversized blocks.
-Token arrays are computed once per side before the join.
+Gram identity is the 64-bit xxhash of the gram text (collision odds
+~|grams|^2/2^64 — negligible), which keeps the shuffled keys and the
+verify-step arrays as packed longs instead of strings.
+
+Scale notes: candidates shuffle on (gram_hash [, block]); hot grams are
+bounded by the prefix trick plus AQE skew-splitting. The verify joins
+fetch gram arrays only for surviving candidate ids. An optional
+``block_col`` (e.g. language) further restricts pairs to equal blocks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def gram_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+) -> DataFrame:
+    """(id, _grams): sorted distinct xxhash64 of word n-grams."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    hashed = F.array_sort(
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    )
+    return df.select(F.col(id_col), hashed.alias("_grams"))
 
 
 def ngram_jaccard_pairs(
@@ -25,38 +51,55 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 1,
 ) -> DataFrame:
-    """Pairs ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= τ."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    if n == 1:
-        grams = toks
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    base_cols = [F.col(id_col), F.array_distinct(grams).alias("_grams")]
+    """Pairs ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= tau."""
+    base = gram_hashes(df, text_col, id_col, n)
     if block_col:
-        base_cols.append(F.col(block_col).alias("_blk"))
-    base = df.select(*base_cols)
+        base = base.join(
+            df.select(F.col(id_col), F.col(block_col).alias("_blk")), id_col
+        )
 
-    left = base.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_grams").alias("_ga"),
+    # prefix length |g| - ceil(tau*|g|) + 1 (sorted-ascending hash order
+    # is the global total order); the epsilon keeps float up-rounding
+    # (0.8*5 -> 4.0000000000000002) from shortening the prefix, which
+    # would silently drop true pairs — erring longer is only extra work
+    sz = F.size("_grams")
+    plen = sz - F.ceil(sz * F.lit(threshold) - F.lit(1e-9)).cast("int") + 1
+    prefix = base.select(
+        F.col(id_col),
         *([F.col("_blk")] if block_col else []),
+        F.explode(F.slice("_grams", 1, plen)).alias("_g"),
     )
-    right = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_grams").alias("_gb"),
-        *([F.col("_blk")] if block_col else []),
+
+    jkeys = ["_g"] + (["_blk"] if block_col else [])
+    left = prefix.select(
+        F.col(id_col).alias("id_a"), *[F.col(k) for k in jkeys]
     )
-    joined = (
-        left.join(right, on="_blk") if block_col else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
+    right = prefix.select(
+        F.col(id_col).alias("id_b"), *[F.col(k) for k in jkeys]
+    )
+    cand = (
+        left.join(right, jkeys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sets = base.select(F.col(id_col), "_grams")
+    pairs = cand.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb")),
+        "id_b",
+    )
+    # size-ratio prune (no result change): jaccard <= min/max set size
+    sa, sb = F.size("_ga").cast("double"), F.size("_gb").cast("double")
+    pairs = pairs.filter((sa >= sb * threshold) & (sb >= sa * threshold))
 
     inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = F.size("_ga").cast("double") + F.size("_gb").cast("double") - inter
+    union = sa + sb - inter
     return (
-        joined.withColumn("jaccard", F.round(inter / union, 6))
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -22,12 +22,19 @@ from pyspark.sql import functions as F
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
-    """(id, simhash) — 64-bit fingerprint as a signed long."""
-    toks = F.explode(
-        F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    ).alias("_tok")
+    """(id, simhash) — 64-bit fingerprint as a signed long over word
+    n-gram features (n=1: single tokens)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = words
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    toks = F.explode(F.array_distinct(grams)).alias("_tok")
     tokens = df.select(F.col(id_col), toks).withColumn("_h", F.xxhash64("_tok"))
     bit_sums = [
         F.sum(
@@ -50,11 +57,12 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    n: int = 1,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    fps = simhash64(df, text_col, id_col)
+    fps = simhash64(df, text_col, id_col, n)
 
     chunked = fps.select(
         F.col(id_col),
