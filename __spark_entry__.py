@@ -358,6 +358,100 @@ FROM probed p LEFT JOIN geo g ON p.ipnum >= g.ip_start AND p.ipnum <= g.ip_end
 """
 
 
+def q_resolve_forwarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: --resolve-forwarded-to — broadcast lookup join rewriting the
+    backend address to its name; unmatched addresses keep the raw
+    value (ResultWriter.cxx:246-257 fallback)."""
+    from pond_spark.functions.geoip import resolve_forwarded_to
+
+    logs = events_as_logs(spark, sf_dir).withColumn(
+        "forwarded_to",
+        F.concat(F.lit("192.168.0."), (F.col("id") % 5).cast("string")),
+    )
+    hostnames = spark.createDataFrame(
+        [
+            ("192.168.0.0", "backend-a"),
+            ("192.168.0.1", "backend-b"),
+            ("192.168.0.2", "backend-c"),
+        ],
+        "address string, name string",
+    )
+    return resolve_forwarded_to(logs, hostnames).select("id", "forwarded_to")
+
+
+RESOLVE_FORWARDED_SQL = f"""
+WITH {LOGS_CTE},
+wf AS (SELECT id, '192.168.0.' || CAST(id % 5 AS VARCHAR) AS forwarded_to FROM logs),
+hostnames(address, name) AS (VALUES
+  ('192.168.0.0', 'backend-a'), ('192.168.0.1', 'backend-b'),
+  ('192.168.0.2', 'backend-c'))
+SELECT w.id, coalesce(h.name, w.forwarded_to) AS forwarded_to
+FROM wf w LEFT JOIN hostnames h ON w.forwarded_to = h.address
+"""
+
+
+def q_format_one_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the one-line CLF formatter (show_host + iso8601 toggles)
+    over a synthesized http-access view of the log fixture — pure
+    concat/date_format expressions, whole-stage-codegen'd."""
+    from pond_spark.functions.format import OneLineOptions, one_line
+
+    rid = F.col("id")
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .withColumn(
+            "http_method",
+            F.element_at(
+                F.array(F.lit("GET"), F.lit("POST"), F.lit("HEAD"), F.lit("PUT")),
+                (rid % 4 + 1).cast("int"),
+            ),
+        )
+        .withColumn("http_uri", F.concat(F.lit("/"), F.col("site")))
+        .withColumn(
+            "http_status",
+            F.when(rid % 7 == 0, F.lit(None).cast("int")).otherwise(
+                (F.lit(200) + (rid % 3) * 100).cast("int")
+            ),
+        )
+        .withColumn(
+            "length",
+            F.when(rid % 5 == 0, F.lit(None).cast("long")).otherwise(
+                F.floor(F.col("value") * 100).cast("long")
+            ),
+        )
+        .withColumn("host", F.concat(F.col("site"), F.lit(".example.com")))
+        .withColumn(
+            "http_referer",
+            F.when(rid % 3 == 0, F.concat(F.lit("https://ref.example/"), F.col("site"))),
+        )
+        .withColumn("user_agent", F.when(rid % 2 == 0, F.lit("Mozilla/5.0")))
+    )
+    return logs.select("id", one_line(OneLineOptions(show_host=True, iso8601=True)))
+
+
+FORMAT_ONE_LINE_SQL = f"""
+WITH {LOGS_CTE},
+enr AS (SELECT id, "timestamp" AS ts, site, remote_host,
+  site || '.example.com' AS host,
+  ['GET','POST','HEAD','PUT'][CAST(id % 4 AS INT) + 1] AS http_method,
+  '/' || site AS http_uri,
+  CASE WHEN id % 7 = 0 THEN NULL ELSE 200 + (id % 3) * 100 END AS http_status,
+  CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(floor(value * 100) AS BIGINT) END AS length,
+  CASE WHEN id % 3 = 0 THEN 'https://ref.example/' || site END AS http_referer,
+  CASE WHEN id % 2 = 0 THEN 'Mozilla/5.0' END AS user_agent
+FROM logs)
+SELECT id, concat_ws(' ',
+  site, remote_host, host, '-', '-',
+  '[' || coalesce(strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'), '-') || ']',
+  '"' || coalesce(http_method || ' ' || http_uri, '-') || '"',
+  coalesce(CAST(http_status AS VARCHAR), '-'),
+  coalesce(CAST(length AS VARCHAR), '-'),
+  '"' || coalesce(http_referer, '-') || '"',
+  '"' || coalesce(user_agent, '-') || '"') AS line
+FROM enr
+"""
+
+
 def q_duration_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: duration_longer= — NULL never matches, >= threshold."""
     logs = events_as_logs(spark, sf_dir)
@@ -395,6 +489,53 @@ SELECT * FROM orders
 WHERE o_orderstatus = 'O'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1998-12-31'
   AND o_totalprice >= 10000 AND o_totalprice < 200000
+"""
+
+
+_UNSAFE_SPEC = None
+
+
+def _unsafe_spec() -> FilterSpec:
+    global _UNSAFE_SPEC
+    if _UNSAFE_SPEC is None:
+        _UNSAFE_SPEC = FilterSpec(sites=frozenset({"", "click"}), unsafe_method=True)
+    return _UNSAFE_SPEC
+
+
+def q_unsafe_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (unsafe_method) + F1 empty-site rule: NULL site matches the
+    empty-string member of the site set (Filter.cxx:15-19); method must
+    be present and not RFC-9110-safe."""
+    from pond_spark.schema import HTTP_METHODS
+
+    rid = F.col("id")
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .withColumn(
+            "http_method",
+            F.element_at(
+                F.array(*[F.lit(m) for m in HTTP_METHODS]), (rid % 16 + 1).cast("int")
+            ),
+        )
+        .withColumn(
+            "site",
+            F.when(rid % 11 == 0, F.lit(None).cast("string")).otherwise(F.col("site")),
+        )
+    )
+    return logs.filter(_unsafe_spec().to_column()).select("id", "site", "http_method")
+
+
+def _unsafe_method_sql() -> str:
+    from pond_spark.schema import HTTP_METHODS
+
+    methods = "[" + ", ".join(f"'{m}'" for m in HTTP_METHODS) + "]"
+    return f"""
+WITH {LOGS_CTE},
+enr AS (SELECT id,
+  CASE WHEN id % 11 = 0 THEN NULL ELSE site END AS site,
+  {methods}[CAST(id % 16 AS INT) + 1] AS http_method
+FROM logs)
+SELECT id, site, http_method FROM enr WHERE {_unsafe_spec().to_sql()}
 """
 
 
@@ -676,9 +817,12 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anonymize": (q_anonymize, ANONYMIZE_SQL),
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "geoip": (q_geoip, GEOIP_SQL),
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
+    "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),
@@ -698,6 +842,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
+    "unsafe_method": _unsafe_method_sql,
 }
 
 
