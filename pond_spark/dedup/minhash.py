@@ -108,7 +108,11 @@ def minhash_lsh_pairs(
     jaccard >= threshold, id_a < id_b."""
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n, seed)
+    # persist: the signature/shingle relation feeds three plan branches
+    # (band explode + both verify sides) — without it the scan and the
+    # k-permutation work run once per branch. MEMORY_AND_DISK spills
+    # instead of OOMing at cluster scale.
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
 
     # Band join carries ONLY (id, band_key) — shingle arrays would blow
     # up the shuffle and get duplicated per candidate pair. Candidates

@@ -57,6 +57,9 @@ def ngram_jaccard_pairs(
         base = base.join(
             df.select(F.col(id_col), F.col(block_col).alias("_blk")), id_col
         )
+    # feeds three branches (prefix explode + both verify sides); persist
+    # so the scan + gram hashing run once
+    base = base.persist()
 
     # prefix length |g| - ceil(tau*|g|) + 1 (sorted-ascending hash order
     # is the global total order); the epsilon keeps float up-rounding

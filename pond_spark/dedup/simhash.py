@@ -62,7 +62,9 @@ def simhash_near_pairs(
     """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    fps = simhash64(df, text_col, id_col, n)
+    # both join sides derive from fps — persist so the explode +
+    # 64-bit-sum aggregation runs once, not per side
+    fps = simhash64(df, text_col, id_col, n).persist()
 
     chunked = fps.select(
         F.col(id_col),

@@ -1,0 +1,67 @@
+"""Physical-plan inspection helpers.
+
+The reference hard-codes its physical strategies (index selection,
+predicate-inside-scan, reverse seek — SURVEY.md §4); on Spark the
+equivalent guarantees come from Catalyst, so the engine's tests assert
+them on the *optimized physical plan* instead of trusting the API
+surface: filters reach the Parquet scan (`PushedFilters`), small dims
+broadcast (`BroadcastHashJoin`), aggregations combine map-side
+(partial `HashAggregate`), scans prune columns (`ReadSchema`), and the
+shuffle count stays at the plan's theoretical minimum.
+
+These helpers parse ``df.explain("formatted")`` output — stable across
+Spark 3.x/4.x for the node names asserted here.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or (
+        "BroadcastNestedLoopJoin" in formatted_plan(df)
+    )
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when the plan contains a map-side (partial) aggregate —
+    the 'combine before shuffle' guarantee."""
+    return "partial_" in formatted_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lists of every Parquet scan in the plan."""
+    plan = formatted_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column names read by each Parquet scan (column-pruning check)."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
