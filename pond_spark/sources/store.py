@@ -31,19 +31,29 @@ class LogStore:
         self.spark = spark
         self.path = path
 
-    def append(self, df: DataFrame) -> None:
-        """S2 INJECT_LOG_RECORD / ingest append."""
-        out = (
+    def _layout(self, df: DataFrame) -> DataFrame:
+        """Partition + sort discipline shared by append and clone.
+
+        ``repartitionByRange(p_date, site, timestamp)`` (not
+        ``repartition("p_date")``) so a single day spreads over many
+        writers — one-task-per-date would serialize a multi-TB day at
+        cluster scale — while keeping files within a date covering
+        non-overlapping site ranges, which preserves row-group pruning
+        for site-filtered scans."""
+        return (
             df.withColumn(
                 "p_date",
                 F.coalesce(
                     F.date_format("timestamp", "yyyy-MM-dd"), F.lit("unknown")
                 ),
             )
-            .repartition("p_date")
+            .repartitionByRange("p_date", "site", "timestamp")
             .sortWithinPartitions("site", "timestamp", "id")
         )
-        out.write.mode("append").partitionBy("p_date").parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        """S2 INJECT_LOG_RECORD / ingest append."""
+        self._layout(df).write.mode("append").partitionBy("p_date").parquet(self.path)
 
     def read(self) -> DataFrame:
         # copy — StructType.add would mutate the shared LOG_SCHEMA
@@ -58,14 +68,7 @@ class LogStore:
         copy; clear-on-first-record → overwrite semantics."""
         df = other.read()
         (
-            df.withColumn(
-                "p_date",
-                F.coalesce(
-                    F.date_format("timestamp", "yyyy-MM-dd"), F.lit("unknown")
-                ),
-            )
-            .repartition("p_date")
-            .sortWithinPartitions("site", "timestamp", "id")
+            self._layout(df)
             .write.mode("overwrite")
             .partitionBy("p_date")
             .parquet(self.path)
