@@ -726,6 +726,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10, nbits=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10 (rows-only; recall vs brute force is
+    asserted in tests): sample-trained coarse centroids, JVM-side list
+    assignment, nprobe-pruned exact scoring."""
+    from pond_spark.similarity import ivf_topk
+
+    return ivf_topk(
+        _embeddings(spark, sf_dir), QUERY_VEC, k=10, n_centroids=16, nprobe=4
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via RHP-LSH buckets (rows-only)."""
     from pond_spark.similarity import embedding_near_pairs
@@ -832,6 +843,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "embedding_near_pairs": (q_embedding_near_pairs, None),
     "media_meta": (q_media_meta, MEDIA_META_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),

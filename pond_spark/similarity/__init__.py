@@ -1,4 +1,5 @@
 from pond_spark.similarity.brute import brute_force_topk, cosine_similarity
+from pond_spark.similarity.ivf import ivf_assign, ivf_topk, train_centroids
 from pond_spark.similarity.lsh import embedding_near_pairs, lsh_topk, rhp_bucket
 
 __all__ = [
@@ -7,4 +8,7 @@ __all__ = [
     "rhp_bucket",
     "lsh_topk",
     "embedding_near_pairs",
+    "train_centroids",
+    "ivf_assign",
+    "ivf_topk",
 ]

@@ -1,0 +1,121 @@
+"""IVF (inverted-file) approximate nearest neighbors — the
+coarse-quantizer scale path next to the RHP-LSH variant.
+
+Shape (classic IVF-Flat, e.g. the FAISS design): train C coarse
+centroids on a bounded sample, assign every vector to its nearest
+centroid (the "inverted list" id), and at query time score only the
+``nprobe`` lists whose centroids are closest to the query.
+
+Spark mapping:
+
+- **train**: driver-side Lloyd iterations over a deterministic sample
+  (smallest ids — reproducible, no RNG). IVF training is always
+  sample-based; the sample is bounded (default 2048 rows) regardless of
+  table size.
+- **assign**: centroids are broadcast as literal arrays; the argmax
+  over C cosines is a pure JVM expression — an array of (cos, cid)
+  structs reduced with array_max (struct ordering compares fields
+  left-to-right), no Python in the path. One narrow int column is
+  appended; at 100 TB the assignment is a map-only stage writable as a
+  partition/bucket column for list-local storage.
+- **search**: centroid shortlist is computed driver-side (C is tiny);
+  the probe filter prunes to ~nprobe/C of the table before any exact
+  scoring; top-k via TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.similarity.brute import cosine_similarity
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means: init = first C sample vectors, then
+    ``iters`` Lloyd steps over the sample (numpy, driver-side)."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        # cosine assignment: normalize then argmax dot
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax_c cosine(vec, centroid_c) as a JVM expression."""
+    scored = [
+        F.struct(
+            cosine_similarity(vec, F.array(*[F.lit(x) for x in c])).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored)).getField("cid")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Append the inverted-list id (nearest-centroid index)."""
+    return df.withColumn(out_col, _assign_expr(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k scoring only the ``nprobe`` nearest inverted lists."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_centroids, iters, sample_n, vec_col, id_col
+        )
+    q = np.array(list(query_vec), dtype=np.float64)
+    cn = np.array(centroids)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("ivf_list").isin(probes))
+        .select(
+            F.col(id_col), cosine_similarity(F.col(vec_col), qlit).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -19,6 +19,10 @@ partitionBy(site) would cause at ~50k sites.
 
 from __future__ import annotations
 
+import glob
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -73,3 +77,41 @@ class LogStore:
             .partitionBy("p_date")
             .parquet(self.path)
         )
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict[str, int]:
+        """The reference's hourly ``Compress()`` analog
+        (/root/reference/src/Instance.hxx:47, src/Database.cxx:76-89 —
+        shrink-to-fit + GC of empty per-site lists): rewrite date
+        partitions whose file count exceeds what their byte size needs,
+        restoring the (site, timestamp, id) sort in the process.
+
+        Returns {p_date: files_removed}. Uses dynamic partition
+        overwrite so only touched dates are rewritten. File listing is
+        local-fs (this engine's deployment target here); on HDFS/S3 the
+        same loop runs over the FileSystem API.
+        """
+        report: dict[str, int] = {}
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            for pdir in sorted(glob.glob(os.path.join(self.path, "p_date=*"))):
+                files = glob.glob(os.path.join(pdir, "*.parquet"))
+                nbytes = sum(os.path.getsize(f) for f in files)
+                want = max(1, math.ceil(nbytes / target_file_bytes))
+                if len(files) <= want:
+                    continue
+                pdate = os.path.basename(pdir).split("=", 1)[1]
+                df = self.spark.read.schema(LOG_SCHEMA).parquet(pdir)
+                (
+                    df.repartitionByRange(want, "site", "timestamp")
+                    .sortWithinPartitions("site", "timestamp", "id")
+                    .withColumn("p_date", F.lit(pdate))
+                    .write.mode("overwrite")
+                    .partitionBy("p_date")
+                    .parquet(self.path)
+                )
+                report[pdate] = len(files) - want
+        finally:
+            self.spark.conf.set(mode_key, prev)
+        return report

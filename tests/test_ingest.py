@@ -5,6 +5,7 @@ bucket (behavior port of test/TestDatabase.cxx:425-496), retention
 from __future__ import annotations
 
 import datetime as dt
+import glob
 import json
 import os
 
@@ -133,3 +134,23 @@ def test_store_roundtrip_and_clone(spark, tmp_path, logs):
     # inject (S2): append more rows
     s2.append(logs.limit(2))
     assert s2.read().count() == 10
+
+
+def test_store_compact_merges_small_files(spark, tmp_path, logs):
+    s = LogStore(spark, str(tmp_path / "c"))
+    for _ in range(4):  # repeated appends → many small files per date
+        s.append(logs)
+    before = s.read().count()
+    pdirs = sorted(glob.glob(str(tmp_path / "c" / "p_date=*")))
+    assert pdirs
+    files_before = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in pdirs
+    )
+    report = s.compact()
+    files_after = sum(
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(str(tmp_path / "c" / "p_date=*"))
+    )
+    assert sum(report.values()) == files_before - files_after
+    assert files_after < files_before
+    assert s.read().count() == before  # data unchanged

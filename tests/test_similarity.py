@@ -78,3 +78,34 @@ def test_knn_join(vectors):
     # non-parallel vectors 5 and 6 rank themselves first
     assert by_q[5][0][0] == 5
     assert by_q[6][0][0] == 6
+
+
+def test_ivf_topk_recall(vectors):
+    """IVF with all lists probed == brute force; with nprobe=4/8 the
+    planted near-dups of vector 0 must still be found when querying
+    with vector 0's embedding."""
+    from pond_spark.similarity import brute_force_topk, ivf_topk
+
+    q = [r.embedding for r in vectors.filter("vec_id = 0").collect()][0]
+    exact = [r.vec_id for r in brute_force_topk(vectors, q, k=5).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_topk(vectors, q, k=5, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == exact  # probing every list degenerates to brute force
+    probed = [
+        r.vec_id
+        for r in ivf_topk(vectors, q, k=5, n_centroids=8, nprobe=4).collect()
+    ]
+    # the planted near-identical vectors live in the query's own list
+    assert {0, 100, 101} <= set(probed)
+
+
+def test_ivf_assign_is_deterministic(vectors):
+    from pond_spark.similarity import ivf_assign, train_centroids
+
+    c1 = train_centroids(vectors, n_centroids=4)
+    c2 = train_centroids(vectors, n_centroids=4)
+    assert c1 == c2
+    a = ivf_assign(vectors, c1).select("vec_id", "ivf_list").collect()
+    assert all(0 <= r.ivf_list < 4 for r in a)
