@@ -1,3 +1,9 @@
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
+from pond_spark.streaming.ratelimit import rate_limit_stream
 
-__all__ = ["follow_stream", "continue_stream", "follow_visitors"]
+__all__ = [
+    "follow_stream",
+    "continue_stream",
+    "follow_visitors",
+    "rate_limit_stream",
+]

@@ -1,0 +1,98 @@
+"""Streaming per-site rate limiting (T6) — the live-ingest twin of
+``pond_spark.sources.ingest.rate_limit``.
+
+The reference applies its token bucket continuously at ingest
+(/root/reference/src/Database.cxx:106-149); the batch operator replays
+it per frame. For a live stream the bucket state (tokens, last refill
+time) must survive across micro-batches, which is exactly
+``applyInPandasWithState``: state is keyed by site, each micro-batch's
+records for that site arrive as Arrow frames, and the updated bucket is
+checkpointed with the query.
+
+Semantics (identical to batch + reference test
+test/TestDatabase.cxx:425-496): capacity ``burst`` (default 10·rate),
+refill ``rate`` tokens/s by event time, one token per accepted
+message-type record; non-message records and siteless messages are
+exempt. Rows gain ``_discarded``.
+
+Scale notes: state is two scalars per site (bounded key space —
+the reference dimensions its per-site hash for 64k sites); the
+stateful stage shuffles only message-type records on the site key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def rate_limit_stream(
+    sdf: DataFrame,
+    rate: float,
+    burst: float | None = None,
+    site_col: str = "site",
+    type_col: str = "type",
+    message_type: str = "http_error",
+) -> DataFrame:
+    """Apply the per-site token bucket to a streaming DataFrame."""
+    if rate <= 0:
+        return sdf.withColumn("_discarded", F.lit(False))
+    cap = burst if burst is not None else 10.0 * rate
+
+    out_schema = T.StructType(
+        sdf.schema.fields + [T.StructField("_discarded", T.BooleanType())]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tokens", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),  # -1 = no timestamp yet
+        ]
+    )
+
+    def bucket(
+        key: Tuple,
+        frames: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last_us = state.get
+        else:
+            tokens, last_us = float(cap), -1
+        for pdf in frames:
+            pdf = pdf.sort_values(["timestamp", "id"], na_position="first")
+            flags = []
+            for ts, typ in zip(pdf["timestamp"], pdf[type_col]):
+                if typ != message_type:
+                    flags.append(False)
+                    continue
+                if ts is not None and not pd.isna(ts):
+                    now_us = int(ts.value // 1000)
+                    if last_us >= 0 and now_us > last_us:
+                        tokens = min(cap, tokens + rate * (now_us - last_us) / 1e6)
+                    last_us = now_us
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    flags.append(False)
+                else:
+                    flags.append(True)
+            pdf = pdf.copy()
+            pdf["_discarded"] = flags
+            yield pdf
+        state.update((float(tokens), int(last_us)))
+
+    charged = sdf.filter(
+        (F.col(type_col) == message_type) & F.col(site_col).isNotNull()
+    )
+    exempt = sdf.filter(
+        ~((F.col(type_col) == message_type) & F.col(site_col).isNotNull())
+    ).withColumn("_discarded", F.lit(False))
+
+    limited = charged.groupBy(site_col).applyInPandasWithState(
+        bucket, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return limited.unionByName(exempt)

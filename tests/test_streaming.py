@@ -112,3 +112,51 @@ def test_follow_visitors_session_window(spark, tmp_path):
     }
     # h1 splits into two sessions (gap > 30 min), h2 one session
     assert got == {("h1", 2), ("h1", 1), ("h2", 1)}
+
+
+def test_rate_limit_stream_state_survives_batches(spark, tmp_path):
+    """T6 streaming: bucket state must carry across micro-batches —
+    batch 1 drains the burst, batch 2 only gets the event-time refill
+    (a fresh bucket would pass everything in batch 2)."""
+    from pond_spark.streaming import rate_limit_stream
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10)
+
+    def msg_rows(ids, ts):
+        rows = _rows(ids, "a", t0)
+        for r in rows:
+            r["type"] = "http_error"
+            r["timestamp"] = ts
+        return rows
+
+    # batch 1: 12 messages at t0 → burst 10 passes, 2 discarded
+    _write_batch(spark, store, msg_rows(range(1, 13), t0))
+    time.sleep(1.1)
+    # batch 2: 5 messages at t0+2s → refill 2 tokens → 2 pass, 3 discarded
+    _write_batch(spark, store, msg_rows(range(13, 18), t0 + dt.timedelta(seconds=2)))
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    out = rate_limit_stream(sdf, rate=1.0)  # burst = 10
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rls")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id, _discarded from rls").collect()
+    assert len(rows) == 17
+    discarded = {r.id for r in rows if r._discarded}
+    batch1_discards = {r for r in discarded if r <= 12}
+    batch2_discards = {r for r in discarded if r > 12}
+    assert len(batch1_discards) == 2
+    assert len(batch2_discards) == 3  # proves tokens carried over
