@@ -136,6 +136,59 @@ LIMIT 10
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation where customer and supplier
+    share the nation. Every dimension (region→nation→customer,
+    supplier) broadcasts down the chain; only lineitem shuffles, once,
+    for the final aggregation."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    region = rd("region").filter(F.col("r_name") == "ASIA")
+    nation = rd("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = rd("customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1995, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1999, 1, 1)))
+    )
+    co = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    supp = rd("supplier")
+    li = _lineitem(spark, sf_dir)
+    revenue = (
+        F.col("l_extendedprice").cast(_D)
+        * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D))
+    )
+    return (
+        li.join(F.broadcast(co), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 # ---------------------------------------------------------------------------
 # pond operator surface on the events log stand-in
 
@@ -817,6 +870,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
+    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
