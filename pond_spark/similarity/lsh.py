@@ -124,22 +124,34 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket join (same RHP
-    bucket) then exact cosine verify >= threshold."""
-    b = rhp_bucket(df, dim, nbits, seed, vec_col)
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket"
-    )
-    return (
+    bucket) then exact cosine verify >= threshold.
+
+    The bucket join carries ids only — vectors would multiply by the
+    bucket fan-out in the shuffle; they join back onto the (small)
+    deduped candidate set for verification."""
+    b = rhp_bucket(df, dim, nbits, seed, vec_col).persist()
+    left = b.select(F.col(id_col).alias("id_a"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = b.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
             cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -68,3 +68,55 @@ def test_random_filters_match_duckdb(logs, duck):
             ).fetchall()
         )
         assert spark_ids == duck_ids, f"iteration {i}: {spec} → {spark_ids} vs {duck_ids}"
+
+
+def test_random_windows_match_duckdb(logs, duck):
+    """Q4 pagination property: random (filter, max, skip) — the
+    window's (timestamp, id) order makes the page deterministic, so
+    Spark and DuckDB must return the exact same id sequence."""
+    rng = random.Random(99)
+    for i in range(25):
+        spec = random_spec(rng)
+        mx, sk = rng.randint(1, 12), rng.choice([0, 1, 3, 10])
+        from pond_spark.query import Query
+
+        got = [
+            r.id
+            for r in Query(logs).filter(spec).window(max=mx, skip=sk).to_df()
+            .select("id").collect()
+        ]
+        want = [
+            r[0]
+            for r in duck.execute(
+                f'SELECT id FROM logs WHERE {spec.to_sql()} '
+                f'ORDER BY "timestamp" ASC NULLS FIRST, id ASC '
+                f"LIMIT {mx} OFFSET {sk}"
+            ).fetchall()
+        ]
+        assert got == want, f"iteration {i}: {spec} max={mx} skip={sk}"
+
+
+def test_random_group_site_matches_duckdb(logs, duck):
+    """Q5 pagination property: random (max, skip) over non-empty sites
+    in first-appearance order."""
+    rng = random.Random(7)
+    from pond_spark.query import Query
+
+    for i in range(12):
+        mx, sk = rng.randint(1, 4), rng.choice([0, 1, 2, 5])
+        got = sorted(
+            r.id
+            for r in Query(logs).group_site(max=mx, skip=sk).to_df()
+            .select("id").collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duck.execute(
+                "WITH fs AS (SELECT site, min(id) AS fid FROM logs "
+                "WHERE site IS NOT NULL GROUP BY site), "
+                "rk AS (SELECT site, row_number() OVER (ORDER BY fid) AS r FROM fs) "
+                f"SELECT l.id FROM logs l JOIN rk USING (site) "
+                f"WHERE r > {sk} AND r <= {sk + mx}"
+            ).fetchall()
+        )
+        assert got == want, f"iteration {i}: max={mx} skip={sk}"
