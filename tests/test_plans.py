@@ -80,9 +80,12 @@ def test_accumulate_top_uses_take_ordered(spark, entry):
 
 def test_geoip_broadcasts_range_dim(spark, entry):
     df = entry.queries()["geoip"](spark, SF)
-    # the IP-range dim is broadcast; the fact table is never shuffled
-    # for the join
-    assert has_broadcast_join(df)
+    # the bucketed range join must plan as a broadcast HASH join —
+    # a nested-loop probe would be O(rows × ranges) against a real
+    # ~400k-range GeoIP table
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert not has_sort_merge_join(df)
 
 
