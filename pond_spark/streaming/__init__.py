@@ -1,4 +1,5 @@
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
+from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
 
 __all__ = [
@@ -6,4 +7,6 @@ __all__ = [
     "continue_stream",
     "follow_visitors",
     "rate_limit_stream",
+    "ingest_stream",
+    "read_metrics",
 ]

@@ -160,3 +160,47 @@ def test_rate_limit_stream_state_survives_batches(spark, tmp_path):
     batch2_discards = {r for r in discarded if r > 12}
     assert len(batch1_discards) == 2
     assert len(batch2_discards) == 3  # proves tokens carried over
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    """S1 streaming: raw payload files → parse/validate → store append
+    + per-batch metrics; STATS totals fold the metrics table."""
+    import json
+
+    from pond_spark.operators.stats import ingest_stats
+    from pond_spark.sources.store import LogStore
+    from pond_spark.streaming import ingest_stream, read_metrics
+
+    raw_dir = str(tmp_path / "raw")
+    t0 = dt.datetime(2024, 1, 1, 10)
+
+    def payload(i, site="a"):
+        return json.dumps(
+            {"id": i, "timestamp": t0.isoformat(), "site": site, "type": "http_access"}
+        )
+
+    rows = [(payload(i),) for i in range(1, 8)]
+    rows.append(("this is not json",))
+    spark.createDataFrame(rows, "payload string").coalesce(1).write.mode(
+        "append"
+    ).format("text").option("compression", "none").save(raw_dir)
+
+    store = LogStore(spark, str(tmp_path / "store"))
+    raw = (
+        spark.readStream.format("text")
+        .load(raw_dir)
+        .withColumnRenamed("value", "payload")
+    )
+    q = ingest_stream(
+        raw,
+        store,
+        metrics_dir=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert store.read().count() == 7
+    m = ingest_stats(read_metrics(spark, str(tmp_path / "metrics"))).collect()[0]
+    assert m.n_received == 8
+    assert m.n_malformed == 1
+    assert m.n_discarded == 0
