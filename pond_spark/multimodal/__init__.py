@@ -3,6 +3,7 @@ from pond_spark.multimodal.binaryops import (
     decode_media_batch,
     extract_media_meta,
     frame_sample,
+    resize_image_batch,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "extract_media_meta",
     "decode_media_batch",
     "frame_sample",
+    "resize_image_batch",
 ]

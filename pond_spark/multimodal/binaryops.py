@@ -110,6 +110,56 @@ def decode_media_batch(
     return df.select("media_id", "payload").mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_image_batch(
+    df: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize via Arrow-batched ``mapInPandas`` — the third stubbed
+    codec verb next to decode and frame-sample.
+
+    ``codec='fake'`` produces a deterministic payload of exactly
+    ``width*height`` bytes (cyclic repetition/truncation of the source
+    bytes) through the same batch interface a Pillow ``Image.resize``
+    implementation would use; other codecs raise NotImplementedError.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real resizing requires image libraries not "
+            "present in this environment; the 'fake' codec exercises the "
+            "identical mapInPandas plumbing"
+        )
+    n = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def fake_resize(b):
+                if not b:
+                    return None
+                reps = -(-n // len(b))  # ceil division
+                return (bytes(b) * reps)[:n]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    out = df.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+    return out
+
+
 def frame_sample(
     df: DataFrame, every_ms: int = 1000, duration_col: str = "duration_ms"
 ) -> DataFrame:

@@ -60,3 +60,27 @@ def test_frame_sample(media):
     rows = sorted((r.media_id, r.sample_ms) for r in out)
     # only the video row (id 4, 3500ms) is sampled: 0,1000,2000,3000
     assert rows == [(4, 0), (4, 1000), (4, 2000), (4, 3000)]
+
+
+def test_resize_image_batch_fake_codec(media):
+    from pond_spark.multimodal import resize_image_batch
+
+    out = resize_image_batch(media, width=4, height=3).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(out) == media.count()
+    for r in out:
+        if r.payload is not None:
+            assert len(r.payload) == 12
+            assert (r.width, r.height) == (4, 3)
+    # deterministic: same input → same bytes
+    out2 = {r.media_id: r.payload for r in resize_image_batch(media, 4, 3).collect()}
+    assert all(out2[i] == by_id[i].payload for i in by_id)
+
+
+def test_resize_real_codec_is_stubbed(media):
+    import pytest as _pytest
+
+    from pond_spark.multimodal import resize_image_batch
+
+    with _pytest.raises(NotImplementedError):
+        resize_image_batch(media, 4, 3, codec="pillow")
