@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) has NO footer min/max stats —
+        # row-group time pruning and footer-based retention both need
+        # real timestamp statistics
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
         # and convert (see schema.events_as_logs)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

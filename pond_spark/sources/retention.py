@@ -17,6 +17,7 @@ reference's live-cursor FixDeleted repair (src/Cursor.cxx:8-16).
 from __future__ import annotations
 
 import datetime as dt
+import glob
 import os
 from dataclasses import dataclass
 
@@ -45,8 +46,11 @@ def _file_stats(path: str) -> tuple[int, dt.datetime | None]:
                 stats = col.statistics
                 if stats is not None and stats.has_min_max:
                     mx = stats.max
-                    if isinstance(mx, dt.datetime) and (newest is None or mx > newest):
-                        newest = mx
+                    if isinstance(mx, dt.datetime):
+                        if mx.tzinfo is not None:  # TIMESTAMP_MICROS is UTC-adjusted
+                            mx = mx.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                        if newest is None or mx > newest:
+                            newest = mx
         return size, newest
     except Exception:
         return size, None
@@ -61,11 +65,12 @@ def apply_retention(
 ) -> RetentionReport:
     """Drop aged files, then oldest-first down to the size budget."""
     now = now or dt.datetime.utcnow()
-    files = [
-        os.path.join(store_dir, f)
-        for f in sorted(os.listdir(store_dir))
-        if f.endswith(".parquet")
-    ]
+    # flat layouts and LogStore's p_date=… partition dirs both retain
+    # at file granularity; emptied partition dirs are pruned afterwards
+    files = sorted(
+        glob.glob(os.path.join(store_dir, "*.parquet"))
+        + glob.glob(os.path.join(store_dir, "p_date=*", "*.parquet"))
+    )
     stats = {f: _file_stats(f) for f in files}
 
     dropped_age: list[str] = []
@@ -94,6 +99,12 @@ def apply_retention(
     if not dry_run:
         for f in dropped_age + dropped_size:
             os.remove(f)
+        for d in glob.glob(os.path.join(store_dir, "p_date=*")):
+            if not glob.glob(os.path.join(d, "*.parquet")):
+                # only checksum/marker droppings remain — clear them
+                for leftover in os.listdir(d):
+                    os.remove(os.path.join(d, leftover))
+                os.rmdir(d)
 
     remaining = sum(
         stats[f][0] for f in files if f not in dropped_age and f not in dropped_size

@@ -38,12 +38,19 @@ class LogStore:
     def _layout(self, df: DataFrame) -> DataFrame:
         """Partition + sort discipline shared by append and clone.
 
+        Forces TIMESTAMP_MICROS output: INT96 (Spark's legacy default)
+        writes no footer min/max statistics, which would silently kill
+        both row-group time pruning and footer-based retention.
+
         ``repartitionByRange(p_date, site, timestamp)`` (not
         ``repartition("p_date")``) so a single day spreads over many
         writers — one-task-per-date would serialize a multi-TB day at
         cluster scale — while keeping files within a date covering
         non-overlapping site ranges, which preserves row-group pruning
         for site-filtered scans."""
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         return (
             df.withColumn(
                 "p_date",
@@ -76,6 +83,22 @@ class LogStore:
             .write.mode("overwrite")
             .partitionBy("p_date")
             .parquet(self.path)
+        )
+
+    def retain(
+        self,
+        max_age=None,
+        max_bytes: int | None = None,
+        now=None,
+        dry_run: bool = False,
+    ):
+        """Ring-buffer + max_age eviction for the partitioned store
+        (SURVEY.md §1.3): file-granular drops inside p_date dirs,
+        emptied date directories pruned."""
+        from pond_spark.sources.retention import apply_retention
+
+        return apply_retention(
+            self.path, max_age=max_age, max_bytes=max_bytes, now=now, dry_run=dry_run
         )
 
     def compact(self, target_file_bytes: int = 128 << 20) -> dict[str, int]:

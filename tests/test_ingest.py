@@ -154,3 +154,20 @@ def test_store_compact_merges_small_files(spark, tmp_path, logs):
     assert sum(report.values()) == files_before - files_after
     assert files_after < files_before
     assert s.read().count() == before  # data unchanged
+
+
+def test_store_retain_drops_aged_partitions(spark, tmp_path, logs):
+    s = LogStore(spark, str(tmp_path / "r"))
+    s.append(logs)
+    assert s.read().count() == 8
+    newest = max(
+        r.timestamp
+        for r in s.read().select("timestamp").collect()
+        if r.timestamp is not None
+    )
+    rep = s.retain(max_age=dt.timedelta(0), now=newest + dt.timedelta(days=400))
+    assert rep.dropped_age  # every dated file aged out
+    remaining = glob.glob(str(tmp_path / "r" / "p_date=*"))
+    # dated dirs pruned; the null-timestamp partition has no footer
+    # time stats so age-based retention (correctly) leaves it
+    assert remaining == [str(tmp_path / "r" / "p_date=unknown")]
