@@ -66,12 +66,36 @@ class LogStore:
         """S2 INJECT_LOG_RECORD / ingest append."""
         self._layout(df).write.mode("append").partitionBy("p_date").parquet(self.path)
 
-    def read(self) -> DataFrame:
+    def read(self, since=None, until=None) -> DataFrame:
+        """Read the store, optionally time-bounded.
+
+        ``since``/``until`` (inclusive datetimes, F5 semantics) are
+        applied BOTH as a ``p_date`` predicate — which Catalyst turns
+        into partition pruning, the directory-level analog of the
+        reference's skip-deque seek — AND as exact timestamp filters
+        that push into the row-group stats. Without the derived
+        ``p_date`` bound, a timestamp filter alone would scan every
+        date directory. The 'unknown' partition (null timestamps) is
+        excluded whenever a time bound is set: records without a
+        timestamp fail a configured range (Filter.hxx:26-48).
+        """
         # copy — StructType.add would mutate the shared LOG_SCHEMA
         schema = T.StructType(
             LOG_SCHEMA.fields + [T.StructField("p_date", T.StringType())]
         )
         df = self.spark.read.schema(schema).parquet(self.path)
+        if since is not None:
+            df = df.filter(
+                (F.col("p_date") >= since.strftime("%Y-%m-%d"))
+                & (F.col("p_date") != "unknown")
+                & (F.col("timestamp") >= F.lit(since))
+            )
+        if until is not None:
+            df = df.filter(
+                (F.col("p_date") <= until.strftime("%Y-%m-%d"))
+                & (F.col("p_date") != "unknown")
+                & (F.col("timestamp") <= F.lit(until))
+            )
         return df.drop("p_date")
 
     def clone_from(self, other: "LogStore") -> None:

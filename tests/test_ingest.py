@@ -171,3 +171,23 @@ def test_store_retain_drops_aged_partitions(spark, tmp_path, logs):
     # dated dirs pruned; the null-timestamp partition has no footer
     # time stats so age-based retention (correctly) leaves it
     assert remaining == [str(tmp_path / "r" / "p_date=unknown")]
+
+
+def test_store_read_time_bounds_prune_partitions(spark, tmp_path, logs):
+    from pond_spark.plans import formatted_plan
+
+    s = LogStore(spark, str(tmp_path / "p"))
+    s.append(logs)
+    since, until = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 23)
+    df = s.read(since=since, until=until)
+    got = sorted(r.id for r in df.collect())
+    want = sorted(
+        r.id
+        for r in s.read().collect()
+        if r.timestamp is not None and since <= r.timestamp <= until
+    )
+    assert got == want and got  # non-trivial
+    plan = formatted_plan(df)
+    # the derived p_date predicate must reach the scan as a partition
+    # filter (directory pruning), the timestamp bound as a data filter
+    assert "PartitionFilters" in plan and "p_date" in plan.split("PartitionFilters")[1][:200]
