@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pond_spark.util import fan_out
+
 # Mersenne-31: keeps a*x (a, x < p) under 2^62 — no int64 overflow in
 # the JVM's ANSI arithmetic
 MERSENNE_P = (1 << 31) - 1
@@ -61,6 +63,7 @@ def shingle_hashes(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
+    df = fan_out(df)  # shingling is CPU-bound; never pin to one split
     return df.withColumn(
         "_shingles",
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pond_spark.util import fan_out
+
 
 def gram_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
@@ -40,7 +42,7 @@ def gram_hashes(
     hashed = F.array_sort(
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     )
-    return df.select(F.col(id_col), hashed.alias("_grams"))
+    return fan_out(df).select(F.col(id_col), hashed.alias("_grams"))
 
 
 def ngram_jaccard_pairs(
