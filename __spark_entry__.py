@@ -790,6 +790,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (first 50 query vectors vs the full table, k=3):
+    per-query top-k via a window over the broadcast cross score —
+    oracle-checked against DuckDB's identical fold + row_number."""
+    from pond_spark.similarity.brute import knn_join
+
+    emb = _embeddings(spark, sf_dir)
+    return knn_join(emb.filter(F.col("vec_id") < 50), emb, k=3)
+
+
+_COS_SQL = """round(
+    list_reduce(list_prepend(0.0, list_transform(list_zip(l.qv, r.nv),
+        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (a,b)->a+b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(l.qv,
+        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform(r.nv,
+        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b))), 6)"""
+
+KNN_JOIN_SQL = f"""
+WITH l AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 50),
+r AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+scored AS (SELECT l.qid, r.nid, {_COS_SQL} AS cosine FROM l CROSS JOIN r),
+ranked AS (SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn
+           FROM scored)
+SELECT qid, nid, cosine FROM ranked WHERE rn <= 3
+"""
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via RHP-LSH buckets (rows-only)."""
     from pond_spark.similarity import embedding_near_pairs
@@ -898,6 +927,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),
     "media_meta": (q_media_meta, MEDIA_META_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),

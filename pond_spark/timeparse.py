@@ -68,7 +68,10 @@ def parse_time_spec(
     if m:
         sign = -1 if m.group(1) == "-" else 1
         secs = sign * int(m.group(2)) * _UNITS[m.group(3)]
-        return now + dt.timedelta(seconds=secs), dt.timedelta(0)
+        try:
+            return now + dt.timedelta(seconds=secs), dt.timedelta(0)
+        except OverflowError:
+            raise ValueError(f"time spec out of range: {spec!r}") from None
 
     # Year / month need calendar-aware durations.
     m = re.match(r"^(\d{4})$", spec)

@@ -69,3 +69,68 @@ def test_today_shortcut():
 def test_unparseable_raises():
     with pytest.raises(ValueError):
         parse_time_spec("not-a-time", NOW)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_dates = st.datetimes(
+    min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2099, 12, 31)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sign=st.sampled_from("+-"),
+    n=st.integers(min_value=0, max_value=10**6),
+    unit=st.sampled_from("smhd"),
+    now=_dates,
+)
+def test_relative_offset_roundtrip(sign, n, unit, now):
+    secs = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit] * n
+    delta = dt.timedelta(seconds=secs)
+    ok = (
+        now <= dt.datetime.max - delta
+        if sign == "+"
+        else now >= dt.datetime.min + delta
+    )
+    if not ok:
+        # out-of-range offsets must fail cleanly, not overflow
+        with pytest.raises(ValueError):
+            parse_time_spec(f"{sign}{n}{unit}", now)
+        return
+    start, dur = parse_time_spec(f"{sign}{n}{unit}", now)
+    assert dur == dt.timedelta(0)
+    assert start == now + (1 if sign == "+" else -1) * dt.timedelta(seconds=secs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(d=_dates)
+def test_partial_date_covers_whole_day(d):
+    spec = d.strftime("%Y-%m-%d")
+    start, dur = parse_time_spec(spec, d)
+    assert start == dt.datetime(d.year, d.month, d.day)
+    assert dur == dt.timedelta(days=1)
+    # until semantics: start+dur-1µs is still inside the day
+    lo, hi = since_until(until=spec, now=d)
+    assert hi == start + dt.timedelta(days=1) - dt.timedelta(microseconds=1)
+    assert hi.date() == d.date()
+
+
+@settings(max_examples=100, deadline=None)
+@given(d=_dates)
+def test_month_and_year_durations_are_calendar_exact(d):
+    y_start, y_dur = parse_time_spec(f"{d.year:04d}", d)
+    assert y_start == dt.datetime(d.year, 1, 1)
+    assert y_start + y_dur == dt.datetime(d.year + 1, 1, 1)
+    m_start, m_dur = parse_time_spec(f"{d.year:04d}-{d.month:02d}", d)
+    assert m_start == dt.datetime(d.year, d.month, 1)
+    nxt = (
+        dt.datetime(d.year + 1, 1, 1)
+        if d.month == 12
+        else dt.datetime(d.year, d.month + 1, 1)
+    )
+    assert m_start + m_dur == nxt
