@@ -4,6 +4,7 @@ from pond_spark.sources.ingest import (
     parse_datagrams,
     rate_limit,
 )
+from pond_spark.sources.bucketing import read_table, write_bucketed
 from pond_spark.sources.retention import apply_retention
 from pond_spark.sources.store import LogStore
 
@@ -14,4 +15,6 @@ __all__ = [
     "IngestResult",
     "apply_retention",
     "LogStore",
+    "write_bucketed",
+    "read_table",
 ]

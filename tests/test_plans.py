@@ -124,3 +124,32 @@ def test_media_meta_stays_jvm_side(spark, entry):
 def test_format_one_line_is_pure_projection(spark, entry):
     df = entry.queries()["format_one_line"](spark, SF)
     assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory, entry):
+    """Co-located join: bucketing both sides on the join key at write
+    time removes the Exchange entirely — the cluster-wide fact shuffle
+    becomes a file-local merge."""
+    import uuid
+
+    from pond_spark.sources import read_table, write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(li, f"li_b_{suffix}", ["l_orderkey"], buckets=8)
+    write_bucketed(orders, f"ord_b_{suffix}", ["o_orderkey"], buckets=8)
+
+    # disable broadcast so the join must co-locate on the bucket spec
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lt = read_table(spark, f"li_b_{suffix}")
+        ot = read_table(spark, f"ord_b_{suffix}")
+        j = lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+        assert count_exchanges(j) == 0, formatted_plan(j)
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS ord_b_{suffix}")
