@@ -151,3 +151,36 @@ def test_one_line_toggles(logs):
     out = logs.filter(F.col("id") == 4).select(one_line(opts)).collect()[0].line
     # empty-string host renders as the empty field (only NULL gets '-')
     assert out == '2001:db8::1  - - [2024-01-02T09:00:00.000Z] "HEAD /index.html" 204 -'
+
+
+# ---------------------------------------------------------------------------
+# skew salting
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pond_spark.operators.skew import salted_join
+
+    # skewed probe: one hot key dominating
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        "k long, payload long",
+    )
+    build = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 25)], "k long, attr string"
+    )
+    plain = probe.join(build, ["k"]).collect()
+    salted = salted_join(probe, build, ["k"], salt=4).collect()
+    key = lambda r: (r.k, r.payload, r.attr)  # noqa: E731
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from pond_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, 10), (99, 20)], "k long, payload long")
+    build = spark.createDataFrame([(1, "x")], "k long, attr string")
+    got = {
+        (r.k, r.attr)
+        for r in salted_join(probe, build, ["k"], salt=3, how="left").collect()
+    }
+    assert got == {(1, "x"), (99, None)}
