@@ -27,6 +27,7 @@ from pond_spark.operators.sessionize import track_visitors
 from pond_spark.operators.stats import stats
 from pond_spark.query import Query
 from pond_spark.schema import events_as_logs
+from pond_spark.util import fan_out as _fan
 
 # ---------------------------------------------------------------------------
 # shared pieces
@@ -638,7 +639,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and quality scoring."""
     from pond_spark.functions.text import bpe_token_count, quality_score, token_count
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -666,7 +667,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language id heuristic."""
     from pond_spark.functions.text import lang_id
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir))
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -680,7 +681,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial document fingerprint."""
     from pond_spark.functions.text import fingerprint
 
-    docs = _documents(spark, sf_dir)
+    docs = _fan(_documents(spark, sf_dir))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
 

@@ -46,6 +46,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+        # operators persist intermediates; drop them so later queries
+        # aren't timed under accumulated cache + GC pressure
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
