@@ -556,6 +556,30 @@ def _unsafe_spec() -> FilterSpec:
     return _UNSAFE_SPEC
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): attach to
+    every log record the latest "config change" at or before it, per
+    site. The config dim is a deterministic slice of the log itself
+    (every 97th record). Oracle: DuckDB's native ASOF JOIN."""
+    from pond_spark.operators.asof import asof_join
+
+    logs = events_as_logs(spark, sf_dir).select("id", "timestamp", "site")
+    cfg = logs.filter(F.col("id") % 97 == 0).select(
+        "site", "timestamp", F.col("id").alias("cfg_id")
+    )
+    out = asof_join(logs, cfg, key_cols=["site"], ts_col="timestamp")
+    return out.select("id", "cfg_id")
+
+
+ASOF_JOIN_SQL = f"""
+WITH {LOGS_CTE},
+l AS (SELECT id, "timestamp" AS ts, site FROM logs),
+cfg AS (SELECT site, "timestamp" AS cts, id AS cfg_id FROM logs WHERE id % 97 = 0)
+SELECT l.id, cfg.cfg_id
+FROM l ASOF LEFT JOIN cfg ON l.site = cfg.site AND l.ts >= cfg.cts
+"""
+
+
 def q_unsafe_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 (unsafe_method) + F1 empty-site rule: NULL site matches the
     empty-string member of the site set (Filter.cxx:15-19); method must
@@ -918,6 +942,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),

@@ -184,3 +184,31 @@ def test_salted_join_left_keeps_unmatched(spark):
         for r in salted_join(probe, build, ["k"], salt=3, how="left").collect()
     }
     assert got == {(1, "x"), (99, None)}
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+
+
+def test_asof_join_latest_at_or_before(spark):
+    import datetime as dt
+
+    from pond_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), "a"), (2, t(5), "a"), (3, t(10), "a"), (4, t(3), "b"),
+         (5, None, "a")],
+        "id long, timestamp timestamp, site string",
+    )
+    right = spark.createDataFrame(
+        [("a", t(0), 100), ("a", t(5), 101), ("b", t(4), 200),
+         ("a", None, 999)],
+        "site string, timestamp timestamp, cfg long",
+    )
+    got = {r.id: r.cfg for r in asof_join(left, right, ["site"]).collect()}
+    assert got[1] == 100   # tie: inclusive (right.ts <= left.ts)
+    assert got[2] == 101   # exact match at t5
+    assert got[3] == 101   # carry-forward past t5
+    assert got[4] is None  # b's only cfg is later (t4 > t3)
+    assert got[5] is None  # left without timestamp matches nothing
