@@ -556,6 +556,33 @@ def _unsafe_spec() -> FilterSpec:
     return _UNSAFE_SPEC
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-site rollup (count + exact value sum): one shuffle on
+    (bucket, site) after map-side partial aggregation."""
+    from pond_spark.operators.rollup import rollup_by_time
+
+    logs = events_as_logs(spark, sf_dir)
+    return rollup_by_time(
+        logs,
+        every="hour",
+        dims=["site"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast(_D)).cast("double"),
+        },
+    )
+
+
+TIME_ROLLUP_SQL = f"""
+WITH {LOGS_CTE}
+SELECT date_trunc('hour', "timestamp") AS bucket, site,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM logs WHERE "timestamp" IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -943,6 +970,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),

@@ -1,0 +1,37 @@
+"""Time-bucketed rollups: the hypertable-style aggregation layer.
+
+Not part of the reference surface (pond has no aggregation protocol —
+SURVEY.md §2.7); this is the engine-level operator a log store needs
+for dashboards: per-bucket, per-dimension aggregates with map-side
+partial aggregation and a single shuffle on (bucket, dims). At 100 TB
+the bucket column aligns with the store's date partitioning, so
+rollups over a time range only scan their days.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_by_time(
+    df: DataFrame,
+    every: str = "hour",
+    dims: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Aggregate into ``date_trunc(every)`` buckets per ``dims``.
+
+    ``aggs`` maps output names to aggregate Columns (default: row
+    count). Rows without a timestamp are excluded (no bucket).
+    """
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    bucket = F.date_trunc(every, F.col(ts_col)).alias("bucket")
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(bucket, *[F.col(d) for d in dims])
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )

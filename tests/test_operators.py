@@ -212,3 +212,34 @@ def test_asof_join_latest_at_or_before(spark):
     assert got[3] == 101   # carry-forward past t5
     assert got[4] is None  # b's only cfg is later (t4 > t3)
     assert got[5] is None  # left without timestamp matches nothing
+
+
+def test_rollup_by_time(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pond_spark.operators.rollup import rollup_by_time
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), "a", 2.0),
+        (2, dt.datetime(2024, 1, 1, 10, 55), "a", 3.0),
+        (3, dt.datetime(2024, 1, 1, 11, 0), "a", 5.0),
+        (4, dt.datetime(2024, 1, 1, 10, 30), "b", 7.0),
+        (5, None, "a", 99.0),  # no bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, value double"
+    )
+    out = {
+        (r.bucket, r.site): (r.n, r.s)
+        for r in rollup_by_time(
+            df, "hour", ["site"], {"n": F.count(F.lit(1)), "s": F.sum("value")}
+        ).collect()
+    }
+    h10 = dt.datetime(2024, 1, 1, 10)
+    h11 = dt.datetime(2024, 1, 1, 11)
+    assert out[(h10, "a")] == (2, 5.0)
+    assert out[(h11, "a")] == (1, 5.0)
+    assert out[(h10, "b")] == (1, 7.0)
+    assert len(out) == 3  # null-ts row excluded
