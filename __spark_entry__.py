@@ -583,6 +583,50 @@ GROUP BY 1, 2
 """
 
 
+def q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct visitors per site per day — the two-level
+    aggregation Catalyst expands count(distinct) into (partial
+    dedup on (day, site, host), then count): no single-reducer
+    bottleneck at scale."""
+    logs = events_as_logs(spark, sf_dir)
+    return (
+        logs.filter(F.col("timestamp").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("timestamp")).alias("day"),
+            F.col("site"),
+        )
+        .agg(F.countDistinct("remote_host").alias("uniques"))
+    )
+
+
+DAILY_UNIQUES_SQL = f"""
+WITH {LOGS_CTE}
+SELECT CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS day, site,
+       count(DISTINCT remote_host) AS uniques
+FROM logs WHERE "timestamp" IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median/p90 of value per site (sort-based
+    aggregate; both engines use linear interpolation)."""
+    logs = events_as_logs(spark, sf_dir)
+    return logs.groupBy("site").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+VALUE_QUANTILES_SQL = f"""
+WITH {LOGS_CTE}
+SELECT site,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM logs GROUP BY site
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -971,6 +1015,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
+    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
+    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),
