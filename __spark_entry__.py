@@ -627,6 +627,58 @@ FROM logs GROUP BY site
 """
 
 
+def q_top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top-3 parts per supplier by revenue via a
+    window rank — the distributed per-key heap (one shuffle on
+    suppkey), not a global sort."""
+    from pyspark.sql.window import Window
+
+    li = _lineitem(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast(_D)
+        * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D))
+    )
+    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        per_part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rk")
+    )
+
+
+TOP_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_suppkey, l_partkey,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey)
+SELECT l_suppkey, l_partkey, revenue, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey ASC) AS INT) AS rk
+  FROM per_part) WHERE rk <= 3
+"""
+
+
+def q_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct visitors per (day, site) — the 100 TB path
+    for q_daily_uniques: fixed-size sketches merge map-side, no
+    (day, site, host) dedup shuffle. Rows-only check (sketch estimates
+    are engine-specific); the exact twin is the oracle-checked
+    q_daily_uniques."""
+    logs = events_as_logs(spark, sf_dir)
+    return (
+        logs.filter(F.col("timestamp").isNotNull())
+        .groupBy(
+            F.date_trunc("day", F.col("timestamp")).alias("day"),
+            F.col("site"),
+        )
+        .agg(F.approx_count_distinct("remote_host", rsd=0.02).alias("uniques_est"))
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -1016,6 +1068,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
+    "daily_uniques_approx": (q_daily_uniques_approx, None),
+    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
