@@ -36,6 +36,20 @@ def main() -> None:
         ).save()
     except Exception:
         pass
+    # warm the Python/Arrow worker pool so the first Pandas-UDF query
+    # isn't charged the fork + numpy-import cost
+    try:
+        import pandas as _pd
+
+        def _noop(it):
+            for pdf in it:
+                yield pdf
+
+        spark.range(32).repartition(32).mapInPandas(
+            _noop, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
