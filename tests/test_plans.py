@@ -153,3 +153,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory, entry):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS ord_b_{suffix}")
+
+
+def test_time_rollup_partial_agg_single_shuffle(spark, entry):
+    df = entry.queries()["time_rollup"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_daily_uniques_expands_two_level(spark, entry):
+    # count(distinct) must plan as partial-dedup + count, not a
+    # single-reducer global dedup
+    df = entry.queries()["daily_uniques"](spark, SF)
+    assert has_partial_aggregate(df)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 3, plan
+
+
+def test_asof_join_single_shuffle(spark, entry):
+    df = entry.queries()["asof_join"](spark, SF)
+    # union + one window partitioned by key: exactly one shuffle
+    assert count_exchanges(df) == 1, formatted_plan(df)
+    assert "CartesianProduct" not in formatted_plan(df)
