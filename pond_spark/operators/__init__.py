@@ -1,5 +1,8 @@
 from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
+from pond_spark.operators.asof import asof_join
+from pond_spark.operators.rollup import rollup_by_time
 from pond_spark.operators.sessionize import track_visitors
+from pond_spark.operators.skew import salted_join
 from pond_spark.operators.stats import stats
 
 __all__ = [
@@ -8,4 +11,7 @@ __all__ = [
     "age_only",
     "track_visitors",
     "stats",
+    "asof_join",
+    "rollup_by_time",
+    "salted_join",
 ]
