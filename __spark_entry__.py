@@ -190,6 +190,46 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: PROMO revenue share per month — broadcast the
+    part dim, conditional aggregation over lineitem, one shuffle."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _lineitem(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast(_D)
+        * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_D)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share",
+            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
+  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # pond operator surface on the events log stand-in
 
@@ -1048,6 +1088,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
