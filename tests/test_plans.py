@@ -175,3 +175,11 @@ def test_asof_join_single_shuffle(spark, entry):
     # union + one window partitioned by key: exactly one shuffle
     assert count_exchanges(df) == 1, formatted_plan(df)
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_promo_revenue_broadcast_single_shuffle(spark, entry):
+    df = entry.queries()["promo_revenue"](spark, SF)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1, formatted_plan(df)
