@@ -1,6 +1,7 @@
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
+from pond_spark.streaming.rollup import rollup_stream
 
 __all__ = [
     "follow_stream",
@@ -9,4 +10,5 @@ __all__ = [
     "rate_limit_stream",
     "ingest_stream",
     "read_metrics",
+    "rollup_stream",
 ]

@@ -204,3 +204,60 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     assert m.n_received == 8
     assert m.n_malformed == 1
     assert m.n_discarded == 0
+
+
+def test_rollup_stream_watermark_drops_stale(spark, tmp_path):
+    """Windowed streaming agg (T2 analog): the watermark persists in
+    the checkpoint across runs; a row arriving after its window closed
+    (event time far below the restored watermark) is dropped."""
+    from pond_spark.streaming import rollup_stream
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(specs):
+        out = _rows([i for i, _ in specs], "a", t0)
+        for r, (_, offset) in zip(out, specs):
+            r["timestamp"] = t0 + dt.timedelta(seconds=offset)
+        return out
+
+    sink = str(tmp_path / "out")
+
+    def run():
+        sdf = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .format("parquet")
+            .load(store)
+        )
+        out = rollup_stream(
+            sdf, every="30 seconds", dims=["site"], watermark="10 seconds"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.bucket_start, r.n)
+            for r in spark.read.parquet(sink).select("bucket_start", "n").collect()
+        }
+
+    # run 1: window [10:00:00, 10:00:30) gets 2 rows; the +120s row
+    # advances the watermark to 110s, closing and emitting that window
+    _write_batch(spark, store, rows([(1, 0), (2, 10), (3, 120)]))
+    got1 = run()
+    assert (t0, 2) in got1
+
+    # run 2 (same checkpoint → watermark restored at 110s): a late row
+    # for the closed window is dropped; a fresh row advances further
+    _write_batch(spark, store, rows([(4, 5), (5, 200)]))
+    new_rows = run() - got1  # the parquet sink is cumulative
+    # id4 was dropped: no row re-emitted for the closed first window
+    assert not any(b == t0 for b, _ in new_rows), new_rows
+    # the +120s row's window [10:02:00, 10:02:30) finalized in run 2
+    assert (t0 + dt.timedelta(seconds=120), 1) in new_rows
