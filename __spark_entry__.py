@@ -13,7 +13,12 @@ then cast to double at the end; averages divide the exact sums.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
 from collections.abc import Callable
+
+# self-locate: the driver may import this file from any cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
