@@ -795,6 +795,58 @@ def q_uri_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 URI_PREFIX_SQL = "SELECT * FROM part WHERE starts_with(p_type, 'PRO')"
 
 
+def q_host_generator_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3+F10 combined: host OR-set (NULL host never matches),
+    generator OR-set, and exact-URI equality — compiled through the
+    same FilterSpec conjunction the server applies (Filter.cxx:64-82).
+    Columns synthesized deterministically on the log fixture; some
+    hosts NULLed to exercise the NULL-never-matches rule."""
+    rid = F.col("id")
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .withColumn(
+            "host",
+            F.when(rid % 13 == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("h"), (rid % 4).cast("string"), F.lit(".example"))
+            ),
+        )
+        .withColumn(
+            "generator",
+            F.element_at(
+                F.array(F.lit("gen1"), F.lit("gen2"), F.lit("other")),
+                (rid % 3 + 1).cast("int"),
+            ),
+        )
+        .withColumn("http_uri", F.concat(F.lit("/"), F.col("site"), F.lit("/index")))
+    )
+    spec = FilterSpec(
+        hosts=frozenset({"h0.example", "h2.example"}),
+        generators=frozenset({"gen1", "gen2"}),
+        uri="/click/index",
+    )
+    return logs.filter(spec.to_column()).select(
+        "id", "host", "generator", "http_uri"
+    )
+
+
+def _host_generator_uri_sql() -> str:
+    spec = FilterSpec(
+        hosts=frozenset({"h0.example", "h2.example"}),
+        generators=frozenset({"gen1", "gen2"}),
+        uri="/click/index",
+    )
+    return f"""
+WITH {LOGS_CTE},
+enr AS (SELECT id,
+  CASE WHEN id % 13 = 0 THEN NULL
+       ELSE 'h' || CAST(id % 4 AS VARCHAR) || '.example' END AS host,
+  ['gen1','gen2','other'][CAST(id % 3 AS INT) + 1] AS generator,
+  '/' || site || '/index' AS http_uri
+FROM logs)
+SELECT id, host, generator, http_uri FROM enr WHERE {spec.to_sql()}
+"""
+
+
 # ---------------------------------------------------------------------------
 # north-star extensions: dedup / text analysis / similarity / multimodal
 
@@ -1111,6 +1163,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
+    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
@@ -1139,6 +1192,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
     "unsafe_method": _unsafe_method_sql,
+    "host_generator_uri": _host_generator_uri_sql,
 }
 
 
