@@ -969,6 +969,33 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 """
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact 3-gram near-dup pairs —
+    the keep-one-per-cluster step of a dedup pipeline. Oracle: DuckDB
+    recursive transitive closure over the same edge set."""
+    from pond_spark.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+    )
+    return connected_components(pairs).select("node", "component")
+
+
+def _near_dup_groups_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL.replace(chr(10), ' ')}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+comp AS (SELECT n AS node, least(n, min(m)) AS component FROM reach GROUP BY n)
+SELECT node, component FROM comp
+"""
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over 3-word shingles (no SQL oracle —
     rows-only check; recall vs the exact ngram pairs is asserted in
@@ -1175,6 +1202,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
@@ -1193,6 +1221,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "fingerprint": _fingerprint_sql,
     "unsafe_method": _unsafe_method_sql,
     "host_generator_uri": _host_generator_uri_sql,
+    "near_dup_groups": _near_dup_groups_sql,
 }
 
 

@@ -1,3 +1,4 @@
+from pond_spark.dedup.cluster import connected_components, dedup_near_keep_best
 from pond_spark.dedup.exact import dedup_exact, exact_duplicate_groups
 from pond_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from pond_spark.dedup.ngram import ngram_jaccard_pairs
@@ -11,4 +12,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_pairs",
+    "connected_components",
+    "dedup_near_keep_best",
 ]

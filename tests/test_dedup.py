@@ -85,3 +85,31 @@ def test_simhash_identical_and_distant(docs):
 def test_simhash_pairs_respect_hamming_bound(docs):
     for r in simhash_near_pairs(docs, max_hamming=3).collect():
         assert r.hamming <= 3
+
+
+def test_connected_components_chains_and_islands(spark):
+    from pond_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_near_keep_best(spark, docs):
+    from pond_spark.dedup import dedup_near_keep_best, ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    scored = docs.withColumn("quality", F.length("text").cast("double"))
+    kept = sorted(
+        r.doc_id
+        for r in dedup_near_keep_best(scored, pairs, quality_col="quality").collect()
+    )
+    # docs 1,2,3,5 cluster (pairwise >=0.5 jaccard via 1); keep id 5
+    # (longest text); 4 and 6 are singletons
+    assert kept == [4, 5, 6]
