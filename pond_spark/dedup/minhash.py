@@ -18,8 +18,11 @@ Scale notes: the band join shuffles (band_key) — a narrow key — and
 AQE's skew handling splits hot buckets (identical boilerplate docs).
 The verify step joins back to shingle arrays by doc id; candidates are
 tiny relative to the corpus, so those joins are broadcast-able in
-practice. Tunables (k, bands) trade recall vs cost exactly as in the
-Broder/LSH literature: P(candidate) = 1 - (1 - j^r)^b.
+practice. The signature relation feeds three plan branches and is
+persisted (MEMORY_AND_DISK) for the duration of the query; small
+inputs fan out across cores before the CPU-heavy shingling. Tunables
+(k, bands) trade recall vs cost exactly as in the Broder/LSH
+literature: P(candidate) = 1 - (1 - j^r)^b.
 """
 
 from __future__ import annotations
@@ -120,8 +123,7 @@ def minhash_lsh_pairs(
     # Band join carries ONLY (id, band_key) — shingle arrays would blow
     # up the shuffle and get duplicated per candidate pair. Candidates
     # are deduped on ids first, then the (small) pair set joins back to
-    # the shingle arrays for exact verification. At cluster scale,
-    # persist `sigs` to avoid recomputing signatures for the two uses.
+    # the shingle arrays for exact verification.
     banded = sigs.select(
         F.col(id_col),
         F.explode(
