@@ -68,6 +68,9 @@ def write_per_site(
         F.col("_site_dir").isNotNull()
     )
     if visitors:
+        # the reference APPENDS an opaque visitor-id column to the
+        # output (doc/index.rst:219-224); ids reset per output file
+        # via the _site_dir scope (ResultWriter.cxx:358-362)
         out = track_visitors(out, scope_col="_site_dir")
     part_cols = ["_site_dir"]
     if shard:
@@ -76,7 +79,12 @@ def write_per_site(
 
     opts = opts or OneLineOptions(show_site=False)
     if fmt == "text":
-        proj = out.select(one_line(opts).alias("value"), *part_cols)
+        line = one_line(opts)
+        if visitors:
+            line = F.concat_ws(
+                " ", line, F.coalesce(F.col("visitor_id"), F.lit("-"))
+            )
+        proj = out.select(line.alias("value"), *part_cols)
         w = proj.write.mode("overwrite")
         if gzip:
             w = w.option("compression", "gzip")

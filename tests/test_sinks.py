@@ -78,3 +78,39 @@ def test_write_raw_roundtrip(logs, spark, tmp_path):
     orig = {tuple(r) for r in logs.collect()}
     got = {tuple(r) for r in back.collect()}
     assert orig == got
+
+
+def test_write_per_site_visitor_scope_resets(spark, tmp_path):
+    """P3 hard-case (SURVEY §4 item 5): visitor ids are scoped to the
+    output file — the same client in two site files gets two distinct
+    opaque ids; the id is appended as the line's last column."""
+    import datetime as dt
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, site in ((1, "alpha"), (2, "alpha"), (3, "beta")):
+        r = dict(base)
+        r.update(
+            id=i,
+            timestamp=t0 + dt.timedelta(minutes=i),
+            site=site,
+            type="http_access",
+            host="h.example",
+            remote_host="10.0.0.1",
+        )
+        rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    out = str(tmp_path / "vs")
+    write_per_site(df, out, visitors=True)
+
+    def ids(site):
+        lines = _read_lines(os.path.join(out, f"_site_dir={site}"))
+        return {l.rsplit(" ", 1)[-1] for l in lines}
+
+    alpha, beta = ids("alpha"), ids("beta")
+    assert alpha != {"-"} and beta != {"-"}
+    assert len(alpha) == 1  # same visitor within the 30-min window
+    assert alpha.isdisjoint(beta)  # per-file scope: ids reset
