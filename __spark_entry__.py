@@ -347,29 +347,64 @@ FROM logs
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: --track-visitors — 30-min-idle sessionization, readable
     host/ordinal ids (the observable grouping; opaque ids are a
-    display detail)."""
-    logs = events_as_logs(spark, sf_dir)
+    display detail). Participation rule (ResultWriter.cxx:292-301):
+    only http_access records with host+timestamp are tracked; the
+    fixture NULLs some hosts/timestamps and marks some rows
+    http_error to exercise the NULL-visitor_id path."""
+    rid = F.col("id")
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .withColumn(
+            "type",
+            F.when(rid % 7 == 0, F.lit("http_error")).otherwise(
+                F.lit("http_access")
+            ),
+        )
+        .withColumn(
+            "remote_host",
+            F.when(rid % 13 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("remote_host")
+            ),
+        )
+        .withColumn(
+            "timestamp",
+            F.when(rid % 17 == 0, F.lit(None).cast("timestamp")).otherwise(
+                F.col("timestamp")
+            ),
+        )
+    )
     return track_visitors(logs, opaque=False).select("id", "visitor_id")
 
 
 SESSIONIZE_SQL = f"""
 WITH {LOGS_CTE},
-base AS (
-  SELECT id, remote_host, "timestamp",
-         epoch_us("timestamp")
-           - lag(epoch_us("timestamp")) OVER (PARTITION BY remote_host
-               ORDER BY "timestamp" NULLS FIRST, id) AS gap_us
+enr AS (
+  SELECT id,
+         CASE WHEN id % 13 = 0 THEN NULL ELSE remote_host END AS remote_host,
+         CASE WHEN id % 17 = 0 THEN NULL ELSE "timestamp" END AS ts,
+         CASE WHEN id % 7 = 0 THEN 'http_error' ELSE 'http_access' END AS type
   FROM logs),
+part AS (
+  SELECT id, remote_host, ts FROM enr
+  WHERE type = 'http_access' AND remote_host IS NOT NULL AND ts IS NOT NULL),
+base AS (
+  SELECT id, remote_host, ts,
+         epoch_us(ts)
+           - lag(epoch_us(ts)) OVER (PARTITION BY remote_host
+               ORDER BY ts, id) AS gap_us
+  FROM part),
 marked AS (
-  SELECT id, remote_host, "timestamp",
+  SELECT id, remote_host, ts,
          CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS brk
   FROM base),
 sess AS (
   SELECT id, remote_host,
-         sum(brk) OVER (PARTITION BY remote_host ORDER BY "timestamp" NULLS FIRST, id
+         sum(brk) OVER (PARTITION BY remote_host ORDER BY ts, id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ordinal
-  FROM marked)
-SELECT id, remote_host || '/' || CAST(ordinal AS BIGINT) AS visitor_id FROM sess
+  FROM marked),
+vids AS (
+  SELECT id, remote_host || '/' || CAST(ordinal AS BIGINT) AS visitor_id FROM sess)
+SELECT e.id, v.visitor_id FROM enr e LEFT JOIN vids v USING (id)
 """
 
 # synthesized client IPs (the events table has no IP column): v4 for most
@@ -847,6 +882,86 @@ SELECT id, host, generator, http_uri FROM enr WHERE {spec.to_sql()}
 """
 
 
+_METHOD_SPEC = FilterSpec(methods=frozenset({"GET", "POST", "DELETE"}))
+
+
+def q_method_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: method= OR-set — bitmask over the method enum in the
+    reference (src/Protocol.hxx:153-158, Filter.cxx:41) → set
+    membership here. NULL method (synthesized every 19th row) never
+    matches the set."""
+    from pond_spark.schema import HTTP_METHODS
+
+    rid = F.col("id")
+    logs = events_as_logs(spark, sf_dir).withColumn(
+        "http_method",
+        F.when(rid % 19 == 0, F.lit(None).cast("string")).otherwise(
+            F.element_at(
+                F.array(*[F.lit(m) for m in HTTP_METHODS]), (rid % 16 + 1).cast("int")
+            )
+        ),
+    )
+    return logs.filter(_METHOD_SPEC.to_column()).select("id", "http_method")
+
+
+def _method_filter_sql() -> str:
+    from pond_spark.schema import HTTP_METHODS
+
+    methods = "[" + ", ".join(f"'{m}'" for m in HTTP_METHODS) + "]"
+    return f"""
+WITH {LOGS_CTE},
+enr AS (SELECT id,
+  CASE WHEN id % 19 = 0 THEN NULL
+       ELSE {methods}[CAST(id % 16 AS INT) + 1] END AS http_method
+FROM logs)
+SELECT id, http_method FROM enr WHERE {_METHOD_SPEC.to_sql()}
+"""
+
+
+#: pinned "now" for the F12/F13 time-sugar queries — the parser resolves
+#: relative specs against it deterministically (oracle uses the same
+#: resolved literals via FilterSpec.to_sql).
+TIME_NOW = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+
+def _time_sugar_spec() -> FilterSpec:
+    """F13 relative offset + F12/F13 partial ISO date: since='-132h'
+    resolves to 2024-01-05T00:00; until='2024-01-11' is a partial date
+    spanning its whole day (doc/index.rst:353-383 — the client uses
+    start+duration for until, src/client/Main.cxx:169-178)."""
+    from pond_spark.timeparse import since_until
+
+    lo, hi = since_until(since="-132h", until="2024-01-11", now=TIME_NOW)
+    return FilterSpec(sites=frozenset({"click", "view"}), since=lo, until=hi)
+
+
+def q_time_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(spark, sf_dir)
+    return Query(logs).filter(_time_sugar_spec()).to_df()
+
+
+def _time_sugar_sql() -> str:
+    return f"WITH {LOGS_CTE} SELECT * FROM logs WHERE {_time_sugar_spec().to_sql()}"
+
+
+def _time_today_spec() -> FilterSpec:
+    """F12 'today' sugar: local(=UTC)-midnight window of the pinned
+    now (src/client/Main.cxx:163-168)."""
+    from pond_spark.timeparse import since_until
+
+    lo, hi = since_until(today=True, now=TIME_NOW)
+    return FilterSpec(since=lo, until=hi)
+
+
+def q_time_today(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = events_as_logs(spark, sf_dir)
+    return Query(logs).filter(_time_today_spec()).to_df()
+
+
+def _time_today_sql() -> str:
+    return f"WITH {LOGS_CTE} SELECT * FROM logs WHERE {_time_today_spec().to_sql()}"
+
+
 # ---------------------------------------------------------------------------
 # north-star extensions: dedup / text analysis / similarity / multimodal
 
@@ -1191,6 +1306,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
+    "method_filter": (q_method_filter, None),  # lazy sql (F8)
+    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
+    "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
@@ -1221,6 +1339,9 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "fingerprint": _fingerprint_sql,
     "unsafe_method": _unsafe_method_sql,
     "host_generator_uri": _host_generator_uri_sql,
+    "method_filter": _method_filter_sql,
+    "time_sugar": _time_sugar_sql,
+    "time_today": _time_today_sql,
     "near_dup_groups": _near_dup_groups_sql,
 }
 

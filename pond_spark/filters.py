@@ -151,8 +151,11 @@ class FilterSpec:
         def col(name: str) -> str:
             return self.columns.get(name, name)
 
+        def lit(v: str) -> str:
+            return "'" + v.replace("'", "''") + "'"
+
         def strlist(vals) -> str:
-            return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(vals))
+            return ", ".join(lit(v) for v in sorted(vals))
 
         if self.sites:
             preds.append(f"coalesce({col('site')}, '') IN ({strlist(self.sites)})")
@@ -161,7 +164,7 @@ class FilterSpec:
         if self.generators:
             preds.append(f"{col('generator')} IN ({strlist(self.generators)})")
         if self.type is not None:
-            preds.append(f"{col('type')} = '{self.type}'")
+            preds.append(f"{col('type')} = {lit(self.type)}")
         if self.since is not None:
             preds.append(f"{col('timestamp')} >= TIMESTAMP '{self.since}'")
         if self.until is not None:
@@ -181,8 +184,7 @@ class FilterSpec:
                 f"({m} IS NOT NULL AND {m} NOT IN ({strlist(SAFE_METHODS)}))"
             )
         if self.uri is not None:
-            preds.append(f"{col('http_uri')} = '{self.uri}'")
+            preds.append(f"{col('http_uri')} = {lit(self.uri)}")
         if self.uri_prefix is not None:
-            esc = self.uri_prefix.replace("'", "''")
-            preds.append(f"starts_with({col('http_uri')}, '{esc}')")
+            preds.append(f"starts_with({col('http_uri')}, {lit(self.uri_prefix)})")
         return " AND ".join(preds) if preds else "TRUE"

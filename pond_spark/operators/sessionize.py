@@ -36,8 +36,18 @@ def track_visitors(
     scope_col: str | None = None,
     timeout_s: int = SESSION_TIMEOUT_S,
     opaque: bool = True,
+    type_col: str = "type",
 ) -> DataFrame:
     """Append a ``visitor_id`` column.
+
+    Participation (ResultWriter.cxx:292-301): only ``http_access``
+    records carrying BOTH a host and a timestamp are tracked; every
+    other record gets a NULL ``visitor_id`` (the one-line sink prints
+    ``-`` for it). When the frame has no ``type_col`` the type check is
+    skipped and any host+timestamp row participates. Non-participants
+    never enter the tracker: they don't break sessions, don't consume
+    ordinals — and, in the plan, never enter the window shuffle (the
+    bystander branch is a narrow map over the scan).
 
     ``scope_col`` reproduces the per-output-file id reset (pass the
     per-site sink's partition column); ``None`` = one global scope.
@@ -46,15 +56,24 @@ def track_visitors(
     opaque serial numbers whose exact values are an implementation
     detail; ordinals preserve the observable grouping).
     """
+    pred = F.col(host_col).isNotNull() & F.col(ts_col).isNotNull()
+    if type_col and type_col in df.columns:
+        pred = pred & (F.col(type_col) == F.lit("http_access"))
+    pred = F.coalesce(pred, F.lit(False))
+    participants = df.filter(pred)
+    bystanders = df.filter(~pred).withColumn(
+        "visitor_id", F.lit(None).cast("string")
+    )
+
     parts = ([scope_col] if scope_col else []) + [host_col]
     w = Window.partitionBy(*parts).orderBy(
-        F.col(ts_col).asc_nulls_first(), F.col(id_col).asc()
+        F.col(ts_col).asc(), F.col(id_col).asc()
     )
     # µs precision — pond timestamps are µs-native (src/Protocol.hxx:44-47)
     ts_us = F.unix_micros(F.col(ts_col))
     gap = ts_us - F.lag(ts_us).over(w)
     is_break = F.when(gap.isNull() | (gap > timeout_s * 1_000_000), 1).otherwise(0)
-    out = df.withColumn(
+    out = participants.withColumn(
         "_session_ordinal",
         F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
@@ -68,4 +87,4 @@ def track_visitors(
         )
     else:
         out = out.withColumn("visitor_id", F.concat_ws("/", *vid_parts))
-    return out.drop("_session_ordinal")
+    return out.drop("_session_ordinal").unionByName(bystanders)

@@ -70,6 +70,50 @@ def test_random_filters_match_duckdb(logs, duck):
         assert spark_ids == duck_ids, f"iteration {i}: {spec} → {spark_ids} vs {duck_ids}"
 
 
+def test_quote_bearing_literals_match_duckdb(spark, duck):
+    """to_sql must escape string literals in EVERY attribute — a URI
+    (or site/host/type) containing a single quote flows through the
+    oracle path unchanged. Regression for the unescaped uri/type
+    builders (VERDICT r1 'What's wrong' #2)."""
+    import duckdb as _duckdb
+    from pond_spark.schema import LOG_SCHEMA
+
+    rows = []
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    uris = ["/o'brien", "/it''s", "/plain", "/o'", None]
+    for i, uri in enumerate(uris):
+        r = dict(base)
+        r.update(id=i + 1, site=f"s'{i % 2}", host="h'x", type="we'ird",
+                 http_uri=uri, http_method="GET")
+        rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    con = _duckdb.connect()
+    con.register("qlogs_src", pd.DataFrame(rows))
+    con.execute("CREATE TABLE qlogs AS SELECT * FROM qlogs_src")
+
+    specs = [
+        FilterSpec(uri="/o'brien"),
+        FilterSpec(uri="/it''s"),
+        FilterSpec(uri_prefix="/o'"),
+        FilterSpec(type="we'ird"),
+        FilterSpec(sites=frozenset({"s'0", "s'1"})),
+        FilterSpec(hosts=frozenset({"h'x"})),
+        FilterSpec(type="we'ird", uri="/o'brien", uri_prefix="/o'"),
+    ]
+    for spec in specs:
+        spark_ids = sorted(
+            r.id for r in df.filter(spec.to_column()).select("id").collect()
+        )
+        duck_ids = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM qlogs WHERE {spec.to_sql()}"
+            ).fetchall()
+        )
+        assert spark_ids == duck_ids, f"{spec} → {spark_ids} vs {duck_ids}"
+        assert spark_ids, f"{spec} matched nothing — fixture broken"
+
+
 def test_random_windows_match_duckdb(logs, duck):
     """Q4 pagination property: random (filter, max, skip) — the
     window's (timestamp, id) order makes the page deterministic, so

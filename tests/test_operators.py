@@ -72,6 +72,34 @@ def test_sessionize_gap_splits():
     assert vids[4] == "B/1"
 
 
+def test_sessionize_participation():
+    """Only http_access records with host+timestamp get visitor ids
+    (ResultWriter.cxx:292-301); everyone else gets NULL — and does not
+    break sessions or consume ordinals."""
+    import pandas as pd
+    from pond_spark.session import get_spark
+
+    spark = get_spark("pond_spark_tests")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "A", "http_access"),
+        (2, t0 + dt.timedelta(minutes=5), "A", "http_error"),  # wrong type
+        (3, t0 + dt.timedelta(minutes=10), None, "http_access"),  # no host
+        (4, None, "A", "http_access"),  # no timestamp
+        (5, t0 + dt.timedelta(minutes=15), "A", "http_access"),
+        # a 40-min gap for host A *as seen by participants only*
+        (6, t0 + dt.timedelta(minutes=55), "A", "http_access"),
+        (7, t0 + dt.timedelta(minutes=56), "A", None),  # NULL type
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "timestamp", "remote_host", "type"])
+    )
+    out = {r.id: r.visitor_id for r in track_visitors(df, opaque=False).collect()}
+    assert out[1] == out[5] == "A/1"
+    assert out[6] == "A/2"
+    assert out[2] is None and out[3] is None and out[4] is None and out[7] is None
+
+
 def test_sessionize_scope_reset():
     import pandas as pd
     from pond_spark.session import get_spark
