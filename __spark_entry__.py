@@ -330,17 +330,72 @@ FROM logs WHERE "timestamp" IS NOT NULL
 
 
 def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11/A4: STATS — n_records + approximate memory usage."""
-    logs = events_as_logs(spark, sf_dir)
-    return stats(logs, size_cols=["site", "remote_host", "message"])
+    """S11/A4: STATS with full counter parity (src/Protocol.hxx:240-264,
+    src/Instance.cxx:51-62) — runs the S1 ingest pipeline (parse →
+    malformed count → per-site token bucket → store) over a
+    deterministic raw-datagram frame synthesized from events, then
+    emits one row: n_records + memory_usage over the stored rows plus
+    n_received / n_malformed / n_discarded counters.
+
+    The token bucket is SQL-oracle-able by construction: every charged
+    record (http_error with a site — Database.cxx:106-149) carries the
+    SAME timestamp, so the bucket never refills and accepts exactly
+    burst = 10·rate = 5 messages per site in id order. Every aggregate
+    is a one-row frame; the final result is their cross join — fully
+    lazy, no driver-side actions."""
+    from pond_spark.sources.ingest import parse_datagrams, rate_limit
+
+    rid = F.col("id")
+    msg_ts = F.lit(dt.datetime(2024, 1, 1))
+    logs = events_as_logs(spark, sf_dir).select(
+        "id",
+        F.when(rid % 7 == 0, msg_ts).otherwise(F.col("timestamp")).alias("timestamp"),
+        "site",
+        "remote_host",
+        "message",
+        F.when(rid % 7 == 0, F.lit("http_error"))
+        .otherwise(F.lit("http_access"))
+        .alias("type"),
+    )
+    payload = F.when(rid % 31 == 0, F.lit('{"broken')).otherwise(
+        F.to_json(
+            F.struct("id", "timestamp", "site", "remote_host", "message", "type")
+        )
+    )
+    parsed = parse_datagrams(logs.select(payload.alias("payload")))
+    recv = parsed.agg(
+        F.count(F.lit(1)).alias("n_received"),
+        F.sum(F.col("_malformed").cast("long")).alias("n_malformed"),
+    )
+    good = parsed.filter(~F.col("_malformed")).select("_rec.*")
+    flagged = rate_limit(good, rate=0.5)  # burst = 5
+    disc = flagged.agg(F.sum(F.col("_discarded").cast("long")).alias("n_discarded"))
+    stored = flagged.filter(~F.col("_discarded"))
+    body = stats(stored, size_cols=["site", "remote_host", "message"])
+    return body.crossJoin(recv).crossJoin(disc)
 
 
 STATS_SQL = f"""
-WITH {LOGS_CTE}
-SELECT count(*) AS n_records,
-  CAST(sum(coalesce(len(site),0) + coalesce(len(remote_host),0)
-           + coalesce(len(message),0)) AS BIGINT) AS memory_usage
-FROM logs
+WITH {LOGS_CTE},
+enr AS (
+  SELECT id, site, remote_host, message,
+         CASE WHEN id % 7 = 0 THEN TIMESTAMP '2024-01-01' ELSE "timestamp" END AS ts,
+         CASE WHEN id % 7 = 0 THEN 'http_error' ELSE 'http_access' END AS type,
+         (id % 31 = 0) AS malformed
+  FROM logs),
+good AS (SELECT * FROM enr WHERE NOT malformed),
+charged AS (
+  SELECT id, row_number() OVER (PARTITION BY site ORDER BY ts, id) AS rn
+  FROM good WHERE type = 'http_error' AND site IS NOT NULL),
+disc AS (SELECT id FROM charged WHERE rn > 5),
+stored AS (SELECT g.* FROM good g LEFT JOIN disc d USING (id) WHERE d.id IS NULL)
+SELECT
+  (SELECT count(*) FROM stored) AS n_records,
+  (SELECT CAST(sum(coalesce(len(site),0) + coalesce(len(remote_host),0)
+       + coalesce(len(message),0)) AS BIGINT) FROM stored) AS memory_usage,
+  (SELECT count(*) FROM enr) AS n_received,
+  (SELECT count(*) FILTER (WHERE malformed) FROM enr) AS n_malformed,
+  (SELECT count(*) FROM disc) AS n_discarded
 """
 
 

@@ -16,10 +16,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def stats(logs: DataFrame, size_cols: list[str] | None = None) -> DataFrame:
+def stats(
+    logs: DataFrame,
+    size_cols: list[str] | None = None,
+    metrics: DataFrame | None = None,
+) -> DataFrame:
     """One-row frame: n_records plus approximate memory_usage (sum of
     string-column lengths — the Parquet analog of the reference's
-    arena usage)."""
+    arena usage). Pass the ingest-metrics table (see
+    ``sources.ingest.ingest_batch(metrics_dir=...)`` /
+    ``streaming.ingest.ingest_stream``) as ``metrics`` to fold in the
+    receiver counters — full STATS parity with the reference's
+    n_received / n_malformed / n_discarded."""
     size_cols = size_cols or [
         f.name for f in logs.schema.fields if f.dataType.simpleString() == "string"
     ]
@@ -30,7 +38,10 @@ def stats(logs: DataFrame, size_cols: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_records")]
     if usage is not None:
         aggs.append(F.sum(usage).alias("memory_usage"))
-    return logs.agg(*aggs)
+    out = logs.agg(*aggs)
+    if metrics is not None:
+        out = out.crossJoin(ingest_stats(metrics))
+    return out
 
 
 def ingest_stats(metrics: DataFrame) -> DataFrame:

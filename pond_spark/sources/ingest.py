@@ -123,13 +123,28 @@ class IngestResult:
     stored: DataFrame
 
 
+#: durable form of the reference's in-memory receiver counters
+#: (src/Instance.cxx:51-62) — one row per ingest batch, folded back
+#: into STATS by pond_spark.operators.stats.ingest_stats.
+METRICS_SCHEMA = (
+    "batch_id long, n_received long, n_malformed long, n_discarded long"
+)
+
+
 def ingest_batch(
     raw: DataFrame,
     payload_col: str = "payload",
     rate: float = 0.0,
+    metrics_dir: str | None = None,
+    batch_id: int = 0,
 ) -> IngestResult:
     """Full S1 pipeline on a batch of raw datagrams; returns counters
-    (the STATS inputs, src/Instance.cxx:51-62) plus the storable rows."""
+    (the STATS inputs, src/Instance.cxx:51-62) plus the storable rows.
+
+    With ``metrics_dir`` set, the counters also land as one appended
+    parquet row (METRICS_SCHEMA) — the persistent ingest-metrics table
+    that gives STATS its n_received/n_malformed/n_discarded parity
+    across restarts (the reference keeps them in process memory)."""
     parsed = parse_datagrams(raw, payload_col).cache()
     n_received = parsed.count()
     n_malformed = parsed.filter("_malformed").count()
@@ -141,4 +156,8 @@ def ingest_batch(
     else:
         n_discarded = 0
         stored = good
+    if metrics_dir is not None:
+        raw.sparkSession.createDataFrame(
+            [(batch_id, n_received, n_malformed, n_discarded)], METRICS_SCHEMA
+        ).write.mode("append").parquet(metrics_dir)
     return IngestResult(n_received, n_malformed, n_discarded, stored)

@@ -41,6 +41,33 @@ def test_ingest_counts_malformed(spark):
     assert sorted(r.id for r in res.stored.collect()) == [1, 2]
 
 
+def test_ingest_metrics_persist_and_stats_fold(spark, tmp_path):
+    """ingest_batch(metrics_dir=...) appends one counter row per batch;
+    stats(metrics=...) folds the table into the full STATS counter set
+    (src/Protocol.hxx:240-264 parity)."""
+    from pond_spark.operators.stats import stats
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    mdir = str(tmp_path / "metrics")
+    raw1 = spark.createDataFrame(
+        [(_dg(1, t0, "a"),), ("nope",), (_dg(2, t0, "b"),)], "payload string"
+    )
+    # batch 2: 7 same-second messages on one site at rate 0.5 (burst 5)
+    msgs = [(_dg(10 + i, t0, "m", type_="http_error"),) for i in range(7)]
+    raw2 = spark.createDataFrame(msgs, "payload string")
+
+    r1 = ingest_batch(raw1, metrics_dir=mdir, batch_id=1)
+    r2 = ingest_batch(raw2, rate=0.5, metrics_dir=mdir, batch_id=2)
+    assert (r1.n_received, r1.n_malformed, r1.n_discarded) == (3, 1, 0)
+    assert (r2.n_received, r2.n_malformed, r2.n_discarded) == (7, 0, 2)
+
+    stored = r1.stored.unionByName(r2.stored)
+    metrics = spark.read.parquet(mdir)
+    row = stats(stored, metrics=metrics).collect()[0]
+    assert row.n_records == 7
+    assert (row.n_received, row.n_malformed, row.n_discarded) == (10, 1, 2)
+
+
 def _msg_rows(spark, n, site, t0, spacing_s=0.0):
     rows = []
     for i in range(n):
