@@ -5,14 +5,15 @@ The pair operators (minhash/simhash/ngram/embedding) emit edges; a
 production dedup pipeline then keeps ONE document per connected
 component — usually the highest-quality one — not one per pair.
 
-Components via iterative min-label propagation (each node adopts the
-smallest id reachable in one hop, repeated to fixpoint). Convergence
-takes O(component diameter) rounds — near-dup clusters are shallow
-(dozens of rounds would mean a pathological chain), and each round is
-one shuffle on node id. For adversarial graphs at cluster scale,
-swap in the large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — same join shape,
-provably O(log n) rounds.
+Components via alternating **large-star / small-star** (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+round contracts the graph toward min-rooted stars and provably
+converges in O(log n) rounds even on adversarial high-diameter graphs
+(a path of length 10^6 takes ~20 rounds, not 10^6 as plain min-label
+propagation would). Each phase is one groupBy shuffle on node id over
+an ids-only frame; lineage is truncated with ``localCheckpoint`` every
+few rounds so the plan tree stays O(1) per round instead of growing
+with the iteration count.
 """
 
 from __future__ import annotations
@@ -21,56 +22,104 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For every node a: connect each strictly-larger neighbor to
+    m = min(N(a) ∪ {a}). Kiveris SoCC'14 §3, operation Large-Star."""
+    nbrs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    m = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+    m = m.select("a", F.least("a", "mn").alias("m"))
+    return (
+        nbrs.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; for every node a: connect each
+    smaller-or-equal neighbor (and a itself) to m = min neighbor.
+    Kiveris SoCC'14 §3, operation Small-Star."""
+    o = edges.select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    m = o.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        o.join(m, "a")
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .unionAll(m.select(F.col("a").alias("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     ``pairs`` rows are undirected edges. Nodes not present in any edge
     are absent from the result (callers treat them as singletons).
+
+    ``max_iter`` is a safety bound, not the expected round count —
+    large-star/small-star converges in O(log n) rounds. Every
+    ``checkpoint_every`` rounds (default: every round) the edge frame
+    is ``localCheckpoint``ed (eager) to cut lineage — the two star
+    phases roughly QUADRUPLE the logical plan per round, so without
+    per-round truncation Catalyst's analysis cost grows 4^k and OOMs
+    the driver long before the data does. The frame is materialized by
+    the convergence count anyway, so the checkpoint adds no extra pass.
+    On a cluster with an unreliable-executor profile, set
+    ``spark.checkpoint.dir`` and swap for ``checkpoint``.
     """
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.groupBy("a").agg(F.min("b").alias("lbl"))
-        .select(F.col("a").alias("node"), F.least("a", "lbl").alias("component"))
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
         .persist()
     )
-    for _ in range(max_iter):
-        # each node adopts the min of its own label and its neighbors'
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nc"))
+
+    cur = edges
+    for i in range(max_iter):
+        nxt = _small_star(_large_star(cur))
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        converged = (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if cur is not edges:
+            cur.unpersist()
+        cur = nxt
+        if converged:
             break
+
+    # converged: every edge is (child → component root) with child >
+    # root, so a min-groupBy + left join labels every node (roots and
+    # edge-less nodes label themselves)
+    stars = (
+        cur.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("c"))
+        .groupBy("node")
+        .agg(F.min("c").alias("c"))
+    )
+    labels = nodes.join(stars, "node", "left").select(
+        "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
+    )
     edges.unpersist()
     return labels
 

@@ -100,6 +100,26 @@ def test_connected_components_chains_and_islands(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_connected_components_long_chain_logarithmic(spark):
+    """Adversarial high-diameter graph: a 200-node path. Plain
+    min-label propagation needs ~200 rounds; large-star/small-star
+    must finish well inside max_iter=12 (O(log n)) — and the run
+    crosses the localCheckpoint cadence, exercising lineage
+    truncation."""
+    from pond_spark.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {0}
+
+
 def test_dedup_near_keep_best(spark, docs):
     from pond_spark.dedup import dedup_near_keep_best, ngram_jaccard_pairs
     from pyspark.sql import functions as F
