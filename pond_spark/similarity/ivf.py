@@ -33,22 +33,14 @@ from pyspark.sql import functions as F
 from pond_spark.similarity.brute import cosine_similarity
 
 
-def train_centroids(
-    df: DataFrame,
-    n_centroids: int = 16,
-    iters: int = 5,
-    sample_n: int = 2048,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> list[list[float]]:
-    """Deterministic k-means: init = first C sample vectors, then
-    ``iters`` Lloyd steps over the sample (numpy, driver-side)."""
+def lloyd_centroids(x, n_centroids: int = 16, iters: int = 5) -> list[list[float]]:
+    """Deterministic Lloyd iterations over a sample matrix (numpy,
+    driver-side): init = first C rows, cosine assignment. Shared by
+    the Spark trainer and the DuckDB oracle builder so both engines
+    derive bit-identical centroids from the same sample."""
     import numpy as np
 
-    rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
-    )
-    x = np.array([r[1] for r in rows], dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
     cent = x[:n_centroids].copy()
     for _ in range(iters):
         # cosine assignment: normalize then argmax dot
@@ -60,6 +52,23 @@ def train_centroids(
             if len(members):
                 cent[c] = members.mean(axis=0)
     return [[float(v) for v in c] for c in cent]
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic k-means: first ``sample_n`` vectors by id (IVF
+    training is always sample-based and bounded regardless of table
+    size), then ``iters`` Lloyd steps."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    return lloyd_centroids([r[1] for r in rows], n_centroids, iters)
 
 
 def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
@@ -84,6 +93,20 @@ def ivf_assign(
     return df.withColumn(out_col, _assign_expr(F.col(vec_col), centroids))
 
 
+def probe_lists(
+    centroids: list[list[float]], query_vec: Sequence[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` inverted lists nearest the query (driver-side —
+    C is tiny). Shared by ivf_topk and the oracle builder."""
+    import numpy as np
+
+    q = np.array(list(query_vec), dtype=np.float64)
+    cn = np.array(centroids)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    return [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -97,17 +120,11 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k scoring only the ``nprobe`` nearest inverted lists."""
-    import numpy as np
-
     if centroids is None:
         centroids = train_centroids(
             df, n_centroids, iters, sample_n, vec_col, id_col
         )
-    q = np.array(list(query_vec), dtype=np.float64)
-    cn = np.array(centroids)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    probes = [int(i) for i in (cn @ qn).argsort()[::-1][:nprobe]]
+    probes = probe_lists(centroids, query_vec, nprobe)
 
     assigned = ivf_assign(df, centroids, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
