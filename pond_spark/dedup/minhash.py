@@ -109,9 +109,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 1,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with
-    jaccard >= threshold, id_a < id_b."""
+    jaccard >= threshold, id_a < id_b.
+
+    ``max_bucket_size`` is the skew guard for pathological boilerplate:
+    a cluster of m near-identical docs shares every band key, making
+    the self-join emit m²/2 candidates per band — quadratic output no
+    partitioning trick can salt away. Band buckets larger than the cap
+    are dropped (hot keys detected with one ids-only count, removed
+    via broadcast anti-join): mega-clusters are exact-dup territory —
+    run ``exact.exact_duplicate_groups`` first — while genuine
+    near-dup groups sit far below any sane cap. ``None`` = off (the
+    oracle-checked recall queries run uncapped)."""
     assert k % bands == 0
     r = k // bands
     # persist: the signature/shingle relation feeds three plan branches
@@ -133,6 +144,15 @@ def minhash_lsh_pairs(
             )
         ).alias("_band_key"),
     )
+
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("_band_key")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("_band_key")
+        )
+        banded = banded.join(F.broadcast(hot), "_band_key", "left_anti")
 
     left = banded.select(F.col(id_col).alias("id_a"), "_band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "_band_key")

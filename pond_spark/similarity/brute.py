@@ -59,6 +59,11 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+#: refuse to broadcast-cartesian a right side bigger than this many
+#: rows (≈1M × 64-dim float ≈ 256 MB broadcast — already generous).
+KNN_JOIN_MAX_RIGHT_ROWS = 1_000_000
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -66,12 +71,26 @@ def knn_join(
     vec_col: str = "embedding",
     left_id: str = "vec_id",
     right_id: str = "vec_id",
+    max_right_rows: int = KNN_JOIN_MAX_RIGHT_ROWS,
 ) -> DataFrame:
     """Exact k-NN join: for each left row, its k nearest right rows by
-    cosine. Broadcast the smaller right side; at scale prefer
-    lsh.embedding_near_pairs."""
+    cosine. The right side is broadcast and scored against every left
+    row — exact by construction, and a deliberate scale-killer if the
+    right side is large, so it REFUSES when ``right`` exceeds
+    ``max_right_rows`` (the guard is one column-pruned count). For
+    large-vs-large, use lsh.embedding_near_pairs / lsh_topk / ivf_topk;
+    to override knowingly, raise ``max_right_rows``."""
     from pyspark.sql.window import Window
 
+    n_right = right.select(right_id).count()
+    if n_right > max_right_rows:
+        raise ValueError(
+            f"knn_join right side has {n_right} rows > max_right_rows="
+            f"{max_right_rows}: a broadcast cartesian at this size is a "
+            "scale-killer. Use similarity.lsh.embedding_near_pairs / "
+            "lsh_topk or similarity.ivf.ivf_topk for large right sides, "
+            "or raise max_right_rows explicitly."
+        )
     l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
     r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
     scored = l.join(F.broadcast(r), F.lit(True)).select(

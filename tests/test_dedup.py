@@ -100,6 +100,32 @@ def test_connected_components_chains_and_islands(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_minhash_hot_bucket_cap_skips_boilerplate(spark):
+    """Skew guard: a boilerplate cluster (60 identical docs) shares
+    every band key — quadratic candidates. With max_bucket_size the
+    hot buckets drop, the planted near-dup pair in normal-sized
+    buckets is still found, and no boilerplate pair is emitted
+    (mega-clusters are exact-dup territory)."""
+    from pond_spark.dedup import minhash_lsh_pairs
+
+    boiler = "the same legal disclaimer text repeated on every page of site"
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    rows = [(i, boiler) for i in range(60)] + [(100, a), (101, b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_pairs(
+        docs, threshold=0.8, n=1, max_bucket_size=30
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got
+    assert all(p[0] >= 100 for p in got), f"boilerplate leaked: {got}"
+
+    # uncapped finds the boilerplate pairs too (60*59/2 of them)
+    uncapped = minhash_lsh_pairs(docs, threshold=0.8, n=1).count()
+    assert uncapped == 60 * 59 // 2 + 1
+
+
 def test_connected_components_long_chain_logarithmic(spark):
     """Adversarial high-diameter graph: a 200-node path. Plain
     min-label propagation needs ~200 rounds; large-star/small-star
