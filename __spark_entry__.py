@@ -29,7 +29,6 @@ from pond_spark.functions.sanitize import sanitize_site, sanitize_site_sql
 from pond_spark.functions.geoip import geoip_country
 from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
 from pond_spark.operators.sessionize import track_visitors
-from pond_spark.operators.stats import stats
 from pond_spark.query import Query
 from pond_spark.schema import events_as_logs
 from pond_spark.util import fan_out as _fan
@@ -362,17 +361,31 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("id", "timestamp", "site", "remote_host", "message", "type")
         )
     )
-    parsed = parse_datagrams(logs.select(payload.alias("payload")))
+    # persist: the parse feeds two aggregation branches (Spark has no
+    # cross-branch CSE — without it the scan+JSON parse runs twice)
+    parsed = parse_datagrams(logs.select(payload.alias("payload"))).persist()
     recv = parsed.agg(
         F.count(F.lit(1)).alias("n_received"),
         F.sum(F.col("_malformed").cast("long")).alias("n_malformed"),
     )
     good = parsed.filter(~F.col("_malformed")).select("_rec.*")
     flagged = rate_limit(good, rate=0.5)  # burst = 5
-    disc = flagged.agg(F.sum(F.col("_discarded").cast("long")).alias("n_discarded"))
-    stored = flagged.filter(~F.col("_discarded"))
-    body = stats(stored, size_cols=["site", "remote_host", "message"])
-    return body.crossJoin(recv).crossJoin(disc)
+    # single pass over the flagged frame: discard counter + the stored-
+    # row aggregates (conditional on the flag) in one aggregation
+    kept = ~F.col("_discarded")
+    row_bytes = (
+        F.coalesce(F.length("site").cast("long"), F.lit(0))
+        + F.coalesce(F.length("remote_host").cast("long"), F.lit(0))
+        + F.coalesce(F.length("message").cast("long"), F.lit(0))
+    )
+    body = flagged.agg(
+        F.sum(kept.cast("long")).alias("n_records"),
+        F.sum(F.when(kept, row_bytes).otherwise(F.lit(0))).alias("memory_usage"),
+        F.sum(F.col("_discarded").cast("long")).alias("n_discarded"),
+    )
+    return body.crossJoin(recv).select(
+        "n_records", "memory_usage", "n_received", "n_malformed", "n_discarded"
+    )
 
 
 STATS_SQL = f"""
@@ -1224,9 +1237,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
-    cand = simhash_near_pairs(docs, "text", "doc_id", max_hamming=10, n=3).select(
-        "id_a", "id_b"
-    )
+    cand = simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=10, n=3, block_col="lang"
+    ).select("id_a", "id_b")
     return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pond_spark.util import fan_out
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, simhash) — 64-bit fingerprint as a signed long over word
     n-gram features (n=1: single tokens).
@@ -45,8 +49,9 @@ def simhash64(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+    carry = [F.col(c) for c in carry_cols]
     base = fan_out(df).select(
-        F.col(id_col), hashes.alias("_h"), F.size(hashes).alias("_n")
+        F.col(id_col), *carry, hashes.alias("_h"), F.size(hashes).alias("_n")
     )
 
     def ones(b: int):
@@ -60,7 +65,10 @@ def simhash64(
         )
 
     step = base.select(
-        F.col(id_col), F.col("_n"), F.array(*[ones(b) for b in range(64)]).alias("_ones")
+        F.col(id_col),
+        *carry,
+        F.col("_n"),
+        F.array(*[ones(b) for b in range(64)]).alias("_ones"),
     )
     fp = F.lit(0).cast("long")
     for b in range(64):
@@ -73,7 +81,7 @@ def simhash64(
                 2 * F.element_at(F.col("_ones"), b + 1) > F.col("_n"), bit
             ).otherwise(F.lit(0).cast("long"))
         )
-    return step.select(F.col(id_col), fp.alias("simhash"))
+    return step.select(F.col(id_col), *carry, fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -82,16 +90,27 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n: int = 1,
+    block_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d."""
+    """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d.
+
+    ``block_col`` joins chunks only within a block (e.g. language) —
+    near-dups never cross languages, and at high ``max_hamming`` the
+    chunk-value space shrinks to a few bits, so blocking divides the
+    candidate volume by the block count. ``max_bucket_size`` drops
+    pathological chunk buckets (boilerplate skew guard — see
+    minhash.minhash_lsh_pairs)."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    carry = (block_col,) if block_col else ()
     # both join sides derive from fps — persist so the explode +
     # 64-bit-sum aggregation runs once, not per side
-    fps = simhash64(df, text_col, id_col, n).persist()
+    fps = simhash64(df, text_col, id_col, n, carry_cols=carry).persist()
 
     chunked = fps.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.col("simhash"),
         F.explode(
             F.array(
@@ -106,16 +125,26 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select(id_col, "simhash", "_c.ci", "_c.cv")
+    ).select(id_col, *carry, "simhash", "_c.ci", "_c.cv")
+
+    keys = [*carry, "ci", "cv"]
+    if max_bucket_size is not None:
+        hot = (
+            chunked.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select(*keys)
+        )
+        chunked = chunked.join(F.broadcast(hot), keys, "left_anti")
 
     left = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "ci", "cv"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), *keys
     )
     right = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "ci", "cv"
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), *keys
     )
     return (
-        left.join(right, ["ci", "cv"])
+        left.join(right, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "_fa", "_fb")
         .dropDuplicates(["id_a", "id_b"])

@@ -47,7 +47,9 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("POND_SPARK_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap; 16g
+        # keeps GC pauses out of the bench at local[32] (host has 128g)
+        .config("spark.driver.memory", os.environ.get("POND_SPARK_DRIVER_MEM", "16g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -77,19 +77,21 @@ def knn_join(
     cosine. The right side is broadcast and scored against every left
     row — exact by construction, and a deliberate scale-killer if the
     right side is large, so it REFUSES when ``right`` exceeds
-    ``max_right_rows`` (the guard is one column-pruned count). For
-    large-vs-large, use lsh.embedding_near_pairs / lsh_topk / ivf_topk;
-    to override knowingly, raise ``max_right_rows``."""
+    ``max_right_rows``. The guard is a limit-probe (count of
+    ``limit(max+1)`` on the pruned id column), so it reads at most
+    max+1 rows — it never full-scans a 100 TB right side just to
+    refuse it. For large-vs-large, use lsh.embedding_near_pairs /
+    lsh_topk / ivf_topk; to override knowingly, raise
+    ``max_right_rows``."""
     from pyspark.sql.window import Window
 
-    n_right = right.select(right_id).count()
-    if n_right > max_right_rows:
+    if right.select(right_id).limit(max_right_rows + 1).count() > max_right_rows:
         raise ValueError(
-            f"knn_join right side has {n_right} rows > max_right_rows="
-            f"{max_right_rows}: a broadcast cartesian at this size is a "
-            "scale-killer. Use similarity.lsh.embedding_near_pairs / "
-            "lsh_topk or similarity.ivf.ivf_topk for large right sides, "
-            "or raise max_right_rows explicitly."
+            f"knn_join right side exceeds max_right_rows={max_right_rows}: "
+            "a broadcast cartesian at this size is a scale-killer. Use "
+            "similarity.lsh.embedding_near_pairs / lsh_topk or "
+            "similarity.ivf.ivf_topk for large right sides, or raise "
+            "max_right_rows explicitly."
         )
     l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
     r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
