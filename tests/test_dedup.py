@@ -126,6 +126,42 @@ def test_minhash_hot_bucket_cap_skips_boilerplate(spark):
     assert uncapped == 60 * 59 // 2 + 1
 
 
+def test_simhash_hot_bucket_cap_and_blocking(spark):
+    """Skew guard for the simhash chunk join: a boilerplate cluster
+    shares every chunk key; max_bucket_size drops those hot buckets
+    while the planted near-dup pair survives. block_col restricts
+    chunk joins to within a block — a cross-language chunk collision
+    must not produce a pair."""
+    boiler = "the same legal disclaimer text repeated on every page of site"
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    rows = [(i, boiler, "en") for i in range(60)] + [
+        (100, a, "en"),
+        (101, b, "en"),
+        # identical text in another block: would pair with the "en"
+        # copies on every chunk key if blocking were ignored
+        (200, a, "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped = simhash_near_pairs(
+        docs, max_hamming=7, max_bucket_size=30, block_col="lang"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got
+    assert all(p[0] >= 100 for p in got), f"boilerplate leaked: {got}"
+    # (100, 200) is hamming 0 but crosses blocks — must be absent
+    assert (100, 200) not in got
+
+    # uncapped, unblocked finds the boilerplate cluster and the
+    # cross-block twin
+    unc = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(docs, max_hamming=7).collect()
+    }
+    assert (100, 200) in unc and (0, 1) in unc
+
+
 def test_connected_components_long_chain_logarithmic(spark):
     """Adversarial high-diameter graph: a 200-node path. Plain
     min-label propagation needs ~200 rounds; large-star/small-star
