@@ -74,10 +74,17 @@ def connected_components(
     is ``localCheckpoint``ed (eager) to cut lineage — the two star
     phases roughly QUADRUPLE the logical plan per round, so without
     per-round truncation Catalyst's analysis cost grows 4^k and OOMs
-    the driver long before the data does. The frame is materialized by
-    the convergence count anyway, so the checkpoint adds no extra pass.
-    On a cluster with an unreliable-executor profile, set
-    ``spark.checkpoint.dir`` and swap for ``checkpoint``.
+    the driver long before the data does.
+
+    Convergence is detected with a one-job fingerprint per round —
+    ``(count, bit_xor(xxhash64(u, v)))`` over the distinct edge set —
+    instead of a per-round ``exceptAll`` (two extra shuffles of both
+    edge frames). When the fingerprint repeats, one exact
+    ``exceptAll`` verification confirms the fixpoint (a 64-bit XOR
+    collision between consecutive DISTINCT edge sets is ~2^-64; the
+    verify makes the result exact regardless). On a cluster with an
+    unreliable-executor profile, set ``spark.checkpoint.dir`` and
+    swap ``localCheckpoint`` for ``checkpoint``.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -92,20 +99,27 @@ def connected_components(
         .persist()
     )
 
-    cur = edges
+    def fingerprint(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).collect()[0]
+        return row.n, row.x if row.x is not None else 0
+
+    cur, cur_fp = edges, fingerprint(edges)
     for i in range(max_iter):
         nxt = _small_star(_large_star(cur))
         if (i + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
-        converged = (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).limit(1).count() == 0
+        nxt_fp = fingerprint(nxt)
+        converged = nxt_fp == cur_fp and (
+            nxt.exceptAll(cur).limit(1).count() == 0
         )
         if cur is not edges:
             cur.unpersist()
-        cur = nxt
+        cur, cur_fp = nxt, nxt_fp
         if converged:
             break
 
