@@ -71,6 +71,7 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             best = -1.0
         times[name] = best
+        print(f"bench {name}: {best}", file=sys.stderr, flush=True)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(

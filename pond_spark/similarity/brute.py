@@ -21,7 +21,27 @@ from pyspark.sql import functions as F
 
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product, summed strictly left-to-right in double.
+
+    With ``dim`` known the fold is UNROLLED into a flat expression
+    of ``dim`` multiply-adds. Measured tradeoff (sf0.1, 64-dim): the
+    unrolled form wins ~20% ONLY in high-cardinality pair joins
+    (knn_join's broadcast cross), where per-row cost amortizes the
+    much larger expression tree; everywhere else the interpreted HOF
+    fold is faster because plan/codegen time dominates, and stacking
+    many unrolled dots in one projection (LSH planes, IVF centroids)
+    blows Janino's 64 KB method limit and disables whole-stage
+    codegen outright. Default to ``dim=None`` (HOF) unless the call
+    site is a verified pair-scoring hot loop. The unrolled sum starts
+    from ``lit(0.0)`` and adds terms in index order, so it is
+    bit-identical to the sequential fold (and to the DuckDB oracle's
+    ``list_reduce``)."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -29,7 +49,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            x = F.get(a, i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -39,8 +65,10 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_similarity(a: Column, b: Column, decimals: int = 6) -> Column:
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+def cosine_similarity(
+    a: Column, b: Column, decimals: int = 6, dim: int | None = None
+) -> Column:
+    return F.round(_dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim)), decimals)
 
 
 def brute_force_topk(
@@ -72,6 +100,7 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     max_right_rows: int = KNN_JOIN_MAX_RIGHT_ROWS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact k-NN join: for each left row, its k nearest right rows by
     cosine. The right side is broadcast and scored against every left
@@ -93,10 +122,25 @@ def knn_join(
             "similarity.ivf.ivf_topk for large right sides, or raise "
             "max_right_rows explicitly."
         )
-    l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("_qv"))
-    r = right.select(F.col(right_id).alias("nid"), F.col(vec_col).alias("_nv"))
+    # hoist the norms out of the cross score: one norm per vector
+    # instead of one per (query, neighbor) pair — identical value
+    # (same fold over the same vector), 2/3 fewer flops in the join
+    l = left.select(
+        F.col(left_id).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col), dim).alias("_qn"),
+    )
+    r = right.select(
+        F.col(right_id).alias("nid"),
+        F.col(vec_col).alias("_nv"),
+        _norm(F.col(vec_col), dim).alias("_nn"),
+    )
     scored = l.join(F.broadcast(r), F.lit(True)).select(
-        "qid", "nid", cosine_similarity(F.col("_qv"), F.col("_nv")).alias("cosine")
+        "qid",
+        "nid",
+        F.round(
+            _dot(F.col("_qv"), F.col("_nv"), dim) / (F.col("_qn") * F.col("_nn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (

@@ -54,6 +54,11 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 
 def _sig(vec: Column, planes: list[list[float]]) -> Column:
+    # NB measured (sf0.1, 64-dim, 16 planes): the interpreted HOF fold
+    # is ~5x faster end-to-end than unrolling the dots into flat
+    # expressions — nbits*dim terms blow Janino's 64 KB method limit,
+    # which disables whole-stage codegen for the entire stage, and the
+    # giant tree also inflates Catalyst planning time. Keep the HOF.
     bits = []
     for i, p in enumerate(planes):
         dot = F.aggregate(
@@ -128,8 +133,16 @@ def embedding_near_pairs(
 
     The bucket join carries ids only — vectors would multiply by the
     bucket fan-out in the shuffle; they join back onto the (small)
-    deduped candidate set for verification."""
-    b = rhp_bucket(df, dim, nbits, seed, vec_col).persist()
+    deduped candidate set for verification. Norms are computed once
+    per vector (in the persisted bucketed frame) rather than once per
+    candidate pair — identical value, 2/3 fewer flops in the verify."""
+    from pond_spark.similarity.brute import _dot, _norm
+
+    b = (
+        rhp_bucket(df, dim, nbits, seed, vec_col)
+        .withColumn("_nrm", _norm(F.col(vec_col), dim))
+        .persist()
+    )
     left = b.select(F.col(id_col).alias("id_a"), "bucket")
     right = b.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (
@@ -138,20 +151,32 @@ def embedding_near_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = b.select(F.col(id_col), F.col(vec_col))
+    vecs = b.select(F.col(id_col), F.col(vec_col), F.col("_nrm"))
     return (
         cand.join(
-            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("_va"),
+                F.col("_nrm").alias("_na"),
+            ),
             "id_a",
         )
         .join(
-            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+            ),
             "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
