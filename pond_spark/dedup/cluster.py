@@ -56,17 +56,66 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find with path halving over a collected ids-only edge
+    list; roots are the component minimum (union always attaches the
+    larger root under the smaller, so labels match the distributed
+    min-label semantics exactly). Only reachable from
+    ``connected_components`` under ``driver_threshold``."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in edges.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    out = [(n, find(n)) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = edges.schema["u"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_t, False),
+            StructField("component", node_t, False),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     ``pairs`` rows are undirected edges. Nodes not present in any edge
     are absent from the result (callers treat them as singletons).
+
+    **Small-graph fast path**: when the distinct edge count is at most
+    ``driver_threshold``, the ids-only edge list is collected and
+    solved with union-find on the driver (~16 B/edge; the default cap
+    is ~16 MB — the same order as Spark's own broadcast threshold,
+    and bounded the same way the IVF k-means driver sample is). The
+    edge COUNT, not the input size, gates this: a 100 TB corpus whose
+    near-dup graph has <1M edges still short-circuits, because the
+    pair operators have already reduced the data; a boilerplate-heavy
+    corpus with billions of edges takes the distributed path below.
+    Pass ``driver_threshold=0`` to force the distributed loop.
 
     ``max_iter`` is a safety bound, not the expected round count —
     large-star/small-star converges in O(log n) rounds. Every
@@ -92,6 +141,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+
+    if driver_threshold:
+        # limit-bounded probe: on a billion-edge graph this stops
+        # counting at threshold+1 instead of scanning the full set
+        if edges.limit(driver_threshold + 1).count() <= driver_threshold:
+            labels = _driver_union_find(edges)
+            edges.unpersist()
+            return labels
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -99,6 +99,14 @@ def test_connected_components_chains_and_islands(spark):
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20
 
+    # the driver union-find fast path and the distributed
+    # large-star/small-star loop must label identically
+    dist = {
+        r.node: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == comp
+
 
 def test_minhash_hot_bucket_cap_skips_boilerplate(spark):
     """Skew guard: a boilerplate cluster (60 identical docs) shares
@@ -176,7 +184,9 @@ def test_connected_components_long_chain_logarithmic(spark):
     )
     comp = {
         r.node: r.component
-        for r in connected_components(pairs, max_iter=12).collect()
+        for r in connected_components(
+            pairs, max_iter=12, driver_threshold=0
+        ).collect()
     }
     assert len(comp) == n + 1
     assert set(comp.values()) == {0}
