@@ -1389,7 +1389,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.similarity.brute import knn_join
 
     emb = _embeddings(spark, sf_dir)
-    return knn_join(emb.filter(F.col("vec_id") < 50), emb, k=3, dim=64)
+    return knn_join(emb.filter(F.col("vec_id") < 50), emb, k=3)
 
 
 _COS_SQL = """round(

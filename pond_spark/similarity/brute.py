@@ -24,19 +24,18 @@ from pyspark.sql import functions as F
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product, summed strictly left-to-right in double.
 
-    With ``dim`` known the fold is UNROLLED into a flat expression
-    of ``dim`` multiply-adds. Measured tradeoff (sf0.1, 64-dim): the
-    unrolled form wins ~20% ONLY in high-cardinality pair joins
-    (knn_join's broadcast cross), where per-row cost amortizes the
-    much larger expression tree; everywhere else the interpreted HOF
-    fold is faster because plan/codegen time dominates, and stacking
-    many unrolled dots in one projection (LSH planes, IVF centroids)
-    blows Janino's 64 KB method limit and disables whole-stage
-    codegen outright. Default to ``dim=None`` (HOF) unless the call
-    site is a verified pair-scoring hot loop. The unrolled sum starts
-    from ``lit(0.0)`` and adds terms in index order, so it is
-    bit-identical to the sequential fold (and to the DuckDB oracle's
-    ``list_reduce``)."""
+    With ``dim`` known the fold can be UNROLLED into a flat
+    expression of ``dim`` multiply-adds. Measured (sf0.1, 64-dim,
+    best-of-2 warm runs): the HOF fold beats the unrolled form ~3x at
+    EVERY call site tried, including the 100k-pair knn_join broadcast
+    cross — the flat 64-term tree inflates analysis/codegen and,
+    stacked several times in one projection (cosine = dot + 2 norms;
+    LSH planes; IVF centroids), blows Janino's 64 KB method limit and
+    disables whole-stage codegen for the stage. Default to
+    ``dim=None`` everywhere; ``dim`` stays supported for plan
+    experiments. Both forms start from ``lit(0.0)`` and add terms in
+    index order, so they are bit-identical to each other and to the
+    DuckDB oracle's ``list_reduce``."""
     if dim is not None:
         acc: Column = F.lit(0.0)
         for i in range(dim):

@@ -138,9 +138,11 @@ def embedding_near_pairs(
     candidate pair — identical value, 2/3 fewer flops in the verify."""
     from pond_spark.similarity.brute import _dot, _norm
 
+    # scoring uses the HOF fold (dim=None), not the unrolled form —
+    # see brute._dot: the flat 64-term tree measured ~3x slower here
     b = (
         rhp_bucket(df, dim, nbits, seed, vec_col)
-        .withColumn("_nrm", _norm(F.col(vec_col), dim))
+        .withColumn("_nrm", _norm(F.col(vec_col), None))
         .persist()
     )
     left = b.select(F.col(id_col).alias("id_a"), "bucket")
@@ -173,7 +175,7 @@ def embedding_near_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("_va"), F.col("_vb"), dim)
+                _dot(F.col("_va"), F.col("_vb"), None)
                 / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cosine"),
