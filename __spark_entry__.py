@@ -1144,6 +1144,69 @@ def _fingerprint_sql() -> str:
     return f"SELECT doc_id, {fingerprint_sql('text')} AS fingerprint FROM documents"
 
 
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-doc quality metrics (word count, mean word
+    length, alpha-word fraction, duplicate-bigram repetition) and the
+    combined keep flag — the doc-level filter pass of a pre-training
+    pipeline (Rae et al. 2021 appendix A1)."""
+    from pond_spark.functions.text import quality_rules
+
+    docs = _fan(_documents(spark, sf_dir))
+    return docs.select("doc_id", *quality_rules(F.col("text")))
+
+
+def _quality_rules_sql() -> str:
+    from pond_spark.functions.text import quality_rules_sql
+
+    return f"""
+SELECT doc_id, {quality_rules_sql('text')}
+FROM (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+      FROM documents) __w
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII redaction (emails / IPv4 / phone numbers →
+    placeholder tokens). The corpus carries no PII, so the query
+    plants a deterministic contact line per doc before scrubbing —
+    the regexes are exercised for real and the oracle applies the
+    byte-identical patterns to the byte-identical input."""
+    from pond_spark.functions.pii import pii_count, pii_scrub
+
+    docs = _fan(_documents(spark, sf_dir))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("_t"),
+    )
+    return salted.select(
+        "doc_id",
+        pii_count(F.col("_t")).alias("n_pii"),
+        pii_scrub(F.col("_t")).alias("scrubbed"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from pond_spark.functions.pii import pii_count_sql, pii_scrub_sql
+
+    salted = (
+        "text || ' contact user' || doc_id || '@example.com or 10.0.0.' "
+        "|| (doc_id % 256) || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+SELECT doc_id, {pii_count_sql('_t')} AS n_pii, {pii_scrub_sql('_t')} AS scrubbed
+FROM (SELECT doc_id, {salted} AS _t FROM documents)
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs, lang-blocked, τ=0.8.
 
@@ -1541,6 +1604,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
+    "quality_rules": (q_quality_rules, None),
+    "pii_scrub": (q_pii_scrub, None),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
@@ -1559,6 +1624,8 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
+    "quality_rules": _quality_rules_sql,
+    "pii_scrub": _pii_scrub_sql,
     "unsafe_method": _unsafe_method_sql,
     "host_generator_uri": _host_generator_uri_sql,
     "method_filter": _method_filter_sql,

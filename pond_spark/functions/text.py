@@ -90,6 +90,130 @@ def quality_score_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1;
+# C4 heuristics, Raffel et al. 2020 §2.2) — doc-level composition and
+# repetition metrics plus a combined keep/drop flag. All metrics are
+# single-pass built-in expressions; the repetition signal uses the
+# duplicate-n-gram fraction (1 - distinct/total), the set-based cousin
+# of Gopher's "fraction of characters in duplicate n-grams" that both
+# engines can fold deterministically.
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def quality_rules(
+    col: Column,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_2gram_frac: float = 0.85,
+) -> list[Column]:
+    """Gopher/C4-style per-document quality metrics and keep flag.
+
+    Returns aliased columns: n_words, mean_word_len, alpha_word_frac
+    (words containing at least one ASCII letter / words),
+    dup_2gram_frac (1 - distinct word-bigrams / bigrams — repetition),
+    and ``keep`` (all thresholds pass). Ratios are rounded to 6
+    decimals for stable cross-engine hashing."""
+    words = _words(col)
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    mean_wl = F.round(
+        F.when(
+            n_words > 0,
+            F.aggregate(
+                words,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).cast("double")
+            / nw,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+            / nw,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    bi = _word_ngrams(words, 2)
+    nbi = F.size(bi).cast("double")
+    dup2 = F.round(
+        F.when(
+            F.size(bi) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bi)).cast("double") / nbi,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (dup2 <= max_dup_2gram_frac)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        dup2.alias("dup_2gram_frac"),
+        keep.alias("keep"),
+    ]
+
+
+def quality_rules_sql(
+    expr: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_2gram_frac: float = 0.85,
+) -> str:
+    """DuckDB twin of ``quality_rules`` — emits the same five columns
+    from a FROM-clause alias ``__w(words)`` the caller provides (see
+    the __spark_entry__ QUALITY_RULES_SQL for the full statement)."""
+    w = "__w.words"
+    nw = f"len({w})"
+    mean_wl = (
+        f"round(CASE WHEN {nw} > 0 THEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({w}, x -> CAST(len(x) AS BIGINT))), (a,b) -> a + b) * 1.0 "
+        f"/ {nw} ELSE 0.0 END, 6)"
+    )
+    alpha = (
+        f"round(CASE WHEN {nw} > 0 THEN len(list_filter({w}, "
+        f"x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / {nw} ELSE 0.0 END, 6)"
+    )
+    bi = (
+        f"list_transform(generate_series(1, greatest({nw} - 1, 1)), "
+        f"i -> array_to_string({w}[i:i+1], ' '))"
+    )
+    dup2 = (
+        f"round(CASE WHEN len({bi}) > 0 THEN 1.0 - "
+        f"len(list_distinct({bi})) * 1.0 / len({bi}) ELSE 0.0 END, 6)"
+    )
+    keep = (
+        f"({nw} >= {min_words} AND {nw} <= {max_words} "
+        f"AND {mean_wl} >= {min_mean_word_len} AND {mean_wl} <= {max_mean_word_len} "
+        f"AND {alpha} >= {min_alpha_word_frac} AND {dup2} <= {max_dup_2gram_frac})"
+    )
+    return (
+        f"{nw} AS n_words, {mean_wl} AS mean_word_len, "
+        f"{alpha} AS alpha_word_frac, {dup2} AS dup_2gram_frac, {keep} AS keep"
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id (n-gram / marker-word heuristic)
 
 #: tiny per-language marker lists (function words); the heuristic votes

@@ -1,0 +1,69 @@
+"""Gopher-style quality rules and free-text PII scrubbing."""
+
+from pyspark.sql import functions as F
+
+
+def test_quality_rules_flags(spark):
+    from pond_spark.functions.text import quality_rules
+
+    prose = " ".join(
+        f"word{i} some plain prose tokens here" for i in range(8)
+    )  # 48 words, varied bigrams
+    repeat = "spam ham " * 40  # 80 words but one bigram over and over
+    short = "too short"
+    symbols = " ".join("$$$" for _ in range(30))  # no alpha words
+    df = spark.createDataFrame(
+        [(1, prose), (2, repeat), (3, short), (4, symbols), (5, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select("doc_id", *quality_rules(F.col("text"))).collect()
+    }
+    assert rows[1].keep
+    assert not rows[2].keep and rows[2].dup_2gram_frac > 0.9
+    assert not rows[3].keep and rows[3].n_words == 2
+    assert not rows[4].keep and rows[4].alpha_word_frac == 0.0
+    assert not rows[5].keep
+    assert abs(rows[2].mean_word_len - 3.5) < 1e-9  # spam/ham = 4+3 / 2
+
+
+def test_pii_scrub_patterns(spark):
+    from pond_spark.functions.pii import pii_count, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+tag@sub.example.co.uk now"),
+            (2, "server at 192.168.001.1 responded"),
+            (3, "call 555-867-5309 or +1 555 867 5309 today"),
+            (4, "nothing sensitive here"),
+            (5, "alice@example.com from 10.0.0.1 tel 555-010-0001"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id", pii_scrub(F.col("t")), pii_count(F.col("t"))
+        ).collect()
+    }
+    assert out[1].scrubbed == "mail <EMAIL> now" and out[1].n_pii == 1
+    assert out[2].scrubbed == "server at <IP> responded" and out[2].n_pii == 1
+    assert "<PHONE>" in out[3].scrubbed and "5309" not in out[3].scrubbed
+    assert out[3].n_pii == 2
+    assert out[4].scrubbed == "nothing sensitive here" and out[4].n_pii == 0
+    assert out[5].scrubbed == "<EMAIL> from <IP> tel <PHONE>"
+    assert out[5].n_pii == 3
+
+
+def test_pii_email_not_eaten_by_ip_rule(spark):
+    """An address whose host looks dotted-numeric must scrub as one
+    email, not an email-then-IP fragment — rule order is part of the
+    contract."""
+    from pond_spark.functions.pii import pii_scrub
+
+    df = spark.createDataFrame([("x 1.2.3.4@example.com y",)], "t string")
+    assert (
+        df.select(pii_scrub(F.col("t")).alias("s")).first().s
+        == "x <EMAIL> y"
+    )
