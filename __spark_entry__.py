@@ -1207,6 +1207,82 @@ FROM (SELECT doc_id, {salted} AS _t FROM documents)
 """
 
 
+#: per-language keep rates for the stratified-sampling query
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.1, "fr": 0.25}
+#: per-source mixture weights: replicate src0 2.5x, keep src1 whole,
+#: thin src2 to 30%, drop everything else
+MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.3}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling (training-data
+    curation: language rebalancing). The keep set is a pure function
+    of doc ids — the oracle replays the identical Mersenne-31
+    arithmetic, no engine hash functions involved."""
+    from pond_spark.operators.sampling import stratified_sample
+
+    docs = _documents(spark, sf_dir)
+    return stratified_sample(
+        docs, SAMPLE_RATES, stratum_col="lang", default_rate=0.75
+    ).select("doc_id", "lang", "source")
+
+
+def _stratified_sample_sql() -> str:
+    from pond_spark.operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(SAMPLE_RATES, "lang", "doc_id", default_rate=0.75)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mixture over sources: integer weights
+    replicate (epoch column), fractional parts hash-sample, unlisted
+    sources drop."""
+    from pond_spark.operators.sampling import mixture
+
+    docs = _documents(spark, sf_dir)
+    return mixture(docs, MIX_WEIGHTS).select("doc_id", "source", "epoch")
+
+
+def _mixture_sql() -> str:
+    from pond_spark.operators.sampling import mixture_sql
+
+    return mixture_sql(
+        MIX_WEIGHTS, table="documents", cols="doc_id, source"
+    )
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: contiguous ~4k-token training
+    shards in doc_id order via a two-level distributed prefix sum
+    (the naive global-order window would single-partition the table)."""
+    from pond_spark.functions.text import token_count
+    from pond_spark.operators.packing import pack_shards
+
+    docs = _fan(_documents(spark, sf_dir))
+    counted = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    # bucket_width 1000 keeps the test corpora multi-bucket so the
+    # two-level path is actually exercised (ids are dense from 0)
+    return pack_shards(counted, budget=4096, bucket_width=1000).select(
+        "doc_id", "n_tokens", "token_offset", "shard"
+    )
+
+
+def _pack_shards_sql() -> str:
+    from pond_spark.functions.text import token_count_sql
+    from pond_spark.operators.packing import pack_shards_sql
+
+    inner = (
+        f"(SELECT doc_id, {token_count_sql('text')} AS n_tokens "
+        "FROM documents) t"
+    )
+    return pack_shards_sql(
+        4096, inner, cols="doc_id, n_tokens"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs, lang-blocked, τ=0.8.
 
@@ -1606,6 +1682,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "fingerprint": (q_fingerprint, None),
     "quality_rules": (q_quality_rules, None),
     "pii_scrub": (q_pii_scrub, None),
+    "stratified_sample": (q_stratified_sample, None),
+    "mixture": (q_mixture, None),
+    "pack_shards": (q_pack_shards, None),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
@@ -1626,6 +1705,9 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "fingerprint": _fingerprint_sql,
     "quality_rules": _quality_rules_sql,
     "pii_scrub": _pii_scrub_sql,
+    "stratified_sample": _stratified_sample_sql,
+    "mixture": _mixture_sql,
+    "pack_shards": _pack_shards_sql,
     "unsafe_method": _unsafe_method_sql,
     "host_generator_uri": _host_generator_uri_sql,
     "method_filter": _method_filter_sql,

@@ -1,0 +1,89 @@
+"""Token-budget shard packing: assign documents to contiguous training
+shards so each shard holds ~``budget`` tokens in a stable global order.
+
+``shard = floor(exclusive_prefix_sum(n_tokens) / budget)`` over the
+order column — the standard "pack documents into fixed-token shards"
+step before tokenized-dataset writing.
+
+Scale shape: a naive ``Window.orderBy(id)`` prefix sum collapses the
+whole table into ONE partition (Spark plans an un-partitioned window
+as a single-task sort) — a scale-killer at 100 TB. This implementation
+is the classic two-level distributed prefix sum instead:
+
+1. rows bucket by a monotone coarse key (``id // bucket_width``) —
+   per-bucket exclusive cumsums run in parallel, one window per
+   bucket partition;
+2. per-bucket totals (a tiny groupBy) get their own exclusive prefix
+   sum — the only global window, over n_buckets rows, not n rows;
+3. bucket offsets broadcast-join back and add.
+
+Equivalent to the global window by associativity of +; every stage is
+built-in expressions; the DuckDB oracle uses the naive global window,
+which is exact on a single node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    bucket_width: int = 100_000,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Append ``shard`` (0-based) and ``token_offset`` (the exclusive
+    prefix sum: tokens preceding this doc in ``order_col`` order).
+    ``order_col`` must be integral and unique; ``bucket_width`` trades
+    bucket count (global stage size) against per-bucket parallelism."""
+    b = (F.col(order_col) / F.lit(bucket_width)).cast("long").alias("_b")
+    rows = df.withColumn("_b", b)
+
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = rows.withColumn(
+        "_local", F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)).cast("long")
+    )
+
+    totals = rows.groupBy("_b").agg(F.sum(tokens_col).cast("long").alias("_tot"))
+    w_b = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)).cast("long").alias("_off")
+    )
+
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn("token_offset", F.col("_off") + F.col("_local"))
+        .withColumn(
+            out_col, F.floor(F.col("token_offset") / F.lit(budget)).cast("long")
+        )
+        .drop("_b", "_local", "_off")
+    )
+
+
+def pack_shards_sql(
+    budget: int,
+    table_expr: str,
+    tokens_expr: str = "n_tokens",
+    order_expr: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin: the naive exclusive-prefix-sum window (exact on a
+    single node)."""
+    prefix = (
+        f"CAST(coalesce(sum({tokens_expr}) OVER (ORDER BY {order_expr} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    )
+    return f"""
+SELECT {cols}, {prefix} AS token_offset,
+       CAST(floor({prefix} * 1.0 / {budget}) AS BIGINT) AS shard
+FROM {table_expr}
+"""

@@ -183,3 +183,17 @@ def test_promo_revenue_broadcast_single_shuffle(spark, entry):
     assert not has_sort_merge_join(df)
     assert has_partial_aggregate(df)
     assert count_exchanges(df) == 1, formatted_plan(df)
+
+
+def test_pack_shards_no_global_window_on_table(spark, entry):
+    """The full-table prefix sum must run per-bucket (partitioned
+    window); the only un-partitioned window is over the tiny bucket
+    totals. A `Window ... Exchange SinglePartition` directly over the
+    table scan would be the single-task sort scale-killer."""
+    df = entry.queries()["pack_shards"](spark, SF)
+    plan = formatted_plan(df)
+    # bucket offsets join back via broadcast, not a shuffle join
+    assert has_broadcast_join(df), plan
+    # exactly one SinglePartition exchange (bucket totals), not two —
+    # the per-row window partitions on the bucket key instead
+    assert plan.count("SinglePartition") == 1, plan

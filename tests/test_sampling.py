@@ -1,0 +1,73 @@
+"""Deterministic sampling, mixture weighting, shard packing."""
+
+from pyspark.sql import functions as F
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_sample_deterministic_and_monotone(spark):
+    from pond_spark.operators.sampling import sample
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s10 = _ids(sample(df, 0.10))
+    s50 = _ids(sample(df, 0.50))
+    # consistent-hash property: smaller rate is a subset of larger
+    assert s10 <= s50
+    # roughly proportional (universal hash, 2000 ids)
+    assert 120 <= len(s10) <= 280 and 850 <= len(s50) <= 1150
+    # partitioning-independent: same set from a repartitioned input
+    assert _ids(sample(df.repartition(13), 0.10)) == s10
+    # salt changes the set
+    assert _ids(sample(df, 0.10, salt="other")) != s10
+
+
+def test_stratified_rates(spark):
+    from pond_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, {"en": 1.0, "de": 0.2}).groupBy("lang").count()
+    counts = {r.lang: r["count"] for r in out.collect()}
+    assert counts["en"] == 1000  # rate 1.0 keeps everything
+    assert 120 <= counts["de"] <= 280
+
+
+def test_mixture_replication_and_epochs(spark):
+    from pond_spark.operators.sampling import mixture
+
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture(df, {"src0": 3.0, "src1": 0.5, "src2": 1.0}).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.epoch)
+    # integer weight: every src0 row appears exactly 3x, epochs 0,1,2
+    assert len(by_src["src0"]) == 300
+    assert sorted(set(by_src["src0"])) == [0, 1, 2]
+    # fractional: src1 thinned to ~half, single epoch
+    assert 25 <= len(by_src["src1"]) <= 75 and set(by_src["src1"]) == {0}
+    assert len(by_src["src2"]) == 100
+    # unlisted source dropped entirely
+    assert "src3" not in by_src
+
+
+def test_pack_shards_matches_naive_window(spark):
+    from pond_spark.operators.packing import pack_shards
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    # small bucket_width → many buckets → two-level path exercised
+    got = {
+        r.doc_id: (r.token_offset, r.shard)
+        for r in pack_shards(df, budget=1000, bucket_width=50).collect()
+    }
+    run = 0
+    for i, n in rows:
+        assert got[i] == (run, run // 1000), f"doc {i}"
+        run += n
+    # shards are contiguous in doc order and ~budget-sized
+    shards = [got[i][1] for i, _ in rows]
+    assert shards == sorted(shards)
+    assert shards[-1] == (run - rows[-1][1]) // 1000
