@@ -1088,6 +1088,39 @@ FROM allrows GROUP BY sha256(text)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing >= 1 distinct
+    4-gram with the pseudo eval split (doc_id % 97 == 0) — on this
+    short-doc corpus (~50 tokens) 4-grams isolate the planted near-dups
+    of eval documents (8 hits at sf0.01) while 8-grams find nothing and
+    3-grams sweep in a third of the corpus. The broadcast semi-join
+    plan is the 100 TB shape: eval grams are tiny, corpus grams never
+    shuffle."""
+    from pond_spark.dedup.decontaminate import contamination_report
+
+    docs = _documents(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, eval_set, "text", "doc_id", n=4)
+
+
+DECONTAMINATE_SQL = """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 3, 1)),
+           i -> array_to_string(toks[i:i+3], ' '))) AS grams
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents)),
+eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+SELECT dg.doc_id, count(*) AS hit_grams
+FROM dg JOIN eg USING (gram)
+GROUP BY dg.doc_id
+HAVING count(*) >= 1
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and quality scoring."""
     from pond_spark.functions.text import bpe_token_count, quality_score, token_count
@@ -1685,6 +1718,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stratified_sample": (q_stratified_sample, None),
     "mixture": (q_mixture, None),
     "pack_shards": (q_pack_shards, None),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness

@@ -1,4 +1,5 @@
 from pond_spark.dedup.cluster import connected_components, dedup_near_keep_best
+from pond_spark.dedup.decontaminate import contamination_report, decontaminate
 from pond_spark.dedup.exact import dedup_exact, exact_duplicate_groups
 from pond_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from pond_spark.dedup.ngram import ngram_jaccard_pairs
@@ -14,4 +15,6 @@ __all__ = [
     "simhash_near_pairs",
     "connected_components",
     "dedup_near_keep_best",
+    "contamination_report",
+    "decontaminate",
 ]

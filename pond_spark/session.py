@@ -50,6 +50,15 @@ def get_spark(
         # single-JVM local mode: driver heap IS the executor heap; 16g
         # keeps GC pauses out of the bench at local[32] (host has 128g)
         .config("spark.driver.memory", os.environ.get("POND_SPARK_DRIVER_MEM", "16g"))
+        # a 50-query session generates far more than 100 codegen
+        # segments; the default class-cache size (100) thrashes, so
+        # every rerun recompiles + re-JITs from scratch. Size the cache
+        # to the workload and give the JIT room to keep compiled code.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -205,3 +205,39 @@ def test_dedup_near_keep_best(spark, docs):
     # docs 1,2,3,5 cluster (pairwise >=0.5 jaccard via 1); keep id 5
     # (longest text); 4 and 6 are singletons
     assert kept == [4, 5, 6]
+
+
+def test_contamination_report_and_decontaminate(spark, docs):
+    from pond_spark.dedup import contamination_report, decontaminate
+
+    eval_set = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id <> 1")
+    rep = contamination_report(corpus, eval_set, "text", "doc_id", n=4)
+    hits = {r["doc_id"]: r["hit_grams"] for r in rep.collect()}
+    # 2 is an exact copy (all 6 4-grams hit); 3 and 5 share spans;
+    # 4 and 6 share nothing
+    assert set(hits) == {2, 3, 5}
+    assert hits[2] == 6
+    clean = decontaminate(corpus, eval_set, "text", "doc_id", n=4)
+    assert {r["doc_id"] for r in clean.collect()} == {4, 6}
+
+
+def test_contamination_min_hits_threshold(spark, docs):
+    from pond_spark.dedup import contamination_report
+
+    eval_set = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id <> 1")
+    rep = contamination_report(corpus, eval_set, "text", "doc_id", n=4, min_hits=4)
+    hits = {r["doc_id"] for r in rep.collect()}
+    assert 2 in hits          # exact dup always above threshold
+    assert 6 not in hits
+
+
+def test_contamination_eval_side_broadcasts(spark, docs):
+    from pond_spark.dedup import contamination_report
+
+    rep = contamination_report(
+        docs.filter("doc_id <> 1"), docs.filter("doc_id = 1"), "text", "doc_id"
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
