@@ -1182,10 +1182,10 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, alpha-word fraction, duplicate-bigram repetition) and the
     combined keep flag — the doc-level filter pass of a pre-training
     pipeline (Rae et al. 2021 appendix A1)."""
-    from pond_spark.functions.text import quality_rules
+    from pond_spark.functions.text import quality_metrics
 
     docs = _fan(_documents(spark, sf_dir))
-    return docs.select("doc_id", *quality_rules(F.col("text")))
+    return quality_metrics(docs, "text", keep_cols=("doc_id",))
 
 
 def _quality_rules_sql() -> str:

@@ -10,7 +10,7 @@ hashes over character codes instead.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_MOD = 1_000_000_007
@@ -103,6 +103,88 @@ def _word_ngrams(words: Column, n: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+
+
+def quality_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_2gram_frac: float = 0.85,
+) -> DataFrame:
+    """DataFrame twin of :func:`quality_rules` that materializes the
+    word and bigram arrays in staged projections.
+
+    The column-list form re-derives ``split(trim(lower(text)))`` inside
+    every metric — lambda-bound higher-order functions are opaque to
+    Spark's subexpression elimination, so the split ran ~20× per row
+    (measured 6 s → sub-second at sf0.1 after this change). Staged
+    ``select``s survive CollapseProject because each intermediate alias
+    is non-cheap and multiply-referenced, so the split and the bigram
+    build each run exactly once per row.
+    """
+    kept = [F.col(c) for c in keep_cols]
+    staged = df.select(*kept, _words(F.col(text_col)).alias("_qw")).select(
+        *kept,
+        F.col("_qw"),
+        F.size("_qw").alias("n_words"),
+        _word_ngrams(F.col("_qw"), 2).alias("_qbi"),
+    )
+    nw = F.col("n_words").cast("double")
+    nbi = F.size("_qbi").cast("double")
+    scored = staged.select(
+        *kept,
+        F.col("n_words"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.aggregate(
+                    F.col("_qw"),
+                    F.lit(0).cast("long"),
+                    lambda acc, w: acc + F.length(w),
+                ).cast("double")
+                / nw,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.size(
+                    F.filter(F.col("_qw"), lambda w: w.rlike("[A-Za-z]"))
+                ).cast("double")
+                / nw,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("alpha_word_frac"),
+        F.round(
+            F.when(
+                F.size("_qbi") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col("_qbi"))).cast("double") / nbi,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+    return scored.select(
+        *kept,
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "dup_2gram_frac",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        ).alias("keep"),
     )
 
 

@@ -102,6 +102,16 @@ def read_parquet_ts(spark: SparkSession, path: str) -> DataFrame:
             df = df.withColumn(
                 f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
             )
+        elif (
+            f.name in ("ts", "timestamp")
+            and f.dataType.simpleString() == "timestamp_ntz"
+        ):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as NTZ;
+            # the session runs UTC, so reinterpreting the wall time as
+            # a UTC instant is lossless and matches DuckDB's naive
+            # TIMESTAMP semantics. Downstream arithmetic (age_s etc.)
+            # needs LTZ — NTZ refuses numeric casts.
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
