@@ -1121,6 +1121,85 @@ HAVING count(*) >= 1
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup (Wenzek et al. 2020 §3.1):
+    lines recurring in ≥2 distinct documents are boilerplate and get
+    stripped; each document's surviving lines are reassembled in
+    order. The synthetic corpus is single-line, so 4-word chunks stand
+    in as pseudo-paragraphs — the machinery (explode → 64-bit-hash
+    count → anti-join strip → ordered reassembly) is exactly the
+    newline path."""
+    from pond_spark.dedup.lines import strip_duplicate_lines
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    return strip_duplicate_lines(
+        docs, "text", "doc_id", min_docs=2, words_per_chunk=4
+    )
+
+
+LINE_DEDUP_SQL = """
+WITH s AS (SELECT doc_id,
+                  list_transform(
+                    generate_series(0, (len(ws) - 1) // 4),
+                    i -> array_to_string(ws[i*4+1 : i*4+4], ' ')) AS ls
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents)),
+l AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) - 1 AS pos
+      FROM s),
+dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+reasm AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean, t.n_lines,
+       t.n_lines - coalesce(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 repetition profile: duplicate-word and duplicate-
+    3-gram fractions (single-pass array expressions) plus the fraction
+    of characters covered by the most frequent word-bigram (explode +
+    two keyed groupBys — linear in doc length, never O(words²))."""
+    from pond_spark.functions.repetition import repetition_metrics
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    return repetition_metrics(docs, "text", "doc_id", top_ngram=2, dup_ngram=3)
+
+
+REPETITION_SQL = """
+WITH w AS (SELECT doc_id, length(text) * 1.0 AS nchars,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+m AS (SELECT doc_id, nchars, len(ws) AS n_words,
+             round(CASE WHEN len(ws) > 0
+                   THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+                   ELSE 0.0 END, 6) AS dup_word_frac,
+             list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
+                            i -> array_to_string(ws[i:i+2], ' ')) AS g3,
+             list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                            i -> array_to_string(ws[i:i+1], ' ')) AS g2
+      FROM w),
+m2 AS (SELECT doc_id, nchars, n_words, dup_word_frac,
+              round(CASE WHEN len(g3) > 0
+                    THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
+                    ELSE 0.0 END, 6) AS dup_3gram_frac,
+              g2
+       FROM m),
+e AS (SELECT doc_id, unnest(g2) AS gram FROM m2),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram),
+t AS (SELECT doc_id, max(cnt * length(gram)) AS covered FROM c GROUP BY doc_id)
+SELECT m2.doc_id, n_words, dup_word_frac, dup_3gram_frac,
+       round(CASE WHEN nchars > 0 AND covered IS NOT NULL
+             THEN least(covered / nchars, 1.0) ELSE 0.0 END, 6)
+         AS top_2gram_char_frac
+FROM m2 LEFT JOIN t ON m2.doc_id = t.doc_id
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and quality scoring."""
     from pond_spark.functions.text import bpe_token_count, quality_score, token_count
@@ -1719,6 +1798,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture": (q_mixture, None),
     "pack_shards": (q_pack_shards, None),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
