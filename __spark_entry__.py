@@ -1633,6 +1633,52 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    pair only within clusters, flag pairs at cosine ≥ threshold.
+    Oracle-checked end-to-end like ann_ivf_topk — shared deterministic
+    Lloyd training, assignment replicated as (cos, cid) argmax in
+    DuckDB, identical within-cluster self-join + rounded-cosine
+    filter. Threshold 0.35 because the synthetic embeddings' max
+    pairwise cosine is ~0.48."""
+    from pond_spark.similarity.semdedup import semantic_pairs
+
+    return semantic_pairs(
+        _embeddings(spark, sf_dir), threshold=0.35, n_centroids=16
+    )
+
+
+def _semantic_pairs_sql() -> str:
+    """Oracle twin of q_semantic_pairs (same centroid derivation as
+    _ann_ivf_sql)."""
+    import duckdb
+
+    from pond_spark.similarity.ivf import lloyd_centroids
+
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM read_parquet('{sfdir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    con.close()
+    cent = lloyd_centroids([r[0] for r in sample], n_centroids=16, iters=5)
+    structs = ", ".join(
+        "{'cos': " + _sql_cos("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(cent)
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, (list_max([{structs}])).cid AS cluster
+  FROM embeddings)
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cluster,
+       {_sql_cos("a.embedding", "b.embedding")} AS cosine
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN join (first 50 query vectors vs the full table, k=3):
     per-query top-k via a window over the broadcast cross score —
@@ -1807,6 +1853,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "media_meta": (q_media_meta, MEDIA_META_SQL),
@@ -1830,6 +1877,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "time_today": _time_today_sql,
     "ann_lsh_topk": _ann_lsh_sql,
     "ann_ivf_topk": _ann_ivf_sql,
+    "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,
 }

@@ -1,0 +1,116 @@
+"""SemDeDup — semantic deduplication via embedding clusters.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): k-means-cluster the corpus
+embeddings, compute pairwise cosine only *within* each cluster, and
+drop all but one member of every semantic-duplicate pair. Clustering
+turns the O(N²) all-pairs problem into Σ O(|cluster|²) with |cluster|
+≈ N/C — the same coarse-quantizer trick as IVF search, so this module
+reuses the IVF trainer/assigner (similarity/ivf.py).
+
+Scale notes (100 TB): the only shuffle is the within-cluster self-join
+keyed on the cluster id. Cluster count must grow with the corpus
+(SemDeDup uses ~√N; the paper runs 50k clusters for LAION-440M) so the
+per-cluster quadratic term stays bounded — pass ``n_centroids``
+accordingly. The join carries (id, vector) pairs; ids and scores only
+after scoring. Hot clusters are the skew risk: AQE skew-join splits
+oversized partitions, and a hard ``cluster_cap`` guard is available to
+refuse degenerate clusterings. Assignment itself is a map-only JVM
+expression (no Python, no shuffle) — see ivf._assign_expr.
+
+Greedy keep rule: a vector is dropped iff a *lower-id* vector in the
+same cluster matches at ≥ threshold — deterministic, order-free, and
+one-pass declarative (the paper keeps a random member per duplicate
+group; min-id is the reproducible choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.similarity.brute import cosine_similarity
+from pond_spark.similarity.ivf import ivf_assign, train_centroids
+
+__all__ = ["semantic_pairs", "semantic_dedup"]
+
+
+def semantic_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    cluster_cap: int | None = None,
+) -> DataFrame:
+    """Within-cluster semantic duplicate pairs.
+
+    Returns ``(keep_id, drop_id, cluster, cosine)`` for every ordered
+    pair (keep_id < drop_id) in the same cluster with cosine ≥
+    ``threshold``; cosine rounded to 6 decimals for cross-engine
+    hashing. ``cluster_cap`` (optional) drops clusters larger than the
+    cap from pairing — the guard against a degenerate clustering
+    re-introducing the quadratic blow-up.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            df, n_centroids, iters, sample_n, vec_col, id_col
+        )
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), centroids, vec_col, out_col="cluster"
+    )
+    if cluster_cap is not None:
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_csize")
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), on="cluster")
+            .filter(F.col("_csize") <= cluster_cap)
+            .drop("_csize")
+        )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("drop_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "keep_id",
+            "drop_id",
+            "cluster",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop every vector that semantically duplicates a lower-id one.
+
+    Two-phase like dedup_exact: pair generation (ids only in the
+    shuffle) then a left-anti join back — the corpus rows themselves
+    are never re-shuffled.
+    """
+    pairs = semantic_pairs(
+        df, threshold, vec_col=vec_col, id_col=id_col, **kwargs
+    )
+    drops = pairs.select(F.col("drop_id").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")

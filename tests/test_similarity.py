@@ -122,3 +122,43 @@ def test_ivf_assign_is_deterministic(vectors):
     assert c1 == c2
     a = ivf_assign(vectors, c1).select("vec_id", "ivf_list").collect()
     assert all(0 <= r.ivf_list < 4 for r in a)
+
+
+def test_semantic_pairs_find_planted(vectors):
+    """SemDeDup: the planted near-identical vectors (0, 100, 101) land
+    in one cluster and pair at cosine ~1."""
+    from pond_spark.similarity.semdedup import semantic_pairs
+
+    pairs = semantic_pairs(
+        vectors, threshold=0.95, n_centroids=4, sample_n=102
+    ).collect()
+    got = {(r.keep_id, r.drop_id) for r in pairs}
+    assert {(0, 100), (0, 101), (100, 101)} <= got
+    assert all(r.keep_id < r.drop_id for r in pairs)
+    assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def test_semantic_dedup_keeps_min_id(vectors):
+    from pond_spark.similarity.semdedup import semantic_dedup
+
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            vectors, threshold=0.95, n_centroids=4, sample_n=102
+        ).collect()
+    }
+    # 100 and 101 duplicate 0 → dropped; 0 survives
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    assert len(kept) == 100
+
+
+def test_semantic_pairs_cluster_cap(vectors):
+    """cluster_cap=1 removes every cluster from pairing → no pairs."""
+    from pond_spark.similarity.semdedup import semantic_pairs
+
+    assert (
+        semantic_pairs(
+            vectors, threshold=0.0, n_centroids=4, sample_n=102, cluster_cap=1
+        ).count()
+        == 0
+    )
