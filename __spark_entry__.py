@@ -1121,6 +1121,105 @@ HAVING count(*) >= 1
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction over a
+    deterministic messy-URL view of the log fixture: mixed-case
+    scheme/host, default and non-default ports, tracking params,
+    unsorted query strings, fragments, public-suffix-lite domains.
+    Pure regexp/array expressions — the 100 TB inline-scan shape."""
+    from pond_spark.functions.urlnorm import normalize_url, registered_domain
+
+    logs = events_as_logs(spark, sf_dir)
+    rid = F.col("id")
+    scheme = F.when(rid % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("HTTP://"))
+    suffix = F.when(rid % 5 == 0, F.lit(".CO.UK")).otherwise(F.lit(".COM"))
+    port = (
+        F.when(rid % 4 == 0, F.when(rid % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(rid % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    qs = F.when(rid % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(F.lit(""))
+    frag = F.when(rid % 11 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("WWW."),
+        F.upper(F.col("site")),
+        F.lit(".EXAMPLE"),
+        suffix,
+        port,
+        F.lit("/T/"),
+        F.col("site"),
+        F.lit("/"),
+        (rid % 7).cast("string"),
+        qs,
+        frag,
+    )
+    return logs.select(
+        "id",
+        normalize_url(url).alias("url_norm"),
+        registered_domain(url).alias("domain"),
+    )
+
+
+URL_NORMALIZE_SQL = """
+WITH {logs_cte},
+u AS (
+  SELECT id,
+         (CASE WHEN id % 3 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+         || 'WWW.' || upper(site) || '.EXAMPLE'
+         || (CASE WHEN id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END)
+         || (CASE WHEN id % 4 = 0
+                  THEN (CASE WHEN id % 3 = 0 THEN ':443' ELSE ':80' END)
+                  WHEN id % 4 = 1 THEN ':8080' ELSE '' END)
+         || '/T/' || site || '/' || CAST(id % 7 AS VARCHAR)
+         || (CASE WHEN id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '' END)
+         || (CASE WHEN id % 11 = 0 THEN '#Frag' ELSE '' END) AS url
+  FROM logs),
+p AS (
+  SELECT id, url,
+         lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth,
+         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0,
+         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+  FROM u),
+n AS (
+  SELECT id,
+         scheme,
+         (CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+               WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+               ELSE auth END) AS host,
+         (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+           x -> NOT (split_part(x, '=', 1) LIKE 'utm\\_%' ESCAPE '\\'
+                     OR split_part(x, '=', 1) IN
+                        ('gclid','fbclid','msclkid','igshid','mc_eid')
+                     OR x = ''))), '&') AS params
+  FROM p),
+d AS (
+  SELECT id, lower(split_part(host, ':', 1)) AS dhost
+  FROM n),
+dom AS (
+  SELECT id, dhost, string_split(dhost, '.') AS labels,
+         array_to_string(string_split(dhost, '.')[-2:], '.') AS last2
+  FROM d),
+dom2 AS (
+  SELECT id, dhost, labels,
+         (CASE WHEN last2 IN ('co.uk','org.uk','ac.uk','com.au','net.au',
+                              'org.au','co.jp','co.nz','com.br','co.in')
+                    AND len(labels) >= 3 THEN 3
+               ELSE least(len(labels), 2) END) AS take
+  FROM dom)
+SELECT n.id,
+       n.scheme || '://' || n.host || n.path
+         || (CASE WHEN n.params <> '' THEN '?' || n.params ELSE '' END)
+         AS url_norm,
+       (CASE WHEN regexp_matches(dom2.dhost, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+                  OR len(dom2.labels) <= 1 THEN dom2.dhost
+             ELSE array_to_string(dom2.labels[-dom2.take:], '.') END) AS domain
+FROM n JOIN dom2 ON n.id = dom2.id
+""".replace("{logs_cte}", LOGS_CTE)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup (Wenzek et al. 2020 §3.1):
     lines recurring in ≥2 distinct documents are boilerplate and get
@@ -1844,6 +1943,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mixture": (q_mixture, None),
     "pack_shards": (q_pack_shards, None),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
     "repetition": (q_repetition, REPETITION_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),

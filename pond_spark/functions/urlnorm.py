@@ -1,0 +1,114 @@
+"""URL normalization and registered-domain extraction.
+
+Web-crawl pipelines dedup and group by *canonical* URL: scheme and
+host case-folded, default ports stripped, fragments dropped, tracking
+parameters removed, remaining query parameters sorted. The same
+normalization is the key for URL-level dedup (one fetch per canonical
+URL) and for host/domain-level mixture statistics (docs per registered
+domain — a standard crawl-quality signal).
+
+Everything here is pure built-in expressions (regexp + array lambdas)
+— whole-stage codegen, no Python, no shuffle; safe to run inline in a
+100 TB scan. The DuckDB oracle twins use byte-identical regexes.
+
+The registered-domain rule is a deliberately small public-suffix-lite:
+two labels, or three when the last two are a well-known second-level
+suffix (co.uk, com.au, …). A production system would load the full
+Mozilla public-suffix list as a broadcast lookup; the *shape* (pure
+expression, no join) is the 100 TB path either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_url", "registered_domain", "TRACKING_PARAMS"]
+
+#: query parameters that never affect content (ad/analytics trackers)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+
+#: well-known second-level public suffixes (public-suffix-lite)
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "com.au",
+    "net.au",
+    "org.au",
+    "co.jp",
+    "co.nz",
+    "com.br",
+    "co.in",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _is_tracking(param: Column) -> Column:
+    name = F.substring_index(param, "=", 1)
+    cond = name.startswith("utm_")
+    for p in TRACKING_PARAMS:
+        cond = cond | (name == F.lit(p))
+    return cond | (param == F.lit(""))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: lowercased scheme/host, default port stripped,
+    fragment dropped, tracking params removed, query params sorted,
+    empty path → ``/``. Ports other than the scheme default survive."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    authority = F.lower(F.regexp_extract(url, _AUTHORITY_RE, 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .otherwise(authority)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&", -1), lambda p: ~_is_tracking(p)
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(url_or_host: Column) -> Column:
+    """Registered domain of a URL or bare host (public-suffix-lite).
+
+    ``www.news.example.co.uk`` → ``example.co.uk``;
+    ``sub.example.com`` → ``example.com``; IPs and single-label hosts
+    pass through unchanged.
+    """
+    host = F.when(
+        url_or_host.rlike(_SCHEME_RE),
+        F.regexp_extract(url_or_host, _AUTHORITY_RE, 1),
+    ).otherwise(url_or_host)
+    host = F.lower(F.substring_index(host, ":", 1))  # strip port
+    labels = F.split(host, r"\.", -1)
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    is_2l = F.lit(False)
+    for s in SECOND_LEVEL_SUFFIXES:
+        is_2l = is_2l | (last2 == F.lit(s))
+    take = F.when(is_2l & (n >= 3), F.lit(3)).otherwise(
+        F.least(n, F.lit(2))
+    )
+    is_ip = host.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    return F.when(is_ip | (n <= 1), host).otherwise(
+        F.concat_ws(".", F.slice(labels, -take, take))
+    )
