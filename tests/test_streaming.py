@@ -261,3 +261,45 @@ def test_rollup_stream_watermark_drops_stale(spark, tmp_path):
     assert not any(b == t0 for b, _ in new_rows), new_rows
     # the +120s row's window [10:02:00, 10:02:30) finalized in run 2
     assert (t0 + dt.timedelta(seconds=120), 1) in new_rows
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """Streaming exact dedup: re-delivered content (same text, later
+    arrival inside the watermark window) is suppressed; distinct
+    content passes. Uses availableNow over a file source so the whole
+    fixture drains in one run."""
+    from pond_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "alpha content"),
+        (2, t0 + dt.timedelta(seconds=1), "alpha content"),  # re-delivery
+        (3, t0 + dt.timedelta(seconds=2), "beta content"),
+        (4, t0 + dt.timedelta(seconds=3), "alpha content"),  # re-delivery
+        (5, t0 + dt.timedelta(seconds=4), "gamma content"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, timestamp timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, timestamp timestamp, text string")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, "text", "timestamp", watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).orderBy("doc_id").collect()
+    assert [r.doc_id for r in got] == [1, 3, 5]
+    assert {r.text for r in got} == {"alpha content", "beta content", "gamma content"}
+    # the dedup key column does not leak into the output
+    assert "_dedup_key" not in got[0].asDict()
