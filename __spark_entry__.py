@@ -1127,8 +1127,6 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme/host, default and non-default ports, tracking params,
     unsorted query strings, fragments, public-suffix-lite domains.
     Pure regexp/array expressions — the 100 TB inline-scan shape."""
-    from pond_spark.functions.urlnorm import normalize_url, registered_domain
-
     logs = events_as_logs(spark, sf_dir)
     rid = F.col("id")
     scheme = F.when(rid % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("HTTP://"))
@@ -1154,10 +1152,10 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs,
         frag,
     )
-    return logs.select(
-        "id",
-        normalize_url(url).alias("url_norm"),
-        registered_domain(url).alias("domain"),
+    from pond_spark.functions.urlnorm import normalize_urls
+
+    return normalize_urls(
+        logs.select("id", url.alias("url")), "url", keep_cols=("id",)
     )
 
 
@@ -1296,6 +1294,45 @@ SELECT m2.doc_id, n_words, dup_word_frac, dup_3gram_frac,
              THEN least(covered / nchars, 1.0) ELSE 0.0 END, 6)
          AS top_2gram_char_frac
 FROM m2 LEFT JOIN t ON m2.doc_id = t.doc_id
+"""
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §3.3-style LM quality signal: per-doc bigram perplexity
+    under a self-trained additive-smoothing LM. Per-pair log-probs are
+    rounded then summed as DECIMAL(20,6), so the per-doc sum is exact
+    and order-insensitive — the only cross-engine float ops are the
+    final division/exp, rounded to 6."""
+    from pond_spark.functions.lm import perplexity
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    return perplexity(docs)
+
+
+PERPLEXITY_SQL = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+p AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS pr
+      FROM w WHERE len(ws) >= 2),
+p2 AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
+b AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY w1, w2),
+u AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w1
+      FROM documents),
+uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
+v AS (SELECT count(*) AS v FROM uc),
+s AS (SELECT doc_id,
+             CAST(round(ln((coalesce(c2, 0) + 0.5)
+                           / (coalesce(c1, 0) + 0.5 * v.v)), 6)
+                  AS DECIMAL(20,6)) AS logp
+      FROM p2 LEFT JOIN b USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+a AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS slogp
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(-CAST(a.slogp AS DOUBLE) / a.n_bigrams, 6) AS avg_neg_logp,
+       round(exp(-CAST(a.slogp AS DOUBLE) / a.n_bigrams), 6) AS ppl
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
 
@@ -1934,6 +1971,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),

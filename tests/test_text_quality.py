@@ -67,3 +67,45 @@ def test_pii_email_not_eaten_by_ip_rule(spark):
         df.select(pii_scrub(F.col("t")).alias("s")).first().s
         == "x <EMAIL> y"
     )
+
+
+def test_perplexity_self_trained(spark):
+    """Boilerplate (high-probability bigrams) scores lower perplexity
+    than a doc of corpus-unique words; bigram-less docs get NULLs."""
+    from pond_spark.functions.lm import perplexity
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat sat"),
+        (3, "the cat sat"),
+        (4, "zyx wvu tsr qpo"),  # unseen-elsewhere words
+        (5, "single"),  # no bigram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in perplexity(df).collect()}
+    assert len(out) == 5
+    assert out[1].n_bigrams == 2 and out[5].n_bigrams == 0
+    assert out[5].ppl is None
+    # identical docs score identically; repeated content beats noise
+    assert out[1].ppl == out[2].ppl == out[3].ppl
+    assert out[1].ppl < out[4].ppl
+
+
+def test_perplexity_reference_lm_broadcast(spark):
+    """Score one corpus under an LM trained on another (the CCNet
+    shape: trusted reference corpus, broadcast joins)."""
+    from pond_spark.functions.lm import bigram_lm, perplexity
+
+    ref = spark.createDataFrame(
+        [(1, "good clean text"), (2, "good clean text")], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(
+        [(10, "good clean text"), (11, "junk noise junk")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in perplexity(
+            tgt, lm=bigram_lm(ref), broadcast_lm=True
+        ).collect()
+    }
+    assert out[10].ppl < out[11].ppl
