@@ -1,0 +1,407 @@
+"""Reference-client-compatible query CLI.
+
+Parses the exact argument grammar of the reference's ``pond query``
+client (/root/reference/src/client/Main.cxx:104-330 ParseFilterItem)
+into :class:`pond_spark.filters.FilterSpec` +
+:class:`pond_spark.query.Query` + output options, so a user of the
+reference can run their existing command lines against this engine::
+
+    python -m pond_spark.cli --store=/data/logs \\
+        site=example.com since=-1h status=500:600 --jsonl
+
+Every validation message and mutual-exclusion rule mirrors the
+reference client (duplicate site, site vs group_site, --follow vs
+--continue, method= vs unsafe_method, …). Parsing is pure Python —
+no SparkSession needed until :func:`build` — so the grammar is unit-
+testable in milliseconds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+import sys
+from dataclasses import dataclass, field
+
+from pond_spark.filters import FilterSpec, QueryValidationError
+from pond_spark.schema import HTTP_METHODS, RECORD_TYPES
+from pond_spark.timeparse import parse_time_spec
+
+UINT32_MAX = 2**32 - 1
+UINT64_MAX = 2**64 - 1
+
+_DURATION_RE = re.compile(r"^(\d+)([smhdw]?)$")
+_DURATION_UNITS = {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_duration_us(s: str) -> int:
+    """libcommon-style duration: bare seconds or N[smhdw]."""
+    m = _DURATION_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"Bad duration: {s!r}")
+    return int(m.group(1)) * _DURATION_UNITS[m.group(2)] * 1_000_000
+
+
+@dataclass
+class OutputOptions:
+    """QueryOptions of the reference client (Main.cxx:68-101)."""
+
+    follow: bool = False
+    continue_: bool = False
+    last: bool = False
+    age_only: bool = False
+    raw: bool = False
+    gzip: bool = False
+    geoip: bool = False
+    anonymize: bool = False
+    track_visitors: bool = False
+    show_host: bool = False
+    show_forwarded_to: bool = False
+    resolve_forwarded_to: bool = False
+    show_referer: bool = True
+    show_agent: bool = True
+    show_content_type: bool = False
+    iso8601: bool = False
+    jsonl: bool = False
+    accumulate: tuple[str, str, int] | None = None  # (field, type, count)
+    per_site: str | None = None
+    per_site_filename: str | None = None
+    per_site_nested: bool = False
+
+
+@dataclass
+class ParsedQuery:
+    sites: list[str] = field(default_factory=list)
+    hosts: list[str] = field(default_factory=list)
+    generators: list[str] = field(default_factory=list)
+    group_site: tuple[int, int] | None = None  # (max, skip)
+    window: tuple[int, int] | None = None
+    since: dt.datetime | None = None
+    until: dt.datetime | None = None
+    duration_longer_us: int | None = None
+    type: str | None = None
+    status: tuple[int, int] | None = None  # half-open [begin, end)
+    methods: list[str] = field(default_factory=list)
+    unsafe_method: bool = False
+    uri: str | None = None
+    uri_prefix: str | None = None
+    options: OutputOptions = field(default_factory=OutputOptions)
+
+    def to_filter_spec(self) -> FilterSpec:
+        kw: dict = {
+            "sites": frozenset(self.sites),
+            "hosts": frozenset(self.hosts),
+            "generators": frozenset(self.generators),
+            "since": self.since,
+            "until": self.until,
+            "duration_longer_us": self.duration_longer_us,
+            "type": self.type,
+            "methods": frozenset(self.methods),
+            "unsafe_method": self.unsafe_method,
+            "uri": self.uri,
+            "uri_prefix": self.uri_prefix,
+        }
+        if self.status is not None:
+            kw["status_begin"], kw["status_end"] = self.status
+        return FilterSpec(**kw)
+
+
+def _filter_value(arg: str, name: str) -> str | None:
+    """IsFilter (Main.cxx:46-52): ``name=value`` → value, else None."""
+    prefix = name + "="
+    return arg[len(prefix):] if arg.startswith(prefix) else None
+
+
+def _parse_max_at_skip(value: str, limit: int, what: str) -> tuple[int, int]:
+    """``[max][@skip]`` with empty max → unlimited (Main.cxx:120-161)."""
+    m = re.match(r"^(\d*)(?:@(\d*))?$", value)
+    if not m:
+        raise QueryValidationError(f"Garbage after {what} max")
+    max_s, skip_s = m.group(1), m.group(2)
+    maxv = limit if max_s == "" else int(max_s)
+    if maxv == 0:
+        raise QueryValidationError(f"{what} max must be positive")
+    skip = 0
+    if skip_s is not None:
+        if skip_s == "":
+            raise QueryValidationError(f"Number expected after {what}=...@")
+        skip = int(skip_s)
+    return maxv, skip
+
+
+def parse_query_args(
+    args: list[str], now: dt.datetime | None = None
+) -> ParsedQuery:
+    """ParseFilterItem × N (Main.cxx:104-330), same messages/rules."""
+    q = ParsedQuery()
+    o = q.options
+    for p in args:
+        if (v := _filter_value(p, "site")) is not None:
+            if q.group_site is not None:
+                raise QueryValidationError(
+                    "site and group_site are mutually exclusive"
+                )
+            if v in q.sites:
+                raise QueryValidationError("Duplicate site name")
+            q.sites.append(v)
+        elif (v := _filter_value(p, "group_site")) is not None:
+            if q.sites:
+                raise QueryValidationError(
+                    "site and group_site are mutually exclusive"
+                )
+            if q.group_site is not None:
+                raise QueryValidationError("Duplicate group_site")
+            q.group_site = _parse_max_at_skip(v, UINT32_MAX, "group_site")
+        elif (v := _filter_value(p, "window")) is not None:
+            if q.window is not None:
+                raise QueryValidationError("Duplicate window")
+            q.window = _parse_max_at_skip(v, UINT64_MAX, "window")
+        elif (v := _filter_value(p, "host")) is not None:
+            if v in q.hosts:
+                raise QueryValidationError("Duplicate host name")
+            q.hosts.append(v)
+        elif (v := _filter_value(p, "generator")) is not None:
+            if v in q.generators:
+                raise QueryValidationError("Duplicate generator name")
+            q.generators.append(v)
+        elif (v := _filter_value(p, "since")) is not None:
+            q.since = parse_time_spec(v, now)[0]
+        elif (v := _filter_value(p, "until")) is not None:
+            start, dur = parse_time_spec(v, now)
+            q.until = start + dur
+        elif (v := _filter_value(p, "time")) is not None:
+            start, dur = parse_time_spec(v, now)
+            q.since, q.until = start, start + dur
+        elif (v := _filter_value(p, "date")) is not None:
+            if not re.match(r"^\d{4}-\d{2}-\d{2}$", v):
+                raise QueryValidationError("Bad date")
+            start = dt.datetime.strptime(v, "%Y-%m-%d")
+            q.since, q.until = start, start + dt.timedelta(days=1)
+        elif p == "today":
+            now_ = now or dt.datetime.now()
+            start = now_.replace(hour=0, minute=0, second=0, microsecond=0)
+            q.since, q.until = start, start + dt.timedelta(days=1)
+        elif (v := _filter_value(p, "duration_longer")) is not None:
+            q.duration_longer_us = parse_duration_us(v)
+        elif (v := _filter_value(p, "type")) is not None:
+            if v not in RECORD_TYPES:
+                raise QueryValidationError("Bad type filter")
+            q.type = v
+        elif (v := _filter_value(p, "status")) is not None:
+            m = re.match(r"^(\d+)(?::(\d+))?$", v)
+            if not m:
+                raise QueryValidationError("Bad status filter")
+            begin = int(m.group(1))
+            if begin >= 600:
+                raise QueryValidationError("Bad status filter")
+            end = begin + 1
+            if m.group(2) is not None:
+                end = int(m.group(2))
+                if end <= begin or end > 600:
+                    raise QueryValidationError("Bad status filter")
+            q.status = (begin, end)
+        elif (v := _filter_value(p, "method")) is not None:
+            for name in v.split(","):
+                if name not in HTTP_METHODS:
+                    raise QueryValidationError(f"Bad method: {name!r}")
+                q.methods.append(name)
+        elif p == "unsafe_method":
+            q.unsafe_method = True
+        elif (v := _filter_value(p, "uri")) is not None:
+            if v == "":
+                raise QueryValidationError("Bad URI")
+            q.uri = v
+        elif (v := _filter_value(p, "uri-prefix")) is not None:
+            if v == "":
+                raise QueryValidationError("Bad URI prefix")
+            q.uri_prefix = v
+        elif (v := _filter_value(p, "--per-site")) is not None:
+            o.per_site = v
+        elif (v := _filter_value(p, "--per-site-file")) is not None:
+            if o.per_site is None:
+                raise QueryValidationError("--per-site-file requires --per-site")
+            o.per_site_filename = v
+        elif p == "--per-site-nested":
+            o.per_site_nested = True
+        elif p == "--follow":
+            if o.continue_:
+                raise QueryValidationError(
+                    "Cannot use both --follow and --continue"
+                )
+            o.follow = True
+        elif p == "--continue":
+            if o.follow:
+                raise QueryValidationError(
+                    "Cannot use both --follow and --continue"
+                )
+            o.continue_ = True
+        elif p == "--last":
+            o.last = True
+        elif p == "--age-only":
+            o.age_only = True
+        elif p == "--raw":
+            o.raw = True
+        elif p == "--gzip":
+            o.gzip = True
+        elif p == "--geoip":
+            o.geoip = True
+        elif p == "--anonymize":
+            o.anonymize = True
+        elif p == "--track-visitors":
+            o.track_visitors = True
+        elif p == "--host":
+            o.show_host = True
+        elif p == "--forwarded-to":
+            o.show_forwarded_to = True
+        elif p == "--resolve-forwarded-to":
+            o.show_forwarded_to = True
+            o.resolve_forwarded_to = True
+        elif p == "--no-referer":
+            o.show_referer = False
+        elif p == "--no-agent":
+            o.show_agent = False
+        elif p == "--content-type":
+            o.show_content_type = True
+        elif p == "--iso8601":
+            o.iso8601 = True
+        elif p == "--jsonl":
+            o.jsonl = True
+        elif (v := _filter_value(p, "--accumulate")) is not None:
+            parts = v.split(",")
+            if len(parts) != 3:
+                raise QueryValidationError("Invalid number")
+            fld, typ, cnt = parts
+            if fld not in ("remote_host", "host", "site"):
+                raise QueryValidationError("Unrecognized field")
+            if typ not in ("top", "more"):
+                raise QueryValidationError("Unrecognized type")
+            try:
+                count = int(cnt)
+            except ValueError:
+                raise QueryValidationError("Invalid number") from None
+            o.accumulate = (fld, typ, count)
+        else:
+            raise QueryValidationError("Unrecognized query argument")
+    return q
+
+
+def build(
+    spark,
+    df,
+    parsed: ParsedQuery,
+    now: dt.datetime | None = None,
+    geo_df=None,
+):
+    """Compile a parsed command line onto a log DataFrame.
+
+    Returns the batch result DataFrame (FOLLOW/CONTINUE raise here —
+    stream with pond_spark.streaming.follow instead, same FilterSpec).
+    """
+    from pyspark.sql import functions as F
+
+    from pond_spark.query import Query
+
+    o = parsed.options
+    if o.follow or o.continue_:
+        raise QueryValidationError(
+            "FOLLOW/CONTINUE are streaming verbs — use "
+            "pond_spark.streaming.follow with this FilterSpec"
+        )
+
+    query = Query(df).filter(parsed.to_filter_spec())
+    if parsed.group_site is not None:
+        query = query.group_site(*parsed.group_site)
+    if parsed.window is not None:
+        query = query.window(*parsed.window)
+    if o.last:
+        query = query.last()
+    out = query.to_df()
+
+    if o.age_only:
+        from pond_spark.operators.accumulate import age_only
+
+        now_ = now or dt.datetime.now()
+        return age_only(out, F.lit(now_))
+    if o.accumulate is not None:
+        from pond_spark.operators.accumulate import accumulate_more, accumulate_top
+
+        fld, typ, count = o.accumulate
+        fn = accumulate_top if typ == "top" else accumulate_more
+        return fn(out, fld, count)
+    if o.track_visitors:
+        from pond_spark.operators.sessionize import track_visitors
+
+        out = track_visitors(out)
+    if o.geoip:
+        if geo_df is None:
+            # the reference links libgeoip's system database; we take
+            # the range table as input
+            raise QueryValidationError("--geoip requires a geo table (geo_df)")
+        from pond_spark.functions.geoip import geoip_country
+
+        out = geoip_country(out, geo_df)
+    if o.raw or o.jsonl:
+        if o.jsonl:
+            from pond_spark.functions.format import to_json_projection
+
+            return to_json_projection(out)
+        return out
+    from pond_spark.functions.format import OneLineOptions, one_line
+
+    line = one_line(
+        OneLineOptions(
+            show_host=o.show_host,
+            show_forwarded_to=o.show_forwarded_to,
+            show_referer=o.show_referer,
+            show_agent=o.show_agent,
+            show_content_type=o.show_content_type,
+            iso8601=o.iso8601,
+            anonymize=o.anonymize,
+        )
+    )
+    return out.select(line.alias("line"))
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    store = None
+    rest: list[str] = []
+    for a in argv:
+        if (v := _filter_value(a, "--store")) is not None:
+            store = v
+        else:
+            rest.append(a)
+    if store is None:
+        print(
+            "usage: python -m pond_spark.cli --store=DIR [QUERY ARGS]",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        parsed = parse_query_args(rest)
+    except QueryValidationError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+
+    from pond_spark.session import get_spark
+    from pond_spark.sources.store import LogStore
+
+    spark = get_spark("pond_cli")
+    df = LogStore(spark, store).read()
+    out = build(spark, df, parsed)
+    if parsed.options.jsonl:
+        # to_json drops NULL fields — the reference's absent-if-null
+        # JSONL rule (S6, src/client/FormatJson.cxx:24-88)
+        from pyspark.sql import functions as F
+
+        out = out.select(
+            F.to_json(F.struct(*out.columns)).alias("line")
+        )
+    for row in out.toLocalIterator():
+        vals = [str(v) for v in row]
+        print("\t".join(vals) if len(vals) > 1 else vals[0])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

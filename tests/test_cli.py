@@ -1,0 +1,195 @@
+"""CLI grammar parity with the reference client
+(/root/reference/src/client/Main.cxx:104-330)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pond_spark.cli import (
+    UINT32_MAX,
+    UINT64_MAX,
+    build,
+    parse_duration_us,
+    parse_query_args,
+)
+from pond_spark.filters import QueryValidationError
+
+NOW = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+
+def parse(*args):
+    return parse_query_args(list(args), now=NOW)
+
+
+def test_filters_parse():
+    q = parse(
+        "site=a",
+        "site=b",
+        "host=h1",
+        "generator=g",
+        "type=http_access",
+        "status=500:600",
+        "uri=/x",
+        "duration_longer=5s",
+    )
+    assert q.sites == ["a", "b"]
+    assert q.hosts == ["h1"] and q.generators == ["g"]
+    assert q.type == "http_access"
+    assert q.status == (500, 600)
+    assert q.uri == "/x"
+    assert q.duration_longer_us == 5_000_000
+
+
+def test_single_status_becomes_half_open():
+    assert parse("status=404").status == (404, 405)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        ["status=700"],
+        ["status=500:400"],
+        ["status=abc"],
+        ["type=nonsense"],
+        ["uri="],
+        ["uri-prefix="],
+        ["method=FROB"],
+        ["no_such=x"],
+        ["--frobnicate"],
+    ],
+)
+def test_bad_args_rejected(bad):
+    with pytest.raises((QueryValidationError, ValueError)):
+        parse(*bad)
+
+
+def test_duplicates_rejected():
+    for args in (
+        ["site=a", "site=a"],
+        ["host=h", "host=h"],
+        ["generator=g", "generator=g"],
+        ["window=5", "window=5"],
+        ["group_site=5", "group_site=5"],
+    ):
+        with pytest.raises(QueryValidationError):
+            parse(*args)
+
+
+def test_site_group_site_exclusive_both_orders():
+    with pytest.raises(QueryValidationError):
+        parse("site=a", "group_site=5")
+    with pytest.raises(QueryValidationError):
+        parse("group_site=5", "site=a")
+
+
+def test_group_site_window_grammar():
+    q = parse("group_site=10@20", "window=100@5")
+    assert q.group_site == (10, 20)
+    assert q.window == (100, 5)
+    # empty max = unlimited (Main.cxx: strtoul no-digits branch)
+    assert parse("group_site=@3").group_site == (UINT32_MAX, 3)
+    assert parse("window=@7").window == (UINT64_MAX, 7)
+    with pytest.raises(QueryValidationError):
+        parse("window=0")
+    with pytest.raises(QueryValidationError):
+        parse("group_site=5@")
+    with pytest.raises(QueryValidationError):
+        parse("window=5x")
+
+
+def test_time_sugar():
+    q = parse("since=-1h")
+    assert q.since == NOW - dt.timedelta(hours=1)
+    q = parse("time=2024-01-05")
+    assert q.since == dt.datetime(2024, 1, 5)
+    assert q.until == dt.datetime(2024, 1, 6)
+    q = parse("today")
+    assert q.since == dt.datetime(2024, 1, 10)
+    assert q.until == dt.datetime(2024, 1, 11)
+    q = parse("date=2024-01-03")
+    assert q.since == dt.datetime(2024, 1, 3)
+
+
+def test_method_list_and_unsafe_exclusion():
+    q = parse("method=GET,POST")
+    assert q.methods == ["GET", "POST"]
+    # the exclusion fires at FilterSpec.validate (CommitQuery parity)
+    spec = parse("method=GET", "unsafe_method").to_filter_spec()
+    with pytest.raises(QueryValidationError):
+        spec.validate()
+
+
+def test_follow_continue_exclusive():
+    with pytest.raises(QueryValidationError):
+        parse("--follow", "--continue")
+    with pytest.raises(QueryValidationError):
+        parse("--continue", "--follow")
+
+
+def test_output_options():
+    q = parse(
+        "--jsonl", "--no-referer", "--no-agent", "--iso8601",
+        "--accumulate=remote_host,top,5",
+    )
+    o = q.options
+    assert o.jsonl and o.iso8601
+    assert not o.show_referer and not o.show_agent
+    assert o.accumulate == ("remote_host", "top", 5)
+    with pytest.raises(QueryValidationError):
+        parse("--accumulate=bogus,top,5")
+    with pytest.raises(QueryValidationError):
+        parse("--accumulate=site,middling,5")
+    with pytest.raises(QueryValidationError):
+        parse("--per-site-file=x")  # requires --per-site
+
+
+def test_parse_duration_units():
+    assert parse_duration_us("90") == 90_000_000
+    assert parse_duration_us("2m") == 120_000_000
+    assert parse_duration_us("1h") == 3_600_000_000
+    with pytest.raises(ValueError):
+        parse_duration_us("5 parsecs")
+
+
+# -- build() over a real frame ------------------------------------------
+
+
+def test_build_end_to_end(spark):
+    from tests.conftest import make_log_rows
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
+    q = parse("site=a", "--jsonl")
+    out = build(spark, df, q, now=NOW)
+    rows = out.collect()
+    assert len(rows) > 0
+    # one-line mode returns a single formatted column
+    q2 = parse("site=a")
+    lines = build(spark, df, q2, now=NOW).collect()
+    assert len(lines) == len(rows)
+    assert lines[0][0]  # non-empty formatted line
+
+
+def test_build_last_and_window(spark):
+    from tests.conftest import make_log_rows
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
+    assert build(spark, df, parse("--last", "--raw"), now=NOW).count() == 1
+    n_all = build(spark, df, parse("--raw"), now=NOW).count()
+    n_win = build(spark, df, parse("window=3@1", "--raw"), now=NOW).count()
+    assert n_win == min(3, max(n_all - 1, 0))
+
+
+def test_build_follow_raises(spark):
+    from tests.conftest import make_log_rows
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
+    with pytest.raises(QueryValidationError):
+        build(spark, df, parse("--follow"), now=NOW)
