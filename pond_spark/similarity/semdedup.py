@@ -71,15 +71,25 @@ def semantic_pairs(
             .filter(F.col("_csize") <= cluster_cap)
             .drop("_csize")
         )
-    a = assigned.select(
+    # precompute each vector's norm ONCE before the self-join: pair
+    # scoring then does a single dot per pair instead of dot + two
+    # norm folds (3 array passes -> 1). dot/(na*nb) is the exact
+    # operation tree of the oracle's round(dot/(norm(a)*norm(b)), 6),
+    # so cross-engine hashes are unaffected.
+    from pond_spark.similarity.brute import _dot, _norm
+
+    normed = assigned.withColumn("_nrm", _norm(F.col(vec_col)))
+    a = normed.select(
         F.col("cluster"),
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    b = assigned.select(
+    b = normed.select(
         F.col("cluster"),
         F.col(id_col).alias("drop_id"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, on="cluster")
@@ -88,9 +98,11 @@ def semantic_pairs(
             "keep_id",
             "drop_id",
             "cluster",
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
