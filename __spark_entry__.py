@@ -731,6 +731,40 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level ROLLUP (day, site, remote_host → prefixes → grand
+    total) in one Expand + single shuffle — the one-pass alternative
+    to unioning one groupBy per level. grouping_id disambiguates
+    aggregated-out NULLs from data NULLs; DuckDB numbers ROLLUP
+    levels with the same GROUPING() bit order, so gid is
+    oracle-comparable."""
+    from pond_spark.operators.rollup import rollup_hierarchy
+
+    logs = events_as_logs(spark, sf_dir)
+    return rollup_hierarchy(
+        logs,
+        every="day",
+        dims=["site", "remote_host"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "value_sum": F.sum(F.col("value").cast(_D)).cast("double"),
+        },
+    )
+
+
+ROLLUP_HIERARCHY_SQL = f"""
+WITH {LOGS_CTE}
+SELECT CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS bucket,
+       site, remote_host,
+       GROUPING(date_trunc('day', "timestamp")) * 4
+         + GROUPING(site) * 2 + GROUPING(remote_host) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM logs WHERE "timestamp" IS NOT NULL
+GROUP BY ROLLUP (date_trunc('day', "timestamp"), site, remote_host)
+"""
+
+
 def q_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct visitors per site per day — the two-level
     aggregation Catalyst expands count(distinct) into (partial
@@ -1966,6 +2000,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
+    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),

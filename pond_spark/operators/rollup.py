@@ -35,3 +35,34 @@ def rollup_by_time(
         .groupBy(bucket, *[F.col(d) for d in dims])
         .agg(*[c.alias(name) for name, c in aggs.items()])
     )
+
+
+def rollup_hierarchy(
+    df: DataFrame,
+    every: str = "hour",
+    dims: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """ROLLUP over (bucket, *dims): every prefix level of the hierarchy
+    — (bucket, d1, d2), (bucket, d1), (bucket), () — in ONE pass.
+
+    Spark expands ROLLUP into a single Expand + hash-aggregate: one
+    shuffle computes all grouping levels (map-side partials included),
+    versus one job per level if the caller unioned separate groupBys.
+    ``grouping_id()`` is exposed as ``gid`` so consumers (and the
+    DuckDB oracle twin, which numbers levels identically) can tell an
+    aggregated-out NULL from a data NULL — the standard cube
+    disambiguator.
+    """
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    bucket = F.date_trunc(every, F.col(ts_col)).alias("bucket")
+    dim_cols = [F.col(d) for d in dims]
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .rollup(bucket, *dim_cols)
+        .agg(
+            F.grouping_id().alias("gid"),
+            *[c.alias(name) for name, c in aggs.items()],
+        )
+    )

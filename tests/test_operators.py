@@ -271,3 +271,42 @@ def test_rollup_by_time(spark):
     assert out[(h11, "a")] == (1, 5.0)
     assert out[(h10, "b")] == (1, 7.0)
     assert len(out) == 3  # null-ts row excluded
+
+
+def test_rollup_hierarchy_levels_and_single_shuffle(spark):
+    """ROLLUP computes every prefix level in ONE Expand+aggregate (a
+    single shuffle), and gid separates aggregated-out NULLs from data
+    NULLs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pond_spark.operators.rollup import rollup_hierarchy
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), "a", "h1", 1.0),
+        (2, dt.datetime(2024, 1, 1, 11), "a", "h2", 2.0),
+        (3, dt.datetime(2024, 1, 2, 10), "b", None, 4.0),  # data NULL host
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, remote_host string, value double"
+    )
+    out = rollup_hierarchy(
+        df, every="day", dims=["site", "remote_host"],
+        aggs={"n": F.count(F.lit(1))},
+    )
+    got = out.collect()
+    # levels: 3 leaf + 2 (bucket,site) + 2 (bucket) + 1 grand = 8
+    assert len(got) == 8
+    grand = [r for r in got if r.gid == 7]
+    assert len(grand) == 1 and grand[0].n == 3
+    # the data NULL keeps gid 0 at leaf level; the aggregated-out host
+    # level carries gid 1
+    leaf_null = [r for r in got if r.gid == 0 and r.remote_host is None]
+    assert len(leaf_null) == 1 and leaf_null[0].site == "b"
+    # single shuffle: exactly one Exchange in the final physical plan
+    # (AQE's toString repeats it under "== Initial Plan ==")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange") == 1
+    assert "Expand" in final
