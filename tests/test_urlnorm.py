@@ -70,3 +70,39 @@ def test_registered_domain(spark):
         "10.1.2.3",
         "example.com",
     ]
+
+
+def test_normalize_idempotent_bulk(spark):
+    """Canonicalization must be idempotent: normalize(normalize(u)) ==
+    normalize(u) over a pseudo-random URL corpus (one Spark pass)."""
+    import random
+
+    rng = random.Random(20240813)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "www.Shop.co.uk", "a.b.c.d.org", "10.0.0.1", "x"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x%20y", "//double"]
+    queries = ["", "?b=2&a=1", "?utm_source=t&z=1", "?gclid=1", "?a=1&a=0"]
+    frags = ["", "#f", "#A/B?c=1"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    from pond_spark.functions.urlnorm import normalize_urls
+
+    once = normalize_urls(df.withColumn("id", F.monotonically_increasing_id()),
+                          "url", keep_cols=("id",))
+    twice = normalize_urls(
+        once.withColumnRenamed("url_norm", "url"),
+        "url",
+        keep_cols=("id", "domain"),
+        norm_col="url_norm2",
+        domain_col="domain2",
+    )
+    bad = twice.filter(
+        (F.col("url") != F.col("url_norm2"))
+        | (F.col("domain") != F.col("domain2"))
+    ).collect()
+    assert bad == []
