@@ -1,0 +1,72 @@
+"""Z-order clustering (sources/zorder.py): Morton-key correctness and
+the locality property that makes min/max pruning work on both dims."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pond_spark.sources.zorder import cluster_by_zorder, rank16, zorder_key
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame([(0b11, 0b00), (0b10, 0b01)], ["x", "y"])
+    out = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    # bit b of dim i -> position b*2+i: z(x=0b11,y=0b00)=0b0101=5,
+    # z(x=0b10,y=0b01)=0b0110=6
+    assert [r.z for r in out] == [5, 6]
+
+
+def test_zorder_key_bit_budget():
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a")] * 4, bits=16)  # 64 > 63
+
+
+def test_rank16_order_preserving_for_time(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [(t0 + dt.timedelta(minutes=m),) for m in (0, 1, 2, 30)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    ranks = [
+        r[0]
+        for r in df.select(rank16(F.col("ts"), "timestamp").alias("r")).collect()
+    ]
+    assert ranks == sorted(ranks)
+    assert ranks[1] - ranks[0] == 1  # minute granularity
+
+
+def test_cluster_locality_bounds_both_dims(spark):
+    """After z-clustering, consecutive key-ordered chunks span SMALL
+    rectangles of (site-hash, minute) space — the property row-group
+    min/max stats need to prune on either dim. Compare the mean
+    per-chunk time-span against the site-major layout, where every
+    site stripe spans the whole day."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"site{i % 50}", t0 + dt.timedelta(minutes=(i * 7) % 1440))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "site string, ts timestamp")
+
+    def mean_chunk_minutes(frame):
+        # frame arrives in its final layout order (single partition);
+        # chunk it into 100-row "row groups" and measure the time span
+        rows = frame.select("ts").collect()
+        chunks = [rows[i : i + 100] for i in range(0, len(rows), 100)]
+        spans = [
+            (max(r.ts for r in ch) - min(r.ts for r in ch)).total_seconds() / 60
+            for ch in chunks
+        ]
+        return sum(spans) / len(spans)
+
+    one = df.coalesce(1)
+    zdf = cluster_by_zorder(one, ["site", "ts"], partitions=1)
+    zspan = mean_chunk_minutes(zdf)
+    sitespan = mean_chunk_minutes(one.orderBy("site", "ts"))
+    # site-major stripes span most of the day (~>700 min); z-chunks
+    # must be far tighter on time while still clustering sites
+    assert zspan < sitespan / 2, (zspan, sitespan)
