@@ -1331,6 +1331,77 @@ FROM m2 LEFT JOIN t ON m2.doc_id = t.doc_id
 """
 
 
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr (Lee et al. 2022) repeated-span profile: 8-token
+    windows at stride 1 (the paper's unit is token sequences; stride-1
+    token shingling has full recall for ≥ n-token repeats with no
+    alignment blind spot), counted across distinct docs. Spark groups
+    8-byte xxhash64 keys; the oracle groups the window text itself —
+    identical equivalence classes."""
+    from pond_spark.dedup.substr import substring_dup_stats
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    return substring_dup_stats(docs, "text", "doc_id", n=8)
+
+
+SUBSTRING_DUP_SQL = """
+WITH base AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+              FROM documents),
+sh AS (SELECT doc_id,
+              unnest(CASE WHEN len(ws) >= 8
+                     THEN list_transform(
+                            generate_series(1, len(ws) - 7),
+                            i -> array_to_string(ws[i:i+7], ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS s
+       FROM base),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+d AS (SELECT doc_id, count(*) AS n_dup FROM sh
+      WHERE s IN (SELECT s FROM dup) GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(t.n_shingles, 0) AS n_shingles,
+       coalesce(d.n_dup, 0) AS n_dup,
+       round(CASE WHEN coalesce(t.n_shingles, 0) > 0
+             THEN coalesce(d.n_dup, 0) * 1.0 / t.n_shingles
+             ELSE 0.0 END, 6) AS dup_frac
+FROM base b
+LEFT JOIN tot t ON b.doc_id = t.doc_id
+LEFT JOIN d ON b.doc_id = d.doc_id
+"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (tokenizer-training prep): top-100
+    terms by total frequency with document frequency — one explode +
+    one narrow-key groupBy + TakeOrderedAndProject."""
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    from pond_spark.functions.text import _words
+
+    w = docs.select(
+        F.col("doc_id"), F.explode(_words(F.col("text"))).alias("word")
+    )
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("doc_id")).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+VOCAB_STATS_SQL = """
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+           FROM documents)
+SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM w GROUP BY word
+ORDER BY tf DESC, word ASC LIMIT 100
+"""
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet §3.3-style LM quality signal: per-doc bigram perplexity
     under a self-trained additive-smoothing LM. Per-pair log-probs are
@@ -2006,6 +2077,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),

@@ -1,0 +1,91 @@
+"""Repeated token-sequence detection (ExactSubstr, Lee et al. 2022).
+
+"Deduplicating Training Data Makes Language Models Better" removes
+every span of ≥ 50 *tokens* that appears more than once in the corpus,
+using a suffix array. A suffix array is inherently sequential; the
+distributed equivalent is token n-gram shingling at stride 1: every
+n-token window, hashed. Any repeated span of ≥ n tokens contains an
+aligned repeated window by construction — full recall, no alignment
+blind spot (char-strided shingles miss repeats whose offsets differ
+between documents; token windows are anchored by the tokenization
+itself).
+
+Scale notes (100 TB): the explode emits one (8 B hash, id, pos) row
+per token — the same volume as the prefix-filter candidate stage in
+dedup/ngram.py; the duplicate table groups on the hash with map-side
+combine. ``min_docs`` counts *distinct documents*, so within-document
+repetition (measured by functions/repetition.py) doesn't flag. The
+per-doc output is the ExactSubstr removal budget: what fraction of
+the document sits inside corpus-duplicated ≥ n-token spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.functions.text import _word_ngrams, _words
+
+__all__ = ["token_shingles", "substring_dup_stats"]
+
+
+def token_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """``(id, pos, sh)``: xxhash64 of the n-token window at every token
+    position (stride 1). Documents shorter than n tokens yield no rows."""
+    words = _words(F.col(text_col))
+    grams = F.when(
+        F.size(words) >= n, _word_ngrams(words, n)
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_g")
+    ).select(F.col(id_col), F.col("pos"), F.xxhash64(F.col("_g")).alias("sh"))
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document cross-corpus repeated-span profile.
+
+    Returns ``(id, n_shingles, n_dup, dup_frac)``: ``n_dup`` counts
+    this document's n-token windows whose hash occurs in ≥ ``min_docs``
+    distinct documents; ``dup_frac`` is the duplicated-window fraction
+    — the ExactSubstr removal budget. Documents under n tokens report
+    0 shingles.
+    """
+    sh = token_shingles(df, text_col, id_col, n)
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    flagged = sh.join(dup, on="sh", how="left_semi")
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    dups = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        df.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(dups, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_shingles").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

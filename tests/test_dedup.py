@@ -241,3 +241,39 @@ def test_contamination_eval_side_broadcasts(spark, docs):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_substring_dup_planted(spark):
+    """ExactSubstr token windows: a 9-token span shared by two docs
+    (at DIFFERENT offsets) flags both; unique text flags 0; docs under
+    n tokens emit no shingles."""
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    rows = [
+        (1, shared + " unique tail one two three four five six"),
+        (2, "different head words going first then " + shared),
+        (3, "entirely unique content with no repeats at all whatsoever kept"),
+        (4, "tiny"),
+    ]
+    from pond_spark.dedup.substr import substring_dup_stats
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in substring_dup_stats(df, n=8).collect()}
+    assert len(out) == 4
+    assert out[1].n_dup > 0 and out[2].n_dup > 0  # shared block found
+    assert out[3].n_dup == 0
+    assert out[4].n_shingles == 0 and out[4].dup_frac == 0.0
+    assert 0 < out[1].dup_frac < 1
+
+
+def test_substring_dup_self_repeat_not_flagged(spark):
+    """A span repeated WITHIN one doc is not corpus duplication
+    (min_docs counts distinct documents)."""
+    from pond_spark.dedup.substr import substring_dup_stats
+
+    block = "repeat me " * 8  # 16 tokens
+    df = spark.createDataFrame(
+        [(1, block + block), (2, "other words entirely here padding padding")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in substring_dup_stats(df, n=8).collect()}
+    assert out[1].n_dup == 0
