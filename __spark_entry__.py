@@ -1371,6 +1371,48 @@ LEFT JOIN d ON b.doc_id = d.doc_id
 """
 
 
+def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL step: cut every token inside a corpus-
+    duplicated ≥ 8-token window, reassemble survivors in order."""
+    from pond_spark.dedup.substr import strip_duplicate_spans
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    return strip_duplicate_spans(docs, "text", "doc_id", n=8)
+
+
+SUBSTRING_STRIP_SQL = """
+WITH base AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+              FROM documents),
+shl AS (SELECT doc_id, ws,
+               CASE WHEN len(ws) >= 8
+                    THEN list_transform(generate_series(1, len(ws) - 7),
+                           i -> array_to_string(ws[i:i+7], ' '))
+                    ELSE CAST([] AS VARCHAR[]) END AS ls
+        FROM base),
+sh AS (SELECT doc_id, unnest(ls) AS s,
+              generate_subscripts(ls, 1) - 1 AS pos
+       FROM shl),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+cut AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS tok
+        FROM sh WHERE s IN (SELECT s FROM dup)),
+tk AS (SELECT doc_id, unnest(ws) AS w,
+              generate_subscripts(ws, 1) - 1 AS tok
+       FROM base),
+kept AS (SELECT t.doc_id, t.w, t.tok
+         FROM tk t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.tok = c.tok
+         WHERE c.tok IS NULL),
+re AS (SELECT doc_id, string_agg(w, ' ' ORDER BY tok) AS text_clean,
+              count(*) AS nkept
+       FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(re.text_clean, '') AS text_clean,
+       len(b.ws) AS n_tokens,
+       len(b.ws) - coalesce(re.nkept, 0) AS n_removed
+FROM base b LEFT JOIN re ON b.doc_id = re.doc_id
+"""
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (tokenizer-training prep): top-100
     terms by total frequency with document frequency — one explode +
@@ -2078,6 +2120,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below

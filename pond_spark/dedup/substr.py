@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from pond_spark.functions.text import _word_ngrams, _words
 
-__all__ = ["token_shingles", "substring_dup_stats"]
+__all__ = ["token_shingles", "substring_dup_stats", "strip_duplicate_spans"]
 
 
 def token_shingles(
@@ -44,6 +44,71 @@ def token_shingles(
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "_g")
     ).select(F.col(id_col), F.col("pos"), F.xxhash64(F.col("_g")).alias("sh"))
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated ≥ n-token spans; reassemble the rest.
+
+    The ExactSubstr *removal* step: a token is cut iff it lies inside
+    any flagged window (a window whose hash occurs in ≥ ``min_docs``
+    distinct documents). Flagged windows explode to their n member
+    token indices (bounded ×n fan-out), distinct per (doc, token),
+    then anti-join the token stream; survivors reassemble in order.
+    Returns ``(id, text_clean, n_tokens, n_removed)`` for every input
+    document.
+    """
+    sh = token_shingles(df, text_col, id_col, n)
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    cut = (
+        sh.join(dup, on="sh", how="left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(_words(F.col(text_col))).alias("tok", "w")
+    )
+    kept = toks.join(cut, on=[id_col, "tok"], how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(totals, on=id_col, how="left")
+        .join(reassembled, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("_nkept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
 
 
 def substring_dup_stats(

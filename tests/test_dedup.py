@@ -277,3 +277,23 @@ def test_substring_dup_self_repeat_not_flagged(spark):
     )
     out = {r.doc_id: r for r in substring_dup_stats(df, n=8).collect()}
     assert out[1].n_dup == 0
+
+
+def test_strip_duplicate_spans(spark):
+    """Removal: the shared 9-token span is cut from both docs (all 9
+    tokens sit inside flagged 8-windows); unique text survives; order
+    preserved."""
+    from pond_spark.dedup.substr import strip_duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " keep these five tail words here"),
+        (2, "head words stay first then " + shared),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, n=8).collect()}
+    assert out[1].text_clean == "keep these five tail words here"
+    assert out[2].text_clean == "head words stay first then"
+    assert out[1].n_removed == 9 and out[2].n_removed == 9
+    assert out[3].text_clean == "short doc" and out[3].n_removed == 0
