@@ -34,7 +34,13 @@ from pond_spark.util import fan_out
 
 def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram): exploded distinct word n-grams as strings."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # stage the split once — an inline split inside the gram lambda is
+    # re-derived per position (HOF-vs-CSE trap, PERF_NOTES.md)
+    staged = fan_out(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+    )
+    toks = F.col("_t")
     if n == 1:
         grams = toks
     else:
@@ -42,7 +48,7 @@ def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
-    return fan_out(df).select(
+    return staged.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
 

@@ -66,12 +66,17 @@ def chunk_paragraphs(
     groupBy re-assembly of the chunks themselves.
     """
     n = words_per_chunk
-    ws = F.split(F.col(text_col), F.lit(" "), -1)
+    # stage the split once — inline, the lambda re-derives it per
+    # chunk position (HOF-vs-CSE trap, PERF_NOTES.md)
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), F.lit(" "), -1).alias("_ws")
+    )
+    ws = F.col("_ws")
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(ws) - F.lit(1)) / F.lit(n))),
         lambda i: F.array_join(F.slice(ws, i * n + 1, n), " "),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "line")
     )
 

@@ -58,7 +58,13 @@ def shingle_hashes(
     df: DataFrame, text_col: str = "text", n: int = 1
 ) -> DataFrame:
     """Append ``_shingles``: distinct int64 hashes of word n-grams."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # stage the split once — an inline split inside the gram lambda is
+    # re-derived per position (HOF-vs-CSE trap, PERF_NOTES.md)
+    df = fan_out(df)  # shingling is CPU-bound; never pin to one split
+    staged = df.withColumn(
+        "_t", F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    )
+    toks = F.col("_t")
     if n == 1:
         grams = toks
     else:
@@ -66,11 +72,10 @@ def shingle_hashes(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
-    df = fan_out(df)  # shingling is CPU-bound; never pin to one split
-    return df.withColumn(
+    return staged.withColumn(
         "_shingles",
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))),
-    )
+    ).drop("_t")
 
 
 def minhash_signatures(

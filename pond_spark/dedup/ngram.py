@@ -31,7 +31,14 @@ def gram_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
 ) -> DataFrame:
     """(id, _grams): sorted distinct xxhash64 of word n-grams."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # two-stage: materialize the token array once, then gram it — an
+    # inline split inside the transform lambda is re-derived per gram
+    # position (HOF-vs-CSE trap, PERF_NOTES.md)
+    staged = fan_out(df).select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+    )
+    toks = F.col("_t")
     if n == 1:
         grams = toks
     else:
@@ -42,7 +49,7 @@ def gram_hashes(
     hashed = F.array_sort(
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     )
-    return fan_out(df).select(F.col(id_col), hashed.alias("_grams"))
+    return staged.select(F.col(id_col), hashed.alias("_grams"))
 
 
 def ngram_jaccard_pairs(

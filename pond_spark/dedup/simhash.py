@@ -42,7 +42,15 @@ def simhash64(
     counters saturate at 65535 distinct grams per doc — far above any
     real document (a lane overflow would need a 64k-distinct-shingle
     doc; guard is the ``array_distinct`` cardinality itself)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # stage the split once — an inline split inside the gram lambda is
+    # re-derived per position (HOF-vs-CSE trap, PERF_NOTES.md)
+    carry = [F.col(c) for c in carry_cols]
+    staged = fan_out(df).select(
+        F.col(id_col),
+        *carry,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+    )
+    words = F.col("_t")
     if n == 1:
         grams = words
     else:
@@ -51,8 +59,7 @@ def simhash64(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
-    carry = [F.col(c) for c in carry_cols]
-    base = fan_out(df).select(
+    base = staged.select(
         F.col(id_col), *carry, hashes.alias("_h"), F.size(hashes).alias("_n")
     )
 

@@ -37,11 +37,14 @@ def token_shingles(
 ) -> DataFrame:
     """``(id, pos, sh)``: xxhash64 of the n-token window at every token
     position (stride 1). Documents shorter than n tokens yield no rows."""
-    words = _words(F.col(text_col))
+    # stage the split ONCE: an inline `_words(col)` inside the
+    # transform lambda re-derives the split per gram position (the
+    # HOF-vs-CSE trap documented in PERF_NOTES.md)
+    staged = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
     grams = F.when(
-        F.size(words) >= n, _word_ngrams(words, n)
+        F.size("_w") >= n, _word_ngrams(F.col("_w"), n)
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "_g")
     ).select(F.col(id_col), F.col("pos"), F.xxhash64(F.col("_g")).alias("sh"))
 

@@ -82,8 +82,11 @@ def repetition_metrics(
         ).alias(f"dup_{dup_ngram}gram_frac"),
     )
     # top-n-gram coverage: explode + two groupBys, linear in doc length
+    # (split staged first — HOF-vs-CSE trap, PERF_NOTES.md)
     grams = df.select(
-        kept, F.explode(_word_ngrams(_words(F.col(text_col)), top_ngram)).alias("gram")
+        kept, _words(F.col(text_col)).alias("_gw")
+    ).select(
+        kept, F.explode(_word_ngrams(F.col("_gw"), top_ngram)).alias("gram")
     )
     top = (
         grams.groupBy(id_col, "gram")
