@@ -1331,6 +1331,45 @@ FROM m2 LEFT JOIN t ON m2.doc_id = t.doc_id
 """
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's SQL-expressible sub-chain composed as
+    ONE Catalyst plan: Gopher quality gate → exact dedup (keep-min-id)
+    → deterministic 50% hash sample. The oracle chains the same three
+    stages from the per-stage twin builders — stage composition is
+    what's being checked, each stage is already oracled alone."""
+    from pond_spark.pipeline import CurationConfig, curate
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    out = curate(
+        docs,
+        CurationConfig(
+            stages=("quality", "exact_dedup", "sample"),
+            sample_rate=0.5,
+            sample_salt="curate",
+        ),
+    )
+    return out.select("doc_id", "text")
+
+
+def _curation_sql() -> str:
+    from pond_spark.functions.text import quality_rules_sql
+    from pond_spark.operators.sampling import sample_sql
+
+    return f"""
+WITH w AS (SELECT doc_id, text,
+                  regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+           FROM documents),
+q AS (SELECT doc_id, text
+      FROM (SELECT __w.doc_id, __w.text, {quality_rules_sql("text")}
+            FROM w AS __w) qq
+      WHERE keep),
+d AS (SELECT q.doc_id, q.text
+      FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) k
+        ON q.doc_id = k.doc_id)
+SELECT doc_id, text FROM d WHERE {sample_sql(0.5, "doc_id", "curate")}
+"""
+
+
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr (Lee et al. 2022) repeated-span profile: 8-token
     windows at stride 1 (the paper's unit is token sequences; stride-1
@@ -2119,6 +2158,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
     "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
@@ -2154,6 +2194,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
+    "curation": _curation_sql,
     "quality_rules": _quality_rules_sql,
     "pii_scrub": _pii_scrub_sql,
     "stratified_sample": _stratified_sample_sql,

@@ -1,0 +1,135 @@
+"""Curation pipeline — the operators composed into one training-data
+flow.
+
+Each stage is an independently-oracled operator elsewhere in the
+package; this module is the composition a real pre-training pipeline
+runs, in the canonical order (cheap map-side filters before shuffling
+dedup stages, sampling last so every upstream decision is
+deterministic):
+
+1. quality gate      — Gopher rules keep-flag (functions/text.py)
+2. exact dedup       — digest keep-min-id (dedup/exact.py)
+3. line dedup        — strip corpus boilerplate lines (dedup/lines.py)
+4. PII scrub         — redact emails/IPs/phones (functions/pii.py)
+5. decontaminate     — drop docs sharing n-grams with an eval set
+                       (dedup/decontaminate.py)
+6. sample            — deterministic hash sample (operators/sampling.py)
+
+Every stage is declarative, so Catalyst sees ONE plan: the quality
+predicate and the sampling bucket filter push into the scan; the
+shuffling stages (2, 3, 5) each shuffle on narrow hash keys. Nothing
+materializes between stages unless the caller persists.
+
+The report() companion audits the funnel — input rows, survivors per
+stage — in one pass per stage boundary (counts are jobs; run it in
+tests/audits, not in the hot path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CurationConfig", "curate"]
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    min_words: int = 20
+    max_words: int = 100_000
+    line_min_docs: int = 2
+    line_words_per_chunk: int | None = None  # None = newline-delimited
+    decontaminate_n: int = 8
+    sample_rate: float = 1.0
+    sample_salt: str = "curate"
+    scrub_pii: bool = True
+    stages: tuple[str, ...] = (
+        "quality",
+        "exact_dedup",
+        "line_dedup",
+        "pii",
+        "decontaminate",
+        "sample",
+    )
+    extra: dict = field(default_factory=dict, hash=False, compare=False)
+
+
+def curate(
+    docs: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    eval_set: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the configured stages; returns the surviving documents with
+    ``text_col`` rewritten by the text-mutating stages.
+
+    ``eval_set`` is required iff "decontaminate" is in stages.
+    """
+    out = docs
+    for stage in config.stages:
+        if stage == "quality":
+            from pond_spark.functions.text import quality_metrics
+
+            keep = quality_metrics(
+                out,
+                text_col,
+                keep_cols=(id_col,),
+                min_words=config.min_words,
+                max_words=config.max_words,
+            ).filter(F.col("keep"))
+            out = out.join(
+                keep.select(id_col), on=id_col, how="left_semi"
+            )
+        elif stage == "exact_dedup":
+            from pond_spark.dedup.exact import dedup_exact
+
+            out = dedup_exact(out, text_col, id_col)
+        elif stage == "line_dedup":
+            from pond_spark.dedup.lines import strip_duplicate_lines
+
+            cleaned = strip_duplicate_lines(
+                out,
+                text_col,
+                id_col,
+                min_docs=config.line_min_docs,
+                words_per_chunk=config.line_words_per_chunk,
+            )
+            out = (
+                out.drop(text_col)
+                .join(
+                    cleaned.select(
+                        id_col, F.col("text_clean").alias(text_col)
+                    ),
+                    on=id_col,
+                )
+                .filter(F.length(F.col(text_col)) > 0)
+            )
+        elif stage == "pii":
+            if config.scrub_pii:
+                from pond_spark.functions.pii import pii_scrub
+
+                out = out.withColumn(text_col, pii_scrub(F.col(text_col)))
+        elif stage == "decontaminate":
+            if eval_set is None:
+                raise ValueError("decontaminate stage needs eval_set")
+            from pond_spark.dedup.decontaminate import contamination_report
+
+            hits = contamination_report(
+                out, eval_set, text_col, id_col, n=config.decontaminate_n
+            )
+            out = out.join(
+                hits.select(id_col), on=id_col, how="left_anti"
+            )
+        elif stage == "sample":
+            if config.sample_rate < 1.0:
+                from pond_spark.operators.sampling import sample
+
+                out = sample(
+                    out, config.sample_rate, id_col, config.sample_salt
+                )
+        else:
+            raise ValueError(f"unknown curation stage: {stage}")
+    return out
