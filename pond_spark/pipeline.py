@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CurationConfig", "curate"]
+__all__ = ["CurationConfig", "curate", "curate_stream"]
 
 
 @dataclass(frozen=True)
@@ -123,6 +123,74 @@ def curate(
             out = out.join(
                 hits.select(id_col), on=id_col, how="left_anti"
             )
+        elif stage == "sample":
+            if config.sample_rate < 1.0:
+                from pond_spark.operators.sampling import sample
+
+                out = sample(
+                    out, config.sample_rate, id_col, config.sample_salt
+                )
+        else:
+            raise ValueError(f"unknown curation stage: {stage}")
+    return out
+
+
+def curate_stream(
+    stream: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "timestamp",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """The curation chain on a Structured Streaming source — the
+    batch/stream parity the expression layer buys us.
+
+    Stage mapping: quality gate, PII scrub and sampling are stateless
+    expressions (identical code paths as batch); exact dedup becomes
+    the watermark-bounded state store (streaming/dedup.py). Stages
+    that need whole-corpus or multi-pass state — line_dedup,
+    decontaminate (doc-level reduction of a gram join needs a
+    stateful distinct + stream-stream anti-join) — are batch-side:
+    run them inside ``foreachBatch`` with the batch ``curate`` if
+    needed; this builder raises on them so the limitation is explicit.
+    """
+    for s in ("line_dedup", "decontaminate"):
+        if s in config.stages:
+            raise ValueError(
+                f"{s} is corpus-level: batch-only (use foreachBatch)"
+            )
+
+    out = stream
+    for stage in config.stages:
+        if stage == "quality":
+            from pond_spark.functions.text import quality_metrics
+
+            keep_cols = tuple(
+                c for c in out.columns if c not in (text_col,)
+            )
+            scored = quality_metrics(
+                out.withColumn("_orig_text", F.col(text_col)),
+                text_col,
+                keep_cols=(*keep_cols, "_orig_text"),
+                min_words=config.min_words,
+                max_words=config.max_words,
+            )
+            out = (
+                scored.filter(F.col("keep"))
+                .drop("n_words", "mean_word_len", "alpha_word_frac",
+                      "dup_2gram_frac", "keep")
+                .withColumnRenamed("_orig_text", text_col)
+            )
+        elif stage == "exact_dedup":
+            from pond_spark.streaming.dedup import dedup_stream
+
+            out = dedup_stream(out, text_col, ts_col, watermark)
+        elif stage == "pii":
+            if config.scrub_pii:
+                from pond_spark.functions.pii import pii_scrub
+
+                out = out.withColumn(text_col, pii_scrub(F.col(text_col)))
         elif stage == "sample":
             if config.sample_rate < 1.0:
                 from pond_spark.operators.sampling import sample

@@ -82,3 +82,61 @@ def test_curate_sample_deterministic(spark, corpus):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_curate_stream_end_to_end(spark, tmp_path):
+    """Streaming curation: quality gate + watermark dedup + PII scrub
+    over a file stream, drained with availableNow."""
+    import datetime as dt
+
+    from pond_spark.pipeline import curate_stream
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, good + "unique one"),
+        (2, t0 + dt.timedelta(seconds=1), good + "unique one"),  # re-delivery
+        (3, t0 + dt.timedelta(seconds=2), "too short"),  # quality drop
+        (4, t0 + dt.timedelta(seconds=3), good + "mail bob@example.com now"),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, timestamp timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, timestamp timestamp, text string"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        curate_stream(
+            stream,
+            CurationConfig(
+                min_words=10, stages=("quality", "exact_dedup", "pii")
+            ),
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r.text for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {1, 4}  # 2 deduped, 3 quality-dropped
+    assert "bob@example.com" not in got[4]
+
+
+def test_curate_stream_rejects_corpus_stages(spark, tmp_path):
+    import pytest as _pytest
+
+    from pond_spark.pipeline import curate_stream
+
+    stream = spark.readStream.schema(
+        "doc_id long, timestamp timestamp, text string"
+    ).parquet(str(tmp_path))
+    with _pytest.raises(ValueError):
+        curate_stream(stream, CurationConfig(stages=("line_dedup",)))
+    with _pytest.raises(ValueError):
+        curate_stream(stream, CurationConfig(stages=("decontaminate",)))
