@@ -731,6 +731,52 @@ GROUP BY 1, 2
 """
 
 
+def q_site_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour traffic delta per site: time rollup + LAG window
+    (one rollup shuffle + one window shuffle on the site key)."""
+    from pond_spark.operators.rollup import rollup_by_time, with_deltas
+
+    logs = events_as_logs(spark, sf_dir)
+    hourly = rollup_by_time(
+        logs, every="hour", dims=["site"], aggs={"n": F.count(F.lit(1))}
+    )
+    return with_deltas(hourly, ["site"], "bucket", ["n"])
+
+
+SITE_DELTA_SQL = f"""
+WITH {LOGS_CTE},
+hourly AS (
+  SELECT date_trunc('hour', "timestamp") AS bucket, site, count(*) AS n
+  FROM logs WHERE "timestamp" IS NOT NULL GROUP BY 1, 2)
+SELECT bucket, site, n,
+       n - lag(n) OVER (PARTITION BY site ORDER BY bucket) AS n_delta
+FROM hourly
+"""
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: active users per day and the subset
+    also active the previous day — distinct (day, user) then a
+    self-join on (user, day-1) folded into one aggregate."""
+    from pond_spark.operators.rollup import day_over_day_retention
+
+    return day_over_day_retention(events_as_logs(spark, sf_dir))
+
+
+RETENTION_SQL = f"""
+WITH {LOGS_CTE},
+days AS (SELECT DISTINCT CAST("timestamp" AS DATE) AS day, remote_host AS u
+         FROM logs WHERE "timestamp" IS NOT NULL AND remote_host IS NOT NULL),
+j AS (SELECT d.day, d.u,
+             CASE WHEN p.u IS NULL THEN 0 ELSE 1 END AS ret
+      FROM days d LEFT JOIN days p
+        ON d.u = p.u AND p.day = d.day - INTERVAL 1 DAY)
+SELECT day, count(*) AS active_users, sum(ret) AS retained_users,
+       round(sum(ret) * 1.0 / count(*), 6) AS retention
+FROM j GROUP BY day
+"""
+
+
 def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level ROLLUP (day, site, remote_host → prefixes → grand
     total) in one Expand + single shuffle — the one-pass alternative
@@ -2152,6 +2198,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
+    "site_delta": (q_site_delta, SITE_DELTA_SQL),
+    "retention": (q_retention, RETENTION_SQL),
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),

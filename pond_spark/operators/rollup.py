@@ -37,6 +37,63 @@ def rollup_by_time(
     )
 
 
+def with_deltas(
+    df: DataFrame,
+    partition: Sequence[str],
+    order: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Append ``<col>_delta`` = value − previous value per partition
+    (LAG window). One shuffle on the partition keys; first row per
+    partition gets NULL deltas. The standard rate-of-change step over
+    a time rollup (requests/hour delta per site, etc.)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*partition).orderBy(order)
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_delta", F.col(c) - F.lag(F.col(c)).over(w)
+        )
+    return out
+
+
+def day_over_day_retention(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    user_col: str = "remote_host",
+) -> DataFrame:
+    """Per day: active users and how many were also active the
+    previous day. Two narrow shuffles: distinct (day, user), then a
+    self-join on (user, day−1) folded into one count aggregate."""
+    days = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+        )
+        .distinct()
+    )
+    prev = days.select(F.date_add(F.col("day"), 1).alias("day"), F.col("u"))
+    joined = days.join(
+        prev.withColumn("_ret", F.lit(1)), on=["day", "u"], how="left"
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.coalesce(F.col("_ret"), F.lit(0))).alias("retained_users"),
+        )
+        .withColumn(
+            "retention",
+            F.round(
+                F.col("retained_users").cast("double")
+                / F.col("active_users").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def rollup_hierarchy(
     df: DataFrame,
     every: str = "hour",

@@ -310,3 +310,38 @@ def test_rollup_hierarchy_levels_and_single_shuffle(spark):
     final = plan.split("Initial Plan")[0]
     assert final.count("Exchange") == 1
     assert "Expand" in final
+
+
+def test_with_deltas_and_retention(spark):
+    import datetime as dt
+
+    from pond_spark.operators.rollup import (
+        day_over_day_retention,
+        rollup_by_time,
+        with_deltas,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), "a", "u1", 1.0),
+        (2, dt.datetime(2024, 1, 1, 11), "a", "u2", 1.0),
+        (3, dt.datetime(2024, 1, 1, 11, 30), "a", "u1", 1.0),
+        (4, dt.datetime(2024, 1, 2, 9), "a", "u1", 1.0),  # u1 retained
+        (5, dt.datetime(2024, 1, 2, 9), "a", "u3", 1.0),  # u3 new
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, timestamp timestamp, site string, remote_host string, value double",
+    )
+    hourly = rollup_by_time(df, "hour", ["site"], {"n": F.count(F.lit(1))})
+    d = {
+        r.bucket.hour: r.n_delta
+        for r in with_deltas(hourly, ["site"], "bucket", ["n"]).collect()
+        if r.bucket.day == 1
+    }
+    assert d[10] is None  # first bucket has no predecessor
+    assert d[11] == 1  # 2 events at 11h vs 1 at 10h
+
+    ret = {r.day.day: r for r in day_over_day_retention(df).collect()}
+    assert ret[1].active_users == 2 and ret[1].retained_users == 0
+    assert ret[2].active_users == 2 and ret[2].retained_users == 1
+    assert ret[2].retention == 0.5
