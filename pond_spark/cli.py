@@ -362,7 +362,14 @@ def build(
     return out.select(line.alias("line"))
 
 
+_COMMANDS = ("query", "stats", "inject", "clone", "cancel")
+
+
 def main(argv: list[str] | None = None) -> int:
+    """``python -m pond_spark.cli --store=DIR COMMAND ...`` — the
+    reference client's command surface (Main.cxx:672-745): query
+    (default when omitted), stats, inject FILE, clone SRC_STORE;
+    cancel is a no-op (no server connection to cancel)."""
     argv = sys.argv[1:] if argv is None else argv
     store = None
     rest: list[str] = []
@@ -373,21 +380,66 @@ def main(argv: list[str] | None = None) -> int:
             rest.append(a)
     if store is None:
         print(
-            "usage: python -m pond_spark.cli --store=DIR [QUERY ARGS]",
+            "usage: python -m pond_spark.cli --store=DIR "
+            "[query|stats|inject FILE|clone SRC|cancel] [QUERY ARGS]",
             file=sys.stderr,
         )
         return 2
+
+    command = "query"
+    if rest and rest[0] in _COMMANDS:
+        command = rest[0]
+        rest = rest[1:]
+
+    from pond_spark.session import get_spark
+    from pond_spark.sources.store import LogStore
+
+    spark = get_spark("pond_cli")
+    log_store = LogStore(spark, store)
+
+    if command == "cancel":
+        print("nothing to cancel (no server connection)", file=sys.stderr)
+        return 0
+    if command == "stats":
+        from pond_spark.operators.stats import stats as stats_op
+
+        row = stats_op(log_store.read()).collect()[0]
+        print(f"n_records={row.n_records} memory_usage={row.memory_usage}")
+        return 0
+    if command == "inject":
+        if len(rest) != 1:
+            print("usage: ... inject FILE", file=sys.stderr)
+            return 2
+        from pond_spark.sources.ingest import ingest_batch
+
+        raw = (
+            spark.read.format("text")
+            .load(rest[0])
+            .withColumnRenamed("value", "payload")
+        )
+        res = ingest_batch(raw)
+        log_store.append(res.stored)
+        print(
+            f"n_received={res.n_received} "
+            f"n_malformed={res.n_malformed} "
+            f"n_discarded={res.n_discarded}"
+        )
+        return 0
+    if command == "clone":
+        if len(rest) != 1:
+            print("usage: ... clone SRC_STORE_DIR", file=sys.stderr)
+            return 2
+        log_store.clone_from(LogStore(spark, rest[0]))
+        print(f"cloned from {rest[0]}")
+        return 0
+
     try:
         parsed = parse_query_args(rest)
     except QueryValidationError as e:
         print(str(e), file=sys.stderr)
         return 2
 
-    from pond_spark.session import get_spark
-    from pond_spark.sources.store import LogStore
-
-    spark = get_spark("pond_cli")
-    df = LogStore(spark, store).read()
+    df = log_store.read()
     out = build(spark, df, parsed)
     if parsed.options.jsonl:
         # to_json drops NULL fields — the reference's absent-if-null
