@@ -440,6 +440,26 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     df = log_store.read()
+
+    if parsed.options.per_site is not None:
+        # S10: --per-site writes the partitioned tree instead of stdout
+        from pond_spark.query import Query
+        from pond_spark.sinks.writers import write_per_site
+
+        filtered = (
+            Query(df).filter(parsed.to_filter_spec()).to_df()
+        )
+        write_per_site(
+            filtered,
+            parsed.options.per_site,
+            fmt="jsonl" if parsed.options.jsonl else "text",
+            shard=parsed.options.per_site_nested,
+            visitors=parsed.options.track_visitors,
+            gzip=parsed.options.gzip,
+        )
+        print(f"wrote per-site tree: {parsed.options.per_site}")
+        return 0
+
     out = build(spark, df, parsed)
     if parsed.options.jsonl:
         # to_json drops NULL fields — the reference's absent-if-null

@@ -193,3 +193,77 @@ def test_build_follow_raises(spark):
     df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
     with pytest.raises(QueryValidationError):
         build(spark, df, parse("--follow"), now=NOW)
+
+
+# -- main() subcommands in-process --------------------------------------
+
+
+@pytest.fixture()
+def store_dir(spark, tmp_path):
+    from tests.conftest import make_log_rows
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+
+    d = str(tmp_path / "store")
+    LogStore(spark, d).append(spark.createDataFrame(make_log_rows(), LOG_SCHEMA))
+    return d
+
+
+def test_main_stats(spark, store_dir, capsys):
+    from pond_spark.cli import main
+
+    assert main([f"--store={store_dir}", "stats"]) == 0
+    out = capsys.readouterr().out
+    assert "n_records=8" in out
+
+
+def test_main_inject_and_query(spark, store_dir, tmp_path, capsys):
+    import json
+
+    from pond_spark.cli import main
+
+    raw = tmp_path / "raw.jsonl"
+    lines = [
+        json.dumps(
+            {"id": i, "timestamp": "2024-02-01T10:00:00", "site": "z",
+             "type": "http_access"}
+        )
+        for i in range(100, 103)
+    ] + ["not json"]
+    raw.write_text("\n".join(lines))
+    assert main([f"--store={store_dir}", "inject", str(raw)]) == 0
+    out = capsys.readouterr().out
+    assert "n_received=4" in out and "n_malformed=1" in out
+
+    assert main([f"--store={store_dir}", "query", "site=z", "--jsonl"]) == 0
+    q = capsys.readouterr().out
+    assert q.count('"site":"z"') == 3
+
+
+def test_main_clone(spark, store_dir, tmp_path, capsys):
+    from pond_spark.cli import main
+
+    dst = str(tmp_path / "dst")
+    assert main([f"--store={dst}", "clone", store_dir]) == 0
+    capsys.readouterr()
+    assert main([f"--store={dst}", "stats"]) == 0
+    assert "n_records=8" in capsys.readouterr().out
+
+
+def test_main_per_site_tree(spark, store_dir, tmp_path, capsys):
+    import os
+
+    from pond_spark.cli import main
+
+    tree = str(tmp_path / "tree")
+    assert main([f"--store={store_dir}", "query", f"--per-site={tree}"]) == 0
+    assert "wrote per-site tree" in capsys.readouterr().out
+    dirs = {d.split("=")[-1] for d in os.listdir(tree) if "=" in d}
+    assert {"a", "b"} <= dirs
+
+
+def test_main_missing_store(capsys):
+    from pond_spark.cli import main
+
+    assert main(["stats"]) == 2
