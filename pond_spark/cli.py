@@ -359,6 +359,27 @@ def build(
             anonymize=o.anonymize,
         )
     )
+    # reference appends " COUNTRY" / " VISITOR" to http_access lines
+    # when --geoip / --track-visitors are on (ResultWriter.cxx:278-301)
+    is_http = F.col("type") == F.lit("http_access")
+    if o.geoip and "country" in out.columns:
+        line = F.concat(
+            line,
+            F.when(
+                is_http,
+                F.concat(F.lit(" "), F.coalesce(F.col("country"), F.lit("-"))),
+            ).otherwise(F.lit("")),
+        )
+    if o.track_visitors and "visitor_id" in out.columns:
+        line = F.concat(
+            line,
+            F.when(
+                is_http,
+                F.concat(
+                    F.lit(" "), F.coalesce(F.col("visitor_id"), F.lit("-"))
+                ),
+            ).otherwise(F.lit("")),
+        )
     return out.select(line.alias("line"))
 
 
@@ -372,10 +393,15 @@ def main(argv: list[str] | None = None) -> int:
     cancel is a no-op (no server connection to cancel)."""
     argv = sys.argv[1:] if argv is None else argv
     store = None
+    geoip_table = None
     rest: list[str] = []
     for a in argv:
         if (v := _filter_value(a, "--store")) is not None:
             store = v
+        elif (v := _filter_value(a, "--geoip-table")) is not None:
+            # range table (ip_start BIGINT, ip_end BIGINT, country) —
+            # the stand-in for the reference's libgeoip system database
+            geoip_table = v
         else:
             rest.append(a)
     if store is None:
@@ -460,7 +486,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote per-site tree: {parsed.options.per_site}")
         return 0
 
-    out = build(spark, df, parsed)
+    geo_df = None
+    if geoip_table is not None:
+        geo_df = (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(geoip_table)
+            if geoip_table.endswith(".csv")
+            else spark.read.parquet(geoip_table)
+        )
+    out = build(spark, df, parsed, geo_df=geo_df)
     if parsed.options.jsonl:
         # to_json drops NULL fields — the reference's absent-if-null
         # JSONL rule (S6, src/client/FormatJson.cxx:24-88)

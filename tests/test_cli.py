@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from pond_spark.cli import (
     UINT32_MAX,
@@ -267,3 +268,32 @@ def test_main_missing_store(capsys):
     from pond_spark.cli import main
 
     assert main(["stats"]) == 2
+
+
+def test_build_geoip_and_visitor_line_appends(spark):
+    """--geoip / --track-visitors append ' COUNTRY' / ' VISITOR' to
+    http_access one-lines only (ResultWriter.cxx:278-301)."""
+    from tests.conftest import make_log_rows
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
+    geo = spark.createDataFrame(
+        [(16909056, 16909311, "DE")],  # 1.2.3.0 - 1.2.3.255
+        "ip_start long, ip_end long, country string",
+    )
+    q = parse("--geoip", "--track-visitors")
+    lines = [
+        r.line
+        for r in build(spark, df, q, now=NOW, geo_df=geo)
+        .orderBy(F.length("line").desc())
+        .collect()
+    ]
+    # http_access lines from 1.2.3.x get " DE <opaque-visitor-id>"
+    import re
+
+    assert any(re.search(r" DE [0-9a-f]{16}$", ln) for ln in lines)
+    # a participant-less http_access (no timestamp) gets no appends;
+    # non-http records (ssh, site c) get none either
+    no_ts = [ln for ln in lines if "[-]" in ln]
+    assert no_ts and all(" DE" not in ln for ln in no_ts)
