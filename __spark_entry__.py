@@ -1538,7 +1538,10 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.functions.lm import perplexity
 
     docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
-    return perplexity(docs)
+    # oracle compares the EXACT decimal columns; avg/ppl (doubles with
+    # a division) stay in the user API but not in the hash — a rounding
+    # tie at sf0.1 showed engines disagreeing in the 6th decimal
+    return perplexity(docs).select("doc_id", "n_bigrams", "sum_neg_logp")
 
 
 PERPLEXITY_SQL = """
@@ -1562,8 +1565,7 @@ s AS (SELECT doc_id,
 a AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS slogp
       FROM s GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-       round(-CAST(a.slogp AS DOUBLE) / a.n_bigrams, 6) AS avg_neg_logp,
-       round(exp(-CAST(a.slogp AS DOUBLE) / a.n_bigrams), 6) AS ppl
+       CAST(-a.slogp AS DECIMAL(20,6)) AS sum_neg_logp
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 

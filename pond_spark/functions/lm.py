@@ -123,6 +123,11 @@ def perplexity(
     out = agg.select(
         F.col(id_col),
         F.col("n_bigrams"),
+        # exact decimal — the hash-stable quantity (division then
+        # round(…, 6) can land on a binary rounding tie where Spark's
+        # BigDecimal-of-shortest-repr and DuckDB's scaled-double round
+        # disagree in the last digit; observed once at sf0.1)
+        (-F.col("_sum_logp")).cast("decimal(20,6)").alias("sum_neg_logp"),
         F.round(avg_neg, 6).alias("avg_neg_logp"),
         F.round(F.exp(avg_neg), 6).alias("ppl"),
     )
@@ -133,6 +138,7 @@ def perplexity(
         .select(
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "sum_neg_logp",
             "avg_neg_logp",
             "ppl",
         )
