@@ -2163,6 +2163,51 @@ FROM documents
 """
 
 
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-checked end-to-end: deterministic 8x4
+    grayscale PNGs (pixel k of doc d = (d*7 + k*13) % 256) are
+    ENCODED in an Arrow batch step, then decoded by the pure-stdlib
+    codec (zlib inflate + scanline un-filtering,
+    multimodal/codecs.py). The oracle predicts the decoder's output
+    analytically from the same pixel formula — any defect in either
+    the encoder or the un-filtering shows as a hash mismatch."""
+    import pandas as _pd
+
+    from pond_spark.multimodal.binaryops import decode_media_batch
+    from pond_spark.multimodal.codecs import encode_png
+
+    base = _fan(_documents(spark, sf_dir)).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = [
+                encode_png(
+                    8, 4, 1, bytes((int(i) * 7 + k * 13) % 256 for k in range(32))
+                )
+                for i in pdf["media_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, "media_id long, payload binary")
+    return decode_media_batch(media, codec="stdlib")
+
+
+MEDIA_DECODE_REAL_SQL = """
+SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS n_pixels,
+       list_transform(generate_series(0, 7), i ->
+         CAST((((doc_id*7 + (4*i+0)*13) % 256
+              + (doc_id*7 + (4*i+1)*13) % 256
+              + (doc_id*7 + (4*i+2)*13) % 256
+              + (doc_id*7 + (4*i+3)*13) % 256) / 4.0 / 255.0) AS FLOAT)
+       ) AS feat
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2237,6 +2282,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "media_meta": (q_media_meta, MEDIA_META_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
