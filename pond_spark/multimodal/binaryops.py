@@ -103,7 +103,7 @@ def decode_media_batch(
                     return None, None
                 try:
                     _kind, n, samples = _decode(bytes(b))
-                except (ValueError, NotImplementedError, Exception):
+                except Exception:  # undecodable / needs external codec
                     return None, None
                 if not samples:
                     return n, [0.0] * feat_dim
