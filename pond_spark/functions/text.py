@@ -188,6 +188,64 @@ def quality_metrics(
     )
 
 
+def quality_keep_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_dup_2gram_frac: float = 0.85,
+) -> DataFrame:
+    """Ids passing the Gopher gate, via explode + integer aggregates.
+
+    The FILTER form of the quality gate. Filtering on
+    :func:`quality_metrics` output looks right but is a trap:
+    predicate pushdown inlines the ``keep`` alias through the staged
+    projections unconditionally, resurrecting the ~20×-per-row split
+    tree (measured: the curation chain went 12.8 s at sf0.1 through
+    that path). Aggregates are pushdown barriers, so this variant
+    explodes words/bigrams once and reduces with INTEGER-exact sums
+    (counts, summed lengths, 0/1 flags) — order-insensitive, so the
+    derived ratios equal quality_metrics'/the DuckDB twin's to the
+    last bit. Three narrow shuffles on the id, map-side combined.
+    """
+    staged = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    w = staged.select(F.col(id_col), F.explode("_w").alias("word"))
+    agg_w = w.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nw"),
+        F.sum(F.length("word").cast("long")).alias("_chars"),
+        F.sum(F.when(F.col("word").rlike("[A-Za-z]"), 1).otherwise(0)).alias(
+            "_alpha"
+        ),
+    )
+    bi = staged.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col("_w"), 2)).alias("g")
+    )
+    agg_b = bi.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nbi"),
+        F.count_distinct(F.col("g")).alias("_dbi"),
+    )
+    j = agg_w.join(agg_b, on=id_col)
+    nw = F.col("_nw").cast("double")
+    mean_wl = F.round(F.col("_chars").cast("double") / nw, 6)
+    alpha = F.round(F.col("_alpha").cast("double") / nw, 6)
+    dup2 = F.round(
+        F.lit(1.0) - F.col("_dbi").cast("double") / F.col("_nbi").cast("double"),
+        6,
+    )
+    return j.filter(
+        (F.col("_nw") >= min_words)
+        & (F.col("_nw") <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (alpha >= min_alpha_word_frac)
+        & (dup2 <= max_dup_2gram_frac)
+    ).select(id_col)
+
+
 def quality_rules(
     col: Column,
     min_words: int = 20,
