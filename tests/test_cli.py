@@ -297,3 +297,38 @@ def test_build_geoip_and_visitor_line_appends(spark):
     # non-http records (ssh, site c) get none either
     no_ts = [ln for ln in lines if "[-]" in ln]
     assert no_ts and all(" DE" not in ln for ln in no_ts)
+
+
+# -- grammar fuzz: arbitrary input never crashes unexpectedly ------------
+
+
+def test_parse_fuzz_never_crashes_unexpectedly():
+    """Any argument list either parses or raises the reference's
+    validation errors (QueryValidationError / ValueError) — never an
+    unhandled exception type."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = [
+        "site", "group_site", "window", "host", "generator", "since",
+        "until", "time", "date", "duration_longer", "type", "status",
+        "method", "uri", "uri-prefix", "--accumulate", "--per-site",
+    ]
+    arg = st.one_of(
+        st.sampled_from(["today", "unsafe_method", "--follow", "--last",
+                         "--jsonl", "--raw", "--iso8601"]),
+        st.tuples(st.sampled_from(keys), st.text(max_size=12)).map(
+            lambda kv: f"{kv[0]}={kv[1]}"
+        ),
+        st.text(max_size=16),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(arg, max_size=5))
+    def run(args):
+        try:
+            parse_query_args(args, now=NOW)
+        except (QueryValidationError, ValueError):
+            pass
+
+    run()
