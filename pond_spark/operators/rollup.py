@@ -83,6 +83,15 @@ def day_over_day_retention(
             F.count(F.lit(1)).alias("active_users"),
             F.sum(F.coalesce(F.col("_ret"), F.lit(0))).alias("retained_users"),
         )
+        # retention_ppm is exact integer arithmetic (parts-per-million,
+        # floor division) so it hashes identically across engines;
+        # retention is the human-friendly double (rounding a double can
+        # land on a representation tie and differ in the last digit
+        # between engines, so cross-engine checks should use the ppm).
+        .withColumn(
+            "retention_ppm",
+            F.expr("retained_users * 1000000 DIV active_users"),
+        )
         .withColumn(
             "retention",
             F.round(
