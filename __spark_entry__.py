@@ -2014,29 +2014,42 @@ def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd training, assignment replicated as (cos, cid) argmax in
     DuckDB, identical within-cluster self-join + rounded-cosine
     filter. Threshold 0.35 because the synthetic embeddings' max
-    pairwise cosine is ~0.48."""
+    pairwise cosine is ~0.48.
+
+    This query models the SCALE-SAFE configuration: n_centroids and
+    cluster_cap are left on the √N / 4×balanced-size auto rules
+    (semdedup.auto_n_centroids / auto_cluster_cap), so per-cluster
+    pair work stays bounded as the corpus grows — a fixed cluster
+    count would be Σ(N/C)², quadratic at 100×. The oracle twin
+    derives the identical values from the same row count."""
     from pond_spark.similarity.semdedup import semantic_pairs
 
-    return semantic_pairs(
-        _embeddings(spark, sf_dir), threshold=0.35, n_centroids=16
-    )
+    return semantic_pairs(_embeddings(spark, sf_dir), threshold=0.35)
 
 
 def _semantic_pairs_sql() -> str:
     """Oracle twin of q_semantic_pairs (same centroid derivation as
-    _ann_ivf_sql)."""
+    _ann_ivf_sql, same √N/cap auto rules from the same row count)."""
     import duckdb
 
     from pond_spark.similarity.ivf import lloyd_centroids
+    from pond_spark.similarity.semdedup import auto_cluster_cap, auto_n_centroids
 
     sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
+    n_rows = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sfdir}/embeddings.parquet')"
+    ).fetchone()[0]
     sample = con.execute(
         f"SELECT embedding FROM read_parquet('{sfdir}/embeddings.parquet') "
         "ORDER BY vec_id LIMIT 2048"
     ).fetchall()
     con.close()
-    cent = lloyd_centroids([r[0] for r in sample], n_centroids=16, iters=5)
+    n_centroids = auto_n_centroids(n_rows)
+    cap = auto_cluster_cap(n_rows, n_centroids)
+    cent = lloyd_centroids(
+        [r[0] for r in sample], n_centroids=n_centroids, iters=5
+    )
     structs = ", ".join(
         "{'cos': " + _sql_cos("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
         for i, c in enumerate(cent)
@@ -2044,10 +2057,14 @@ def _semantic_pairs_sql() -> str:
     return f"""
 WITH assigned AS (
   SELECT vec_id, embedding, (list_max([{structs}])).cid AS cluster
-  FROM embeddings)
+  FROM embeddings),
+capped AS (
+  SELECT * FROM assigned
+  WHERE cluster IN (SELECT cluster FROM assigned
+                    GROUP BY cluster HAVING count(*) <= {cap}))
 SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cluster,
        {_sql_cos("a.embedding", "b.embedding")} AS cosine
-FROM assigned a JOIN assigned b
+FROM capped a JOIN capped b
   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.35
 """

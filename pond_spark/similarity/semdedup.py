@@ -26,35 +26,70 @@ group; min-id is the reproducible choice).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pond_spark.similarity.brute import cosine_similarity
 from pond_spark.similarity.ivf import ivf_assign, train_centroids
 
-__all__ = ["semantic_pairs", "semantic_dedup"]
+__all__ = ["auto_n_centroids", "auto_cluster_cap", "semantic_pairs", "semantic_dedup"]
+
+
+def auto_n_centroids(n_rows: int) -> int:
+    """SemDeDup's scale rule: cluster count grows ~√N (the paper runs
+    50k clusters for LAION-440M ≈ 2.4·√N). With C = √N clusters the
+    within-cluster join does Σ(N/C)² = N·(N/C) ≈ N^1.5 total pair
+    work per cluster-size unit — constant per-cluster cost as the
+    corpus grows, instead of the quadratic blow-up of a fixed C."""
+    return max(4, math.isqrt(max(n_rows - 1, 0)) + 1)
+
+
+def auto_cluster_cap(n_rows: int, n_centroids: int) -> int:
+    """Per-cluster size bound: 4× the balanced size N/C. A degenerate
+    clustering (all mass in one centroid) would silently re-introduce
+    the O(N²) self-join; the cap excludes such clusters from pairing
+    instead (callers see fewer pairs, never a runaway shuffle)."""
+    return max(16, 4 * -(-n_rows // max(n_centroids, 1)))
 
 
 def semantic_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 5,
     sample_n: int = 2048,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
-    cluster_cap: int | None = None,
+    cluster_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Within-cluster semantic duplicate pairs.
 
     Returns ``(keep_id, drop_id, cluster, cosine)`` for every ordered
     pair (keep_id < drop_id) in the same cluster with cosine ≥
     ``threshold``; cosine rounded to 6 decimals for cross-engine
-    hashing. ``cluster_cap`` (optional) drops clusters larger than the
-    cap from pairing — the guard against a degenerate clustering
-    re-introducing the quadratic blow-up.
+    hashing. ``cluster_cap`` drops clusters larger than the cap from
+    pairing — the guard against a degenerate clustering re-introducing
+    the quadratic blow-up.
+
+    By default ``n_centroids`` follows the √N rule and ``cluster_cap``
+    is 4× the balanced cluster size (see :func:`auto_n_centroids` /
+    :func:`auto_cluster_cap`): the scale-safe configuration is the
+    one you get without thinking. The one-off ``df.count()`` behind
+    the auto rules is a cheap column-pruned aggregate, amortized
+    against the O(N²/C) join it bounds; pass explicit values to skip
+    it (e.g. when the caller already knows N).
     """
+    if centroids is not None and n_centroids is None:
+        n_centroids = len(centroids)
+    if n_centroids is None or cluster_cap == "auto":
+        n_rows = df.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(n_rows)
+        if cluster_cap == "auto":
+            cluster_cap = auto_cluster_cap(n_rows, n_centroids)
     if centroids is None:
         centroids = train_centroids(
             df, n_centroids, iters, sample_n, vec_col, id_col
