@@ -115,6 +115,8 @@ def minhash_lsh_pairs(
     n: int = 1,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    skew_salt: int | str | None = "auto",
+    hot_id_threshold: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     jaccard >= threshold, id_a < id_b.
@@ -127,7 +129,17 @@ def minhash_lsh_pairs(
     via broadcast anti-join): mega-clusters are exact-dup territory —
     run ``exact.exact_duplicate_groups`` first — while genuine
     near-dup groups sit far below any sane cap. ``None`` = off (the
-    oracle-checked recall queries run uncapped)."""
+    oracle-checked recall queries run uncapped).
+
+    ``skew_salt`` hardens the *verify* joins (candidates back to
+    shingle arrays on doc id): a boilerplate cluster of m docs makes
+    its min-id doc appear in ~m candidate rows, so a plain shuffle
+    join lands that whole hot key on one task. ``"auto"`` (default)
+    probes the max candidate multiplicity per id with one ids-only
+    aggregate and switches to :func:`~pond_spark.operators.skew.
+    salted_join` (8-way) when it exceeds ``hot_id_threshold``; an int
+    forces that salt factor; ``None`` disables. Results are identical
+    either way — salting only splits the hot key across tasks."""
     assert k % bands == 0
     r = k // bands
     # persist: the signature/shingle relation feeds three plan branches
@@ -168,17 +180,43 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     shingles = sigs.select(F.col(id_col), "_shingles")
-    pairs = cand.join(
-        shingles.select(
-            F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a")
-        ),
-        "id_a",
-    ).join(
-        shingles.select(
-            F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")
-        ),
-        "id_b",
+    sh_a = shingles.select(
+        F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a")
     )
+    sh_b = shingles.select(
+        F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")
+    )
+    if skew_salt == "auto":
+        # one ids-only aggregate over the (small) candidate set: the
+        # max multiplicity of any doc id IS the hot-key size the verify
+        # join would serialize onto one task. Persist candidates so the
+        # probe and the verify plan share one band-join evaluation.
+        cand = cand.persist()
+        hot_row = (
+            cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
+            .groupBy("_id")
+            .count()
+            .agg(F.max("count"))
+            .first()
+        )
+        skew_salt = 8 if (hot_row[0] or 0) > hot_id_threshold else None
+    if skew_salt:
+        from pond_spark.operators.skew import salted_join
+
+        # prune the build sides to candidate ids BEFORE the salt
+        # replication (the candidate id set is tiny → broadcast semi):
+        # salting replicates the build side `salt` times, which must
+        # multiply only the docs that verify, not the whole corpus
+        sh_a = sh_a.join(
+            F.broadcast(cand.select("id_a").distinct()), "id_a", "leftsemi"
+        )
+        sh_b = sh_b.join(
+            F.broadcast(cand.select("id_b").distinct()), "id_b", "leftsemi"
+        )
+        pairs = salted_join(cand, sh_a, on=["id_a"], salt=int(skew_salt))
+        pairs = salted_join(pairs, sh_b, on=["id_b"], salt=int(skew_salt))
+    else:
+        pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     # size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
     # failing the ratio test can't reach the threshold — skip the
     # O(|A|+|B|) intersect for them

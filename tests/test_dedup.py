@@ -134,6 +134,52 @@ def test_minhash_hot_bucket_cap_skips_boilerplate(spark):
     assert uncapped == 60 * 59 // 2 + 1
 
 
+def test_minhash_salted_verify_join_splits_hot_id(spark):
+    """Skew wiring: a boilerplate cluster of m docs makes its low-id
+    members hot keys in the verify join (each appears in ~m candidate
+    rows). Auto detection must flip to the salted path — visible in
+    the plan as joins on (id, _salt), i.e. the hot key split
+    salt-ways — and the result set must be identical to the plain
+    join (salting redistributes work, never changes semantics)."""
+    from pond_spark.dedup import minhash_lsh_pairs
+    from pond_spark.plans import formatted_plan
+
+    boiler = "the same legal disclaimer text repeated on every page of site"
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    rows = [(i, boiler) for i in range(80)] + [(100, a), (101, b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    salted = minhash_lsh_pairs(docs, threshold=0.8, n=1, skew_salt="auto")
+    plan = formatted_plan(salted)
+    assert "_salt" in plan, plan
+    plain = minhash_lsh_pairs(docs, threshold=0.8, n=1, skew_salt=None)
+    assert "_salt" not in formatted_plan(plain)
+    assert {(r.id_a, r.id_b, r.jaccard) for r in salted.collect()} == {
+        (r.id_a, r.id_b, r.jaccard) for r in plain.collect()
+    }
+    # the fixture really is pathological: the 80-clique emits 80*79/2
+    # boilerplate pairs plus the one planted near-dup
+    assert salted.count() == 80 * 79 // 2 + 1
+
+
+def test_minhash_auto_salt_stays_plain_on_uniform_data(spark):
+    """No hot ids (max candidate multiplicity <= threshold) → the auto
+    probe must keep the plain join: salting replicates the build side,
+    a cost worth paying only under skew."""
+    from pond_spark.dedup import minhash_lsh_pairs
+    from pond_spark.plans import formatted_plan
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    b = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo mike"
+    docs = spark.createDataFrame(
+        [(100, a), (101, b)], "doc_id long, text string"
+    )
+    out = minhash_lsh_pairs(docs, threshold=0.8, n=1, skew_salt="auto")
+    assert "_salt" not in formatted_plan(out)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(100, 101)}
+
+
 def test_simhash_hot_bucket_cap_and_blocking(spark):
     """Skew guard for the simhash chunk join: a boilerplate cluster
     shares every chunk key; max_bucket_size drops those hot buckets
