@@ -32,7 +32,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CurationConfig", "curate", "curate_stream"]
+__all__ = [
+    "CurationConfig",
+    "curate",
+    "curate_stream",
+    "curate_foreach_batch",
+]
 
 
 @dataclass(frozen=True)
@@ -136,6 +141,36 @@ def curate(
         else:
             raise ValueError(f"unknown curation stage: {stage}")
     return out
+
+
+def curate_foreach_batch(
+    writer,
+    config: CurationConfig = CurationConfig(),
+    eval_set: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` companion covering the corpus-level stages
+    ``curate_stream`` refuses (line_dedup, decontaminate).
+
+    Returns a ``(batch_df, batch_id)`` function for
+    ``stream.writeStream.foreachBatch(...)`` that runs the FULL batch
+    :func:`curate` chain on each micro-batch and hands the curated
+    frame to ``writer(df, batch_id)``. The corpus-level stages' scope
+    becomes the micro-batch — the standard micro-batch approximation:
+    a boilerplate line is stripped iff it repeats *within the batch*,
+    so larger triggers trade latency for dedup recall. Decontamination
+    against a (bounded, broadcastable) eval set is exact regardless of
+    batching — membership in the eval n-gram set doesn't depend on
+    what else is in the batch.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        writer(
+            curate(batch_df, config, eval_set, text_col, id_col), batch_id
+        )
+
+    return _apply
 
 
 def curate_stream(

@@ -128,6 +128,63 @@ def test_curate_stream_end_to_end(spark, tmp_path):
     assert "bob@example.com" not in got[4]
 
 
+def test_curate_foreach_batch_full_chain(spark, tmp_path):
+    """Streaming parity for the FULL chain: line_dedup + decontaminate
+    fold per micro-batch via foreachBatch (one file = one batch with
+    maxFilesPerTrigger=1). Within a batch, a line shared by >=2 docs
+    strips and eval-contaminated docs drop; a line unique within its
+    own batch survives — proving the stage scope is the batch, and the
+    whole flow is deterministic."""
+    from pond_spark.pipeline import curate_foreach_batch
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    boiler = "same legal disclaimer on every page"
+    eval_text = "leaked eval content that matches the benchmark set"
+    src = str(tmp_path / "in")
+    # batch A: boiler repeats (docs 1, 2) -> stripped; doc 3 contaminated
+    spark.createDataFrame(
+        [
+            (1, boiler + "\n" + good + "unique alpha"),
+            (2, boiler + "\n" + good + "unique bravo"),
+            (3, good + eval_text),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch B: boiler appears ONCE in this batch -> survives; 12 fails quality
+    spark.createDataFrame(
+        [(11, boiler + "\n" + good + "unique charlie"), (12, "too short")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    eval_set = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    cfg = CurationConfig(
+        min_words=10,
+        line_min_docs=2,
+        decontaminate_n=6,
+        stages=("quality", "exact_dedup", "line_dedup", "pii", "decontaminate"),
+    )
+    collected: dict[int, str] = {}
+
+    def writer(df, batch_id):
+        collected.update({r.doc_id: r.text for r in df.collect()})
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(curate_foreach_batch(writer, cfg, eval_set))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert set(collected) == {1, 2, 11}
+    assert boiler not in collected[1] and boiler not in collected[2]
+    assert "unique alpha" in collected[1]
+    assert boiler in collected[11]  # unique within ITS batch -> kept
+
+
 def test_curate_stream_rejects_corpus_stages(spark, tmp_path):
     import pytest as _pytest
 
