@@ -2342,6 +2342,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _sql) in _QUERIES.items()}
 
 
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Bench-only probes, NOT part of the correctness contract.
+
+    The recall-harness rows (minhash_pairs, simhash_pairs) time the
+    exact n-gram twin AND the approximate candidate operator together
+    — a regression in the candidate stage would hide behind the exact
+    stage's cost. These probes time the approximate operator alone
+    (the exact stage alone is already benched as ngram_jaccard), so
+    bench readers can attribute movement to the right stage."""
+
+    def minhash_pairs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pond_spark.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _documents(spark, sf_dir), "text", "doc_id", threshold=0.8, n=3
+        )
+
+    def simhash_pairs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pond_spark.dedup import simhash_near_pairs
+
+        return simhash_near_pairs(
+            _documents(spark, sf_dir),
+            "text",
+            "doc_id",
+            max_hamming=10,
+            n=3,
+            block_col="lang",
+        )
+
+    return {
+        "minhash_pairs_approx": minhash_pairs_approx,
+        "simhash_pairs_approx": simhash_pairs_approx,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None}
     for name, build in _LAZY_SQL.items():

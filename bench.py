@@ -29,6 +29,11 @@ def main() -> None:
     spark = get_spark("pond_spark_bench")
 
     qs = entrymod.queries()
+    contract = set(qs)
+    # bench-only probes (approx stage of the recall harnesses, timed
+    # alone); reported per-query but excluded from the headline total
+    # so round-over-round totals compare the same contract surface
+    qs.update(getattr(entrymod, "bench_queries", dict)())
     # warm the JVM + parquet footers once with the cheapest query
     try:
         qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
@@ -73,7 +78,9 @@ def main() -> None:
         times[name] = best
         print(f"bench {name}: {best}", file=sys.stderr, flush=True)
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    total = round(
+        sum(t for n, t in times.items() if t >= 0 and n in contract), 3
+    )
     print(
         json.dumps(
             {
