@@ -1375,7 +1375,10 @@ m2 AS (SELECT doc_id, nchars, n_words, dup_word_frac,
        FROM m),
 e AS (SELECT doc_id, unnest(g2) AS gram FROM m2),
 c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram),
-t AS (SELECT doc_id, max(cnt * length(gram)) AS covered FROM c GROUP BY doc_id)
+ts AS (SELECT doc_id,
+              max({'cnt': cnt, 'len': length(gram), 'gram': gram}) AS s
+       FROM c GROUP BY doc_id),
+t AS (SELECT doc_id, (s).cnt * (s).len AS covered FROM ts)
 SELECT m2.doc_id, n_words, dup_word_frac, dup_3gram_frac,
        round(CASE WHEN nchars > 0 AND covered IS NOT NULL
              THEN least(covered / nchars, 1.0) ELSE 0.0 END, 6)

@@ -279,6 +279,10 @@ def parse_query_args(
                 count = int(cnt)
             except ValueError:
                 raise QueryValidationError("Invalid number") from None
+            if count < 1:
+                # the reference parses into an unsigned count
+                # (ParseIntegerTo), so negatives/zero never parse there
+                raise QueryValidationError("Invalid number")
             o.accumulate = (fld, typ, count)
         else:
             raise QueryValidationError("Unrecognized query argument")
@@ -472,9 +476,15 @@ def main(argv: list[str] | None = None) -> int:
         from pond_spark.query import Query
         from pond_spark.sinks.writers import write_per_site
 
-        filtered = (
-            Query(df).filter(parsed.to_filter_spec()).to_df()
-        )
+        if not parsed.sites and parsed.group_site is None:
+            # the reference client auto-enables GROUP_SITE(max) when
+            # --per-site has neither a site filter nor an explicit
+            # group_site (Main.cxx:336-343)
+            parsed.group_site = (2**32 - 1, 0)
+        query = Query(df).filter(parsed.to_filter_spec())
+        if parsed.group_site is not None:
+            query = query.group_site(*parsed.group_site)
+        filtered = query.to_df()
         write_per_site(
             filtered,
             parsed.options.per_site,
@@ -495,7 +505,15 @@ def main(argv: list[str] | None = None) -> int:
             if geoip_table.endswith(".csv")
             else spark.read.parquet(geoip_table)
         )
-    out = build(spark, df, parsed, geo_df=geo_df)
+    try:
+        # build() raises for option combinations only detectable after
+        # parse (--follow/--continue batch use, --geoip without a geo
+        # table); those must exit 2 via stderr like parse errors, not
+        # surface as a traceback
+        out = build(spark, df, parsed, geo_df=geo_df)
+    except QueryValidationError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     if parsed.options.jsonl:
         # to_json drops NULL fields — the reference's absent-if-null
         # JSONL rule (S6, src/client/FormatJson.cxx:24-88)

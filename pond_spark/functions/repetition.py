@@ -41,9 +41,12 @@ def repetition_metrics(
 
     - ``dup_word_frac``     = 1 − distinct words / words
     - ``dup_ngram_frac``    = 1 − distinct ``dup_ngram``-grams / grams
-    - ``top_ngram_char_frac`` = chars covered by the most frequent
-      ``top_ngram``-gram (count × gram length) / total chars —
-      Gopher's "fraction of characters in the most common n-gram".
+    - ``top_ngram_char_frac`` = chars covered by the single MOST
+      FREQUENT ``top_ngram``-gram (its count × its length) / total
+      chars — Gopher A1.2's "fraction of characters in the most
+      common n-gram". The argmax is by count, ties broken toward the
+      longer then lexicographically greatest gram, so the metric is
+      deterministic and engine-portable.
 
     Fractions are rounded to 6 decimals for stable cross-engine
     hashing; empty documents score 0.0 everywhere.
@@ -88,12 +91,25 @@ def repetition_metrics(
     ).select(
         kept, F.explode(_word_ngrams(F.col("_gw"), top_ngram)).alias("gram")
     )
+    # argmax by count (NOT max over count*length: a longer but rarer
+    # gram must not win) — struct-max gives a deterministic tie-break
+    # by (count, length, gram) with identical ordering in DuckDB
     top = (
         grams.groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .groupBy(id_col)
         .agg(
-            F.max(F.col("_cnt") * F.length("gram").cast("long")).alias("_covered")
+            F.max(
+                F.struct(
+                    F.col("_cnt"),
+                    F.length("gram").cast("long").alias("_len"),
+                    F.col("gram"),
+                )
+            ).alias("_top")
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_top._cnt") * F.col("_top._len")).alias("_covered"),
         )
     )
     return (

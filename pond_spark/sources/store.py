@@ -73,20 +73,17 @@ class LogStore:
             # Morton clustering within each date: one range shuffle on
             # (p_date, zkey) — same cost as the default sort, but
             # row-groups cover rectangles of the dim space
-            from pond_spark.sources.zorder import rank16, zorder_key
+            from pond_spark.sources.zorder import (
+                rank16,
+                rank16_time_of_day,
+                zorder_key,
+            )
 
             dtypes = dict(dated.dtypes)
 
             def _rank(c: str) -> F.Column:
                 if dtypes[c].startswith("timestamp"):
-                    # minute-of-day scaled to the FULL 16-bit range —
-                    # raw epoch minutes only vary in their low 11 bits
-                    # inside one p_date, which would hand the
-                    # interleave to the other dimension's high bits
-                    mod = F.pmod(
-                        F.col(c).cast("long"), F.lit(86400)
-                    ) / F.lit(60)
-                    return F.floor(mod * 65535 / F.lit(1439)).cast("int")
+                    return rank16_time_of_day(F.col(c))
                 return rank16(F.col(c), dtypes[c])
 
             key = zorder_key([_rank(c) for c in self.zorder])

@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rank16", "zorder_key", "cluster_by_zorder"]
+__all__ = ["rank16", "rank16_time_of_day", "zorder_key", "cluster_by_zorder"]
 
 
 def rank16(col: Column, dtype: str) -> Column:
@@ -47,6 +47,23 @@ def rank16(col: Column, dtype: str) -> Column:
     else:
         val = F.xxhash64(col.cast("string"))
     return F.coalesce(F.pmod(val, F.lit(65536)).cast("int"), F.lit(0))
+
+
+def rank16_time_of_day(col: Column) -> Column:
+    """Second-of-day scaled to the FULL 16-bit range — the rank for
+    timestamps clustered WITHIN a date partition, where raw epoch
+    seconds only vary in their low bits and would hand the interleave
+    to the other dimension's high bits.
+
+    Integer second-of-day (0..86399) over the 86399 max keeps the rank
+    ≤ 65535 exactly; a fractional-minute numerator over 1439 overflows
+    to 65579 at 23:59:02+, wrapping end-of-day rows to ~0 in the
+    16-bit interleave and clustering them with midnight. NULL ranks 0.
+    """
+    sod = F.pmod(col.cast("timestamp").cast("long"), F.lit(86400))
+    return F.coalesce(
+        F.floor(sod * 65535 / F.lit(86399)).cast("int"), F.lit(0)
+    )
 
 
 def zorder_key(ranks: Sequence[Column], bits: int = 16) -> Column:

@@ -270,6 +270,42 @@ def test_main_missing_store(capsys):
     assert main(["stats"]) == 2
 
 
+def test_accumulate_count_must_be_positive():
+    """The reference parses the count into an unsigned integer, so
+    zero/negative counts never parse there — mirror the rejection."""
+    for cnt in ("0", "-1"):
+        with pytest.raises(QueryValidationError):
+            parse(f"--accumulate=site,top,{cnt}")
+    assert parse("--accumulate=site,top,1").options.accumulate == (
+        "site", "top", 1,
+    )
+
+
+def test_main_build_errors_exit_2_not_traceback(spark, store_dir, capsys):
+    """QueryValidationError raised inside build() (e.g. --follow in
+    batch main) must take the stderr+exit-2 path like parse errors."""
+    from pond_spark.cli import main
+
+    assert main([f"--store={store_dir}", "query", "--follow"]) == 2
+    err = capsys.readouterr().err
+    assert "streaming" in err.lower() or "FOLLOW" in err
+
+
+def test_main_per_site_auto_group_site(spark, store_dir, tmp_path, capsys):
+    """--per-site with no site filter auto-enables GROUP_SITE(max)
+    (reference client Main.cxx:336-343): records without a site are
+    not reachable via GROUP_SITE, so they stay out of the tree."""
+    import os
+
+    from pond_spark.cli import main
+
+    tree = str(tmp_path / "tree2")
+    assert main([f"--store={store_dir}", "query", f"--per-site={tree}"]) == 0
+    capsys.readouterr()
+    dirs = {d.split("=")[-1] for d in os.listdir(tree) if "=" in d}
+    assert "__HIVE_DEFAULT_PARTITION__" not in dirs  # no NULL-site dir
+
+
 def test_build_geoip_and_visitor_line_appends(spark):
     """--geoip / --track-visitors append ' COUNTRY' / ' VISITOR' to
     http_access one-lines only (ResultWriter.cxx:278-301)."""

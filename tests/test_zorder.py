@@ -39,6 +39,35 @@ def test_rank16_order_preserving_for_time(spark):
     assert ranks[1] - ranks[0] == 1  # minute granularity
 
 
+def test_rank16_time_of_day_bounds_and_order(spark):
+    """The in-date time rank must stay within 16 bits for the WHOLE
+    day — the old fractional-minute scaling overflowed to 65579 for
+    23:59:02+, wrapping end-of-day rows next to midnight — and must be
+    monotone in second-of-day."""
+    import datetime as dt
+
+    from pond_spark.sources.zorder import rank16_time_of_day
+
+    t0 = dt.datetime(2024, 1, 1)
+    times = [
+        t0,
+        t0 + dt.timedelta(hours=12),
+        t0 + dt.timedelta(hours=23, minutes=59, seconds=2),  # overflow zone
+        t0 + dt.timedelta(hours=23, minutes=59, seconds=59),
+    ]
+    df = spark.createDataFrame([(t,) for t in times], "ts timestamp")
+    ranks = [
+        r.r
+        for r in df.select(rank16_time_of_day(F.col("ts")).alias("r"))
+        .orderBy("ts")
+        .collect()
+    ]
+    assert ranks == sorted(ranks)
+    assert all(0 <= r <= 65535 for r in ranks), ranks
+    assert ranks[0] == 0 and ranks[-1] == 65535
+    assert ranks[2] > 65000  # end-of-day stays at the top of the range
+
+
 def test_cluster_locality_bounds_both_dims(spark):
     """After z-clustering, consecutive key-ordered chunks span SMALL
     rectangles of (site-hash, minute) space — the property row-group
