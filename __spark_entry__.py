@@ -1995,9 +1995,13 @@ def _ann_ivf_sql() -> str:
     con.close()
     cent = lloyd_centroids([r[0] for r in sample], n_centroids=16, iters=5)
     probes = probe_lists(cent, QUERY_VEC, nprobe=4)
+    # assignment scores are dot(vec, normalized centroid) — same
+    # literals and fold order as the Spark assigner (ivf._assign_expr)
+    from pond_spark.similarity.ivf import normalized_centroids
+
     structs = ", ".join(
-        "{'cos': " + _sql_cos("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
-        for i, c in enumerate(cent)
+        "{'cos': " + _sql_dot("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(normalized_centroids(cent))
     )
     return f"""
 WITH assigned AS (
@@ -2053,9 +2057,11 @@ def _semantic_pairs_sql() -> str:
     cent = lloyd_centroids(
         [r[0] for r in sample], n_centroids=n_centroids, iters=5
     )
+    from pond_spark.similarity.ivf import normalized_centroids
+
     structs = ", ".join(
-        "{'cos': " + _sql_cos("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
-        for i, c in enumerate(cent)
+        "{'cos': " + _sql_dot("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(normalized_centroids(cent))
     )
     return f"""
 WITH assigned AS (

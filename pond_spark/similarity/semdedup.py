@@ -98,11 +98,18 @@ def semantic_pairs(
         df.select(id_col, vec_col), centroids, vec_col, out_col="cluster"
     )
     if cluster_cap is not None:
-        sizes = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("_csize")
-        )
+        # window count, NOT a groupBy-sizes + join-back: a second
+        # aggregate branch would re-run the (C dots per row) assignment
+        # map over the whole table. The window shuffles once on
+        # `cluster` — the exact partitioning the self-join below needs,
+        # so Catalyst reuses the exchange instead of adding one.
+        from pyspark.sql.window import Window
+
         assigned = (
-            assigned.join(F.broadcast(sizes), on="cluster")
+            assigned.withColumn(
+                "_csize",
+                F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+            )
             .filter(F.col("_csize") <= cluster_cap)
             .drop("_csize")
         )
