@@ -2014,6 +2014,26 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index (similarity/index.py): build writes the
+    corpus partitionBy(ivf_list) with precomputed norms + centroid
+    JSON; search reads only the nprobe probed lists via partition
+    pruning. Oracle: the same twin as q_ann_ivf_topk — materializing
+    the lists must not change a single result row."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.similarity.index import build_ivf_index
+    from pond_spark.similarity.ivf import train_centroids
+
+    emb = _embeddings(spark, sf_dir)
+    cent = train_centroids(emb, n_centroids=16, iters=5, sample_n=2048)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_ivf_idx_{tag}")
+    idx = build_ivf_index(emb, path, centroids=cent)
+    return idx.search(QUERY_VEC, k=10, nprobe=4)
+
+
 def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     pair only within clusters, flag pairs at cosine ≥ threshold.
@@ -2263,6 +2283,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
@@ -2341,6 +2362,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "time_today": _time_today_sql,
     "ann_lsh_topk": _ann_lsh_sql,
     "ann_ivf_topk": _ann_ivf_sql,
+    "ann_ivf_index_topk": _ann_ivf_sql,  # persistence is result-invariant
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

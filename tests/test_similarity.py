@@ -124,6 +124,35 @@ def test_ivf_assign_is_deterministic(vectors):
     assert all(0 <= r.ivf_list < 4 for r in a)
 
 
+def test_ivf_index_build_search_prunes_partitions(vectors, tmp_path):
+    """Persisted IVF index: search results equal the in-query ivf_topk
+    (same centroids → same lists → same rounded cosine), and the
+    ivf_list IN-filter prunes at the PARTITION level — the plan must
+    show partition filters, not a full scan of all lists."""
+    from pond_spark.plans import formatted_plan
+    from pond_spark.similarity.index import IVFIndex, build_ivf_index
+    from pond_spark.similarity.ivf import ivf_topk, train_centroids
+
+    q = [0.5] * 16
+    cent = train_centroids(vectors, n_centroids=4, sample_n=102)
+    idx = build_ivf_index(
+        vectors, str(tmp_path / "ivf"), n_centroids=4, centroids=cent
+    )
+    got = idx.search(q, k=5, nprobe=2).collect()
+    want = ivf_topk(vectors, q, k=5, nprobe=2, centroids=cent).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+
+    plan = formatted_plan(idx.search(q, k=5, nprobe=2))
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan
+
+    # reopening from disk restores the quantizer
+    idx2 = IVFIndex(vectors.sparkSession, str(tmp_path / "ivf"))
+    assert idx2.centroids == cent
+    assert idx2.read().count() == 102
+
+
 def test_semantic_pairs_find_planted(vectors):
     """SemDeDup: the planted near-identical vectors (0, 100, 101) land
     in one cluster and pair at cosine ~1."""
