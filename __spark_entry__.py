@@ -2258,6 +2258,71 @@ FROM documents
 """
 
 
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM-WAV decode + audio features, oracle-checked end-to-end
+    like q_media_decode_real: deterministic 64-sample 16-bit mono WAVs
+    (sample k of doc d = ((d*31 + k*17) % 65536) - 32768, 8 kHz) are
+    ENCODED in an Arrow batch step (stdlib wave writer), then decoded
+    by codecs.decode_wav and reduced to INTEGER-exact features
+    (multimodal/binaryops.audio_features_batch). The oracle predicts
+    the decoder's output analytically from the same sample formula —
+    a defect in the WAV writer, the reader, or the feature math shows
+    as a hash mismatch."""
+    import pandas as _pd
+
+    from pond_spark.multimodal.binaryops import audio_features_batch
+    from pond_spark.multimodal.codecs import encode_wav
+
+    base = _fan(_documents(spark, sf_dir)).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def enc(it):
+        import numpy as _np
+
+        for pdf in it:
+            payloads = [
+                encode_wav(
+                    _np.array(
+                        [
+                            ((int(d) * 31 + k * 17) % 65536) - 32768
+                            for k in range(64)
+                        ],
+                        dtype="<i2",
+                    ).tobytes(),
+                    n_channels=1,
+                    sample_rate=8000,
+                    width=2,
+                )
+                for d in pdf["media_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, "media_id long, payload binary")
+    return audio_features_batch(media)
+
+
+MEDIA_AUDIO_SQL = """
+WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+s AS (SELECT d.doc_id AS media_id, k,
+             ((d.doc_id * 31 + k * 17) % 65536) - 32768 AS v
+      FROM documents d CROSS JOIN ks),
+w AS (SELECT media_id, k, v,
+             lag(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
+      FROM s)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM w GROUP BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2290,6 +2355,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_meta": (q_media_meta, MEDIA_META_SQL),
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),

@@ -257,3 +257,81 @@ def frame_sample(
         )
         .select("media_id", "sample_ms")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_features_batch(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """PCM-WAV audio features via Arrow-batched ``mapInPandas`` — the
+    audio sibling of ``decode_media_batch``'s image path, REAL decode
+    (stdlib ``wave``, codecs.decode_wav).
+
+    Features are deliberately INTEGER-exact so a cross-engine oracle
+    can hash them (see PERF_NOTES: any rounded float is tie-prone):
+    ``n_samples``, ``sample_rate``, ``zero_crossings`` (count of
+    sign-boundary flips, (x>=0) changing between adjacent samples),
+    ``sum_abs`` (Σ|x| — the un-normalized loudness numerator) and
+    ``peak`` (max |x|). Undecodable / non-WAV rows yield NULLs instead
+    of failing the batch. 16-bit mono PCM; multi-channel frames are
+    treated as the interleaved stream (crossings count transitions in
+    interleaved order — document-level signal, not per-channel DSP).
+
+    Scale: map-only (no shuffle); numpy vectorized per Arrow batch;
+    the binary column never leaves the scan stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pond_spark.multimodal.codecs import decode_wav
+
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    n, _ch, rate, frames = decode_wav(bytes(b))
+                    x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    nonneg = x >= 0
+                    zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                    rows.append(
+                        (
+                            mid,
+                            n,
+                            rate,
+                            zc,
+                            int(np.abs(x).sum()),
+                            int(np.abs(x).max()) if len(x) else 0,
+                        )
+                    )
+                except Exception:  # undecodable / not PCM WAV
+                    rows.append((mid, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "zero_crossings",
+                    "sum_abs",
+                    "peak",
+                ],
+            )
+            for c in out.columns[1:]:
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return df.select("media_id", payload_col).mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )

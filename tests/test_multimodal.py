@@ -223,3 +223,26 @@ def test_resize_image_batch_stdlib(spark):
     assert (w, h, ch) == (4, 4, 1)
     assert resized[:4] == bytes([0, 0, 50, 50])
     assert out[2].payload is None
+
+
+def test_audio_features_batch_known_signal(spark):
+    """Hand-computable PCM: [100, -100, 100, -100, 0, 0] has 4
+    sign-boundary flips ((x>=0) flips at every +/- transition; 0
+    counts as non-negative so the trailing zeros add one flip at the
+    -100 -> 0 edge), sum_abs 400, peak 100. Junk rows yield NULLs."""
+    import numpy as np
+
+    from pond_spark.multimodal.binaryops import audio_features_batch
+    from pond_spark.multimodal.codecs import encode_wav
+
+    pcm = np.array([100, -100, 100, -100, 0, 0], dtype="<i2").tobytes()
+    rows = [
+        (1, bytearray(encode_wav(pcm, n_channels=1, sample_rate=8000))),
+        (2, bytearray(b"not a wav")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in audio_features_batch(df).collect()}
+    assert out[1].n_samples == 6 and out[1].sample_rate == 8000
+    assert out[1].zero_crossings == 4
+    assert out[1].sum_abs == 400 and out[1].peak == 100
+    assert out[2].n_samples is None and out[2].zero_crossings is None
