@@ -1155,6 +1155,42 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
+    two map-side-combined groupBys → one term-keyed join → per-doc
+    window. The score is integer-quantized (tf * floor(ln(N/df)*1e6))
+    so ranking, cutoff and hash are all exact-integer comparisons —
+    the PERF_NOTES hash-stability rule applied to a ranking metric."""
+    from pond_spark.functions.tfidf import tfidf_keywords
+
+    return tfidf_keywords(_fan(_documents(spark, sf_dir)), k=5, min_df=1)
+
+
+def _tfidf_keywords_sql() -> str:
+    from pond_spark.functions.tfidf import tfidf_keywords_sql
+
+    return tfidf_keywords_sql(k=5, min_df=1)
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language classifier trained AND applied
+    in-engine (functions/nbayes.py — the statistical ancestor of the
+    fastText filters in CCNet-style curation, Wenzek et al. 2020
+    §3.2): deterministic id%5 holdout, Laplace-smoothed token
+    likelihoods, integer-quantized log-probabilities so the per-class
+    score sums and the argmax are exact-BIGINT arithmetic in both
+    engines."""
+    from pond_spark.functions.nbayes import nb_classify
+
+    return nb_classify(_fan(_documents(spark, sf_dir)))
+
+
+def _nb_classify_sql() -> str:
+    from pond_spark.functions.nbayes import nb_classify_sql
+
+    return nb_classify_sql()
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest. The corpus has no exact dups, so
     union a shifted copy to exercise the keep-min-id semantics."""
@@ -2034,6 +2070,74 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(QUERY_VEC, k=10, nprobe=4)
 
 
+def _sql_dist2(a: str, b) -> str:
+    """Squared L2 between a list expression and a literal vector —
+    DuckDB twin of similarity.pq._sub_dist2 (same left-to-right fold)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {_sql_vec(b)}), "
+        "s -> (CAST(s[1] AS DOUBLE) - s[2]) * (CAST(s[1] AS DOUBLE) - s[2]))), "
+        "(a,b)->a+b)"
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (similarity/pq.py): per-subspace
+    codebooks from the same deterministic bounded sample as IVF, ADC
+    shortlist over the 8-byte codes, exact re-rank of refine*k ids.
+    Oracle-checked END-TO-END like ann_ivf_topk: the DuckDB twin
+    derives bit-identical codebooks + lookup tables from the same
+    parquet and replays encode → ADC → shortlist → re-rank in SQL."""
+    from pond_spark.similarity.pq import pq_topk
+
+    return pq_topk(
+        _embeddings(spark, sf_dir), QUERY_VEC, k=10, m=8, ksub=16, refine=5
+    )
+
+
+def _ann_pq_sql() -> str:
+    """Oracle twin of q_ann_pq_topk (shared trainer + ADC tables)."""
+    import duckdb
+
+    from pond_spark.similarity.pq import adc_tables, train_pq_codebooks
+
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    sample = con.execute(
+        f"SELECT embedding FROM read_parquet('{sfdir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 2048"
+    ).fetchall()
+    con.close()
+    m, ksub, k, refine = 8, 16, 10, 5
+    books = train_pq_codebooks([r[0] for r in sample], m=m, ksub=ksub, iters=5)
+    lut_dot, lut_n2, qnorm = adc_tables(books, QUERY_VEC)
+    d = len(books[0][0])
+    code_terms = []
+    for i in range(m):
+        sub = f"embedding[{i * d + 1}:{(i + 1) * d}]"
+        structs = ", ".join(
+            "{'d': " + _sql_dist2(sub, cj) + f", 'c': {j}}}"
+            for j, cj in enumerate(books[i])
+        )
+        code_terms.append(f"(list_min([{structs}])).c")
+    code = "[" + ", ".join(code_terms) + "]"
+
+    def lut_sum(lut) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {m}), "
+            f"i -> ({_sql_vec(lut)})[(i-1)*{ksub} + code[i] + 1])), (a,b)->a+b)"
+        )
+
+    adc = f"round({lut_sum(lut_dot)} / ({qnorm!r} * sqrt({lut_sum(lut_n2)})), 6)"
+    return f"""
+WITH coded AS (SELECT vec_id, {code} AS code FROM embeddings),
+scored AS (SELECT vec_id, {adc} AS adc FROM coded),
+short AS (SELECT vec_id FROM scored ORDER BY adc DESC, vec_id ASC LIMIT {refine * k}),
+rer AS (SELECT e.vec_id AS vec_id, {_sql_cos("e.embedding", _QVEC_SQL)} AS cosine
+        FROM embeddings e JOIN short s ON e.vec_id = s.vec_id)
+SELECT vec_id, cosine FROM rer ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     pair only within clusters, flag pairs at cosine ≥ threshold.
@@ -2349,6 +2453,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
@@ -2356,6 +2461,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
+    "nb_classify": (q_nb_classify, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2429,6 +2536,9 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "ann_lsh_topk": _ann_lsh_sql,
     "ann_ivf_topk": _ann_ivf_sql,
     "ann_ivf_index_topk": _ann_ivf_sql,  # persistence is result-invariant
+    "ann_pq_topk": _ann_pq_sql,
+    "tfidf_keywords": _tfidf_keywords_sql,
+    "nb_classify": _nb_classify_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

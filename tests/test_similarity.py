@@ -191,3 +191,33 @@ def test_semantic_pairs_cluster_cap(vectors):
         ).count()
         == 0
     )
+
+
+def test_pq_encode_shape_and_determinism(vectors):
+    from pond_spark.similarity.pq import pq_encode, train_pq
+
+    books = train_pq(vectors, m=4, ksub=8, sample_n=64)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    coded = pq_encode(vectors, books).select("vec_id", "pq_code")
+    a = {r.vec_id: r.pq_code for r in coded.collect()}
+    b = {r.vec_id: r.pq_code for r in coded.collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+    # near-identical vectors quantize to the same code word
+    assert a[0] == a[100] == a[101]
+
+
+def test_pq_topk_recall(vectors):
+    from pond_spark.similarity.pq import pq_topk
+
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    q = rows[0]
+    brute = [r.vec_id for r in brute_force_topk(vectors, q, k=5).collect()]
+    approx = pq_topk(vectors, q, k=5, m=4, ksub=8, refine=4, sample_n=64)
+    got = [r.vec_id for r in approx.collect()]
+    # the planted near-dups share the query's code word -> ADC ranks
+    # them at the top of the shortlist; exact re-rank must recall them
+    assert set(brute[:3]) <= set(got)
+    # re-ranked scores are exact cosines in descending order
+    scores = [r.cosine for r in approx.collect()]
+    assert scores == sorted(scores, reverse=True)

@@ -109,3 +109,48 @@ def test_perplexity_reference_lm_broadcast(spark):
         ).collect()
     }
     assert out[10].ppl < out[11].ppl
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from pond_spark.functions.tfidf import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the cat and the dog met"),
+            (4, "quantum flux capacitor the the"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_keywords(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # 'the' appears in every doc -> idf 0 -> never a top keyword over
+    # any term with positive idf
+    assert all(r.word != "the" for r in rows.values())
+    # doc 4's uniquely-distinctive terms win, ties broken by term asc
+    assert {rows[(4, 1)].word, rows[(4, 2)].word} <= {
+        "quantum", "flux", "capacitor"
+    }
+    assert rows[(4, 1)].word < rows[(4, 2)].word  # same score_q -> lexicographic
+    # per-doc cutoff respected, all hashed columns integer/string
+    assert max(r.rank for r in rows.values()) == 2
+    assert all(isinstance(r.score_q, int) for r in rows.values())
+
+
+def test_nb_classify_learns_separable_classes(spark):
+    from pond_spark.functions.nbayes import nb_classify
+
+    rows = []
+    for i in range(30):
+        # ids where id % 5 == 0 form the holdout
+        rows.append((i * 2, "aaa bbb ccc aaa", "A"))
+        rows.append((i * 2 + 1, "xxx yyy zzz yyy", "B"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_classify(docs).collect()
+    assert len(out) == 12  # 60 docs, 1/5 held out
+    assert all(r.correct == 1 for r in out)
+    assert all(r.predicted == r.label for r in out)
+    # integer-exact score, deterministic across runs
+    again = {r.doc_id: r.score_q for r in nb_classify(docs).collect()}
+    assert again == {r.doc_id: r.score_q for r in out}
