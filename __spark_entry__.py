@@ -2094,11 +2094,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_pq_sql() -> str:
-    """Oracle twin of q_ann_pq_topk (shared trainer + ADC tables)."""
+def _oracle_emb_sample() -> list:
+    """The shared bounded training sample, read with DuckDB from the
+    sf dir the driver oracles at (override via
+    SPARK_GRAFT_ORACLE_SF_DIR for tools/oracle_check.py sweeps)."""
     import duckdb
-
-    from pond_spark.similarity.pq import adc_tables, train_pq_codebooks
 
     sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
@@ -2107,10 +2107,13 @@ def _ann_pq_sql() -> str:
         "ORDER BY vec_id LIMIT 2048"
     ).fetchall()
     con.close()
-    m, ksub, k, refine = 8, 16, 10, 5
-    books = train_pq_codebooks([r[0] for r in sample], m=m, ksub=ksub, iters=5)
-    lut_dot, lut_n2, qnorm = adc_tables(books, QUERY_VEC)
-    d = len(books[0][0])
+    return [r[0] for r in sample]
+
+
+def _sql_pq_code(books) -> str:
+    """DuckDB twin of similarity.pq.encode_expr over the same literal
+    codebooks: per-subspace argmin via list_min over (d, c) structs."""
+    m, d = len(books), len(books[0][0])
     code_terms = []
     for i in range(m):
         sub = f"embedding[{i * d + 1}:{(i + 1) * d}]"
@@ -2119,7 +2122,16 @@ def _ann_pq_sql() -> str:
             for j, cj in enumerate(books[i])
         )
         code_terms.append(f"(list_min([{structs}])).c")
-    code = "[" + ", ".join(code_terms) + "]"
+    return "[" + ", ".join(code_terms) + "]"
+
+
+def _sql_pq_adc(books) -> str:
+    """DuckDB twin of similarity.pq.adc_cosine_expr (same LUTs, same
+    left-to-right fold over a ``code`` column)."""
+    from pond_spark.similarity.pq import adc_tables
+
+    m, ksub = len(books), len(books[0])
+    lut_dot, lut_n2, qnorm = adc_tables(books, QUERY_VEC)
 
     def lut_sum(lut) -> str:
         return (
@@ -2127,13 +2139,73 @@ def _ann_pq_sql() -> str:
             f"i -> ({_sql_vec(lut)})[(i-1)*{ksub} + code[i] + 1])), (a,b)->a+b)"
         )
 
-    adc = f"round({lut_sum(lut_dot)} / ({qnorm!r} * sqrt({lut_sum(lut_n2)})), 6)"
+    return f"round({lut_sum(lut_dot)} / ({qnorm!r} * sqrt({lut_sum(lut_n2)})), 6)"
+
+
+def _ann_pq_sql() -> str:
+    """Oracle twin of q_ann_pq_topk (shared trainer + ADC tables)."""
+    from pond_spark.similarity.pq import train_pq_codebooks
+
+    m, ksub, k, refine = 8, 16, 10, 5
+    books = train_pq_codebooks(_oracle_emb_sample(), m=m, ksub=ksub, iters=5)
     return f"""
-WITH coded AS (SELECT vec_id, {code} AS code FROM embeddings),
-scored AS (SELECT vec_id, {adc} AS adc FROM coded),
+WITH coded AS (SELECT vec_id, {_sql_pq_code(books)} AS code FROM embeddings),
+scored AS (SELECT vec_id, {_sql_pq_adc(books)} AS adc FROM coded),
 short AS (SELECT vec_id FROM scored ORDER BY adc DESC, vec_id ASC LIMIT {refine * k}),
 rer AS (SELECT e.vec_id AS vec_id, {_sql_cos("e.embedding", _QVEC_SQL)} AS cosine
         FROM embeddings e JOIN short s ON e.vec_id = s.vec_id)
+SELECT vec_id, cosine FROM rer ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (similarity/index.py + pq.py — the FAISS IndexIVFPQ
+    shape): persisted index with coarse partition pruning AND stored
+    PQ codes; search prunes to nprobe partition directories, ranks
+    the shortlist from the m-byte code column alone (parquet column
+    pruning — vectors unread in the scan), then re-ranks exactly.
+    Oracle replays assign → probe → encode → ADC → re-rank in DuckDB
+    from bit-identical centroids + codebooks."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.similarity.index import build_ivf_index
+
+    emb = _embeddings(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_ivfpq_idx_{tag}")
+    idx = build_ivf_index(
+        emb, path, n_centroids=16, iters=5, sample_n=2048, pq_m=8, pq_ksub=16
+    )
+    return idx.search_adc(QUERY_VEC, k=10, nprobe=4, refine=5)
+
+
+def _ann_ivfpq_sql() -> str:
+    """Oracle twin of q_ann_ivfpq_topk (shared centroids + codebooks)."""
+    from pond_spark.similarity.ivf import lloyd_centroids, probe_lists
+    from pond_spark.similarity.ivf import normalized_centroids
+    from pond_spark.similarity.pq import train_pq_codebooks
+
+    sample = _oracle_emb_sample()
+    m, ksub, k, refine = 8, 16, 10, 5
+    cent = lloyd_centroids(sample, n_centroids=16, iters=5)
+    probes = probe_lists(cent, QUERY_VEC, nprobe=4)
+    books = train_pq_codebooks(sample, m=m, ksub=ksub, iters=5)
+    structs = ", ".join(
+        "{'cos': " + _sql_dot("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(normalized_centroids(cent))
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, (list_max([{structs}])).cid AS ivf_list
+  FROM embeddings),
+cand AS (SELECT vec_id, embedding FROM assigned
+         WHERE ivf_list IN ({", ".join(str(p) for p in probes)})),
+coded AS (SELECT vec_id, {_sql_pq_code(books)} AS code FROM cand),
+scored AS (SELECT vec_id, {_sql_pq_adc(books)} AS adc FROM coded),
+short AS (SELECT vec_id FROM scored ORDER BY adc DESC, vec_id ASC LIMIT {refine * k}),
+rer AS (SELECT c.vec_id AS vec_id, {_sql_cos("c.embedding", _QVEC_SQL)} AS cosine
+        FROM cand c JOIN short s ON c.vec_id = s.vec_id)
 SELECT vec_id, cosine FROM rer ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
@@ -2454,6 +2526,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
@@ -2537,6 +2610,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "ann_ivf_topk": _ann_ivf_sql,
     "ann_ivf_index_topk": _ann_ivf_sql,  # persistence is result-invariant
     "ann_pq_topk": _ann_pq_sql,
+    "ann_ivfpq_topk": _ann_ivfpq_sql,
     "tfidf_keywords": _tfidf_keywords_sql,
     "nb_classify": _nb_classify_sql,
     "semantic_pairs": _semantic_pairs_sql,

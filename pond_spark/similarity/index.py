@@ -29,6 +29,13 @@ already matches).
 No counterpart in the reference (pond has no vector surface); the
 layout mirrors FAISS IndexIVFFlat re-expressed as parquet partitioning
 (Johnson et al. 2017, "Billion-scale similarity search with GPUs").
+
+With ``pq_m`` set, ``build()`` additionally trains per-subspace PQ
+codebooks (similarity/pq.py) and stores the m-byte ``pq_code`` next to
+each vector — FAISS IndexIVFPQ: ``search_adc()`` prunes to the probed
+partitions, ranks candidates from the CODE COLUMN ALONE (parquet
+column pruning means the shortlist stage never reads the 32x-larger
+vector column), then re-ranks ``refine*k`` ids exactly.
 """
 
 from __future__ import annotations
@@ -61,8 +68,12 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    pq_m: int | None = None,
+    pq_ksub: int = 16,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> "IVFIndex":
-    """Train, assign, and write ``df`` as an IVF-partitioned table."""
+    """Train, assign, and write ``df`` as an IVF-partitioned table.
+    ``pq_m`` adds a PQ code column (IVFPQ) for ADC search."""
     if centroids is None:
         centroids = train_centroids(
             df, n_centroids, iters, sample_n, vec_col, id_col
@@ -70,6 +81,18 @@ def build_ivf_index(
     assigned = ivf_assign(df, centroids, vec_col).withColumn(
         "_vnorm", _norm(F.col(vec_col))
     )
+    if pq_m is not None and pq_codebooks is None:
+        from pond_spark.similarity.pq import train_pq
+
+        pq_codebooks = train_pq(
+            df, pq_m, pq_ksub, iters, sample_n, vec_col, id_col
+        )
+    if pq_codebooks is not None:
+        from pond_spark.similarity.pq import encode_expr
+
+        assigned = assigned.withColumn(
+            "pq_code", encode_expr(F.col(vec_col), pq_codebooks)
+        )
     # one shuffle keyed on the list id keeps each directory to a few
     # writer tasks instead of one small file per input task per list
     assigned.repartition("ivf_list").write.mode("overwrite").partitionBy(
@@ -79,6 +102,7 @@ def build_ivf_index(
         "vec_col": vec_col,
         "id_col": id_col,
         "centroids": centroids,
+        "pq_codebooks": pq_codebooks,
     }
     with open(os.path.join(path, _META), "w") as fh:
         json.dump(meta, fh)
@@ -96,6 +120,9 @@ class IVFIndex:
         self.centroids: list[list[float]] = meta["centroids"]
         self.vec_col: str = meta["vec_col"]
         self.id_col: str = meta["id_col"]
+        self.pq_codebooks: list[list[list[float]]] | None = meta.get(
+            "pq_codebooks"
+        )
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -114,6 +141,52 @@ class IVFIndex:
         return (
             self.read()
             .filter(F.col("ivf_list").isin(probes))
+            .select(
+                F.col(self.id_col),
+                F.round(
+                    _dot(F.col(self.vec_col), qlit)
+                    / (F.col("_vnorm") * F.lit(qnorm)),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+    def search_adc(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        refine: int = 5,
+    ) -> DataFrame:
+        """IVFPQ search: partition-pruned ADC shortlist from the code
+        column alone (column pruning — the vector column is never read
+        in the ranking scan), exact re-rank of ``refine*k`` ids using
+        the stored vectors + norms."""
+        if self.pq_codebooks is None:
+            raise ValueError(
+                "index was built without PQ codes — build with pq_m set "
+                "to enable search_adc, or use search() for IVF-Flat"
+            )
+        from pond_spark.similarity.pq import adc_cosine_expr
+
+        probes = probe_lists(self.centroids, query_vec, nprobe)
+        pruned = self.read().filter(F.col("ivf_list").isin(probes))
+        short = (
+            pruned.select(
+                F.col(self.id_col),
+                adc_cosine_expr(
+                    F.col("pq_code"), self.pq_codebooks, query_vec
+                ).alias("adc"),
+            )
+            .orderBy(F.col("adc").desc(), F.col(self.id_col).asc())
+            .limit(refine * k)
+        )
+        qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+        qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
+        return (
+            pruned.join(short.select(self.id_col), self.id_col)
             .select(
                 F.col(self.id_col),
                 F.round(

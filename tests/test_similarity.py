@@ -221,3 +221,45 @@ def test_pq_topk_recall(vectors):
     # re-ranked scores are exact cosines in descending order
     scores = [r.cosine for r in approx.collect()]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_index_adc_search(vectors, tmp_path):
+    """IVFPQ: build stores pq_code next to each vector; search_adc
+    prunes partitions AND ranks the shortlist from the code column
+    alone (the ADC scan's ReadSchema must not include the vector
+    column), then re-ranks exactly — the planted near-dups of the
+    query vector must come back on top."""
+    from pond_spark.plans import formatted_plan
+    from pond_spark.similarity.index import IVFIndex, build_ivf_index
+
+    rows = {r.vec_id: r.embedding for r in vectors.collect()}
+    q = rows[0]
+    idx = build_ivf_index(
+        vectors, str(tmp_path / "ivfpq"), n_centroids=4, sample_n=102,
+        pq_m=4, pq_ksub=8,
+    )
+    got = idx.search_adc(q, k=5, nprobe=2, refine=4).collect()
+    assert {got[0].vec_id, got[1].vec_id, got[2].vec_id} == {0, 100, 101}
+    scores = [r.cosine for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # the ADC shortlist stage reads codes, not vectors: assert on the
+    # scan schema of the shortlist plan alone
+    books = idx.pq_codebooks
+    from pyspark.sql import functions as F
+
+    from pond_spark.similarity.pq import adc_cosine_expr
+
+    shortlist = (
+        idx.read()
+        .filter(F.col("ivf_list").isin([0, 1]))
+        .select("vec_id", adc_cosine_expr(F.col("pq_code"), books, q).alias("adc"))
+    )
+    plan = formatted_plan(shortlist)
+    readschema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert readschema and all("embedding" not in l for l in readschema), plan
+
+    # reopen restores the codebooks; flat search still works
+    idx2 = IVFIndex(vectors.sparkSession, str(tmp_path / "ivfpq"))
+    assert idx2.pq_codebooks == books
+    assert idx2.search(q, k=3, nprobe=2).count() == 3
