@@ -1191,6 +1191,29 @@ def _nb_classify_sql() -> str:
     return nb_classify_sql()
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card profile (operators/profile.py).
+    The corpus has no exact dups, so a shifted copy is unioned (the
+    dedup_exact fixture) to make the duplicate-mass columns non-zero."""
+    from pond_spark.operators.profile import corpus_profile
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text", "source", "lang")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source", "lang"
+    )
+    return corpus_profile(docs.unionAll(dup))
+
+
+def _corpus_profile_sql() -> str:
+    from pond_spark.operators.profile import corpus_profile_sql
+
+    return corpus_profile_sql(
+        table="""(SELECT doc_id, text, source, lang FROM documents
+ UNION ALL SELECT doc_id + 1000000, text, source, lang
+ FROM documents WHERE doc_id % 10 = 0)"""
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest. The corpus has no exact dups, so
     union a shifted copy to exercise the keep-min-id semantics."""
@@ -2536,6 +2559,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
+    "corpus_profile": (q_corpus_profile, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2613,6 +2637,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "ann_ivfpq_topk": _ann_ivfpq_sql,
     "tfidf_keywords": _tfidf_keywords_sql,
     "nb_classify": _nb_classify_sql,
+    "corpus_profile": _corpus_profile_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

@@ -1,0 +1,62 @@
+"""Corpus profiling — the per-slice "dataset card" aggregate every
+training-data pipeline publishes next to a release: per (source,
+language) document counts, token/char volume, exact-duplicate mass.
+
+Beyond the reference surface (pond's only corpus-level view is STATS,
+S11); this is the documents-table analog: one map-side-combined
+groupBy over narrow derived columns (token count and content digest
+are per-row expressions, no joins), so at 100 TB it is a single
+shuffle of ~n_groups partial aggregates per mapper.
+
+Hash-stability: every output column is an exact integer — duplicate
+mass is reported as parts-per-million via INTEGER division (both
+engines floor the non-negative ratio identically), never a rounded
+float ratio (PERF_NOTES rule).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.functions.text import token_count, token_count_sql
+
+
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: Sequence[str] = ("source", "lang"),
+) -> DataFrame:
+    """Per-group ``(n_docs, n_tokens, n_chars, n_unique, dup_ppm)``."""
+    t = F.col(text_col)
+    return (
+        docs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(t)).alias("n_tokens"),
+            F.sum(F.length(t)).alias("n_chars"),
+            F.count_distinct(F.sha2(t, 256)).alias("n_unique"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("(n_docs - n_unique) * 1000000 div n_docs"),
+        )
+    )
+
+
+def corpus_profile_sql(
+    table: str = "documents", group_cols: Sequence[str] = ("source", "lang")
+) -> str:
+    """DuckDB twin — identical tokenization, digest and ppm division."""
+    g = ", ".join(group_cols)
+    tc = token_count_sql("text")
+    return f"""
+SELECT {g}, count(*) AS n_docs,
+       sum({tc}) AS n_tokens,
+       sum(length(text)) AS n_chars,
+       count(DISTINCT sha256(text)) AS n_unique,
+       (count(*) - count(DISTINCT sha256(text))) * 1000000 // count(*) AS dup_ppm
+FROM {table} GROUP BY {g}
+"""

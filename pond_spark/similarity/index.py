@@ -127,6 +127,26 @@ class IVFIndex:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def append(self, df: DataFrame) -> None:
+        """Incremental maintenance: assign new vectors with the STORED
+        quantizer (+ stored PQ codebooks when present) and append them
+        to their list directories — no retrain, no rewrite of existing
+        lists. At 100 TB this is the steady-state ingest path; retrain
+        (a fresh ``build_ivf_index``) only when drift makes the list
+        sizes lopsided."""
+        assigned = ivf_assign(df, self.centroids, self.vec_col).withColumn(
+            "_vnorm", _norm(F.col(self.vec_col))
+        )
+        if self.pq_codebooks is not None:
+            from pond_spark.similarity.pq import encode_expr
+
+            assigned = assigned.withColumn(
+                "pq_code", encode_expr(F.col(self.vec_col), self.pq_codebooks)
+            )
+        assigned.repartition("ivf_list").write.mode("append").partitionBy(
+            "ivf_list"
+        ).parquet(self.path)
+
     def search(
         self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4
     ) -> DataFrame:

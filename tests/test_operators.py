@@ -345,3 +345,23 @@ def test_with_deltas_and_retention(spark):
     assert ret[1].active_users == 2 and ret[1].retained_users == 0
     assert ret[2].active_users == 2 and ret[2].retained_users == 1
     assert ret[2].retention == 0.5
+
+
+def test_corpus_profile_integer_exact(spark):
+    from pond_spark.operators.profile import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "s1", "en"),
+            (2, "one two three", "s1", "en"),  # exact dup of 1
+            (3, "vier fünf", "s1", "de"),
+            (4, "", "s2", "en"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    out = {(r.source, r.lang): r for r in corpus_profile(docs).collect()}
+    en = out[("s1", "en")]
+    assert (en.n_docs, en.n_tokens, en.n_unique) == (2, 6, 1)
+    assert en.dup_ppm == 500_000  # half the slice is duplicate mass
+    assert out[("s2", "en")].n_tokens == 0
+    assert out[("s1", "de")].dup_ppm == 0

@@ -263,3 +263,24 @@ def test_ivfpq_index_adc_search(vectors, tmp_path):
     idx2 = IVFIndex(vectors.sparkSession, str(tmp_path / "ivfpq"))
     assert idx2.pq_codebooks == books
     assert idx2.search(q, k=3, nprobe=2).count() == 3
+
+
+def test_ivf_index_append_no_retrain(vectors, tmp_path):
+    """Appended vectors are assigned with the STORED quantizer and
+    become searchable; existing rows are untouched."""
+    from pond_spark.similarity.index import build_ivf_index
+
+    idx = build_ivf_index(
+        vectors, str(tmp_path / "ivf_app"), n_centroids=4, sample_n=102,
+        pq_m=4, pq_ksub=8,
+    )
+    q = [r.embedding for r in vectors.filter("vec_id = 0").collect()][0]
+    before = idx.read().count()
+    extra = vectors.sparkSession.createDataFrame(
+        [(500, [x + 0.005 for x in q])], "vec_id long, embedding array<double>"
+    )
+    idx.append(extra)
+    assert idx.read().count() == before + 1
+    # the appended near-dup of the query lands in the searched lists
+    got = [r.vec_id for r in idx.search_adc(q, k=5, nprobe=2).collect()]
+    assert 500 in got and 0 in got
