@@ -1191,6 +1191,24 @@ def _nb_classify_sql() -> str:
     return nb_classify_sql()
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 64-token
+    chunks with 8-token overlap — a single shuffle-free projection
+    stage (tokenize → sequence → explode → slice), embarrassingly
+    parallel at any scale."""
+    from pond_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _fan(_documents(spark, sf_dir)), chunk_tokens=64, overlap=8
+    )
+
+
+def _chunk_documents_sql() -> str:
+    from pond_spark.operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_tokens=64, overlap=8)
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) dataset-card profile (operators/profile.py).
     The corpus has no exact dups, so a shifted copy is unioned (the
@@ -2560,6 +2578,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2638,6 +2657,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "tfidf_keywords": _tfidf_keywords_sql,
     "nb_classify": _nb_classify_sql,
     "corpus_profile": _corpus_profile_sql,
+    "chunk_documents": _chunk_documents_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

@@ -365,3 +365,38 @@ def test_corpus_profile_integer_exact(spark):
     assert en.dup_ppm == 500_000  # half the slice is duplicate mass
     assert out[("s2", "en")].n_tokens == 0
     assert out[("s1", "de")].dup_ppm == 0
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pond_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect())
+    )
+    # doc 1: stride 3 -> starts 0,3,6,9; start 9 covers only w9 which
+    # is already inside the start-6 chunk's overlap? no: 6..9 covers
+    # w6 w7 w8 w9; start 9 adds nothing beyond n=10 -> 9+1 < 10 fails
+    assert [(c, t) for (d, c, n, t) in rows if d == 1] == [
+        (0, "w0 w1 w2 w3"),
+        (1, "w3 w4 w5 w6"),
+        (2, "w6 w7 w8 w9"),
+    ]
+    # short doc -> one chunk, its full text
+    assert [(c, n, t) for (d, c, n, t) in rows if d == 2] == [(0, 2, "a b")]
+    # empty doc -> single empty-token chunk (split('') == [''])
+    assert [(c, n) for (d, c, n, _) in rows if d == 3] == [(0, 1)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from pond_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
