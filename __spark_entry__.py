@@ -1993,7 +1993,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against a fixed query vector."""
     from pond_spark.similarity import brute_force_topk
 
-    return brute_force_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10)
+    return brute_force_topk(_fan(_embeddings(spark, sf_dir)), QUERY_VEC, k=10)
 
 
 EMBEDDING_TOPK_SQL = f"""
@@ -2019,7 +2019,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented trade, asserted in tests.)"""
     from pond_spark.similarity import lsh_topk
 
-    return lsh_topk(_embeddings(spark, sf_dir), QUERY_VEC, k=10, nbits=6)
+    return lsh_topk(_fan(_embeddings(spark, sf_dir)), QUERY_VEC, k=10, nbits=6)
 
 
 def _ann_lsh_sql() -> str:
@@ -2051,7 +2051,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.similarity import ivf_topk
 
     return ivf_topk(
-        _embeddings(spark, sf_dir), QUERY_VEC, k=10, n_centroids=16, nprobe=4
+        _fan(_embeddings(spark, sf_dir)), QUERY_VEC, k=10, n_centroids=16, nprobe=4
     )
 
 
@@ -2103,7 +2103,7 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.similarity.index import build_ivf_index
     from pond_spark.similarity.ivf import train_centroids
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _fan(_embeddings(spark, sf_dir))
     cent = train_centroids(emb, n_centroids=16, iters=5, sample_n=2048)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_ivf_idx_{tag}")
@@ -2131,7 +2131,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.similarity.pq import pq_topk
 
     return pq_topk(
-        _embeddings(spark, sf_dir), QUERY_VEC, k=10, m=8, ksub=16, refine=5
+        _fan(_embeddings(spark, sf_dir)), QUERY_VEC, k=10, m=8, ksub=16, refine=5
     )
 
 
@@ -2212,7 +2212,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pond_spark.similarity.index import build_ivf_index
 
-    emb = _embeddings(spark, sf_dir)
+    emb = _fan(_embeddings(spark, sf_dir))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_ivfpq_idx_{tag}")
     idx = build_ivf_index(
@@ -2268,7 +2268,7 @@ def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives the identical values from the same row count."""
     from pond_spark.similarity.semdedup import semantic_pairs
 
-    return semantic_pairs(_embeddings(spark, sf_dir), threshold=0.35)
+    return semantic_pairs(_fan(_embeddings(spark, sf_dir)), threshold=0.35)
 
 
 def _semantic_pairs_sql() -> str:
@@ -2323,7 +2323,8 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.similarity.brute import knn_join
 
     emb = _embeddings(spark, sf_dir)
-    return knn_join(emb.filter(F.col("vec_id") < 50), emb, k=3)
+    # fan the probe side: the broadcast cross-score runs on ITS partitions
+    return knn_join(_fan(emb.filter(F.col("vec_id") < 50)), emb, k=3)
 
 
 _COS_SQL = """round(
@@ -2354,7 +2355,7 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings' max pairwise cosine is ~0.48 — use a
     # threshold that exercises the verify step with nonzero results
     return embedding_near_pairs(
-        _embeddings(spark, sf_dir), dim=64, threshold=0.35, nbits=4
+        _fan(_embeddings(spark, sf_dir)), dim=64, threshold=0.35, nbits=4
     )
 
 

@@ -96,17 +96,27 @@ def _assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     n_centroids*dim terms in one projection, which exceeds Janino's
     64 KB generated-method limit — Spark disables whole-stage codegen
     for the stage and evaluates the giant tree interpreted, ~8x
-    slower end-to-end (38.7 s vs 4.6 s for ann_ivf_topk)."""
+    slower end-to-end (38.7 s vs 4.6 s for ann_ivf_topk).
+
+    Plan-size discipline (round 3): the scoring is ONE ``transform``
+    over a nested literal centroid array instead of n_centroids
+    separate dot folds — identical arithmetic and fold order, but a
+    constant number of lambda nodes instead of 2*n_centroids, which
+    cuts Catalyst analysis of the assignment stage ~10x at √N-scaled
+    centroid counts (semantic_pairs runs ~100 at sf0.1)."""
     from pond_spark.similarity.brute import _dot
 
-    scored = [
-        F.struct(
-            _dot(vec, F.array(*[F.lit(x) for x in c])).alias("cos"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(normalized_centroids(centroids))
-    ]
-    return F.array_max(F.array(*scored)).getField("cid")
+    cents = F.array(
+        *[
+            F.array(*[F.lit(x) for x in c])
+            for c in normalized_centroids(centroids)
+        ]
+    )
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(_dot(vec, c).alias("cos"), i.alias("cid")),
+    )
+    return F.array_max(scored).getField("cid")
 
 
 def ivf_assign(

@@ -98,10 +98,9 @@ def train_pq(
     return train_pq_codebooks([r[1] for r in rows], m, ksub, iters)
 
 
-def _sub_dist2(sub: Column, centroid: Sequence[float]) -> Column:
-    """Squared L2 between a subvector column and a literal centroid,
+def _sub_dist2(sub: Column, c: Column) -> Column:
+    """Squared L2 between a subvector column and a centroid array,
     folded strictly left-to-right in double."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
     return F.aggregate(
         F.zip_with(
             sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
@@ -114,19 +113,32 @@ def _sub_dist2(sub: Column, centroid: Sequence[float]) -> Column:
 def encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """``array<int>`` of per-subspace nearest-centroid codes. argmin
     via array_min over (dist, code) structs — lexicographic struct
-    compare gives lowest-code tie-break, matching lloyd_l2/numpy."""
+    compare gives lowest-code tie-break, matching lloyd_l2/numpy.
+
+    Plan-size discipline: the per-subspace scoring is ONE ``transform``
+    over a nested literal centroid array, not ksub separate aggregate
+    expressions — identical arithmetic and fold order, but m*(a few)
+    lambda nodes instead of m*ksub*2, which cuts Catalyst
+    analysis/codegen of the encode stage ~10x (the same lesson as the
+    unrolled-dot Janino note in similarity/brute.py)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     codes = []
     for i in range(m):
         sub = F.slice(vec, i * d + 1, d)
-        scored = [
-            F.struct(
-                _sub_dist2(sub, cj).alias("d"), F.lit(j).alias("c")
-            )
-            for j, cj in enumerate(codebooks[i])
-        ]
-        codes.append(F.array_min(F.array(*scored)).getField("c"))
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in cj])
+                for cj in codebooks[i]
+            ]
+        )
+        scored = F.transform(
+            cents,
+            lambda c, j: F.struct(
+                _sub_dist2(sub, c).alias("d"), j.alias("c")
+            ),
+        )
+        codes.append(F.array_min(scored).getField("c"))
     return F.array(*codes)
 
 
