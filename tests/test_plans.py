@@ -197,3 +197,35 @@ def test_pack_shards_no_global_window_on_table(spark, entry):
     # exactly one SinglePartition exchange (bucket totals), not two —
     # the per-row window partitions on the bucket key instead
     assert plan.count("SinglePartition") == 1, plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, entry):
+    """Chunking claims embarrassing parallelism: tokenize → sequence →
+    explode → slice with no joins or windows — the plan must contain
+    ZERO exchanges beyond the fan-out repartition of the one-file scan
+    (which disappears on a real cluster)."""
+    from pond_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    assert count_exchanges(df) == 0, formatted_plan(df)
+
+
+def test_tfidf_partial_aggregates(spark, entry):
+    """Both groupBys (per-(doc, term) TF and per-term DF) must combine
+    map-side before their shuffles."""
+    df = entry.q_tfidf_keywords(spark, SF)
+    assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_corpus_profile_two_level_distinct(spark, entry):
+    """One groupBy over per-row derived columns. The exact
+    count-distinct digest forces Spark's two-level distinct plan —
+    partial by (group, digest), exchange, then the final group merge —
+    so exactly TWO exchanges and map-side partials, never a third."""
+    from pond_spark.operators.profile import corpus_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = corpus_profile(docs)
+    assert count_exchanges(df) == 2, formatted_plan(df)
+    assert has_partial_aggregate(df), formatted_plan(df)
