@@ -103,3 +103,33 @@ def write_raw(df: DataFrame, path: str) -> None:
     """S7 raw sink: lossless row round-trip (re-injectable via
     LogStore.append / S2)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def write_packet_socket(df: DataFrame, address: str) -> None:
+    """S8 packet-socket sink (ResultWriter.cxx:63-75,112-120,368-371):
+    when the reference client's stdout is a datagram/seqpacket socket
+    it emits one raw datagram per record instead of a byte stream.
+    Engine mapping: re-serialize each row to the engine's wire format
+    — the JSON datagram encoding the S1 receiver parses, null fields
+    absent — and send ONE datagram per record to a local AF_UNIX
+    SOCK_DGRAM socket, one connection per partition (foreachPartition;
+    no driver collection — each executor streams its own partitions).
+    Records round-trip losslessly through sources.ingest.ingest_batch."""
+    lines = df.select(
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "true"}
+        ).alias("dgram")
+    )
+
+    def _send(rows) -> None:
+        import socket
+
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        try:
+            s.connect(address)
+            for r in rows:
+                s.send(r.dgram.encode("utf-8"))
+        finally:
+            s.close()
+
+    lines.foreachPartition(_send)

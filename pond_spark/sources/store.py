@@ -197,3 +197,29 @@ class LogStore:
         finally:
             self.spark.conf.set(mode_key, prev)
         return report
+
+
+def auto_clone(
+    store: "LogStore", candidate_paths: list[str]
+) -> str | None:
+    """S4 auto-clone, minus the Zeroconf hop (the reference discovers
+    peers over mDNS and is a deployment concern — SURVEY §2.1; here
+    candidates are passed explicitly). The selection rule IS the
+    reference's (/root/reference/src/AutoClone.cxx:45-362): ask every
+    peer for its STATS, pick the one holding the most records, clone
+    wholesale from it; peers that fail the probe are skipped exactly
+    as the reference skips peers that fail STATS. Returns the chosen
+    path, or None when no candidate is readable/non-empty (the
+    reference gives up and keeps its own DB)."""
+    best_path, best_n = None, 0
+    for p in candidate_paths:
+        try:
+            n = LogStore(store.spark, p).read().count()
+        except Exception:  # unreadable peer — skip, like a failed STATS
+            continue
+        if n > best_n:
+            best_path, best_n = p, n
+    if best_path is None:
+        return None
+    store.clone_from(LogStore(store.spark, best_path))
+    return best_path

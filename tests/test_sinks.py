@@ -114,3 +114,54 @@ def test_write_per_site_visitor_scope_resets(spark, tmp_path):
     assert alpha != {"-"} and beta != {"-"}
     assert len(alpha) == 1  # same visitor within the 30-min window
     assert alpha.isdisjoint(beta)  # per-file scope: ids reset
+
+
+def test_write_packet_socket_roundtrip(logs, tmp_path):
+    """S8: one datagram per record to an AF_UNIX DGRAM socket; the
+    received datagrams re-ingest losslessly through the S1 parser."""
+    import socket
+
+    from pond_spark.sinks.writers import write_packet_socket
+    from pond_spark.sources.ingest import parse_datagrams
+
+    addr = str(tmp_path / "pond.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind(addr)
+    rx.settimeout(30)
+    try:
+        write_packet_socket(logs, addr)
+        dgrams = [rx.recv(65536).decode() for _ in range(8)]
+    finally:
+        rx.close()
+    assert len(dgrams) == 8
+    spark = logs.sparkSession
+    back = (
+        parse_datagrams(
+            spark.createDataFrame([(d,) for d in dgrams], ["payload"])
+        )
+        .filter("NOT _malformed")
+        .select("_rec.*")
+    )
+    got = {(r.site, r.http_status) for r in back.collect()}
+    want = {(r.site, r.http_status) for r in logs.collect()}
+    assert got == want
+
+
+def test_auto_clone_picks_biggest_peer(logs, tmp_path):
+    """S4 (minus Zeroconf): probe candidates, clone from the one with
+    the most records, skip unreadable peers."""
+    from pond_spark.sources.store import LogStore, auto_clone
+
+    spark = logs.sparkSession
+    small = LogStore(spark, str(tmp_path / "small"))
+    small.append(logs.limit(3))
+    big = LogStore(spark, str(tmp_path / "big"))
+    big.append(logs)
+    dst = LogStore(spark, str(tmp_path / "dst"))
+    chosen = auto_clone(
+        dst, [str(tmp_path / "missing"), small.path, big.path]
+    )
+    assert chosen == big.path
+    assert dst.read().count() == logs.count()
+    # no readable peer -> None, destination untouched
+    assert auto_clone(dst, [str(tmp_path / "nope")]) is None
