@@ -1155,6 +1155,26 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+#: fixed BM25 query shared by Spark and the oracle
+BM25_TERMS = ("vector", "hash", "stream", "window")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 for a fixed bag of query terms
+    (functions/bm25.py): early postings filter, two narrow-key
+    shuffles, broadcast corpus stats, integer-quantized per-term
+    contributions so the doc scores are exact BIGINT sums."""
+    from pond_spark.functions.bm25 import bm25_search
+
+    return bm25_search(_fan(_documents(spark, sf_dir)), BM25_TERMS, k=25)
+
+
+def _bm25_search_sql() -> str:
+    from pond_spark.functions.bm25 import bm25_search_sql
+
+    return bm25_search_sql(BM25_TERMS, k=25)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
     two map-side-combined groupBys → one term-keyed join → per-doc
@@ -2577,6 +2597,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
+    "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
@@ -2656,6 +2677,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "ann_pq_topk": _ann_pq_sql,
     "ann_ivfpq_topk": _ann_ivfpq_sql,
     "tfidf_keywords": _tfidf_keywords_sql,
+    "bm25_search": _bm25_search_sql,
     "nb_classify": _nb_classify_sql,
     "corpus_profile": _corpus_profile_sql,
     "chunk_documents": _chunk_documents_sql,

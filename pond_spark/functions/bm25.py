@@ -1,0 +1,117 @@
+"""BM25 keyword retrieval over the documents corpus — the lexical
+complement to the vector-similarity family (similarity/): rank
+documents for a bag of query terms with Okapi BM25 (Robertson &
+Walker, SIGIR'94; the k1/b form every search engine ships).
+
+Beyond the reference surface (pond has no text retrieval); pairs with
+functions/tfidf.py (same explode/groupBy skeleton, a query-conditioned
+scorer instead of a per-doc profile).
+
+Shape: the term filter (``word IN query_terms``) lands right after the
+explode, so everything downstream — per-(doc, term) TF, per-term DF,
+the doc-length join — is sized by the MATCHING postings, not the
+corpus. Doc lengths are one map-side-combined groupBy; corpus stats
+(N, total length) are a single-row broadcast. At 100 TB this is: one
+exploded scan with an early filter, two narrow-key shuffles, a top-k.
+
+Numeric determinism: the per-(doc, term) BM25 contribution is computed
+as ONE double expression with identical literals and operation order
+in both engines, then floor-quantized to an integer; per-doc scores
+are exact BIGINT sums of those, so ranking, cutoff and hash never
+compare raw floats (PERF_NOTES hash-stability rule)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pond_spark.functions.text import _words
+
+#: score quantization scale (6 decimal digits of the BM25 score)
+BM25_SCALE = 1_000_000
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` docs for ``query_terms``:
+    ``(doc_id, n_terms, score_q)`` — integer columns, ties by id."""
+    terms = [t.lower() for t in query_terms]
+    w = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    dl = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        w.filter(F.col("word").isin(terms))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("word").agg(F.count_distinct(F.col(id_col)).alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    contrib_q = F.floor(idf * tfn * F.lit(float(BM25_SCALE))).cast("long")
+
+    scored = (
+        tf.join(dfc, "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib_q.alias("cq"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("cq").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_search_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin — identical literals and operation order."""
+    terms = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    s = float(BM25_SCALE)
+    return f"""
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+           FROM {table}),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+       WHERE word IN ({terms}) GROUP BY doc_id, word),
+dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         CAST(floor(
+           ln(1.0 + ((s.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+           * ((tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}
+              * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+           * {s!r}) AS BIGINT) AS cq
+  FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, count(*) AS n_terms, sum(cq) AS score_q
+FROM scored GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC LIMIT {k}
+"""

@@ -154,3 +154,26 @@ def test_nb_classify_learns_separable_classes(spark):
     # integer-exact score, deterministic across runs
     again = {r.doc_id: r.score_q for r in nb_classify(docs).collect()}
     assert again == {r.doc_id: r.score_q for r in out}
+
+
+def test_bm25_ranks_term_dense_docs(spark):
+    from pond_spark.functions.bm25 import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry durian elder fig grape"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "unrelated words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(docs, ["apple", "banana"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    # doc 4 matches nothing -> absent; doc 3 matches nothing -> absent
+    assert set(ids) == {1, 2}
+    # doc 1: higher tf AND shorter -> ranks first
+    assert ids[0] == 1
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_terms == 2 and by_id[2].n_terms == 2
+    assert isinstance(by_id[1].score_q, int) and by_id[1].score_q > by_id[2].score_q
