@@ -400,3 +400,45 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_property_full_coverage(spark):
+    """Property (hypothesis over sizes/params): every token index is
+    covered by >= 1 chunk, consecutive chunks overlap by exactly
+    `overlap` token positions (except a shorter final chunk), and
+    chunk 0 + the non-overlapped suffixes reconstruct the canonical
+    token sequence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pond_spark.operators.chunking import chunk_documents
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def check(n, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"t{i}" for i in range(n)]
+        docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        rows = sorted(
+            (r.chunk_id, r.chunk_text.split(" "))
+            for r in chunk_documents(
+                docs, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        )
+        stride = chunk - overlap
+        covered = set()
+        rebuilt = []
+        for cid, words in rows:
+            s = cid * stride
+            assert words == toks[s : s + chunk]
+            covered.update(range(s, s + len(words)))
+            rebuilt.extend(words if cid == 0 else words[overlap:])
+        assert covered == set(range(n))
+        assert rebuilt == toks
+
+    check()
