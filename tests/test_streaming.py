@@ -303,3 +303,53 @@ def test_dedup_stream_drops_redelivery(spark, tmp_path):
     assert {r.text for r in got} == {"alpha content", "beta content", "gamma content"}
     # the dedup key column does not leak into the output
     assert "_dedup_key" not in got[0].asDict()
+
+
+def test_trending_terms_stream_topk(spark, tmp_path):
+    """Windowed word counts finalize per bucket (append mode); the
+    top-k finisher ranks each closed bucket deterministically."""
+    from pond_spark.streaming.trending import (
+        top_terms_per_bucket,
+        trending_terms_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "spark spark flink"),
+        (2, t0 + dt.timedelta(seconds=5), "spark duck duck"),
+        # bucket 2, and far enough ahead to close bucket 1
+        (3, t0 + dt.timedelta(seconds=90), "flink flink airflow"),
+        # watermark pusher: closes bucket 2 as well
+        (4, t0 + dt.timedelta(seconds=300), "tail"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, timestamp timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, timestamp timestamp, text string"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        trending_terms_stream(stream, every="30 seconds", watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sunk = spark.read.parquet(out_dir)
+    top = top_terms_per_bucket(sunk, k=2)
+    got = {
+        (r.bucket_start, r.rank): (r.word, r.n) for r in top.collect()
+    }
+    # bucket 1 [10:00:00, 10:00:30): spark x3, duck x2, flink x1
+    assert got[(t0, 1)] == ("spark", 3)
+    assert got[(t0, 2)] == ("duck", 2)
+    # bucket 2 [10:01:30, 10:02:00): flink x2, airflow x1
+    b2 = t0 + dt.timedelta(seconds=90)
+    assert got[(b2, 1)] == ("flink", 2)
+    assert got[(b2, 2)] == ("airflow", 1)
