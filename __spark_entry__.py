@@ -2496,6 +2496,69 @@ FROM documents
 """
 
 
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (LAION-style), oracle-checked
+    END-TO-END: deterministic 9x8 grayscale PNGs — pixel k of doc d is
+    ``((d//2 + 3)*(k²+k) + 13k + 40·[k=0]·(d%2)) % 256``, so every
+    even/odd doc pair is the same image up to ONE perturbed pixel —
+    are encoded in an Arrow step, decoded by the stdlib codec, dHashed
+    (multimodal/binaryops.image_dhash_batch), and paired with the
+    SAME pigeonhole chunk join text SimHash uses
+    (dedup.simhash.hamming_near_pairs). The oracle derives each dHash
+    bit analytically from the pixel formula and brute-forces the exact
+    Hamming pairs — the pigeonhole join must recall every one."""
+    import pandas as _pd
+
+    from pond_spark.dedup.simhash import hamming_near_pairs
+    from pond_spark.multimodal.binaryops import image_dhash_batch
+    from pond_spark.multimodal.codecs import encode_png
+
+    base = _fan(_documents(spark, sf_dir)).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def enc(it):
+        for pdf in it:
+            payloads = []
+            for i in pdf["media_id"]:
+                d = int(i)
+                s = d // 2
+                samples = bytes(
+                    ((s + 3) * (k * k + k) + k * 13 + (40 if k == 0 and d % 2 else 0))
+                    % 256
+                    for k in range(72)
+                )
+                payloads.append(encode_png(9, 8, 1, samples))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(enc, "media_id long, payload binary")
+    fps = image_dhash_batch(media)
+    return hamming_near_pairs(
+        fps, sig_col="dhash", id_col="media_id", max_hamming=4
+    )
+
+
+MEDIA_DHASH_SQL = """
+WITH px AS (SELECT doc_id AS media_id,
+  list_transform(generate_series(0, 71), k ->
+    ((doc_id // 2 + 3)*(k*k + k) + k*13
+     + CASE WHEN k = 0 THEN (doc_id % 2)*40 ELSE 0 END) % 256) AS p
+  FROM documents),
+bits AS (SELECT media_id,
+  list_transform(generate_series(0, 63), i ->
+    CASE WHEN p[(i // 8)*9 + (i % 8) + 1] < p[(i // 8)*9 + (i % 8) + 2]
+         THEN 1 ELSE 0 END) AS b
+  FROM px),
+pairs AS (SELECT a.media_id AS id_a, c.media_id AS id_b,
+  list_reduce(list_prepend(0, list_transform(list_zip(a.b, c.b),
+    s -> CASE WHEN s[1] = s[2] THEN 0 ELSE 1 END)), (x,y) -> x+y) AS hamming
+  FROM bits a JOIN bits c ON a.media_id < c.media_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 4
+"""
+
+
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM-WAV decode + audio features, oracle-checked end-to-end
     like q_media_decode_real: deterministic 64-sample 16-bit mono WAVs
@@ -2596,6 +2659,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql

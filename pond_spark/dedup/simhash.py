@@ -122,23 +122,49 @@ def simhash_near_pairs(
     candidate volume by the block count. ``max_bucket_size`` drops
     pathological chunk buckets (boilerplate skew guard — see
     minhash.minhash_lsh_pairs)."""
-    chunks = max_hamming + 1
-    width = 64 // chunks
     carry = (block_col,) if block_col else ()
     # both join sides derive from fps — persist so the explode +
     # 64-bit-sum aggregation runs once, not per side
     fps = simhash64(df, text_col, id_col, n, carry_cols=carry).persist()
+    return hamming_near_pairs(
+        fps,
+        sig_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        block_col=block_col,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def hamming_near_pairs(
+    fps: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_col: str | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pigeonhole chunk join over PRECOMPUTED 64-bit signatures:
+    ``(id_a, id_b, hamming)`` with Hamming <= d. Shared by the text
+    SimHash path and any other 64-bit fingerprint (e.g. perceptual
+    image dHash, multimodal/binaryops.image_dhash_batch). Chunks not
+    covering the top ``64 % (d+1)`` bits only LOOSEN the join (pairs
+    differing solely there share every chunk), so recall stays total;
+    the exact Hamming verify filters after."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    carry = (block_col,) if block_col else ()
 
     chunked = fps.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col(sig_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("cv"),
                     )
@@ -146,7 +172,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select(id_col, *carry, "simhash", "_c.ci", "_c.cv")
+    ).select(id_col, *carry, "_sig", "_c.ci", "_c.cv")
 
     keys = [*carry, "ci", "cv"]
     if max_bucket_size is not None:
@@ -159,10 +185,10 @@ def simhash_near_pairs(
         chunked = chunked.join(F.broadcast(hot), keys, "left_anti")
 
     left = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), *keys
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("_fa"), *keys
     )
     right = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), *keys
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("_fb"), *keys
     )
     return (
         left.join(right, keys)

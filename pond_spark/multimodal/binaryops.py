@@ -335,3 +335,75 @@ def audio_features_batch(
     return df.select("media_id", payload_col).mapInPandas(
         batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash_batch(
+    df: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual image fingerprint (difference hash): decode with the
+    pure-stdlib codecs, grayscale, nearest-resize to
+    ``(hash_w+1) x hash_h``, and set bit ``r*hash_w + c`` when
+    ``pixel[r][c] < pixel[r][c+1]`` — 64 bits at the 8x8 default.
+    The LAION-style image-dedup front end: feed the output to
+    ``dedup.simhash.hamming_near_pairs`` for near-duplicate pairs
+    (the same pigeonhole chunk join text SimHash uses — one near-dup
+    machinery for every 64-bit fingerprint in the engine).
+
+    Arrow-batched ``mapInPandas``; rows whose payload is undecodable
+    or needs an external codec (JPEG/MP4) hash to NULL instead of
+    failing the batch. Map-only at any scale."""
+    from pond_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_png,
+        resize_nearest,
+    )
+
+    def dhash(b) -> int | None:
+        if b is None:
+            return None
+        try:
+            raw = bytes(b)
+            if raw.startswith(b"\x89PNG\r\n\x1a\n"):
+                w, h, ch, samples = decode_png(raw)
+            elif raw[:2] == b"BM":
+                w, h, ch, samples = decode_bmp(raw)
+            else:
+                return None
+        except Exception:
+            return None
+        if ch > 1:  # grayscale = per-pixel channel mean
+            samples = bytes(
+                sum(samples[i : i + ch]) // ch
+                for i in range(0, len(samples), ch)
+            )
+        small = resize_nearest(w, h, 1, samples, hash_w + 1, hash_h)
+        out = 0
+        for r in range(hash_h):
+            row = small[r * (hash_w + 1) : (r + 1) * (hash_w + 1)]
+            for c in range(hash_w):
+                if row[c] < row[c + 1]:
+                    out |= 1 << (r * hash_w + c)
+        if out >= 1 << 63:  # pack into signed int64 (Spark LongType)
+            out -= 1 << 64
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(
+                        [dhash(b) for b in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, DHASH_SCHEMA)

@@ -246,3 +246,35 @@ def test_audio_features_batch_known_signal(spark):
     assert out[1].zero_crossings == 4
     assert out[1].sum_abs == 400 and out[1].peak == 100
     assert out[2].n_samples is None and out[2].zero_crossings is None
+
+
+def test_image_dhash_near_pairs(spark):
+    """dHash: a one-pixel perturbation stays within Hamming 1 of the
+    original; a different image is far; undecodable payloads hash to
+    NULL and never pair. The pair join is the SAME pigeonhole
+    machinery text SimHash uses."""
+    from pond_spark.dedup.simhash import hamming_near_pairs
+    from pond_spark.multimodal.binaryops import image_dhash_batch
+    from pond_spark.multimodal.codecs import encode_png
+
+    base = bytes((k * 29 + (k * k) % 97) % 256 for k in range(72))
+    tweaked = bytes([(base[0] + 90) % 256]) + base[1:]
+    other = bytes((k * 151 + 7) % 256 for k in range(72))
+    rows = [
+        (1, encode_png(9, 8, 1, base)),
+        (2, encode_png(9, 8, 1, tweaked)),
+        (3, encode_png(9, 8, 1, other)),
+        (4, b"\xff\xd8\xffJPEG-ish"),  # needs external codec -> NULL
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = image_dhash_batch(media)
+    got = {r.media_id: r.dhash for r in fps.collect()}
+    assert got[4] is None and got[5] is None
+    assert got[1] is not None and got[1] != got[3]
+    pairs = hamming_near_pairs(
+        fps.filter("dhash IS NOT NULL"), sig_col="dhash",
+        id_col="media_id", max_hamming=2,
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].hamming <= 1
