@@ -2499,8 +2499,10 @@ FROM documents
 def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (LAION-style), oracle-checked
     END-TO-END: deterministic 9x8 grayscale PNGs — pixel k of doc d is
-    ``((d//2 + 3)*(k²+k) + 13k + 40·[k=0]·(d%2)) % 256``, so every
-    even/odd doc pair is the same image up to ONE perturbed pixel —
+    the top byte of a Knuth multiplicative hash of (d//2, k), plus a
+    40-step perturbation of pixel 0 for odd docs, so every even/odd
+    doc pair is the same image up to ONE perturbed pixel while
+    cross-seed images differ in ~half their dHash bits —
     are encoded in an Arrow step, decoded by the stdlib codec, dHashed
     (multimodal/binaryops.image_dhash_batch), and paired with the
     SAME pigeonhole chunk join text SimHash uses
@@ -2523,11 +2525,13 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["media_id"]:
                 d = int(i)
                 s = d // 2
-                samples = bytes(
-                    ((s + 3) * (k * k + k) + k * 13 + (40 if k == 0 and d % 2 else 0))
-                    % 256
-                    for k in range(72)
-                )
+                def _px(k: int) -> int:
+                    t = (s * 9973 + k) * 2654435761 % 4294967296
+                    t = t ^ (t // 65536)
+                    t = t * 2246822519 % 4294967296
+                    return (t // 16777216 + (40 if k == 0 and d % 2 else 0)) % 256
+
+                samples = bytes(_px(k) for k in range(72))
                 payloads.append(encode_png(9, 8, 1, samples))
             yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
@@ -2543,7 +2547,9 @@ def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_DHASH_SQL = """
 WITH px AS (SELECT doc_id AS media_id,
   list_transform(generate_series(0, 71), k ->
-    ((doc_id // 2 + 3)*(k*k + k) + k*13
+    (CAST(CAST(xor(((doc_id // 2)*9973 + k) * 2654435761 % 4294967296,
+          (((doc_id // 2)*9973 + k) * 2654435761 % 4294967296) // 65536)
+      AS HUGEINT) * 2246822519 % 4294967296 AS BIGINT) // 16777216
      + CASE WHEN k = 0 THEN (doc_id % 2)*40 ELSE 0 END) % 256) AS p
   FROM documents),
 bits AS (SELECT media_id,
