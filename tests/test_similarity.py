@@ -284,3 +284,32 @@ def test_ivf_index_append_no_retrain(vectors, tmp_path):
     # the appended near-dup of the query lands in the searched lists
     got = [r.vec_id for r in idx.search_adc(q, k=5, nprobe=2).collect()]
     assert 500 in got and 0 in got
+
+
+def test_ivf_index_compact_merges_append_files(vectors, tmp_path):
+    """Repeated appends accumulate small files; compact merges each
+    oversized list to its byte-warranted file count without changing
+    a single search result."""
+    import glob as _glob
+
+    from pond_spark.similarity.index import build_ivf_index
+
+    idx = build_ivf_index(
+        vectors, str(tmp_path / "ivf_c"), n_centroids=4, sample_n=102
+    )
+    q = [r.embedding for r in vectors.filter("vec_id = 0").collect()][0]
+    extra = vectors.sparkSession.createDataFrame(
+        [(600 + i, [x + 0.001 * i for x in q]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    for i in range(4):
+        idx.append(extra.filter(f"vec_id = {600 + i}"))
+    before = idx.search(q, k=8, nprobe=4).collect()
+    nfiles_before = len(_glob.glob(str(tmp_path / "ivf_c" / "*" / "*.parquet")))
+    report = idx.compact()
+    nfiles_after = len(_glob.glob(str(tmp_path / "ivf_c" / "*" / "*.parquet")))
+    assert report and nfiles_after < nfiles_before
+    after = idx.search(q, k=8, nprobe=4).collect()
+    assert [(r.vec_id, r.cosine) for r in before] == [
+        (r.vec_id, r.cosine) for r in after
+    ]
