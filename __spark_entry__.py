@@ -1229,6 +1229,30 @@ def _chunk_documents_sql() -> str:
     return chunk_documents_sql(chunk_tokens=64, overlap=8)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → signup → purchase conversion funnel over the
+    event stream (operators/funnel.py): greedy per-user frontier
+    chain, one user-keyed shuffle per step, 7-day horizon. Counts and
+    ppm conversion are exact integers."""
+    from pond_spark.operators.funnel import funnel
+    from pond_spark.schema import read_parquet_ts
+
+    ev = read_parquet_ts(spark, f"{sf_dir}/events.parquet")
+    return funnel(
+        ev,
+        ["view", "click", "signup", "purchase"],
+        within_seconds=7 * 86400,
+    )
+
+
+def _funnel_sql() -> str:
+    from pond_spark.operators.funnel import funnel_sql
+
+    return funnel_sql(
+        ["view", "click", "signup", "purchase"], within_seconds=7 * 86400
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) dataset-card profile (operators/profile.py).
     The corpus has no exact dups, so a shifted copy is unioned (the
@@ -2671,6 +2695,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
+    "funnel": (q_funnel, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2751,6 +2776,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "nb_classify": _nb_classify_sql,
     "corpus_profile": _corpus_profile_sql,
     "chunk_documents": _chunk_documents_sql,
+    "funnel": _funnel_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

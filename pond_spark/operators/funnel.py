@@ -1,0 +1,121 @@
+"""Funnel analysis — ordered multi-step conversion over the event
+stream: of the users who did step 1, how many went on to do step 2
+AFTER it, then step 3 after that, within an optional horizon.
+
+Beyond the reference surface (pond's aggregations stop at top-k
+counts); the sessionization/retention sibling in the log-analytics
+family (operators/sessionize.py, operators/rollup.py retention).
+
+Shape: one aggregation per step — filter the step's events, semi-join
+the previous step's (user, ts) frontier, keep events strictly after
+it, take the per-user minimum. Every join and groupBy keys on the
+user id alone, so after the first shuffle the chain stays narrow; K
+steps = K filtered scans + K user-keyed shuffles (the scans prune on
+the step predicate at the source). Counts are exact integers;
+conversion is reported as ppm via integer division (PERF_NOTES
+hash-stability rule — no float ratios in hashed output).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """``(step_idx, step, n_users, conversion_ppm)`` per funnel step.
+
+    A user counts for step i when they have a step-i event strictly
+    after their step-(i-1) frontier time (the earliest qualifying
+    chain, computed greedily — the standard funnel semantics);
+    ``within_seconds`` bounds the whole chain to a horizon after the
+    user's step-1 time. ``conversion_ppm`` is relative to step 1's
+    user count (integer division)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    spark = events.sparkSession
+    frontier = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    if within_seconds is not None:
+        frontier = frontier.withColumn(
+            "_deadline",
+            F.col("_t") + F.expr(f"INTERVAL {int(within_seconds)} SECOND"),
+        )
+    counts = [frontier.count()]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(frontier, user_col)
+            .filter(F.col("_ts") > F.col("_t"))
+        )
+        if within_seconds is not None:
+            nxt = nxt.filter(F.col("_ts") <= F.col("_deadline"))
+        agg = [F.min("_ts").alias("_t")]
+        if within_seconds is not None:
+            # the deadline is constant per user; min() is just the
+            # deterministic way to carry it through the aggregate
+            agg.append(F.min("_deadline").alias("_deadline"))
+        frontier = nxt.groupBy(user_col).agg(*agg)
+        counts.append(frontier.count())
+    base = counts[0] or 1
+    rows = [
+        (i + 1, s, n, n * 1_000_000 // base)
+        for i, (s, n) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users long, conversion_ppm long"
+    )
+
+
+def funnel_sql(
+    steps: Sequence[str],
+    within_seconds: int | None = None,
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin — the identical greedy frontier chain, with the
+    per-user deadline carried through each CTE like the Spark side."""
+    q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    dl0 = (
+        f", min({ts_col}) + INTERVAL {within_seconds} SECOND AS dl"
+        if within_seconds
+        else ""
+    )
+    ctes = [
+        f"s1 AS (SELECT {user_col} AS u, min({ts_col}) AS t{dl0} FROM {table} "
+        f"WHERE {type_col} = {q(steps[0])} GROUP BY {user_col})"
+    ]
+    prev = "s1"
+    for i, step in enumerate(steps[1:], start=2):
+        dl_filter = f" AND e.{ts_col} <= p.dl" if within_seconds else ""
+        dl_carry = ", min(p.dl) AS dl" if within_seconds else ""
+        ctes.append(
+            f"s{i} AS (SELECT p.u AS u, min(e.{ts_col}) AS t{dl_carry} "
+            f"FROM {table} e JOIN {prev} p ON e.{user_col} = p.u "
+            f"WHERE e.{type_col} = {q(step)} AND e.{ts_col} > p.t"
+            f"{dl_filter} GROUP BY p.u)"
+        )
+        prev = f"s{i}"
+    selects = [
+        f"SELECT {i} AS step_idx, {q(s)} AS step, "
+        f"(SELECT count(*) FROM s{i}) AS n_users, "
+        f"(SELECT count(*) FROM s{i}) * 1000000 // "
+        f"greatest((SELECT count(*) FROM s1), 1) AS conversion_ppm"
+        for i, s in enumerate(steps, start=1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)

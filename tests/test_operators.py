@@ -442,3 +442,34 @@ def test_chunk_documents_property_full_coverage(spark):
         assert rebuilt == toks
 
     check()
+
+
+def test_funnel_greedy_frontier(spark):
+    from pond_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+
+    def ev(i, user, typ, mins):
+        return (i, t0 + dt.timedelta(minutes=mins), user, typ)
+
+    rows = [
+        # user 1 completes A -> B -> C in order
+        ev(1, 1, "A", 0), ev(2, 1, "B", 5), ev(3, 1, "C", 10),
+        # user 2 does B BEFORE A — B must not count
+        ev(4, 2, "B", 0), ev(5, 2, "A", 5),
+        # user 3 only A
+        ev(6, 3, "A", 0),
+        # user 4 completes but outside the horizon
+        ev(7, 4, "A", 0), ev(8, 4, "B", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.step_idx: r for r in funnel(
+        df, ["A", "B", "C"], within_seconds=3600
+    ).collect()}
+    assert out[1].n_users == 4
+    assert out[2].n_users == 1  # only user 1 (user 2 out of order, 4 too late)
+    assert out[3].n_users == 1
+    assert out[1].conversion_ppm == 1_000_000
+    assert out[2].conversion_ppm == 250_000
