@@ -1253,6 +1253,22 @@ def _funnel_sql() -> str:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-path analysis (operators/funnel.py
+    event_transitions): one user-partitioned window pass with the
+    engine's (ts, id) tiebreak + one narrow two-key groupBy."""
+    from pond_spark.operators.funnel import event_transitions
+    from pond_spark.schema import read_parquet_ts
+
+    return event_transitions(read_parquet_ts(spark, f"{sf_dir}/events.parquet"))
+
+
+def _event_transitions_sql() -> str:
+    from pond_spark.operators.funnel import event_transitions_sql
+
+    return event_transitions_sql()
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) dataset-card profile (operators/profile.py).
     The corpus has no exact dups, so a shifted copy is unioned (the
@@ -2696,6 +2712,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql
+    "event_transitions": (q_event_transitions, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2777,6 +2794,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "corpus_profile": _corpus_profile_sql,
     "chunk_documents": _chunk_documents_sql,
     "funnel": _funnel_sql,
+    "event_transitions": _event_transitions_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

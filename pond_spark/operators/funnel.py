@@ -80,6 +80,52 @@ def funnel(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order path analysis: counts of consecutive event-type
+    transitions per user stream — the Markov-chain view next to the
+    funnel's fixed ordering. ``(from_type, to_type, n)``.
+
+    One window pass partitioned by user (ordered by (ts, id) — the
+    engine's standard deterministic tiebreak) + one two-key groupBy;
+    both shuffle on narrow keys."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = events.select(
+        F.col(type_col).alias("to_type"),
+        F.lag(type_col).over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin — identical window order and tiebreak."""
+    return f"""
+WITH steps AS (
+  SELECT {type_col} AS to_type,
+         lag({type_col}) OVER (PARTITION BY {user_col}
+                               ORDER BY {ts_col}, {id_col}) AS from_type
+  FROM {table})
+SELECT from_type, to_type, count(*) AS n
+FROM steps WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 def funnel_sql(
     steps: Sequence[str],
     within_seconds: int | None = None,

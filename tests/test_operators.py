@@ -473,3 +473,20 @@ def test_funnel_greedy_frontier(spark):
     assert out[3].n_users == 1
     assert out[1].conversion_ppm == 1_000_000
     assert out[2].conversion_ppm == 250_000
+
+
+def test_event_transitions_counts(spark):
+    from pond_spark.operators.funnel import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, 1, "A"), (2, t0 + dt.timedelta(minutes=1), 1, "B"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "A"),
+        (4, t0, 2, "A"), (5, t0 + dt.timedelta(minutes=1), 2, "B"),
+        (6, t0, 3, "C"),  # single event -> no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.from_type, r.to_type): r.n for r in event_transitions(df).collect()}
+    assert got == {("A", "B"): 2, ("B", "A"): 1}
