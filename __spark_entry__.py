@@ -862,6 +862,38 @@ FROM logs GROUP BY site
 """
 
 
+def q_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch via
+    percentile_approx) — the 100 TB path for q_value_quantiles: a
+    bounded-size sketch merges map-side instead of a per-group sort.
+    Same accuracy-envelope oracle pattern as daily_uniques_approx:
+    the query computes BOTH the sketch estimate and the exact
+    quantile and emits a within-rank-tolerance flag (GK with
+    accuracy=1000 bounds rank error by n/1000; checked as a VALUE
+    envelope against the exact p45/p55 — rank 0.5±0.001 must land
+    between rank 0.45 and 0.55); the oracle recomputes the exact
+    envelope and expects every flag true."""
+    logs = events_as_logs(spark, sf_dir)
+    return logs.groupBy("site").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        (
+            F.expr("percentile_approx(value, 0.5, 1000)")
+            .between(
+                F.expr("percentile(value, 0.45)"),
+                F.expr("percentile(value, 0.55)"),
+            )
+        ).alias("p50_in_envelope"),
+    )
+
+
+VALUE_QUANTILES_APPROX_SQL = f"""
+WITH {LOGS_CTE}
+SELECT site, round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS p50_in_envelope
+FROM logs GROUP BY site
+"""
+
+
 def q_top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k: top-3 parts per supplier by revenue via a
     window rank — the distributed per-key heap (one shuffle on
@@ -2750,6 +2782,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
+    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),

@@ -229,3 +229,31 @@ def test_corpus_profile_two_level_distinct(spark, entry):
     df = corpus_profile(docs)
     assert count_exchanges(df) == 2, formatted_plan(df)
     assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_bm25_partial_aggregates_and_broadcast_stats(spark, entry):
+    """BM25: the TF/DF/doc-length groupBys combine map-side; the
+    single-row corpus-stats frame joins as a broadcast, never a
+    sort-merge."""
+    df = entry.q_bm25_search(spark, SF)
+    plan = formatted_plan(df)
+    assert has_partial_aggregate(df), plan
+    assert has_broadcast_join(df), plan
+
+
+def test_nb_classify_broadcasts_class_dims(spark, entry):
+    """Naive Bayes: the classes/priors and vocab-size dims are tiny
+    and must broadcast; only the (word, class) count table shuffles."""
+    df = entry.q_nb_classify(spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_image_dhash_pairs_no_cartesian(spark, entry):
+    """The perceptual-hash pair join goes through the pigeonhole
+    chunk keys — never a cartesian/broadcast-nested-loop product."""
+    df = entry.q_media_dhash_pairs(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
