@@ -35,3 +35,57 @@ def dedup_exact(
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keepers, on=id_col, how="leftsemi")
+
+
+class DigestCatalog:
+    """Cross-run incremental dedup: a persisted digest set the next
+    batch anti-joins against — the production shape for CONTINUOUS
+    corpus building, where "have we seen this document" must survive
+    job restarts (the batch complement of streaming/dedup.py's
+    watermark-bounded state).
+
+    The catalog stores 32-byte digests only — at 100 TB of corpus it
+    is ~0.03% of the data — and the anti-join shuffles digests, never
+    documents. For repeated big-big runs, write the catalog bucketed
+    by digest (sources/bucketing.py) so the anti-join co-locates
+    without a shuffle.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:  # first run: empty catalog
+            return self.spark.createDataFrame([], "content_sha string")
+
+    def filter_new(
+        self, df: DataFrame, text_col: str = "text"
+    ) -> DataFrame:
+        """Rows whose content digest is NOT in the catalog. Also
+        drops within-batch duplicates (min-id keeper) so one batch
+        can't register the same digest twice."""
+        id_col = df.columns[0]
+        batch_unique = dedup_exact(df, text_col, id_col)
+        digested = batch_unique.withColumn(
+            "_sha", F.sha2(F.col(text_col), 256)
+        )
+        return (
+            digested.join(
+                self._read().withColumnRenamed("content_sha", "_sha"),
+                "_sha",
+                "left_anti",
+            )
+            .drop("_sha")
+        )
+
+    def register(self, df: DataFrame, text_col: str = "text") -> None:
+        """Append the batch's distinct digests to the catalog."""
+        (
+            df.select(F.sha2(F.col(text_col), 256).alias("content_sha"))
+            .distinct()
+            .write.mode("append")
+            .parquet(self.path)
+        )

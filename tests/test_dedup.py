@@ -343,3 +343,28 @@ def test_strip_duplicate_spans(spark):
     assert out[2].text_clean == "head words stay first then"
     assert out[1].n_removed == 9 and out[2].n_removed == 9
     assert out[3].text_clean == "short doc" and out[3].n_removed == 0
+
+
+def test_digest_catalog_incremental(spark, tmp_path):
+    """Cross-run dedup: batch 2 drops everything batch 1 registered,
+    plus its own within-batch dups; the catalog grows digest-only."""
+    from pond_spark.dedup.exact import DigestCatalog
+
+    cat = DigestCatalog(spark, str(tmp_path / "catalog"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    fresh1 = cat.filter_new(b1)
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}  # 3 is a batch dup
+    cat.register(fresh1)
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+        ["doc_id", "text"],
+    )
+    fresh2 = cat.filter_new(b2)
+    assert {r.doc_id for r in fresh2.collect()} == {11}
+    cat.register(fresh2)
+    assert cat._read().count() == 3  # alpha, beta, gamma — digests only
+    # idempotent: re-running batch 2 yields nothing new
+    assert cat.filter_new(b2).count() == 0
