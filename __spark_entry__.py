@@ -2343,6 +2343,43 @@ SELECT vec_id, cosine FROM rer ORDER BY cosine DESC, vec_id ASC LIMIT {k}
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity/negatives.py): each vector paired with the next 2 ids
+    in its IVF cluster — deterministic, ids-only output, one window
+    shuffle. Oracle derives bit-identical clusters (shared trainer)
+    and replays the lead() pairing."""
+    from pond_spark.similarity.negatives import hard_negative_pairs
+
+    return hard_negative_pairs(
+        _fan(_embeddings(spark, sf_dir)), k=2, n_centroids=16
+    )
+
+
+def _hard_negatives_sql() -> str:
+    from pond_spark.similarity.ivf import lloyd_centroids, normalized_centroids
+
+    cent = lloyd_centroids(_oracle_emb_sample(), n_centroids=16, iters=5)
+    structs = ", ".join(
+        "{'cos': " + _sql_dot("embedding", _sql_vec(c)) + f", 'cid': {i}}}"
+        for i, c in enumerate(normalized_centroids(cent))
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id AS anchor_id, (list_max([{structs}])).cid AS cluster
+  FROM embeddings),
+leads AS (SELECT anchor_id, cluster,
+  lead(anchor_id, 1) OVER (PARTITION BY cluster ORDER BY anchor_id) AS n1,
+  lead(anchor_id, 2) OVER (PARTITION BY cluster ORDER BY anchor_id) AS n2
+  FROM assigned)
+SELECT anchor_id, negative_id, cluster, "offset" FROM (
+  SELECT anchor_id, n1 AS negative_id, cluster, 1 AS "offset" FROM leads
+  UNION ALL
+  SELECT anchor_id, n2 AS negative_id, cluster, 2 AS "offset" FROM leads)
+WHERE negative_id IS NOT NULL
+"""
+
+
 def q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     pair only within clusters, flag pairs at cosine ≥ threshold.
@@ -2730,6 +2767,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
+    "hard_negatives": (q_hard_negatives, None),  # lazy sql
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
@@ -2821,6 +2859,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "ann_ivf_index_topk": _ann_ivf_sql,  # persistence is result-invariant
     "ann_pq_topk": _ann_pq_sql,
     "ann_ivfpq_topk": _ann_ivfpq_sql,
+    "hard_negatives": _hard_negatives_sql,
     "tfidf_keywords": _tfidf_keywords_sql,
     "bm25_search": _bm25_search_sql,
     "nb_classify": _nb_classify_sql,

@@ -313,3 +313,27 @@ def test_ivf_index_compact_merges_append_files(vectors, tmp_path):
     assert [(r.vec_id, r.cosine) for r in before] == [
         (r.vec_id, r.cosine) for r in after
     ]
+
+
+def test_hard_negative_pairs_same_cluster_no_self(vectors):
+    from pond_spark.similarity.ivf import ivf_assign, train_centroids
+    from pond_spark.similarity.negatives import hard_negative_pairs
+
+    cent = train_centroids(vectors, n_centroids=4, sample_n=102)
+    out = hard_negative_pairs(vectors, k=2, centroids=cent).collect()
+    clusters = {
+        r.vec_id: r.c
+        for r in ivf_assign(vectors, cent, out_col="c").collect()
+    }
+    assert out, "expected pairs"
+    for r in out:
+        assert r.anchor_id != r.negative_id
+        assert clusters[r.anchor_id] == clusters[r.negative_id] == r.cluster
+        assert r.negative_id > r.anchor_id  # lead over id order
+        assert r.offset in (1, 2)
+    # deterministic across runs
+    again = hard_negative_pairs(vectors, k=2, centroids=cent).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # the planted near-dups of vector 0 share its cluster -> they pair
+    pairs = {(r.anchor_id, r.negative_id) for r in out}
+    assert any(a in (0, 100, 101) and b in (0, 100, 101) for a, b in pairs)
