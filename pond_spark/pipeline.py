@@ -149,6 +149,7 @@ def curate_foreach_batch(
     eval_set: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest_catalog_path: str | None = None,
 ):
     """``foreachBatch`` companion covering the corpus-level stages
     ``curate_stream`` refuses (line_dedup, decontaminate).
@@ -163,9 +164,25 @@ def curate_foreach_batch(
     against a (bounded, broadcastable) eval set is exact regardless of
     batching — membership in the eval n-gram set doesn't depend on
     what else is in the batch.
+
+    ``digest_catalog_path`` adds CROSS-BATCH (and cross-restart) exact
+    dedup: each batch anti-joins the persisted digest catalog before
+    curation and registers what it keeps after
+    (dedup.exact.DigestCatalog) — unlike the in-memory streaming
+    state, a re-started job never re-admits content an earlier run
+    already shipped.
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if digest_catalog_path is not None:
+            from pond_spark.dedup.exact import DigestCatalog
+
+            cat = DigestCatalog(batch_df.sparkSession, digest_catalog_path)
+            batch_df = cat.filter_new(batch_df, text_col)
+            out = curate(batch_df, config, eval_set, text_col, id_col)
+            cat.register(batch_df, text_col)
+            writer(out, batch_id)
+            return
         writer(
             curate(batch_df, config, eval_set, text_col, id_col), batch_id
         )

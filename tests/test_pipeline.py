@@ -197,3 +197,47 @@ def test_curate_stream_rejects_corpus_stages(spark, tmp_path):
         curate_stream(stream, CurationConfig(stages=("line_dedup",)))
     with _pytest.raises(ValueError):
         curate_stream(stream, CurationConfig(stages=("decontaminate",)))
+
+
+def test_curate_foreach_batch_digest_catalog(spark, tmp_path):
+    """Cross-batch dedup via the persisted digest catalog: content
+    shipped in batch A never re-admits in batch B (the in-memory
+    streaming state can't promise that across restarts; the catalog
+    can — it survives on disk)."""
+    from pond_spark.pipeline import curate_foreach_batch
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, good + "unique alpha"), (2, good + "unique bravo")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(11, good + "unique alpha"), (12, good + "unique charlie")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = CurationConfig(min_words=10, stages=("quality", "pii"))
+    collected: dict[int, str] = {}
+
+    def writer(df, batch_id):
+        collected.update({r.doc_id: r.text for r in df.collect()})
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            curate_foreach_batch(
+                writer, cfg,
+                digest_catalog_path=str(tmp_path / "catalog"),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # doc 11 duplicates batch A's doc 1 content -> dropped cross-batch
+    assert set(collected) == {1, 2, 12}
