@@ -58,16 +58,26 @@ class DigestCatalog:
     def _read(self) -> DataFrame:
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:  # first run: empty catalog
-            return self.spark.createDataFrame([], "content_sha string")
+        except Exception as e:
+            # ONLY a missing path means "first run". Any other read
+            # failure (permissions, corrupt footer, storage blip) on
+            # an existing catalog must raise — failing open would
+            # silently disable cross-run dedup and re-admit
+            # everything previously shipped.
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return self.spark.createDataFrame([], "content_sha string")
+            raise
 
     def filter_new(
-        self, df: DataFrame, text_col: str = "text"
+        self, df: DataFrame, text_col: str = "text", id_col: str | None = None
     ) -> DataFrame:
         """Rows whose content digest is NOT in the catalog. Also
-        drops within-batch duplicates (min-id keeper) so one batch
-        can't register the same digest twice."""
-        id_col = df.columns[0]
+        drops within-batch duplicates (min-id keeper, keyed on
+        ``id_col`` — defaults to the first column, so pass it
+        explicitly when the id is not column 0) so one batch can't
+        register the same digest twice."""
+        id_col = id_col or df.columns[0]
         batch_unique = dedup_exact(df, text_col, id_col)
         digested = batch_unique.withColumn(
             "_sha", F.sha2(F.col(text_col), 256)

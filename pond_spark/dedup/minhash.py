@@ -191,6 +191,11 @@ def minhash_lsh_pairs(
         # max multiplicity of any doc id IS the hot-key size the verify
         # join would serialize onto one task. Persist candidates so the
         # probe and the verify plan share one band-join evaluation.
+        # Lifecycle: the pin lives until the returned frame is released
+        # (Spark's ContextCleaner unpersists on GC); loop drivers that
+        # hold many results should clearCache between queries, as
+        # bench.py does — unpersisting here would make the verify join
+        # recompute the band join the probe just paid for.
         cand = cand.persist()
         hot_row = (
             cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
@@ -213,8 +218,17 @@ def minhash_lsh_pairs(
         sh_b = sh_b.join(
             F.broadcast(cand.select("id_b").distinct()), "id_b", "leftsemi"
         )
-        pairs = salted_join(cand, sh_a, on=["id_a"], salt=int(skew_salt))
-        pairs = salted_join(pairs, sh_b, on=["id_b"], salt=int(skew_salt))
+        # salt on the pair ids only — they vary within a hot id, and
+        # hashing the default "all probe columns" would pass over the
+        # carried shingle arrays once per row for no extra splitting
+        pairs = salted_join(
+            cand, sh_a, on=["id_a"], salt=int(skew_salt),
+            salt_cols=["id_a", "id_b"],
+        )
+        pairs = salted_join(
+            pairs, sh_b, on=["id_b"], salt=int(skew_salt),
+            salt_cols=["id_a", "id_b"],
+        )
     else:
         pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     # size-ratio prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs

@@ -44,6 +44,8 @@ def bm25_search(
 ) -> DataFrame:
     """Top-``k`` docs for ``query_terms``:
     ``(doc_id, n_terms, score_q)`` — integer columns, ties by id."""
+    if not query_terms:
+        raise ValueError("bm25_search needs at least one query term")
     terms = [t.lower() for t in query_terms]
     w = docs.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
@@ -92,6 +94,8 @@ def bm25_search_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB twin — identical literals and operation order."""
+    if not query_terms:
+        raise ValueError("bm25_search_sql needs at least one query term")
     terms = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
     s = float(BM25_SCALE)
     return f"""

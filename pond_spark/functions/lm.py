@@ -99,27 +99,39 @@ def perplexity(
             F.col(id_col),
             F.coalesce(F.col("c2"), F.lit(0)).alias("_c2"),
             F.coalesce(F.col("c1"), F.lit(0)).alias("_c1"),
-            F.log(
-                (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
-                / (
-                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
-                    + alpha * F.col("v").cast("double")
-                )
-            ).alias("_logp"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + alpha)
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                        + alpha * F.col("v").cast("double")
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("_logp"),
         )
     )
     # Integer count aggregates (sum_c2/sum_c1 with the vocab size v
     # fully determine the joins behind the score) are the exact,
     # hash-stable quantities; any rounded float — even a per-pair
     # round(ln,6) before a DECIMAL sum — can land on a binary
-    # representation tie where two engines disagree in the last digit.
+    # representation tie where two engines disagree in the last digit,
+    # so the float score columns stay OUT of the hashed projection.
+    # They still go through round→DECIMAL before summation: a raw
+    # double sum would make the user-facing ppl depend on partition
+    # arrival order (double addition is non-associative), i.e. the
+    # same job could print a different last digit run to run.
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("_c2").alias("sum_c2"),
         F.sum("_c1").alias("sum_c1"),
         F.sum("_logp").alias("_sum_logp"),
     )
-    avg_neg = -F.col("_sum_logp") / F.col("n_bigrams").cast("double")
+    avg_neg = -F.col("_sum_logp").cast("double") / F.col("n_bigrams").cast(
+        "double"
+    )
     out = agg.select(
         F.col(id_col),
         F.col("n_bigrams"),

@@ -53,6 +53,10 @@ def funnel(
             "_deadline",
             F.col("_t") + F.expr(f"INTERVAL {int(within_seconds)} SECOND"),
         )
+    # each frontier is both counted AND joined by the next step —
+    # persist it so counting step i doesn't re-execute the whole
+    # prefix chain (unpersisted, K steps would re-run O(K²) scans)
+    frontiers = [frontier.persist()]
     counts = [frontier.count()]
     for step in steps[1:]:
         nxt = (
@@ -68,8 +72,11 @@ def funnel(
             # the deadline is constant per user; min() is just the
             # deterministic way to carry it through the aggregate
             agg.append(F.min("_deadline").alias("_deadline"))
-        frontier = nxt.groupBy(user_col).agg(*agg)
+        frontier = nxt.groupBy(user_col).agg(*agg).persist()
+        frontiers.append(frontier)
         counts.append(frontier.count())
+    for f in frontiers:  # counts are materialized; release the pins
+        f.unpersist()
     base = counts[0] or 1
     rows = [
         (i + 1, s, n, n * 1_000_000 // base)
@@ -137,9 +144,13 @@ def funnel_sql(
     """DuckDB twin — the identical greedy frontier chain, with the
     per-user deadline carried through each CTE like the Spark side."""
     q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
+    # `is not None`, never truthiness: within_seconds=0 is a valid
+    # (degenerate) horizon and must behave identically to the Spark
+    # side, which also tests `is not None`
+    has_dl = within_seconds is not None
     dl0 = (
-        f", min({ts_col}) + INTERVAL {within_seconds} SECOND AS dl"
-        if within_seconds
+        f", min({ts_col}) + INTERVAL {int(within_seconds)} SECOND AS dl"
+        if has_dl
         else ""
     )
     ctes = [
@@ -148,8 +159,8 @@ def funnel_sql(
     ]
     prev = "s1"
     for i, step in enumerate(steps[1:], start=2):
-        dl_filter = f" AND e.{ts_col} <= p.dl" if within_seconds else ""
-        dl_carry = ", min(p.dl) AS dl" if within_seconds else ""
+        dl_filter = f" AND e.{ts_col} <= p.dl" if has_dl else ""
+        dl_carry = ", min(p.dl) AS dl" if has_dl else ""
         ctes.append(
             f"s{i} AS (SELECT p.u AS u, min(e.{ts_col}) AS t{dl_carry} "
             f"FROM {table} e JOIN {prev} p ON e.{user_col} = p.u "

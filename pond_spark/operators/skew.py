@@ -32,13 +32,21 @@ def salted_join(
     on: Sequence[str],
     salt: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join ``probe ⋈ build`` on ``on`` with ``salt``-way key
     splitting. Result equals ``probe.join(build, on, how)``; build-side
-    rows are replicated ``salt`` times. ``how`` ∈ {inner, left}."""
+    rows are replicated ``salt`` times. ``how`` ∈ {inner, left}.
+
+    ``salt_cols``: the probe columns hashed to pick a salt — they must
+    vary WITHIN a hot key (the join keys alone would map a hot key to
+    one salt, splitting nothing). Pass the cheap row-identity columns
+    (e.g. the other id of a pair); the default hashes every probe
+    column, which is correct but pays a per-row pass over the widest
+    column (shingle arrays, vectors) for no extra splitting."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    pcols = [c for c in probe.columns]
+    pcols = list(salt_cols) if salt_cols is not None else list(probe.columns)
     salted_probe = probe.withColumn(
         "_salt", F.pmod(F.hash(*[F.col(c) for c in pcols]), F.lit(salt))
     )

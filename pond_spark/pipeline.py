@@ -167,10 +167,14 @@ def curate_foreach_batch(
 
     ``digest_catalog_path`` adds CROSS-BATCH (and cross-restart) exact
     dedup: each batch anti-joins the persisted digest catalog before
-    curation and registers what it keeps after
+    curation and registers what it saw AFTER the writer succeeds
     (dedup.exact.DigestCatalog) — unlike the in-memory streaming
     state, a re-started job never re-admits content an earlier run
-    already shipped.
+    already shipped. Ordering matters: foreachBatch is at-least-once,
+    so registering before the writer would make a failed-then-retried
+    batch filter ITSELF out and lose its content; registering after
+    keeps the retry able to re-ship (duplicates on retry are the
+    at-least-once contract, silent loss is not).
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -178,10 +182,11 @@ def curate_foreach_batch(
             from pond_spark.dedup.exact import DigestCatalog
 
             cat = DigestCatalog(batch_df.sparkSession, digest_catalog_path)
-            batch_df = cat.filter_new(batch_df, text_col)
-            out = curate(batch_df, config, eval_set, text_col, id_col)
-            cat.register(batch_df, text_col)
-            writer(out, batch_id)
+            fresh = cat.filter_new(batch_df, text_col, id_col=id_col)
+            writer(
+                curate(fresh, config, eval_set, text_col, id_col), batch_id
+            )
+            cat.register(fresh, text_col)
             return
         writer(
             curate(batch_df, config, eval_set, text_col, id_col), batch_id

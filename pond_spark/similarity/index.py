@@ -150,37 +150,26 @@ class IVFIndex:
     def compact(self, target_file_bytes: int = 64 * 1024 * 1024) -> dict:
         """Merge the small files ``append`` accumulates: any list
         directory holding more files than its bytes warrant is
-        rewritten to ceil(bytes/target) files (dynamic partition
-        overwrite — untouched lists keep their files). The same
-        small-file hygiene as LogStore.compact, per inverted list;
-        returns {list_id: files_removed}."""
-        import glob
-        import math
+        rewritten to ceil(bytes/target) files. Reuses the
+        compact_partition_dirs skeleton shared with LogStore.compact
+        (dynamic partition overwrite — untouched lists keep their
+        files); returns {list_id: files_removed}."""
+        from pond_spark.util import compact_partition_dirs
 
-        report: dict = {}
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_key, "static")
-        self.spark.conf.set(mode_key, "dynamic")
-        try:
-            for ldir in sorted(glob.glob(os.path.join(self.path, "ivf_list=*"))):
-                files = glob.glob(os.path.join(ldir, "*.parquet"))
-                nbytes = sum(os.path.getsize(f) for f in files)
-                want = max(1, math.ceil(nbytes / target_file_bytes))
-                if len(files) <= want:
-                    continue
-                lid = int(os.path.basename(ldir).split("=", 1)[1])
-                df = self.spark.read.parquet(ldir)
-                (
-                    df.repartition(want)
-                    .withColumn("ivf_list", F.lit(lid))
-                    .write.mode("overwrite")
-                    .partitionBy("ivf_list")
-                    .parquet(self.path)
-                )
-                report[lid] = len(files) - want
-        finally:
-            self.spark.conf.set(mode_key, prev)
-        return report
+        def rewrite(lid: str, ldir: str, want: int) -> None:
+            df = self.spark.read.parquet(ldir)
+            (
+                df.repartition(want)
+                .withColumn("ivf_list", F.lit(int(lid)))
+                .write.mode("overwrite")
+                .partitionBy("ivf_list")
+                .parquet(self.path)
+            )
+
+        report = compact_partition_dirs(
+            self.spark, self.path, "ivf_list=*", rewrite, target_file_bytes
+        )
+        return {int(k): v for k, v in report.items()}
 
     def search(
         self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4

@@ -168,35 +168,26 @@ class LogStore:
         restoring the (site, timestamp, id) sort in the process.
 
         Returns {p_date: files_removed}. Uses dynamic partition
-        overwrite so only touched dates are rewritten. File listing is
-        local-fs (this engine's deployment target here); on HDFS/S3 the
-        same loop runs over the FileSystem API.
+        overwrite (compact_partition_dirs — the skeleton shared with
+        the IVF index's list compaction) so only touched dates are
+        rewritten, restoring the in-file sort in the process.
         """
-        report: dict[str, int] = {}
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_key, "static")
-        self.spark.conf.set(mode_key, "dynamic")
-        try:
-            for pdir in sorted(glob.glob(os.path.join(self.path, "p_date=*"))):
-                files = glob.glob(os.path.join(pdir, "*.parquet"))
-                nbytes = sum(os.path.getsize(f) for f in files)
-                want = max(1, math.ceil(nbytes / target_file_bytes))
-                if len(files) <= want:
-                    continue
-                pdate = os.path.basename(pdir).split("=", 1)[1]
-                df = self.spark.read.schema(LOG_SCHEMA).parquet(pdir)
-                (
-                    df.repartitionByRange(want, "site", "timestamp")
-                    .sortWithinPartitions("site", "timestamp", "id")
-                    .withColumn("p_date", F.lit(pdate))
-                    .write.mode("overwrite")
-                    .partitionBy("p_date")
-                    .parquet(self.path)
-                )
-                report[pdate] = len(files) - want
-        finally:
-            self.spark.conf.set(mode_key, prev)
-        return report
+        from pond_spark.util import compact_partition_dirs
+
+        def rewrite(pdate: str, pdir: str, want: int) -> None:
+            df = self.spark.read.schema(LOG_SCHEMA).parquet(pdir)
+            (
+                df.repartitionByRange(want, "site", "timestamp")
+                .sortWithinPartitions("site", "timestamp", "id")
+                .withColumn("p_date", F.lit(pdate))
+                .write.mode("overwrite")
+                .partitionBy("p_date")
+                .parquet(self.path)
+            )
+
+        return compact_partition_dirs(
+            self.spark, self.path, "p_date=*", rewrite, target_file_bytes
+        )
 
 
 def auto_clone(

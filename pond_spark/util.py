@@ -29,3 +29,42 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def compact_partition_dirs(
+    spark,
+    base_path: str,
+    partition_glob: str,
+    rewrite,
+    target_file_bytes: int,
+) -> dict:
+    """Shared small-file compaction skeleton for partition-dir layouts
+    (LogStore date partitions, IVFIndex inverted lists): for each
+    directory matching ``partition_glob`` under ``base_path`` whose
+    parquet file count exceeds what its byte size warrants, call
+    ``rewrite(partition_value, partition_dir, want_files)`` under
+    dynamic partition overwrite. Returns {partition_value:
+    files_removed}. File listing is local-fs (this engine's deployment
+    target here); on HDFS/S3 the same loop runs over the FileSystem
+    API."""
+    import glob as _glob
+    import math
+    import os
+
+    report: dict = {}
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        for pdir in sorted(_glob.glob(os.path.join(base_path, partition_glob))):
+            files = _glob.glob(os.path.join(pdir, "*.parquet"))
+            nbytes = sum(os.path.getsize(f) for f in files)
+            want = max(1, math.ceil(nbytes / target_file_bytes))
+            if len(files) <= want:
+                continue
+            pvalue = os.path.basename(pdir).split("=", 1)[1]
+            rewrite(pvalue, pdir, want)
+            report[pvalue] = len(files) - want
+    finally:
+        spark.conf.set(mode_key, prev)
+    return report
