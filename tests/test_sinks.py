@@ -165,3 +165,36 @@ def test_auto_clone_picks_biggest_peer(logs, tmp_path):
     assert dst.read().count() == logs.count()
     # no readable peer -> None, destination untouched
     assert auto_clone(dst, [str(tmp_path / "nope")]) is None
+
+
+def test_orc_and_csv_roundtrip_preserve_nulls(logs, tmp_path):
+    """Interchange formats: ORC round-trips losslessly; CSV preserves
+    the empty-string vs NULL distinction (the F1/F2 empty-site
+    semantics) via the nullValue sentinel."""
+    from pond_spark.sources.formats import (
+        read_logs_csv,
+        read_logs_orc,
+        write_logs_csv,
+        write_logs_orc,
+    )
+
+    spark = logs.sparkSession
+
+    def canon(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: t[0],
+        )
+
+    orc = str(tmp_path / "orc")
+    write_logs_orc(logs, orc)
+    assert canon(read_logs_orc(spark, orc)) == canon(logs)
+
+    csv = str(tmp_path / "csv")
+    write_logs_csv(logs, csv)
+    back = read_logs_csv(spark, csv)
+    assert canon(back) == canon(logs)
+    # the fixture has both an empty-string host and NULL hosts; both
+    # must survive distinctly
+    hosts = [r.host for r in back.collect()]
+    assert "" in hosts and None in hosts
