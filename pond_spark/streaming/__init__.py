@@ -1,6 +1,7 @@
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
+from pond_spark.streaming.attribution import attribute_conversions
 from pond_spark.streaming.rollup import rollup_stream
 from pond_spark.streaming.trending import top_terms_per_bucket, trending_terms_stream
 
@@ -12,6 +13,7 @@ __all__ = [
     "ingest_stream",
     "read_metrics",
     "rollup_stream",
+    "attribute_conversions",
     "trending_terms_stream",
     "top_terms_per_bucket",
 ]

@@ -353,3 +353,49 @@ def test_trending_terms_stream_topk(spark, tmp_path):
     b2 = t0 + dt.timedelta(seconds=90)
     assert got[(b2, 1)] == ("flink", 2)
     assert got[(b2, 2)] == ("airflow", 1)
+
+
+def test_attribution_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: conversions attribute
+    to preceding triggers within the horizon; outside-horizon and
+    wrong-order pairs never emit."""
+    from pond_spark.streaming.attribution import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    tsrc, csrc = str(tmp_path / "trig"), str(tmp_path / "conv")
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view"),
+            (2, t0 + dt.timedelta(seconds=100), 2, "view"),
+            (3, t0 + dt.timedelta(seconds=500), 3, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(tsrc)
+    spark.createDataFrame(
+        [
+            (11, t0 + dt.timedelta(seconds=30), 1, "purchase"),   # in horizon
+            (12, t0 + dt.timedelta(seconds=400), 2, "purchase"),  # too late
+            (13, t0 + dt.timedelta(seconds=490), 3, "purchase"),  # BEFORE trigger
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(csrc)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    out_dir = str(tmp_path / "out")
+    q = (
+        attribute_conversions(
+            spark.readStream.schema(schema).parquet(tsrc),
+            spark.readStream.schema(schema).parquet(csrc),
+            horizon_seconds=60,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert [(r.user_id, r.trigger_id, r.conversion_id) for r in rows] == [
+        (1, 1, 11)
+    ]
