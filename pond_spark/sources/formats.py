@@ -6,8 +6,9 @@ The reference's only interchange surfaces are raw datagrams (S7) and
 JSONL (S6); an engine replacing it sits between other systems, so the
 log schema gets explicit readers/writers for the common columnar
 (ORC) and text (CSV, JSONL) formats. All three enforce LOG_SCHEMA on
-read — a malformed feed fails loudly at the boundary, not deep inside
-a query.
+read, and the CSV reader runs FAILFAST with header validation — a
+malformed or column-reordered feed fails loudly at the boundary, not
+deep inside a query.
 
 Round-trip notes:
 - ORC: lossless (typed columns, native timestamps).
@@ -15,13 +16,19 @@ Round-trip notes:
   string vs NULL is preserved by writing NULL as an explicit sentinel
   and empty strings QUOTED (an unquoted empty field always reads back
   as null — CSV's classic ambiguity; the reference cares about the
-  distinction, F1/F2 empty-site semantics).
-- JSONL: reuses the S6 writer semantics (absent-if-null fields).
+  distinction, F1/F2 empty-site semantics). Values that COLLIDE with
+  the sentinel shape (backslashes + N, which the writer would emit
+  unquoted) are escaped by doubling on write and unescaped on read,
+  so even a literal "\\N" field survives. multiLine on read keeps
+  embedded newlines (quoted by the writer) inside one record.
+- JSONL: absent-if-null fields (the S6 writer semantics), schema
+  enforced on read.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pond_spark.schema import LOG_SCHEMA
 
@@ -29,6 +36,10 @@ from pond_spark.schema import LOG_SCHEMA
 #: round-trip distinctly from NULL ("field absent")
 _NULL = "\\N"
 _TS = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_STRING_COLS = [
+    f.name for f in LOG_SCHEMA.fields if f.dataType.simpleString() == "string"
+]
 
 
 def write_logs_orc(df: DataFrame, path: str) -> None:
@@ -39,9 +50,26 @@ def read_logs_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(LOG_SCHEMA).orc(path)
 
 
+def _escape_sentinel(df: DataFrame) -> DataFrame:
+    # a literal value of only-backslashes-then-N would be written
+    # unquoted and read back as the NULL sentinel; double the
+    # backslashes on write, strip one on read — classic sentinel
+    # escaping, closed under itself
+    for c in _STRING_COLS:
+        df = df.withColumn(c, F.regexp_replace(c, r"^(\\+N)$", r"\\$1"))
+    return df
+
+
+def _unescape_sentinel(df: DataFrame) -> DataFrame:
+    for c in _STRING_COLS:
+        df = df.withColumn(c, F.regexp_replace(c, r"^\\(\\+N)$", "$1"))
+    return df
+
+
 def write_logs_csv(df: DataFrame, path: str, gzip: bool = False) -> None:
     w = (
-        df.write.mode("overwrite")
+        _escape_sentinel(df)
+        .write.mode("overwrite")
         .option("header", "true")
         .option("nullValue", _NULL)
         .option("emptyValue", '""')
@@ -53,11 +81,40 @@ def write_logs_csv(df: DataFrame, path: str, gzip: bool = False) -> None:
 
 
 def read_logs_csv(spark: SparkSession, path: str) -> DataFrame:
-    return (
+    df = (
         spark.read.schema(LOG_SCHEMA)
         .option("header", "true")
+        # header names are VALIDATED against LOG_SCHEMA (a reordered
+        # interchange feed fails instead of silently mis-assigning
+        # same-typed columns), and any parse error raises rather than
+        # becoming NULL/shifted rows
+        .option("enforceSchema", "false")
+        .option("mode", "FAILFAST")
+        # the writer quotes embedded newlines; without multiLine the
+        # reader would split such a record at the physical line break
+        .option("multiLine", "true")
         .option("nullValue", _NULL)
         .option("emptyValue", "")
         .option("timestampFormat", _TS)
         .csv(path)
+    )
+    return _unescape_sentinel(df)
+
+
+def write_logs_jsonl(df: DataFrame, path: str, gzip: bool = False) -> None:
+    """Schema-keyed JSONL (absent-if-null fields). NB this is the
+    INTERCHANGE shape — raw LOG_SCHEMA field names, lossless against
+    read_logs_jsonl; the S6 display sink (sinks.write_jsonl) emits the
+    reference client's FormatJson key set instead."""
+    w = df.write.mode("overwrite")
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.json(path, ignoreNullFields=True)
+
+
+def read_logs_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.schema(LOG_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
     )

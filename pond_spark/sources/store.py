@@ -19,10 +19,6 @@ partitionBy(site) would cause at ~50k sites.
 
 from __future__ import annotations
 
-import glob
-import math
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -198,3 +198,37 @@ def test_orc_and_csv_roundtrip_preserve_nulls(logs, tmp_path):
     # must survive distinctly
     hosts = [r.host for r in back.collect()]
     assert "" in hosts and None in hosts
+
+
+def test_csv_roundtrip_hostile_values(logs, tmp_path):
+    """CSV boundary hardening: embedded newlines survive (multiLine),
+    a literal sentinel-shaped value round-trips (escaping), and the
+    JSONL reader enforces the schema."""
+    import datetime as _dt
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.formats import (
+        read_logs_csv,
+        read_logs_jsonl,
+        write_logs_csv,
+        write_logs_jsonl,
+    )
+
+    spark = logs.sparkSession
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, msg in ((1, "line one\nline two"), (2, "\\N"), (3, "\\\\N")):
+        r = dict(base)
+        r.update(id=i, timestamp=_dt.datetime(2024, 1, 1, 10, 0, i), message=msg)
+        rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+
+    csv = str(tmp_path / "hostile_csv")
+    write_logs_csv(df, csv)
+    back = {r.id: r.message for r in read_logs_csv(spark, csv).collect()}
+    assert back == {1: "line one\nline two", 2: "\\N", 3: "\\\\N"}
+
+    jl = str(tmp_path / "hostile_jsonl")
+    write_logs_jsonl(df, jl)
+    got = {r.id: r.message for r in read_logs_jsonl(spark, jl).collect()}
+    assert got == back
