@@ -1910,6 +1910,41 @@ def _mixture_sql() -> str:
     )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling over languages (XLM-R-style, alpha=0.5):
+    the majority language downsamples toward balance, the smallest
+    keeps everything — rates derived from the corpus itself
+    (operators/sampling.py temperature_mixture)."""
+    from pond_spark.operators.sampling import temperature_mixture
+
+    docs = _documents(spark, sf_dir)
+    return temperature_mixture(docs, alpha=0.5, source_col="lang").select(
+        "doc_id", "lang", "epoch"
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    import duckdb
+
+    from pond_spark.operators.sampling import mixture_sql, temperature_weights
+
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{sfdir}/documents.parquet') "
+            "GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    return mixture_sql(
+        temperature_weights(counts, alpha=0.5),
+        table="documents",
+        source_expr="lang",
+        cols="doc_id, lang",
+    )
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: contiguous ~4k-token training
     shards in doc_id order via a two-level distributed prefix sum
@@ -2833,6 +2868,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, None),
     "stratified_sample": (q_stratified_sample, None),
     "mixture": (q_mixture, None),
+    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
@@ -2848,6 +2884,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "pii_scrub": _pii_scrub_sql,
     "stratified_sample": _stratified_sample_sql,
     "mixture": _mixture_sql,
+    "temperature_mixture": _temperature_mixture_sql,
     "pack_shards": _pack_shards_sql,
     "unsafe_method": _unsafe_method_sql,
     "host_generator_uri": _host_generator_uri_sql,

@@ -169,3 +169,42 @@ FROM (SELECT *, {n_copies} AS _n FROM {table}) t,
      LATERAL (SELECT unnest(generate_series(0, t._n - 1)) AS epoch) e
 WHERE t._n > 0
 """
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.7
+) -> dict[str, float]:
+    """Temperature-resampling rates (the multilingual-mixture rule of
+    XLM-R / mBERT, Conneau et al. 2020 §3.1): sample stratum s with
+    probability ∝ n_s^alpha. Expressed as per-row acceptance rates
+    normalized so the SMALLEST stratum keeps everything —
+    ``r_s = (n_s / n_min)^(alpha-1)`` — i.e. alpha < 1 downsamples the
+    head instead of upsampling the tail (no replica epochs). Pure
+    Python over the (small) stratum counts, shared verbatim by the
+    engine wrapper and the oracle SQL builder so both embed identical
+    thresholds."""
+    if not 0 <= alpha <= 1:
+        raise ValueError("alpha in [0, 1]: 1 = proportional, 0 = uniform")
+    nmin = min(counts.values())
+    return {s: (n / nmin) ** (alpha - 1.0) for s, n in counts.items()}
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Data-derived :func:`mixture`: stratum counts (one bounded
+    aggregate — strata are languages/sources, a handful of rows) feed
+    temperature_weights, then the deterministic hash-sampled mixture
+    applies them. The head-stratum downsampling this produces is the
+    standard fix for majority-language dominance in multilingual
+    corpora."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    return mixture(
+        df, temperature_weights(counts, alpha), source_col, id_col, salt
+    )

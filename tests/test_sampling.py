@@ -71,3 +71,34 @@ def test_pack_shards_matches_naive_window(spark):
     shards = [got[i][1] for i, _ in rows]
     assert shards == sorted(shards)
     assert shards[-1] == (run - rows[-1][1]) // 1000
+
+
+def test_temperature_weights_and_mixture(spark):
+    from pond_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_weights,
+    )
+
+    counts = {"en": 400, "de": 100, "fr": 25}
+    w = temperature_weights(counts, alpha=0.5)
+    assert w["fr"] == 1.0  # smallest stratum keeps everything
+    assert abs(w["en"] - (400 / 25) ** -0.5) < 1e-12  # = 0.25
+    assert w["fr"] > w["de"] > w["en"]
+    # alpha=1 -> proportional sampling == keep everything
+    assert all(v == 1.0 for v in temperature_weights(counts, 1.0).values())
+    # alpha=0 -> uniform: every stratum downsamples to the smallest
+    w0 = temperature_weights(counts, 0.0)
+    assert abs(w0["en"] - 25 / 400) < 1e-12
+
+    rows = [(i, "en" if i < 400 else ("de" if i < 500 else "fr"))
+            for i in range(525)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mixture(df, alpha=0.0, source_col="lang")
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    # uniform temperature: strata land near the smallest stratum size
+    assert got["fr"] == 25
+    assert 10 <= got["en"] <= 45 and 10 <= got["de"] <= 45
+    # deterministic
+    assert out.count() == temperature_mixture(
+        df, alpha=0.0, source_col="lang"
+    ).count()
