@@ -1,18 +1,20 @@
 from pond_spark.dedup.cluster import connected_components, dedup_near_keep_best
 from pond_spark.dedup.decontaminate import contamination_report, decontaminate
-from pond_spark.dedup.exact import dedup_exact, exact_duplicate_groups
+from pond_spark.dedup.exact import DigestCatalog, dedup_exact, exact_duplicate_groups
 from pond_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from pond_spark.dedup.ngram import ngram_jaccard_pairs
-from pond_spark.dedup.simhash import simhash64, simhash_near_pairs
+from pond_spark.dedup.simhash import hamming_near_pairs, simhash64, simhash_near_pairs
 
 __all__ = [
     "dedup_exact",
+    "DigestCatalog",
     "exact_duplicate_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_pairs",
+    "hamming_near_pairs",
     "connected_components",
     "dedup_near_keep_best",
     "contamination_report",

@@ -1,10 +1,16 @@
 from pond_spark.functions.anonymize import anonymize_ip
+from pond_spark.functions.bm25 import bm25_search
+from pond_spark.functions.nbayes import nb_classify
+from pond_spark.functions.tfidf import tfidf_keywords
 from pond_spark.functions.format import one_line, to_json_projection
 from pond_spark.functions.geoip import geoip_country
 from pond_spark.functions.sanitize import sanitize_site
 
 __all__ = [
     "anonymize_ip",
+    "bm25_search",
+    "nb_classify",
+    "tfidf_keywords",
     "one_line",
     "to_json_projection",
     "geoip_country",

@@ -1,3 +1,7 @@
+from pond_spark.operators.chunking import chunk_documents
+from pond_spark.operators.funnel import event_transitions, funnel
+from pond_spark.operators.profile import corpus_profile
+from pond_spark.operators.sampling import mixture, stratified_sample, temperature_mixture
 from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
 from pond_spark.operators.asof import asof_join
 from pond_spark.operators.rollup import rollup_by_time
@@ -14,4 +18,11 @@ __all__ = [
     "asof_join",
     "rollup_by_time",
     "salted_join",
+    "chunk_documents",
+    "funnel",
+    "event_transitions",
+    "corpus_profile",
+    "mixture",
+    "stratified_sample",
+    "temperature_mixture",
 ]
