@@ -2060,9 +2060,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup recall harness, oracle-checked like
     q_minhash_pairs: exact 3-gram pairs semi-joined against SimHash
     candidates. The corpus' planted 0.8-jaccard near-dups sit at
-    Hamming <= 9 under 3-gram simhash64, so the pigeonhole candidate
-    join runs at max_hamming=10 (11 chunks) — recall must be total for
-    the row to stay green."""
+    Hamming <= 9 under 3-gram simhash64 at sf0.01 and <= 11 at sf0.1
+    (the tail of the Hamming distribution widens with corpus size —
+    the sf0.1 sweep caught a 0.975-jaccard pair at exactly 11), so
+    the pigeonhole join runs at max_hamming=12 (13 chunks of 4 bits)
+    for margin — recall must be total for the row to stay green.
+    Cost of the wider radius: candidate volume scales with
+    chunks/2^width, here 13 x 1/16 per block — measured fine at
+    sf0.1; a corpus 100x larger would pair max_hamming with
+    max_bucket_size to cap boilerplate buckets."""
     from pond_spark.dedup import ngram_jaccard_pairs, simhash_near_pairs
 
     docs = _documents(spark, sf_dir)
@@ -2070,7 +2076,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
     cand = simhash_near_pairs(
-        docs, "text", "doc_id", max_hamming=10, n=3, block_col="lang"
+        docs, "text", "doc_id", max_hamming=12, n=3, block_col="lang"
     ).select("id_a", "id_b")
     return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
@@ -2938,7 +2944,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf_dir),
             "text",
             "doc_id",
-            max_hamming=10,
+            max_hamming=12,
             n=3,
             block_col="lang",
         )
