@@ -1285,6 +1285,47 @@ def _funnel_sql() -> str:
     )
 
 
+#: value-band interval dimension shared by Spark and the oracle
+VALUE_BANDS = [
+    ("tiny", 0.0, 9.99),
+    ("small", 10.0, 49.99),
+    ("medium", 50.0, 199.99),
+    ("large", 200.0, 10_000.0),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic bucketed broadcast range join (operators/rangejoin.py
+    — the GeoIP strategy generalized): classify event values into
+    literal bands and count per (band, site). The dim explodes into
+    width-50 buckets; the fact table never shuffles for the join."""
+    from pond_spark.operators.rangejoin import range_join
+
+    logs = events_as_logs(spark, sf_dir)
+    bands = spark.createDataFrame(
+        VALUE_BANDS, "band string, lo double, hi double"
+    )
+    joined = range_join(
+        logs, bands, "value", start_col="lo", end_col="hi", bucket_width=50.0
+    )
+    return joined.groupBy("band", "site").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+    )
+
+
+def _range_join_sql() -> str:
+    rows = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in VALUE_BANDS)
+    return f"""
+WITH {LOGS_CTE},
+bands(band, lo, hi) AS (VALUES {rows})
+SELECT b.band AS band, l.site AS site, count(*) AS n,
+       CAST(sum(CAST(l.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM logs l JOIN bands b ON l.value >= b.lo AND l.value <= b.hi
+GROUP BY b.band, l.site
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-path analysis (operators/funnel.py
     event_transitions): one user-partitioned window pass with the
@@ -2824,6 +2865,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
+    "range_join": (q_range_join, None),  # lazy sql
     # -- hash-fix queries (changed this round) -------------------------
     "retention": (q_retention, RETENTION_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -2910,6 +2952,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "chunk_documents": _chunk_documents_sql,
     "funnel": _funnel_sql,
     "event_transitions": _event_transitions_sql,
+    "range_join": _range_join_sql,
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,

@@ -1,6 +1,7 @@
 from pond_spark.operators.chunking import chunk_documents
 from pond_spark.operators.funnel import event_transitions, funnel
 from pond_spark.operators.profile import corpus_profile
+from pond_spark.operators.rangejoin import range_join
 from pond_spark.operators.sampling import mixture, stratified_sample, temperature_mixture
 from pond_spark.operators.accumulate import accumulate_more, accumulate_top, age_only
 from pond_spark.operators.asof import asof_join
@@ -22,6 +23,7 @@ __all__ = [
     "funnel",
     "event_transitions",
     "corpus_profile",
+    "range_join",
     "mixture",
     "stratified_sample",
     "temperature_mixture",

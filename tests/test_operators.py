@@ -490,3 +490,50 @@ def test_event_transitions_counts(spark):
     )
     got = {(r.from_type, r.to_type): r.n for r in event_transitions(df).collect()}
     assert got == {("A", "B"): 2, ("B", "A"): 1}
+
+
+def test_range_join_inclusive_and_left(spark):
+    from pond_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 49.99), (4, 50.0), (5, 999.0)],
+        ["id", "v"],
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 9.99), ("b", 10.0, 49.99), ("c", 50.0, 100.0)],
+        ["band", "lo", "hi"],
+    )
+    inner = {
+        r.id: r.band
+        for r in range_join(
+            facts, bands, "v", "lo", "hi", bucket_width=10.0
+        ).collect()
+    }
+    # bounds inclusive on both ends; out-of-band fact absent
+    assert inner == {1: "a", 2: "b", 3: "b", 4: "c"}
+    left = range_join(
+        facts, bands, "v", "lo", "hi", bucket_width=10.0, how="left"
+    )
+    got = {r.id: r.band for r in left.collect()}
+    assert got[5] is None and len(got) == 5
+    # overlapping intervals: a point in two bands joins to both
+    overlap = spark.createDataFrame(
+        [("x", 0.0, 20.0), ("y", 5.0, 30.0)], ["band", "lo", "hi"]
+    )
+    both = range_join(
+        facts.filter("id = 2"), overlap, "v", "lo", "hi", bucket_width=10.0
+    ).collect()
+    assert {r.band for r in both} == {"x", "y"}
+
+
+def test_range_join_plans_broadcast_hash_not_nested_loop(spark):
+    from pond_spark.operators.rangejoin import range_join
+    from pond_spark.plans import formatted_plan
+
+    facts = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+    bands = spark.createDataFrame([("a", 0.0, 9.99)], ["band", "lo", "hi"])
+    plan = formatted_plan(
+        range_join(facts, bands, "v", "lo", "hi", bucket_width=10.0)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
