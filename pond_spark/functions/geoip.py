@@ -56,34 +56,29 @@ def geoip_country(
 
     A naive broadcast range join is a nested-loop probe — O(rows ×
     ranges), unusable against a real GeoIP table (~400k ranges) at log
-    scale. Instead each range explodes into the /16 prefix buckets it
-    overlaps (ranges are short, so fan-out is tiny) and the probe
-    equi-joins on its own /16 bucket — a BroadcastHashJoin with a
-    residual between-predicate, O(rows × ranges-per-bucket)."""
-    probe = df.withColumn("_ipnum", ipv4_to_long(F.col(host_col))).withColumn(
-        "_bkt", (F.col("_ipnum") / F.lit(65536)).cast("long")
-    )
+    scale. Delegates to the generic bucketed strategy
+    (operators.rangejoin.range_join) at /16 bucket width: each range
+    explodes into the prefix buckets it overlaps (ranges are short, so
+    fan-out is tiny) and the probe equi-joins on its own bucket — a
+    BroadcastHashJoin with a residual between-predicate."""
+    from pond_spark.operators.rangejoin import range_join
+
+    probe = df.withColumn("_ipnum", ipv4_to_long(F.col(host_col)))
     dim = geo.select(
-        "ip_start",
-        "ip_end",
-        F.col("country").alias("_geo_country"),
-        F.explode(
-            F.sequence(
-                F.floor(F.col("ip_start") / F.lit(65536)),
-                F.floor(F.col("ip_end") / F.lit(65536)),
-            )
-        ).alias("_gbkt"),
+        "ip_start", "ip_end", F.col("country").alias("_geo_country")
     )
-    joined = probe.join(
-        F.broadcast(dim),
-        (F.col("_bkt") == F.col("_gbkt"))
-        & (F.col("_ipnum") >= F.col("ip_start"))
-        & (F.col("_ipnum") <= F.col("ip_end")),
-        "left",
+    joined = range_join(
+        probe,
+        dim,
+        "_ipnum",
+        start_col="ip_start",
+        end_col="ip_end",
+        bucket_width=65536.0,
+        how="left",
     )
     return (
         joined.withColumn(out_col, F.coalesce(F.col("_geo_country"), F.lit("-")))
-        .drop("_ipnum", "_bkt", "_gbkt", "ip_start", "ip_end", "_geo_country")
+        .drop("_ipnum", "ip_start", "ip_end", "_geo_country")
     )
 
 

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: per-interval explode cap — far above any sane width choice, low
+#: enough that the error beats the OOM
+MAX_BUCKETS_PER_INTERVAL = 1_000_000
+
 
 def range_join(
     facts: DataFrame,
@@ -42,22 +46,40 @@ def range_join(
         raise ValueError(f"range_join supports inner/left, got {how!r}")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    p = F.col(point_col)
+    for df, c in ((facts, "_bkt"), (intervals, "_gbkt")):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} is reserved by range_join")
     probe = facts.withColumn(
-        "_bkt", F.floor(p / F.lit(bucket_width)).cast("long")
+        "_bkt", F.floor(facts[point_col] / F.lit(bucket_width)).cast("long")
     )
-    dim = intervals.withColumn(
-        "_gbkt",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
-                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+    first_b = F.floor(intervals[start_col] / F.lit(bucket_width)).cast("long")
+    last_b = F.floor(intervals[end_col] / F.lit(bucket_width)).cast("long")
+    # lazy sanity guard: an interval spanning an absurd number of
+    # buckets (bucket_width far below the interval scale — e.g. a
+    # one-week window at default width 1.0 over epoch-micros) would
+    # explode the broadcast; fail with an actionable message instead
+    # of an executor OOM. Evaluated per dim row at execution — no
+    # eager driver action.
+    span_ok = F.when(
+        last_b - first_b > F.lit(MAX_BUCKETS_PER_INTERVAL),
+        F.raise_error(
+            F.format_string(
+                "range_join: an interval spans %s buckets (cap "
+                f"{MAX_BUCKETS_PER_INTERVAL}) — raise bucket_width "
+                "toward the typical interval length",
+                (last_b - first_b).cast("string"),
             )
-        ),
+        ).cast("long"),
+    ).otherwise(last_b)
+    dim = intervals.withColumn(
+        "_gbkt", F.explode(F.sequence(first_b, span_ok))
     )
+    # qualified references: shared column names between facts and
+    # intervals (a fact table with its own 'start'/'end') must not
+    # make the join condition ambiguous
     cond = (
-        (F.col("_bkt") == F.col("_gbkt"))
-        & (p >= F.col(start_col))
-        & (p <= F.col(end_col))
+        (probe["_bkt"] == dim["_gbkt"])
+        & (probe[point_col] >= dim[start_col])
+        & (probe[point_col] <= dim[end_col])
     )
     return probe.join(F.broadcast(dim), cond, how).drop("_bkt", "_gbkt")

@@ -537,3 +537,27 @@ def test_range_join_plans_broadcast_hash_not_nested_loop(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_shared_column_names_and_guards(spark):
+    """Findings hardening: shared fact/interval column names must not
+    make the join ambiguous; reserved names raise; an absurd
+    bucket-width choice raises an actionable error, not an OOM."""
+    import pytest as _pytest
+
+    from pond_spark.operators.rangejoin import range_join
+
+    # fact table carries its OWN 'lo' column (same name as the dim's)
+    facts = spark.createDataFrame([(1, 5.0, 99.0)], ["id", "v", "lo"])
+    bands = spark.createDataFrame([("a", 0.0, 9.99)], ["band", "lo", "hi"])
+    out = range_join(facts, bands, "v", "lo", "hi", bucket_width=10.0)
+    assert out.count() == 1
+
+    with _pytest.raises(ValueError, match="reserved"):
+        range_join(
+            facts.withColumnRenamed("id", "_bkt"), bands, "v", "lo", "hi"
+        )
+
+    wide = spark.createDataFrame([("w", 0.0, 1e9)], ["band", "lo", "hi"])
+    with _pytest.raises(Exception, match="buckets"):
+        range_join(facts, wide, "v", "lo", "hi", bucket_width=1.0).count()
