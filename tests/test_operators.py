@@ -561,3 +561,57 @@ def test_range_join_shared_column_names_and_guards(spark):
     wide = spark.createDataFrame([("w", 0.0, 1e9)], ["band", "lo", "hi"])
     with _pytest.raises(Exception, match="buckets"):
         range_join(facts, wide, "v", "lo", "hi", bucket_width=1.0).count()
+
+
+def test_funnel_property_matches_python(spark):
+    """Property: the engine funnel equals a brute-force per-user
+    Python walk on random event streams (with and without horizon)."""
+    import random
+
+    from pond_spark.operators.funnel import funnel
+
+    rng = random.Random(23)
+    steps = ["A", "B", "C"]
+    t0 = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        rows = []
+        eid = 0
+        for u in range(8):
+            for _ in range(rng.randint(0, 10)):
+                eid += 1
+                rows.append(
+                    (eid, t0 + dt.timedelta(seconds=rng.randint(0, 5000)),
+                     u, rng.choice(steps + ["X"]))
+                )
+        if not rows:
+            continue
+        horizon = rng.choice([None, 1000])
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = {r.step_idx: r.n_users for r in funnel(
+            df, steps, within_seconds=horizon
+        ).collect()}
+
+        # python reference: greedy frontier walk per user
+        per_user: dict = {}
+        for _, ts, u, typ in sorted(rows, key=lambda r: r[1]):
+            per_user.setdefault(u, []).append((ts, typ))
+        counts = [0] * len(steps)
+        for u, evs in per_user.items():
+            t = None
+            deadline = None
+            for i, s in enumerate(steps):
+                nxt = [
+                    ts for ts, typ in evs
+                    if typ == s
+                    and (t is None or ts > t)
+                    and (deadline is None or ts <= deadline)
+                ]
+                if not nxt:
+                    break
+                t = min(nxt)
+                if i == 0 and horizon is not None:
+                    deadline = t + dt.timedelta(seconds=horizon)
+                counts[i] += 1
+        assert got == {i + 1: c for i, c in enumerate(counts)}, trial

@@ -177,3 +177,45 @@ def test_bm25_ranks_term_dense_docs(spark):
     by_id = {r.doc_id: r for r in out}
     assert by_id[1].n_terms == 2 and by_id[2].n_terms == 2
     assert isinstance(by_id[1].score_q, int) and by_id[1].score_q > by_id[2].score_q
+
+
+def test_tfidf_property_matches_python(spark):
+    """Property: the engine's quantized tf-idf ranking equals a pure-
+    Python reference on random small corpora across k/min_df."""
+    import math
+    import random
+
+    from pond_spark.functions.tfidf import IDF_SCALE, tfidf_keywords
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+            for d in range(6)
+        ]
+        k, min_df = rng.randint(1, 4), rng.randint(1, 2)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.rank): (r.word, r.score_q)
+            for r in tfidf_keywords(df, k=k, min_df=min_df).collect()
+        }
+        # python reference
+        words = {d: t.split(" ") for d, t in docs}
+        dfreq: dict = {}
+        for d, ws in words.items():
+            for w in set(ws):
+                dfreq[w] = dfreq.get(w, 0) + 1
+        n = len(docs)
+        want = {}
+        for d, ws in words.items():
+            scored = []
+            for w in sorted(set(ws)):
+                if dfreq[w] < min_df:
+                    continue
+                tf = ws.count(w)
+                sq = tf * math.floor(math.log(n / dfreq[w]) * IDF_SCALE)
+                scored.append((-sq, w, sq))
+            for rank, (_, w, sq) in enumerate(sorted(scored)[:k], start=1):
+                want[(d, rank)] = (w, sq)
+        assert got == want, (trial, k, min_df)
