@@ -219,3 +219,54 @@ def test_tfidf_property_matches_python(spark):
             for rank, (_, w, sq) in enumerate(sorted(scored)[:k], start=1):
                 want[(d, rank)] = (w, sq)
         assert got == want, (trial, k, min_df)
+
+
+def test_bm25_property_matches_python(spark):
+    """Property: the engine's quantized BM25 ranking equals a pure-
+    Python Okapi implementation on random corpora and queries."""
+    import math
+    import random
+
+    from pond_spark.functions.bm25 import BM25_SCALE, bm25_search
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(10)]
+    k1, b = 1.2, 0.75
+    for trial in range(3):
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for d in range(7)
+        ]
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = [
+            (r.doc_id, r.score_q)
+            for r in bm25_search(df, terms, k=10).collect()
+        ]
+
+        words = {d: t.split(" ") for d, t in docs}
+        n_docs = len(docs)
+        avgdl = sum(len(w) for w in words.values()) / n_docs
+        dfreq = {
+            t: sum(1 for w in words.values() if t in w) for t in terms
+        }
+        want = []
+        for d, ws in words.items():
+            sq = 0
+            hit = False
+            for t in terms:
+                tf = ws.count(t)
+                if not tf:
+                    continue
+                hit = True
+                idf = math.log(
+                    1.0 + ((n_docs - dfreq[t]) + 0.5) / (dfreq[t] + 0.5)
+                )
+                tfn = (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * (len(ws) / avgdl))
+                )
+                sq += math.floor(idf * tfn * BM25_SCALE)
+            if hit:
+                want.append((d, sq))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        assert got == want, (trial, terms)
