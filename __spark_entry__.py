@@ -1342,6 +1342,30 @@ def _event_transitions_sql() -> str:
     return event_transitions_sql()
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation over the NB holdout: the (label, predicted)
+    confusion matrix — the aggregate a curation team inspects before
+    trusting a filter model. One extra two-key groupBy over
+    q_nb_classify's exact-integer output."""
+    from pond_spark.functions.nbayes import nb_classify
+
+    return (
+        nb_classify(_fan(_documents(spark, sf_dir)))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _nb_confusion_sql() -> str:
+    from pond_spark.functions.nbayes import nb_classify_sql
+
+    return (
+        "SELECT label, predicted, count(*) AS n FROM ("
+        + nb_classify_sql()
+        + ") GROUP BY label, predicted"
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) dataset-card profile (operators/profile.py).
     The corpus has no exact dups, so a shifted copy is unioned (the
@@ -2861,6 +2885,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
+    "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql
@@ -2948,6 +2973,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "tfidf_keywords": _tfidf_keywords_sql,
     "bm25_search": _bm25_search_sql,
     "nb_classify": _nb_classify_sql,
+    "nb_confusion": _nb_confusion_sql,
     "corpus_profile": _corpus_profile_sql,
     "chunk_documents": _chunk_documents_sql,
     "funnel": _funnel_sql,
