@@ -1195,16 +1195,37 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-25 for a fixed bag of query terms
     (functions/bm25.py): early postings filter, two narrow-key
     shuffles, broadcast corpus stats, integer-quantized per-term
-    contributions so the doc scores are exact BIGINT sums."""
+    contributions so the doc scores are exact BIGINT sums.
+
+    Hashed projection: ``(doc_id, n_terms, rank)`` — the quantized
+    score stays INTERNAL to the ordering (both engines rank by it with
+    the doc_id tiebreak), so a last-ulp ``floor(ln·scale)`` boundary
+    flip only shows if it actually reorders two docs, not whenever a
+    single floored value moves (VERDICT r3 hardening of the PERF_NOTES
+    hash-stability rule)."""
+    from pyspark.sql.window import Window
+
     from pond_spark.functions.bm25 import bm25_search
 
-    return bm25_search(_fan(_documents(spark, sf_dir)), BM25_TERMS, k=25)
+    out = bm25_search(_fan(_documents(spark, sf_dir)), BM25_TERMS, k=25)
+    # k=25 rows: the unpartitioned window is a single tiny task.
+    win = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return out.select(
+        "doc_id",
+        "n_terms",
+        F.row_number().over(win).cast("long").alias("rank"),
+    )
 
 
 def _bm25_search_sql() -> str:
     from pond_spark.functions.bm25 import bm25_search_sql
 
-    return bm25_search_sql(BM25_TERMS, k=25)
+    return (
+        "SELECT doc_id, n_terms, CAST(row_number() OVER "
+        "(ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rank FROM ("
+        + bm25_search_sql(BM25_TERMS, k=25)
+        + ")"
+    )
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,16 +1252,26 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     §3.2): deterministic id%5 holdout, Laplace-smoothed token
     likelihoods, integer-quantized log-probabilities so the per-class
     score sums and the argmax are exact-BIGINT arithmetic in both
-    engines."""
+    engines.
+
+    Hashed projection: the quantized per-class score stays INTERNAL to
+    the argmax — a last-ulp ``floor(ln·scale)`` flip only shows if it
+    changes the winning class (VERDICT r3 hardening)."""
     from pond_spark.functions.nbayes import nb_classify
 
-    return nb_classify(_fan(_documents(spark, sf_dir)))
+    return nb_classify(_fan(_documents(spark, sf_dir))).select(
+        "doc_id", "label", "predicted", "n_tokens", "correct"
+    )
 
 
 def _nb_classify_sql() -> str:
     from pond_spark.functions.nbayes import nb_classify_sql
 
-    return nb_classify_sql()
+    return (
+        "SELECT doc_id, label, predicted, n_tokens, correct FROM ("
+        + nb_classify_sql()
+        + ")"
+    )
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2696,18 +2727,35 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = base.mapInPandas(enc, "media_id long, payload binary")
-    return decode_media_batch(media, codec="stdlib")
+    decoded = decode_media_batch(media, codec="stdlib")
+    # Hashed projection must be scalar + integer (the driver's
+    # canonicalizer cannot sort/hash array columns, and PERF_NOTES bans
+    # floats in hashed columns): posexplode the feature vector and
+    # de-quantize each float32 value back to the EXACT 4-pixel integer
+    # sum it encodes.  feat[i] = fl32((s/4)/255) with s in [0, 1020], so
+    # |feat[i]*1020 - s| < 1e-3 and floor(+0.5) recovers s losslessly.
+    return decoded.select(
+        "media_id",
+        "n_pixels",
+        F.posexplode("feat").alias("feat_idx", "_v"),
+    ).select(
+        "media_id",
+        "n_pixels",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.floor(F.col("_v").cast("double") * F.lit(1020.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_q"),
+    )
 
 
 MEDIA_DECODE_REAL_SQL = """
 SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS n_pixels,
-       list_transform(generate_series(0, 7), i ->
-         CAST((((doc_id*7 + (4*i+0)*13) % 256
-              + (doc_id*7 + (4*i+1)*13) % 256
-              + (doc_id*7 + (4*i+2)*13) % 256
-              + (doc_id*7 + (4*i+3)*13) % 256) / 4.0 / 255.0) AS FLOAT)
-       ) AS feat
-FROM documents
+       CAST(i AS BIGINT) AS feat_idx,
+       CAST((doc_id*7 + (4*i+0)*13) % 256
+          + (doc_id*7 + (4*i+1)*13) % 256
+          + (doc_id*7 + (4*i+2)*13) % 256
+          + (doc_id*7 + (4*i+3)*13) % 256 AS BIGINT) AS value_q
+FROM documents CROSS JOIN generate_series(0, 7) AS t(i)
 """
 
 

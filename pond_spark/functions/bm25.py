@@ -115,7 +115,7 @@ scored AS (
               * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
            * {s!r}) AS BIGINT) AS cq
   FROM tf JOIN dfc USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s)
-SELECT doc_id, count(*) AS n_terms, sum(cq) AS score_q
+SELECT doc_id, count(*) AS n_terms, CAST(sum(cq) AS BIGINT) AS score_q
 FROM scored GROUP BY doc_id
 ORDER BY score_q DESC, doc_id ASC LIMIT {k}
 """

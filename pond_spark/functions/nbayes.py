@@ -141,8 +141,10 @@ def nb_classify_sql(
     """DuckDB twin — identical split, counts, quantization, argmax."""
     s = float(LOGQ_SCALE)
     return f"""
-WITH train AS (SELECT * FROM {table} WHERE doc_id % {train_mod} != {holdout_rem}),
-test AS (SELECT * FROM {table} WHERE doc_id % {train_mod} = {holdout_rem}),
+WITH train AS (SELECT * FROM {table}
+               WHERE ((doc_id % {train_mod}) + {train_mod}) % {train_mod} != {holdout_rem}),
+test AS (SELECT * FROM {table}
+         WHERE ((doc_id % {train_mod}) + {train_mod}) % {train_mod} = {holdout_rem}),
 tw AS (SELECT {label_col} AS cls,
               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
        FROM train),
@@ -167,12 +169,14 @@ scored AS (SELECT sw.doc_id AS doc_id, sw.label AS label, c.cls AS cls,
            FROM sw CROSS JOIN classes c
            LEFT JOIN counts k ON k.cls = c.cls AND k.word = sw.word),
 per_class AS (SELECT doc_id, label, cls, prior_q,
-                     sum(logq) AS sum_logq, count(*) AS n_tokens
+                     CAST(sum(logq) AS BIGINT) AS sum_logq,
+                     count(*) AS n_tokens
               FROM scored GROUP BY doc_id, label, cls, prior_q),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                      ORDER BY (prior_q + sum_logq) DESC, cls ASC) AS _rk
            FROM per_class)
-SELECT doc_id, label, cls AS predicted, prior_q + sum_logq AS score_q,
+SELECT doc_id, label, cls AS predicted,
+       CAST(prior_q + sum_logq AS BIGINT) AS score_q,
        n_tokens, CAST(cls = label AS INT) AS correct
 FROM ranked WHERE _rk = 1
 """

@@ -54,8 +54,8 @@ def corpus_profile_sql(
     tc = token_count_sql("text")
     return f"""
 SELECT {g}, count(*) AS n_docs,
-       sum({tc}) AS n_tokens,
-       sum(length(text)) AS n_chars,
+       CAST(sum({tc}) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
        count(DISTINCT sha256(text)) AS n_unique,
        (count(*) - count(DISTINCT sha256(text))) * 1000000 // count(*) AS dup_ppm
 FROM {table} GROUP BY {g}
