@@ -49,6 +49,17 @@ class DigestCatalog:
     documents. For repeated big-big runs, write the catalog bucketed
     by digest (sources/bucketing.py) so the anti-join co-locates
     without a shuffle.
+
+    **Single-writer assumption**: filter_new → register is a
+    read-then-append with no commit protocol, so exactly one pipeline
+    may own a catalog path at a time (the normal shape: one scheduled
+    corpus-build job per catalog). Two concurrent writers can both
+    admit the same content in the window between their reads; if that
+    happens the catalog ends up with a duplicate digest row — future
+    runs still filter correctly (the anti-join doesn't care about
+    multiplicity) but that window's batches overlap. Serialize
+    writers externally (workflow scheduler / storage lease) when
+    multiple pipelines must share one catalog.
     """
 
     def __init__(self, spark, path: str):
@@ -56,16 +67,22 @@ class DigestCatalog:
         self.path = path
 
     def _read(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self.path)
-        except Exception as e:
+        except AnalysisException as e:
             # ONLY a missing path means "first run". Any other read
             # failure (permissions, corrupt footer, storage blip) on
             # an existing catalog must raise — failing open would
             # silently disable cross-run dedup and re-admit
-            # everything previously shipped.
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            # everything previously shipped. Match the stable error
+            # CONDITION, not the message text (which varies by Spark
+            # version/locale).
+            get_cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if get_cond and get_cond() == "PATH_NOT_FOUND":
                 return self.spark.createDataFrame([], "content_sha string")
             raise
 

@@ -35,17 +35,37 @@ def range_join(
     end_col: str = "end",
     bucket_width: float = 1.0,
     how: str = "inner",
+    dim_prefix: str = "interval_",
 ) -> DataFrame:
     """Join each fact row to every interval containing its point
     (``start <= point <= end``, inclusive both ends — the F5/F7
     convention). ``how`` ∈ {inner, left}; left keeps pointless facts
     with NULL interval columns. ``bucket_width`` trades dimension
     replication (wide buckets) against ranges probed per row (narrow
-    buckets); set it near the typical interval length."""
+    buckets); set it near the typical interval length.
+
+    Interval columns whose name collides with a fact column are
+    renamed ``dim_prefix + name`` in the output, so every output
+    column stays uniquely addressable (a duplicated name would make
+    any later select/drop ambiguous or drop both)."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports inner/left, got {how!r}")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    fact_cols = set(facts.columns)
+    for c in [c for c in intervals.columns if c in fact_cols]:
+        renamed = dim_prefix + c
+        if renamed in fact_cols or renamed in intervals.columns:
+            raise ValueError(
+                f"range_join: interval column {c!r} collides with a fact "
+                f"column and the fallback name {renamed!r} is also taken — "
+                "rename one side or pass a different dim_prefix"
+            )
+        intervals = intervals.withColumnRenamed(c, renamed)
+        if start_col == c:
+            start_col = renamed
+        if end_col == c:
+            end_col = renamed
     for df, c in ((facts, "_bkt"), (intervals, "_gbkt")):
         if c in df.columns:
             raise ValueError(f"column {c!r} is reserved by range_join")

@@ -105,16 +105,36 @@ def write_raw(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def write_packet_socket(df: DataFrame, address: str) -> None:
+def write_packet_socket(
+    df: DataFrame,
+    address: str,
+    seqpacket: bool = False,
+    max_datagram_bytes: int = 65_536,
+    oversize: str = "error",
+) -> None:
     """S8 packet-socket sink (ResultWriter.cxx:63-75,112-120,368-371):
     when the reference client's stdout is a datagram/seqpacket socket
-    it emits one raw datagram per record instead of a byte stream.
+    it emits one raw datagram per record instead of a byte stream —
+    the reference handles BOTH packet-socket types (SOCK_DGRAM and
+    SOCK_SEQPACKET); pass ``seqpacket=True`` for the latter.
     Engine mapping: re-serialize each row to the engine's wire format
     — the JSON datagram encoding the S1 receiver parses, null fields
     absent — and send ONE datagram per record to a local AF_UNIX
-    SOCK_DGRAM socket, one connection per partition (foreachPartition;
-    no driver collection — each executor streams its own partitions).
-    Records round-trip losslessly through sources.ingest.ingest_batch."""
+    socket, one connection per partition (foreachPartition; no driver
+    collection — each executor streams its own partitions). Records
+    round-trip losslessly through sources.ingest.ingest_batch.
+
+    A record larger than the socket buffer would fail the whole task
+    with EMSGSIZE deep in a Spark stage; ``max_datagram_bytes``
+    (default 64 KiB, safely under the typical ~208 KiB AF_UNIX
+    default) bounds the encoded size up front. ``oversize`` chooses
+    the policy: ``"error"`` raises with the row's size (run the
+    records through a truncation projection first if dropping payload
+    is acceptable), ``"skip"`` drops oversized records (counted and
+    reported per partition via a log line, matching the reference's
+    best-effort datagram semantics)."""
+    if oversize not in ("error", "skip"):
+        raise ValueError(f"oversize must be error|skip, got {oversize!r}")
     lines = df.select(
         F.to_json(
             F.struct(*df.columns), {"ignoreNullFields": "true"}
@@ -124,12 +144,32 @@ def write_packet_socket(df: DataFrame, address: str) -> None:
     def _send(rows) -> None:
         import socket
 
-        s = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        kind = socket.SOCK_SEQPACKET if seqpacket else socket.SOCK_DGRAM
+        s = socket.socket(socket.AF_UNIX, kind)
+        skipped = 0
         try:
             s.connect(address)
             for r in rows:
-                s.send(r.dgram.encode("utf-8"))
+                payload = r.dgram.encode("utf-8")
+                if len(payload) > max_datagram_bytes:
+                    if oversize == "error":
+                        raise ValueError(
+                            f"write_packet_socket: record of {len(payload)} B "
+                            f"exceeds max_datagram_bytes={max_datagram_bytes} "
+                            "— truncate upstream or raise the cap"
+                        )
+                    skipped += 1
+                    continue
+                # send(), not sendall(): one datagram per record — a
+                # packet socket delivers the payload atomically or not
+                # at all, and sendall could split a partial write
+                s.send(payload)
         finally:
             s.close()
+            if skipped:
+                print(
+                    f"write_packet_socket: skipped {skipped} oversized "
+                    f"record(s) > {max_datagram_bytes} B"
+                )
 
     lines.foreachPartition(_send)

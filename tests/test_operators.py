@@ -547,11 +547,19 @@ def test_range_join_shared_column_names_and_guards(spark):
 
     from pond_spark.operators.rangejoin import range_join
 
-    # fact table carries its OWN 'lo' column (same name as the dim's)
+    # fact table carries its OWN 'lo' column (same name as the dim's):
+    # the colliding interval column is prefixed so every output column
+    # stays uniquely addressable
     facts = spark.createDataFrame([(1, 5.0, 99.0)], ["id", "v", "lo"])
     bands = spark.createDataFrame([("a", 0.0, 9.99)], ["band", "lo", "hi"])
     out = range_join(facts, bands, "v", "lo", "hi", bucket_width=10.0)
-    assert out.count() == 1
+    assert sorted(out.columns) == ["band", "hi", "id", "interval_lo", "lo", "v"]
+    row = out.collect()[0]
+    assert (row.lo, row.interval_lo) == (99.0, 0.0)
+    # prefixed fallback ALSO taken -> actionable error, not a dup column
+    clash = facts.withColumn("interval_lo", facts["lo"])
+    with _pytest.raises(ValueError, match="dim_prefix"):
+        range_join(clash, bands, "v", "lo", "hi", bucket_width=10.0)
 
     with _pytest.raises(ValueError, match="reserved"):
         range_join(

@@ -147,6 +147,74 @@ def test_write_packet_socket_roundtrip(logs, tmp_path):
     assert got == want
 
 
+def test_write_packet_socket_seqpacket_and_oversize(spark, tmp_path):
+    """S8 hardening: SOCK_SEQPACKET is the reference's other packet
+    type; oversized records follow the chosen policy instead of
+    failing the task with EMSGSIZE mid-stage."""
+    import socket
+
+    import pytest as _pytest
+
+    from pond_spark.sinks.writers import write_packet_socket
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "x" * 5000)], "id long, payload string"
+    ).coalesce(1)
+
+    # oversize=error: actionable failure naming the cap
+    addr_e = str(tmp_path / "e.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind(addr_e)
+    try:
+        with _pytest.raises(Exception, match="max_datagram_bytes"):
+            write_packet_socket(df, addr_e, max_datagram_bytes=1024)
+    finally:
+        rx.close()
+
+    # oversize=skip: small record arrives, big one dropped
+    addr_s = str(tmp_path / "s.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind(addr_s)
+    rx.settimeout(30)
+    try:
+        write_packet_socket(df, addr_s, max_datagram_bytes=1024, oversize="skip")
+        one = rx.recv(65536).decode()
+    finally:
+        rx.close()
+    assert '"id":1' in one
+
+    # seqpacket transport: both records round-trip atomically
+    addr_q = str(tmp_path / "q.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_SEQPACKET)
+    rx.bind(addr_q)
+    rx.listen(1)
+    rx.settimeout(30)
+    got = []
+
+    import threading
+
+    def _accept():
+        conn, _ = rx.accept()
+        conn.settimeout(30)
+        for _ in range(2):
+            got.append(conn.recv(65536).decode())
+        conn.close()
+
+    t = threading.Thread(target=_accept)
+    t.start()
+    try:
+        write_packet_socket(df, addr_q, seqpacket=True)
+        t.join(30)
+    finally:
+        rx.close()
+    assert sorted(len(g) for g in got) == sorted(
+        len(s) for s in (
+            '{"id":1,"payload":"ok"}',
+            '{"id":2,"payload":"' + "x" * 5000 + '"}',
+        )
+    )
+
+
 def test_auto_clone_picks_biggest_peer(logs, tmp_path):
     """S4 (minus Zeroconf): probe candidates, clone from the one with
     the most records, skip unreadable peers."""
