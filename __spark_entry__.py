@@ -1570,6 +1570,99 @@ FROM n JOIN dom2 ON n.id = dom2.id
 """.replace("{logs_cte}", LOGS_CTE)
 
 
+def _psl_host_expr(rid: F.Column, src: F.Column) -> F.Column:
+    """Deterministic messy-host view exercising every PSL rule type:
+    normal TLD, second-level registry, wildcard ``*.ck``, exception
+    ``!www.ck``, private-domain entry, IPv4 literal, single-label —
+    with scheme/port noise the extractor must strip."""
+    m = rid % 7
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), src, F.lit(".example.com")))
+        .when(m == 1, F.concat(F.lit("news."), src, F.lit(".example.co.uk")))
+        .when(m == 2, F.concat(F.lit("a."), src, F.lit(".b.ck")))
+        .when(m == 3, F.lit("www.ck"))
+        .when(m == 4, F.concat(src, F.lit(".github.io")))
+        .when(m == 5, F.concat(F.lit("10.0.0."), (rid % 250).cast("string")))
+        .otherwise(F.lit("localhost"))
+    )
+    return (
+        F.when(rid % 2 == 0, F.concat(F.lit("https://"), host, F.lit(":443/p")))
+        .otherwise(host)
+    )
+
+
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full public-suffix-list registered-domain extraction
+    (functions/psl.py): wildcard + exception + longest-match semantics
+    as a shuffle-free cascade of broadcast hash probes — the corpus
+    never shuffles or explodes. Rule set: the bundled verified PSL
+    snapshot; production swaps in the full Mozilla dat via
+    load_psl_file with the identical plan shape."""
+    from pond_spark.functions.psl import psl_domains
+
+    docs = _fan(_documents(spark, sf_dir)).select(
+        "doc_id",
+        _psl_host_expr(F.col("doc_id"), F.col("source")).alias("url"),
+    )
+    return psl_domains(docs, url_col="url", id_col="doc_id")
+
+
+def _psl_domains_sql() -> str:
+    from pond_spark.functions.psl import (
+        DEFAULT_RULES,
+        parse_psl,
+        psl_rules_values_sql,
+    )
+
+    ex, wd, k = psl_rules_values_sql(parse_psl(DEFAULT_RULES))
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0 THEN 'www.' || source || '.example.com'
+          WHEN doc_id % 7 = 1 THEN 'news.' || source || '.example.co.uk'
+          WHEN doc_id % 7 = 2 THEN 'a.' || source || '.b.ck'
+          WHEN doc_id % 7 = 3 THEN 'www.ck'
+          WHEN doc_id % 7 = 4 THEN source || '.github.io'
+          WHEN doc_id % 7 = 5 THEN '10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+          ELSE 'localhost' END) AS h0
+  FROM documents),
+u AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https://' || h0 || ':443/p'
+                  ELSE h0 END AS url
+      FROM docs0),
+h AS (SELECT doc_id,
+             lower(split_part(
+               CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                    THEN regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+                    ELSE url END, ':', 1)) AS host
+      FROM u),
+l AS (SELECT doc_id, host, string_split(host, '.') AS labs,
+             len(string_split(host, '.')) AS n
+      FROM h),
+ex(key, prio, ps) AS (VALUES {ex}),
+wd(key, prio, ps) AS (VALUES {wd}),
+cand AS (
+  SELECT l.doc_id, r.prio, r.ps
+  FROM l JOIN generate_series(1, {k}) g(i) ON l.n >= g.i
+  JOIN ex r ON r.key = array_to_string(l.labs[l.n - g.i + 1 : l.n], '.')
+  UNION ALL
+  SELECT l.doc_id, r.prio, r.ps
+  FROM l JOIN generate_series(2, {k}) g(i) ON l.n >= g.i
+  JOIN wd r ON r.key = '*.' || array_to_string(l.labs[l.n - g.i + 2 : l.n], '.')),
+best AS (SELECT doc_id, CAST(max_by(ps, prio) AS INT) AS ps
+         FROM cand GROUP BY doc_id)
+SELECT l.doc_id AS doc_id, l.host AS host,
+       CAST(coalesce(b.ps, 1) AS INT) AS ps_labels,
+       (CASE WHEN regexp_matches(l.host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+                  OR l.n <= 1 THEN l.host
+             WHEN l.n >= coalesce(b.ps, 1) + 1
+             THEN array_to_string(l.labs[l.n - coalesce(b.ps, 1) : l.n], '.')
+             ELSE NULL END) AS domain
+FROM l LEFT JOIN best b USING (doc_id)
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup (Wenzek et al. 2020 §3.1):
     lines recurring in ≥2 distinct documents are boilerplate and get
@@ -2993,6 +3086,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_shards": (q_pack_shards, None),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
@@ -3030,6 +3124,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "semantic_pairs": _semantic_pairs_sql,
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,
+    "psl_domains": _psl_domains_sql,
 }
 
 

@@ -4,6 +4,7 @@ from pond_spark.functions.nbayes import nb_classify
 from pond_spark.functions.tfidf import tfidf_keywords
 from pond_spark.functions.format import one_line, to_json_projection
 from pond_spark.functions.geoip import geoip_country
+from pond_spark.functions.psl import load_psl_file, parse_psl, psl_domains
 from pond_spark.functions.sanitize import sanitize_site
 
 __all__ = [
@@ -14,5 +15,8 @@ __all__ = [
     "one_line",
     "to_json_projection",
     "geoip_country",
+    "load_psl_file",
+    "parse_psl",
+    "psl_domains",
     "sanitize_site",
 ]

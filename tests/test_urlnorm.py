@@ -106,3 +106,76 @@ def test_normalize_idempotent_bulk(spark):
         | (F.col("domain") != F.col("domain2"))
     ).collect()
     assert bad == []
+
+
+def test_psl_domains_rule_types(spark):
+    """Full-PSL semantics: normal, second-level, wildcard, exception,
+    private-domain, longest-match, default rule, IP/single-label
+    passthrough — the canonical cases from publicsuffix.org."""
+    from pond_spark.functions.psl import psl_domains
+
+    rows = [
+        (1, "https://www.example.com/x?a=1"),
+        (2, "news.bbc.co.uk"),
+        (3, "a.b.example.ck"),      # wildcard *.ck
+        (4, "www.ck"),              # exception !www.ck
+        (5, "foo.github.io"),       # private-domain entry
+        (6, "example.ck"),          # host IS a public suffix -> NULL
+        (7, "ck"),                  # single label: passthrough
+        (8, "192.168.0.1"),         # IP: passthrough
+        (9, "deep.sub.example.co.uk:8443"),
+        (10, "host.unknowntld"),    # default rule '*': ps=1
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: (r.host, r.ps_labels, r.domain)
+           for r in psl_domains(df).collect()}
+    assert got[1] == ("www.example.com", 1, "example.com")
+    assert got[2] == ("news.bbc.co.uk", 2, "bbc.co.uk")
+    assert got[3] == ("a.b.example.ck", 2, "b.example.ck")
+    assert got[4] == ("www.ck", 1, "www.ck")
+    assert got[5] == ("foo.github.io", 2, "foo.github.io")
+    assert got[6] == ("example.ck", 2, None)
+    assert got[7] == ("ck", 1, "ck")
+    assert got[8] == ("192.168.0.1", 1, "192.168.0.1")
+    assert got[9] == ("deep.sub.example.co.uk", 2, "example.co.uk")
+    assert got[10] == ("host.unknowntld", 1, "host.unknowntld")
+
+
+def test_psl_parse_dat_format(tmp_path):
+    """public_suffix_list.dat parsing: comments, blanks, markers."""
+    from pond_spark.functions.psl import load_psl_file, parse_psl
+
+    dat = "\n".join([
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com",
+        "co.uk",
+        "*.ck",
+        "!www.ck",
+        "// ===END ICANN DOMAINS===",
+    ])
+    rules = parse_psl(dat.splitlines())
+    assert ("com", 1, 1) in rules.exact
+    assert ("co.uk", 2, 2) in rules.exact
+    assert ("www.ck", 1002, 1) in rules.exact  # exception: +1000, ps-1
+    assert rules.wild == (("*.ck", 2, 2),)
+    assert rules.max_labels == 2
+
+    p = tmp_path / "psl.dat"
+    p.write_text(dat)
+    assert load_psl_file(str(p)) == rules
+
+
+def test_psl_plan_is_broadcast_only(spark):
+    """100 TB shape: the probe side never shuffles — every rule match
+    is a broadcast hash probe; no shuffle exchange, no nested loop."""
+    from pond_spark.functions.psl import psl_domains
+    from pond_spark.plans import formatted_plan
+
+    df = spark.createDataFrame([(1, "a.example.com")], "id long, url string")
+    plan = formatted_plan(psl_domains(df))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
+    assert shuffles == [], plan
