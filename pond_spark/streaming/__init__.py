@@ -4,6 +4,11 @@ from pond_spark.streaming.ratelimit import rate_limit_stream
 from pond_spark.streaming.attribution import attribute_conversions
 from pond_spark.streaming.rollup import rollup_stream
 from pond_spark.streaming.trending import top_terms_per_bucket, trending_terms_stream
+from pond_spark.streaming.groupsite import (
+    group_site_topk_stream,
+    site_key_counts_stream,
+    top_keys_per_site,
+)
 
 __all__ = [
     "follow_stream",
@@ -16,4 +21,7 @@ __all__ = [
     "attribute_conversions",
     "trending_terms_stream",
     "top_terms_per_bucket",
+    "group_site_topk_stream",
+    "site_key_counts_stream",
+    "top_keys_per_site",
 ]

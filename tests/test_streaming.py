@@ -399,3 +399,114 @@ def test_attribution_stream_stream_join(spark, tmp_path):
     assert [(r.user_id, r.trigger_id, r.conversion_id) for r in rows] == [
         (1, 1, 11)
     ]
+
+
+def test_group_site_windowed_topk(spark, tmp_path):
+    """Streaming GROUP_SITE: windowed per-site key counts finalize in
+    append mode; the finisher ranks per (bucket, site) with the
+    accumulate top,N ordering. NULL site folds to '' (F1 rule)."""
+    from pond_spark.streaming.groupsite import (
+        site_key_counts_stream,
+        top_keys_per_site,
+    )
+
+    src = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, "alpha", "/a"),
+        (2, t0 + dt.timedelta(seconds=1), "alpha", "/a"),
+        (3, t0 + dt.timedelta(seconds=2), "alpha", "/b"),
+        (4, t0 + dt.timedelta(seconds=3), "beta", "/z"),
+        (5, t0 + dt.timedelta(seconds=4), None, "/n"),
+        # watermark pusher: closes the first bucket
+        (6, t0 + dt.timedelta(seconds=300), "alpha", "/tail"),
+    ]
+    spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, uri string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "id long, timestamp timestamp, site string, uri string"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        site_key_counts_stream(stream, every="30 seconds", watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    top = top_keys_per_site(spark.read.parquet(out_dir), k=1)
+    got = {
+        (r.bucket_start, r.site): (r.key, r.n)
+        for r in top.collect()
+    }
+    assert got[(t0, "alpha")] == ("/a", 2)
+    assert got[(t0, "beta")] == ("/z", 1)
+    assert got[(t0, "")] == ("/n", 1)  # NULL site folded
+
+
+def test_group_site_spacesaving_topk_bounded_state(spark, tmp_path):
+    """Continuous per-site top-k: Space-Saving state carries across
+    micro-batches, stays bounded at m counters under more distinct
+    keys than m, and still ranks the true heavy hitters first with
+    exact counts (err=0 for never-evicted keys)."""
+    from pond_spark.streaming.groupsite import group_site_topk_stream
+
+    store = str(tmp_path / "store")
+    schema = "id long, site string, uri string"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+
+    # batch 1: /hot x5, /warm x2 on site a
+    write([(i, "a", "/hot") for i in range(5)] + [(10, "a", "/warm"), (11, "a", "/warm")])
+    time.sleep(1.1)
+    # batch 2: /hot x3 more, plus 12 distinct one-off keys (> m=8):
+    # the sketch must evict noise, never the heavy hitter
+    write(
+        [(20 + i, "a", "/hot") for i in range(3)]
+        + [(40 + i, "a", f"/noise{i}") for i in range(12)]
+        + [(60, "b", "/solo")]
+    )
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    out = group_site_topk_stream(sdf, key_col="uri", site_col="site", k=3, m=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gsk")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from gsk").collect()
+    # latest ranking per site
+    last_a = max(r.batch_id for r in rows if r.site == "a")
+    fin = {r.rank: (r.key, r.n, r.err) for r in rows if r.site == "a" and r.batch_id == last_a}
+    # the heavy hitter is NEVER evicted (count > count_min guarantee)
+    # and its count is exact across micro-batches (state carried over:
+    # 5 in batch 1 + 3 in batch 2)
+    assert fin[1] == ("/hot", 8, 0)
+    # Metwally bound: every tracked count overestimates by at most err,
+    # so true count >= n - err; rank-2 must account for >= 1 real hit
+    assert fin[2][1] - fin[2][2] >= 1
+    # bounded state: never more than k rows emitted per batch
+    assert all(r.rank <= 3 for r in rows)
+    assert {r.key for r in rows if r.site == "b"} == {"/solo"}
+    # batch 1 alone (before the noise flood) ranks exactly
+    first_a = min(r.batch_id for r in rows if r.site == "a")
+    b1 = {r.rank: (r.key, r.n, r.err) for r in rows if r.site == "a" and r.batch_id == first_a}
+    assert b1[1] == ("/hot", 5, 0) and b1[2] == ("/warm", 2, 0)
