@@ -1228,6 +1228,60 @@ def _bm25_search_sql() -> str:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (functions/hybrid.py): BM25 top-25 and brute
+    cosine top-25 fused with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09) — the two-tower RAG retrieval shape. Hashed projection
+    is integer ranks only; the double RRF score stays internal to the
+    ordering (same fixed-order fold in both engines)."""
+    from pond_spark.functions.hybrid import hybrid_search
+
+    return hybrid_search(
+        _fan(_documents(spark, sf_dir)),
+        _fan(_embeddings(spark, sf_dir)),
+        BM25_TERMS,
+        QUERY_VEC,
+        k=10,
+        n_per_leg=25,
+    )
+
+
+def _hybrid_search_sql() -> str:
+    from pond_spark.functions.bm25 import bm25_search_sql
+
+    return f"""
+WITH bm AS ({bm25_search_sql(BM25_TERMS, k=25)}),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank_1
+        FROM bm),
+cos AS (
+  SELECT vec_id, round(
+    list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, {_QVEC_SQL}),
+                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (a,b)->a+b)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), (a,b)->a+b))
+     * sqrt(list_reduce(list_prepend(0.0, list_transform({_QVEC_SQL},
+                x -> x*x)), (a,b)->a+b))), 6) AS cosine
+  FROM embeddings ORDER BY cosine DESC, vec_id ASC LIMIT 25),
+cr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank_2
+       FROM cos),
+f AS (SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+             bmr.rank_1 AS rank_1, cr.rank_2 AS rank_2
+      FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id),
+s AS (SELECT doc_id, rank_1, rank_2,
+             coalesce(1.0/(60.0 + rank_1), 0.0)
+               + coalesce(1.0/(60.0 + rank_2), 0.0) AS sc
+      FROM f),
+r AS (SELECT doc_id, CAST(rank_1 AS BIGINT) AS rank_1,
+             CAST(rank_2 AS BIGINT) AS rank_2,
+             CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT)
+               AS rank
+      FROM s)
+SELECT doc_id, rank_1, rank_2, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
     two map-side-combined groupBys → one term-keyed join → per-doc
@@ -3087,6 +3141,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
@@ -3125,6 +3180,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "embedding_near_pairs": _embedding_near_pairs_sql,
     "near_dup_groups": _near_dup_groups_sql,
     "psl_domains": _psl_domains_sql,
+    "hybrid_search": _hybrid_search_sql,
 }
 
 

@@ -4,6 +4,7 @@ from pond_spark.functions.nbayes import nb_classify
 from pond_spark.functions.tfidf import tfidf_keywords
 from pond_spark.functions.format import one_line, to_json_projection
 from pond_spark.functions.geoip import geoip_country
+from pond_spark.functions.hybrid import hybrid_search, rrf_fuse
 from pond_spark.functions.psl import load_psl_file, parse_psl, psl_domains
 from pond_spark.functions.sanitize import sanitize_site
 
@@ -15,6 +16,8 @@ __all__ = [
     "one_line",
     "to_json_projection",
     "geoip_country",
+    "hybrid_search",
+    "rrf_fuse",
     "load_psl_file",
     "parse_psl",
     "psl_domains",

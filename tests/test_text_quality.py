@@ -270,3 +270,32 @@ def test_bm25_property_matches_python(spark):
                 want.append((d, sq))
         want.sort(key=lambda x: (-x[1], x[0]))
         assert got == want, (trial, terms)
+
+
+def test_rrf_fuse_and_hybrid_ordering(spark):
+    """RRF: doc in both legs outranks single-leg docs at similar
+    ranks; missing legs contribute zero; ties break by id; output is
+    integer ranks only (hash-stability rule)."""
+    from pond_spark.functions.hybrid import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2), (3, 3)], "doc_id long, rank long"
+    )
+    out = {r.doc_id: (r.rank_1, r.rank_2, r.rank)
+           for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 2: 1/62 + 1/61 beats doc 1's 1/61 and doc 3's 1/63 + 1/63
+    assert out[2][2] == 1
+    assert out[2][:2] == (2, 1)
+    # doc 3 (both legs, rank 3+3) beats single-leg doc 1 (1/61) ?
+    # 2/63 = 0.0317 > 1/61 = 0.0164 -> yes
+    assert out[3][2] == 2
+    assert out[1][2] == 3 and out[1][1] is None
+    assert out[4][2] == 4 and out[4][0] is None
+    # all emitted columns are integers
+    assert all(
+        isinstance(v, int)
+        for trio in out.values() for v in trio if v is not None
+    )
