@@ -3055,93 +3055,100 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- never-verified / rewritten family first -----------------------
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
-    "repetition": (q_repetition, REPETITION_SQL),
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
-    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
-    "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
-    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
+    # -- round-4 NEW surface --------------------------------------------
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES),
+    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs),
+    # -- round-4 changed implementations (bm25/nbayes/profile twins,
+    # -- media_decode_real projection, minhash probe, CC fast path,
+    # -- rangejoin collision renames, DigestCatalog bootstrap) ---------
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql
-    "funnel": (q_funnel, None),  # lazy sql
-    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "range_join": (q_range_join, None),  # lazy sql
-    # -- hash-fix queries (changed this round) -------------------------
-    "retention": (q_retention, RETENTION_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
-    # -- long-stable rows ----------------------------------------------
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
-    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
-    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
-    "last": (q_last, LAST_SQL),
-    "group_site": (q_group_site, GROUP_SITE_SQL),
-    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
-    "age_only": (q_age_only, AGE_ONLY_SQL),
-    "stats": (q_stats, STATS_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "geoip": (q_geoip, GEOIP_SQL),
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    "duration_longer": (q_duration_longer, DURATION_SQL),
-    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
-    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
-    "unsafe_method": (q_unsafe_method, None),  # sql built lazily below
-    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
-    "method_filter": (q_method_filter, None),  # lazy sql (F8)
-    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
-    "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
-    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
+    # -- never oracle-checked in any round ------------------------------
+    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
+    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
+    # -- round-3-stale: last green in r2, implementing file changed in r3
+    "curation": (q_curation, None),  # lazy sql (chained twin builders),
+    "stratified_sample": (q_stratified_sample, None),  # lazy sql
+    "mixture": (q_mixture, None),  # lazy sql
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "site_delta": (q_site_delta, SITE_DELTA_SQL),
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
+    # -- oldest greens (r2, files unchanged since) -----------------------
+    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
+    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
+    "unsafe_method": (q_unsafe_method, None),  # lazy sql
+    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
+    "method_filter": (q_method_filter, None),  # lazy sql (F8),
+    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial),
+    "time_today": (q_time_today, None),  # lazy sql (F12 today/date),
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
-    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
-    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
     "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
-    "text_stats": (q_text_stats, None),  # sql built lazily below
-    "lang_id": (q_lang_id, None),
-    "fingerprint": (q_fingerprint, None),
-    "quality_rules": (q_quality_rules, None),
-    "pii_scrub": (q_pii_scrub, None),
-    "stratified_sample": (q_stratified_sample, None),
-    "mixture": (q_mixture, None),
-    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
-    "pack_shards": (q_pack_shards, None),
+    "text_stats": (q_text_stats, None),  # lazy sql
+    "lang_id": (q_lang_id, None),  # lazy sql
+    "fingerprint": (q_fingerprint, None),  # lazy sql
+    "quality_rules": (q_quality_rules, None),  # lazy sql
+    "pii_scrub": (q_pii_scrub, None),  # lazy sql
+    "pack_shards": (q_pack_shards, None),  # lazy sql
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
-    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
+    # -- r3-green re-confirmations filling the 50-query window ----------
+    "retention": (q_retention, RETENTION_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
+    "stats": (q_stats, STATS_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    # ---- window boundary: everything below is r3-green on files -------
+    # ---- unchanged since their last oracle pass ------------------------
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids),
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
+    "hard_negatives": (q_hard_negatives, None),  # lazy sql
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids),
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
+    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql
+    "funnel": (q_funnel, None),  # lazy sql
+    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
+    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
+    "last": (q_last, LAST_SQL),
+    "group_site": (q_group_site, GROUP_SITE_SQL),
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "age_only": (q_age_only, AGE_ONLY_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
+    "duration_longer": (q_duration_longer, DURATION_SQL),
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
