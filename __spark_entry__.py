@@ -1282,6 +1282,34 @@ SELECT doc_id, rank_1, rank_2, rank FROM r WHERE rank <= 10
 """
 
 
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED BM25 postings index (functions/lexindex.py): build
+    writes (word, doc_id, tf, dl, df) partitionBy(word_bucket) with
+    denormalized scoring stats; search reads only the query terms'
+    buckets via partition pruning and scores with the identical
+    quantized expression as bm25_search. Oracle: the same rank twin as
+    q_bm25_search — materializing postings must not change a single
+    result row."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from pond_spark.functions.lexindex import build_text_index
+
+    docs = _fan(_documents(spark, sf_dir))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_text_idx_{tag}")
+    idx = build_text_index(docs, path, n_buckets=64)
+    out = idx.search(BM25_TERMS, k=25)
+    win = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return out.select(
+        "doc_id",
+        "n_terms",
+        F.row_number().over(win).cast("long").alias("rank"),
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
     two map-side-combined groupBys → one term-keyed join → per-doc
@@ -1582,8 +1610,8 @@ u AS (
 p AS (
   SELECT id, url,
          lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth,
-         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0,
+         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth
+         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0
          coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
   FROM u),
 n AS (
@@ -2110,7 +2138,7 @@ FROM (SELECT doc_id, {salted} AS _t FROM documents)
 
 #: per-language keep rates for the stratified-sampling query
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "zh": 0.1, "fr": 0.25}
-#: per-source mixture weights: replicate src0 2.5x, keep src1 whole,
+#: per-source mixture weights: replicate src0 2.5x, keep src1 whole
 #: thin src2 to 30%, drop everything else
 MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.3}
 
@@ -3056,10 +3084,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- round-4 NEW surface --------------------------------------------
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES),
-    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs),
-    # -- round-4 changed implementations (bm25/nbayes/profile twins,
-    # -- media_decode_real projection, minhash probe, CC fast path,
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
+    "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
+    # -- round-4 changed implementations (bm25/nbayes/profile twins
+    # -- media_decode_real projection, minhash probe, CC fast path
     # -- rangejoin collision renames, DigestCatalog bootstrap) ---------
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
@@ -3075,7 +3104,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     # -- round-3-stale: last green in r2, implementing file changed in r3
-    "curation": (q_curation, None),  # lazy sql (chained twin builders),
+    "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
@@ -3088,9 +3117,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
-    "method_filter": (q_method_filter, None),  # lazy sql (F8),
-    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial),
-    "time_today": (q_time_today, None),  # lazy sql (F12 today/date),
+    "method_filter": (q_method_filter, None),  # lazy sql (F8)
+    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
+    "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
@@ -3119,13 +3148,13 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition": (q_repetition, REPETITION_SQL),
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks),
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids),
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "media_meta": (q_media_meta, MEDIA_META_SQL),
@@ -3188,6 +3217,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "near_dup_groups": _near_dup_groups_sql,
     "psl_domains": _psl_domains_sql,
     "hybrid_search": _hybrid_search_sql,
+    "bm25_index_search": _bm25_search_sql,  # index must match in-query BM25
 }
 
 

@@ -299,3 +299,45 @@ def test_rrf_fuse_and_hybrid_ordering(spark):
         isinstance(v, int)
         for trio in out.values() for v in trio if v is not None
     )
+
+
+def test_text_index_matches_bm25_and_prunes(spark, tmp_path):
+    """Persisted postings index: search() returns EXACTLY what the
+    in-query bm25_search computes on the same corpus, and the scan
+    reads only the query terms' word_bucket partitions (partition
+    filter in the plan, like the IVF index's list pruning)."""
+    from pond_spark.functions.bm25 import bm25_search
+    from pond_spark.functions.lexindex import TextIndex, build_text_index
+    from pond_spark.plans import formatted_plan
+
+    rows = [
+        (1, "apple banana cherry apple"),
+        (2, "banana banana date"),
+        (3, "cherry elderberry fig grape"),
+        (4, "apple fig"),
+        (5, "unrelated words entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_text_index(docs, str(tmp_path / "tix"), n_buckets=8)
+
+    terms = ["apple", "fig"]
+    got = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in idx.search(terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_search(docs, terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 3
+
+    plan = formatted_plan(idx.search(terms, k=10))
+    assert "PartitionFilters" in plan and "word_bucket" in plan, plan
+
+    # reopening by path works (meta sidecar)
+    again = TextIndex(spark, str(tmp_path / "tix"))
+    assert again.meta["n_docs"] == 5
+    assert [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in again.search(terms, k=10).collect()
+    ] == want
