@@ -1,41 +1,40 @@
 """Persisted full-text (BM25) postings index — the lexical twin of the
 IVF vector index (similarity/index.py): build once, search many times,
-and make every search read ONLY the slivers of the index its query
-terms live in.
+append without rebuilding, and make every search read ONLY the slivers
+of the index its query terms live in.
 
-Layout (one parquet table + a JSON meta sidecar):
+Layout (segment directories + a JSON meta sidecar — the Lucene shape
+re-expressed as parquet partitioning):
 
-- ``build_text_index()`` tokenizes once, computes the classic posting
-  row ``(word, doc_id, tf)`` and DENORMALIZES the two per-row scoring
-  stats into it: ``dl`` (doc length — per doc) and ``df`` (document
-  frequency — per word). A posting row is then self-sufficient for
-  BM25 scoring given only the two corpus scalars (n_docs, sum_dl)
-  kept in the sidecar. Storage pays two extra longs per posting;
-  search pays ZERO joins.
-- The table is ``partitionBy("word_bucket")`` with
+- ``build_text_index()`` tokenizes once and writes posting rows
+  ``(word, doc_id, tf, dl)`` as ``segment-000000``, partitioned by
   ``word_bucket = pmod(xxhash64(word), n_buckets)`` and
-  ``sortWithinPartitions(word)``: a query's terms map to at most
-  len(terms) buckets — the ``word_bucket IN (...)`` predicate is a
-  partition filter (directories never opened, plan-asserted in
-  tests), and the within-bucket sort gives parquet min/max row-group
-  skipping on the residual ``word IN (...)`` filter.
-- ``search()`` scans the pruned postings, computes the SAME
+  ``sortWithinPartitions(word)``. ``dl`` (doc length) is denormalized
+  per row — a per-doc immutable stat, so it can never go stale.
+- ``df`` (document frequency) and the corpus scalars are NOT baked
+  into the postings: ``df`` is computed at query time from the pruned
+  postings themselves (only the query terms' rows — a vocab-of-query
+  sized aggregate), and (n_docs, sum_dl) are summed from the
+  per-segment meta. That is what makes ``append()`` exact: a new
+  segment never invalidates an old one.
+- ``search()`` unions the segments, prunes ``word_bucket IN (...)``
+  (partition filter — unread directories are never opened,
+  plan-asserted in tests), filters ``word IN (...)`` (row-group
+  skipping via the within-bucket sort), computes df with one narrow
+  word-keyed aggregate over the matches, and scores with the SAME
   integer-quantized contribution expression as functions/bm25.py
-  (identical literals and operation order — results are equal by
-  construction, asserted in tests and oracle-checked), and finishes
-  with one narrow groupBy on doc_id over only the matching postings.
+  (identical literals and operation order — equal results by
+  construction, asserted in tests and oracle-checked).
+- ``append()`` = build over the new documents → next segment + meta
+  update. ``compact()`` rewrites all segments as one (small-segment
+  merge), changing no result.
 
-At 100 TB: the index build is the one full-corpus pass (two narrow
-groupBys + one partitioned write); each search touches
-O(postings-of-query-terms) rows — independent of corpus size for
-selective terms. The index is an immutable snapshot: appending
-documents would stale the denormalized ``df``/corpus stats, so
-refresh = rebuild (segment merging à la Lucene is the production
-extension; the layout is segment-shaped already).
-
-No counterpart in the reference (pond has no text retrieval);
-mirrors the inverted-file layout every search engine uses (Zobel &
-Moffat, "Inverted files for text search engines", CSUR 2006).
+At 100 TB: the build is the one full-corpus pass per segment (two
+narrow groupBys + one partitioned write); each search touches
+O(postings-of-query-terms) rows across segments — independent of
+corpus size for selective terms. Zobel & Moffat, "Inverted files for
+text search engines", CSUR 2006; no counterpart in the reference
+(pond has no text retrieval).
 """
 
 from __future__ import annotations
@@ -55,6 +54,40 @@ __all__ = ["build_text_index", "TextIndex"]
 _META = "_text_index_meta.json"
 
 
+def _write_segment(
+    df: DataFrame,
+    seg_path: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> dict:
+    """One corpus pass: postings + per-doc lengths, bucket-partitioned
+    write; returns the segment's corpus scalars."""
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    )
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).first()
+    postings = tf.join(dl, "doc_id").withColumn(
+        "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+    )
+    (
+        postings.repartition("word_bucket")
+        .sortWithinPartitions("word")
+        .write.mode("overwrite")
+        .partitionBy("word_bucket")
+        .parquet(seg_path)
+    )
+    return {
+        "n_docs": int(stats["n_docs"] or 0),
+        "sum_dl": int(stats["sum_dl"] or 0),
+    }
+
+
 def build_text_index(
     df: DataFrame,
     path: str,
@@ -62,41 +95,12 @@ def build_text_index(
     id_col: str = "doc_id",
     n_buckets: int = 64,
 ) -> "TextIndex":
-    """Tokenize, aggregate postings, denormalize scoring stats, write
-    bucket-partitioned. One corpus pass: explode → groupBy(doc, word)
-    → two narrow stat joins sized by vocab/doc-count, not postings."""
-    w = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_words(F.col(text_col))).alias("word"),
+    """Create segment-000000 and the meta sidecar."""
+    seg = "segment-000000"
+    stats = _write_segment(
+        df, os.path.join(path, seg), text_col, id_col, n_buckets
     )
-    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # dl from the postings themselves (sum tf per doc) — saves the
-    # second pass over raw text
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
-    ).first()
-
-    postings = (
-        tf.join(dl, "doc_id")
-        .join(dfc, "word")
-        .withColumn(
-            "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
-        )
-    )
-    (
-        postings.repartition("word_bucket")
-        .sortWithinPartitions("word")
-        .write.mode("overwrite")
-        .partitionBy("word_bucket")
-        .parquet(path)
-    )
-    meta = {
-        "n_docs": int(stats["n_docs"]),
-        "sum_dl": int(stats["sum_dl"]),
-        "n_buckets": int(n_buckets),
-    }
+    meta = {"n_buckets": int(n_buckets), "segments": [{"name": seg, **stats}]}
     with open(os.path.join(path, _META), "w") as fh:
         json.dump(meta, fh)
     return TextIndex(df.sparkSession, path)
@@ -121,16 +125,88 @@ def _xxhash64_py(spark: SparkSession, words: Sequence[str]) -> list[int]:
 
 
 class TextIndex:
-    """Open a built index; ``search()`` is the query-time surface."""
+    """Open a built index; ``search()`` / ``append()`` / ``compact()``
+    are the serving surface. Single-writer, like DigestCatalog:
+    append/compact are read-then-write with no commit protocol."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        with open(os.path.join(path, _META)) as fh:
+        self._load_meta()
+
+    def _load_meta(self) -> None:
+        with open(os.path.join(self.path, _META)) as fh:
             self.meta = json.load(fh)
 
+    def _save_meta(self) -> None:
+        with open(os.path.join(self.path, _META), "w") as fh:
+            json.dump(self.meta, fh)
+
+    @property
+    def n_docs(self) -> int:
+        return sum(s["n_docs"] for s in self.meta["segments"])
+
+    @property
+    def sum_dl(self) -> int:
+        return sum(s["sum_dl"] for s in self.meta["segments"])
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # one scan per segment, unioned: multi-root partitioned reads
+        # trip Spark's partition discovery (CONFLICTING_DIRECTORY_
+        # STRUCTURES), and per-segment scans keep partition pruning +
+        # row-group skipping on each directory tree independently
+        out = None
+        for s in self.meta["segments"]:
+            seg = self.spark.read.parquet(os.path.join(self.path, s["name"]))
+            out = seg if out is None else out.unionByName(seg)
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "TextIndex":
+        """Index new documents as the next segment — exact, no
+        rebuild: df is query-time, dl is per-doc, the corpus scalars
+        accumulate in the meta. (Callers own doc-id uniqueness across
+        segments, as with any inverted index.)"""
+        seg = f"segment-{len(self.meta['segments']):06d}"
+        stats = _write_segment(
+            df,
+            os.path.join(self.path, seg),
+            text_col,
+            id_col,
+            int(self.meta["n_buckets"]),
+        )
+        self.meta["segments"].append({"name": seg, **stats})
+        self._save_meta()
+        return self
+
+    def compact(self) -> "TextIndex":
+        """Merge all segments into one (fewer directories/files to
+        open per search) — results unchanged; postings just re-write
+        under the same bucketing."""
+        merged = self.postings()
+        tmp = os.path.join(self.path, "_compact_tmp")
+        (
+            merged.repartition("word_bucket")
+            .sortWithinPartitions("word")
+            .write.mode("overwrite")
+            .partitionBy("word_bucket")
+            .parquet(tmp)
+        )
+        import shutil
+
+        for s in self.meta["segments"]:
+            shutil.rmtree(os.path.join(self.path, s["name"]))
+        seg = "segment-000000"
+        os.rename(tmp, os.path.join(self.path, seg))
+        self.meta["segments"] = [
+            {"name": seg, "n_docs": self.n_docs, "sum_dl": self.sum_dl}
+        ]
+        self._save_meta()
+        return self
 
     def search(
         self,
@@ -149,8 +225,8 @@ class TextIndex:
         hashes = _xxhash64_py(self.spark, terms)
         buckets = sorted({h % nb for h in hashes})
 
-        n_docs = F.lit(int(self.meta["n_docs"]))
-        avgdl = F.lit(float(self.meta["sum_dl"])) / n_docs
+        n_docs = F.lit(int(self.n_docs))
+        avgdl = F.lit(float(self.sum_dl)) / n_docs
         p = (
             self.postings()
             # partition filter first (directories pruned), then the
@@ -158,6 +234,12 @@ class TextIndex:
             .filter(F.col("word_bucket").isin(buckets))
             .filter(F.col("word").isin(terms))
         )
+        # query-time df: one narrow aggregate over ONLY the matching
+        # postings (vocab-of-query rows out) — never stale on append
+        dfc = p.groupBy("word").agg(
+            F.count_distinct(F.col("doc_id")).alias("df")
+        )
+        p = p.join(F.broadcast(dfc), "word")
         idf = F.log(
             F.lit(1.0)
             + ((n_docs - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

@@ -336,8 +336,47 @@ def test_text_index_matches_bm25_and_prunes(spark, tmp_path):
 
     # reopening by path works (meta sidecar)
     again = TextIndex(spark, str(tmp_path / "tix"))
-    assert again.meta["n_docs"] == 5
+    assert again.n_docs == 5
     assert [
         (r.doc_id, r.n_terms, r.score_q)
         for r in again.search(terms, k=10).collect()
+    ] == want
+
+
+def test_text_index_append_and_compact_stay_exact(spark, tmp_path):
+    """Segments: append() indexes new docs without touching old
+    segments and search equals a fresh bm25_search over the UNION
+    corpus (df computed query-time, corpus scalars from the metas);
+    compact() merges segments with zero result change."""
+    from pond_spark.functions.bm25 import bm25_search
+    from pond_spark.functions.lexindex import build_text_index
+
+    old = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana date"), (3, "cherry fig")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(4, "apple apple fig"), (5, "apple grape")],
+        "doc_id long, text string",
+    )
+    idx = build_text_index(old, str(tmp_path / "seg"), n_buckets=8)
+    idx.append(new)
+    assert idx.n_docs == 5 and len(idx.meta["segments"]) == 2
+
+    terms = ["apple", "fig"]
+    want = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_search(old.unionAll(new), terms, k=10).collect()
+    ]
+    got = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in idx.search(terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 4
+
+    idx.compact()
+    assert len(idx.meta["segments"]) == 1 and idx.n_docs == 5
+    assert [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in idx.search(terms, k=10).collect()
     ] == want
