@@ -3254,9 +3254,31 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             block_col="lang",
         )
 
+    def bm25_index_search_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the contract row (bm25_index_search) times build+search; this
+        # probe times the SERVING stage alone against the index the
+        # contract row already materialized (building it if absent, so
+        # the probe is self-sufficient when run standalone)
+        import hashlib
+        import tempfile
+
+        from pond_spark.functions.lexindex import TextIndex, build_text_index
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"pond_text_idx_{tag}")
+        try:
+            idx = TextIndex(spark, path)
+            idx.meta["segments"]  # reject a pre-segment-layout meta
+        except (FileNotFoundError, KeyError):
+            idx = build_text_index(
+                _fan(_documents(spark, sf_dir)), path, n_buckets=64
+            )
+        return idx.search(BM25_TERMS, k=25)
+
     return {
         "minhash_pairs_approx": minhash_pairs_approx,
         "simhash_pairs_approx": simhash_pairs_approx,
+        "bm25_index_search_only": bm25_index_search_only,
     }
 
 

@@ -9,6 +9,8 @@ single hash-partitioned shuffle with map-side partial aggregation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -116,3 +118,17 @@ class DigestCatalog:
             .write.mode("append")
             .parquet(self.path)
         )
+
+    def compact(self) -> None:
+        """Rewrite the catalog as one distinct digest set: every
+        ``register`` appends its own files (and concurrent-writer
+        races can leave duplicate digests — see class docstring), so a
+        long-lived catalog accumulates small files and dup rows that
+        cost every future anti-join. Same single-writer rule as
+        register: don't compact while another pipeline appends."""
+        staged = self.path + "._compact"
+        self._read().distinct().write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(staged, self.path)

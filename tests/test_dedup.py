@@ -368,3 +368,32 @@ def test_digest_catalog_incremental(spark, tmp_path):
     assert cat._read().count() == 3  # alpha, beta, gamma — digests only
     # idempotent: re-running batch 2 yields nothing new
     assert cat.filter_new(b2).count() == 0
+
+
+def test_digest_catalog_compact(spark, tmp_path):
+    """compact(): many append files + injected duplicate digests
+    rewrite to one distinct set; filtering behavior is unchanged."""
+    import glob
+
+    from pond_spark.dedup.exact import DigestCatalog
+
+    path = str(tmp_path / "cat")
+    cat = DigestCatalog(spark, path)
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"doc {i} {j}") for j in range(3)],
+            ["doc_id", "text"],
+        )
+        cat.register(cat.filter_new(b))
+    # simulate a concurrent-writer race: the same digest appended twice
+    dup = spark.createDataFrame([(99, "doc 0 0")], ["doc_id", "text"])
+    cat.register(dup)
+    assert cat._read().count() == 13  # 12 distinct + 1 dup row
+
+    files_before = len(glob.glob(path + "/part-*"))
+    cat.compact()
+    assert cat._read().count() == 12  # dup row gone
+    assert len(glob.glob(path + "/part-*")) < files_before
+    # behavior unchanged: everything already seen still filters out
+    again = spark.createDataFrame([(100, "doc 0 0"), (101, "new")], ["doc_id", "text"])
+    assert {r.doc_id for r in cat.filter_new(again).collect()} == {101}
