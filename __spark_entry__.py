@@ -1282,6 +1282,17 @@ SELECT doc_id, rank_1, rank_2, rank FROM r WHERE rank <= 10
 """
 
 
+def _text_index_path(sf_dir: str) -> str:
+    """ONE definition of where the persisted text index lives per sf —
+    the contract row (build+search) and the bench serving probe must
+    agree or the probe silently serves a different index."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"pond_text_idx_{tag}")
+
+
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED BM25 postings index (functions/lexindex.py): build
     writes (word, doc_id, tf, dl, df) partitionBy(word_bucket) with
@@ -1290,17 +1301,12 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized expression as bm25_search. Oracle: the same rank twin as
     q_bm25_search — materializing postings must not change a single
     result row."""
-    import hashlib
-    import tempfile
-
     from pyspark.sql.window import Window
 
     from pond_spark.functions.lexindex import build_text_index
 
     docs = _fan(_documents(spark, sf_dir))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"pond_text_idx_{tag}")
-    idx = build_text_index(docs, path, n_buckets=64)
+    idx = build_text_index(docs, _text_index_path(sf_dir), n_buckets=64)
     out = idx.search(BM25_TERMS, k=25)
     win = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
     return out.select(
@@ -1610,8 +1616,8 @@ u AS (
 p AS (
   SELECT id, url,
          lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth
-         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0
+         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth,
+         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0,
          coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
   FROM u),
 n AS (
@@ -3259,13 +3265,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probe times the SERVING stage alone against the index the
         # contract row already materialized (building it if absent, so
         # the probe is self-sufficient when run standalone)
-        import hashlib
-        import tempfile
-
         from pond_spark.functions.lexindex import TextIndex, build_text_index
 
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(tempfile.gettempdir(), f"pond_text_idx_{tag}")
+        path = _text_index_path(sf_dir)
         try:
             idx = TextIndex(spark, path)
             idx.meta["segments"]  # reject a pre-segment-layout meta

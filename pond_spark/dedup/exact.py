@@ -125,10 +125,24 @@ class DigestCatalog:
         races can leave duplicate digests — see class docstring), so a
         long-lived catalog accumulates small files and dup rows that
         cost every future anti-join. Same single-writer rule as
-        register: don't compact while another pipeline appends."""
-        staged = self.path + "._compact"
-        self._read().distinct().write.mode("overwrite").parquet(staged)
+        register: don't compact while another pipeline appends.
+
+        Crash-safety: the live catalog is never deleted before its
+        replacement is in place — stage new, rename old ASIDE, rename
+        staged in, then delete the old copy. A crash mid-sequence
+        leaves either the original or the compacted catalog at
+        ``path`` (plus a stray ._old/._compact dir to clean up), never
+        a missing one — a vanished catalog would silently bootstrap
+        empty and re-admit everything previously shipped."""
+        if not os.path.exists(self.path):
+            return  # nothing registered yet — nothing to compact
         import shutil
 
-        shutil.rmtree(self.path)
+        staged = self.path + "._compact"
+        old = self.path + "._old"
+        self._read().distinct().write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
         os.rename(staged, self.path)
+        shutil.rmtree(old)

@@ -33,6 +33,24 @@ from pond_spark.functions.text import _words
 BM25_SCALE = 1_000_000
 
 
+def bm25_contribution_q(
+    tf, df, dl, n_docs, avgdl, k1: float = 1.2, b: float = 0.75
+):
+    """The quantized per-(doc, term) Okapi contribution as ONE double
+    expression — THE definition both the in-query search below and the
+    persisted index (functions/lexindex.py) score with, so their
+    exact-equality contract can't drift apart edit by edit. All five
+    stat inputs are Columns; literals and operation order here must
+    stay mirrored in :func:`bm25_search_sql`."""
+    idf = F.log(
+        F.lit(1.0) + ((n_docs - df) + F.lit(0.5)) / (df + F.lit(0.5))
+    )
+    tfn = (tf * F.lit(k1 + 1.0)) / (
+        tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+    )
+    return F.floor(idf * tfn * F.lit(float(BM25_SCALE))).cast("long")
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -62,15 +80,9 @@ def bm25_search(
     dfc = tf.groupBy("word").agg(F.count_distinct(F.col(id_col)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    contrib_q = bm25_contribution_q(
+        F.col("tf"), F.col("df"), F.col("dl"), F.col("n_docs"), avgdl, k1, b
     )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
-    )
-    contrib_q = F.floor(idf * tfn * F.lit(float(BM25_SCALE))).cast("long")
 
     scored = (
         tf.join(dfc, "word")

@@ -64,21 +64,27 @@ def geoip_country(
     from pond_spark.operators.rangejoin import range_join
 
     probe = df.withColumn("_ipnum", ipv4_to_long(F.col(host_col)))
+    # private dim names throughout: a caller whose frame ALREADY has
+    # ip_start/ip_end (e.g. logs enriched once before) must not have
+    # its own columns dropped below, nor range_join's collision rename
+    # (interval_ip_start) leak into the output
     dim = geo.select(
-        "ip_start", "ip_end", F.col("country").alias("_geo_country")
+        F.col("ip_start").alias("_geo_ip_start"),
+        F.col("ip_end").alias("_geo_ip_end"),
+        F.col("country").alias("_geo_country"),
     )
     joined = range_join(
         probe,
         dim,
         "_ipnum",
-        start_col="ip_start",
-        end_col="ip_end",
+        start_col="_geo_ip_start",
+        end_col="_geo_ip_end",
         bucket_width=65536.0,
         how="left",
     )
     return (
         joined.withColumn(out_col, F.coalesce(F.col("_geo_country"), F.lit("-")))
-        .drop("_ipnum", "ip_start", "ip_end", "_geo_country")
+        .drop("_ipnum", "_geo_ip_start", "_geo_ip_end", "_geo_country")
     )
 
 

@@ -46,7 +46,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pond_spark.functions.bm25 import BM25_SCALE
+from pond_spark.functions.bm25 import bm25_contribution_q
 from pond_spark.functions.text import _words
 
 __all__ = ["build_text_index", "TextIndex"]
@@ -67,21 +67,32 @@ def _write_segment(
         F.col(id_col).alias("doc_id"),
         F.explode(_words(F.col(text_col))).alias("word"),
     )
-    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
-    ).first()
-    postings = tf.join(dl, "doc_id").withColumn(
-        "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+    # persist the aggregated TF relation: it feeds the stats action,
+    # the dl aggregate AND the postings join — without the pin the
+    # corpus tokenize/explode pipeline re-runs per branch (the build
+    # would cost ~2 full passes instead of one)
+    tf = (
+        w.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    (
-        postings.repartition("word_bucket")
-        .sortWithinPartitions("word")
-        .write.mode("overwrite")
-        .partitionBy("word_bucket")
-        .parquet(seg_path)
-    )
+    try:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        stats = dl.agg(
+            F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+        ).first()
+        postings = tf.join(dl, "doc_id").withColumn(
+            "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+        )
+        (
+            postings.repartition("word_bucket")
+            .sortWithinPartitions("word")
+            .write.mode("overwrite")
+            .partitionBy("word_bucket")
+            .parquet(seg_path)
+        )
+    finally:
+        tf.unpersist()
     return {
         "n_docs": int(stats["n_docs"] or 0),
         "sum_dl": int(stats["sum_dl"] or 0),
@@ -186,26 +197,35 @@ class TextIndex:
     def compact(self) -> "TextIndex":
         """Merge all segments into one (fewer directories/files to
         open per search) — results unchanged; postings just re-write
-        under the same bucketing."""
-        merged = self.postings()
-        tmp = os.path.join(self.path, "_compact_tmp")
+        under the same bucketing.
+
+        Crash-safety: the merged segment is written under a NEW
+        directory name and the meta (the source of truth for which
+        directories are live) flips to it in one sidecar write BEFORE
+        the old segment dirs are deleted. A crash mid-compact leaves
+        the meta pointing at directories that all still exist — either
+        the old list or the new singleton — never at deleted ones;
+        stray non-live segment dirs are garbage to re-compact, not
+        corruption."""
+        import shutil
+
+        old_segments = list(self.meta["segments"])
+        n_docs, sum_dl = self.n_docs, self.sum_dl
+        seg = f"segment-{len(old_segments):06d}"  # fresh, unused name
         (
-            merged.repartition("word_bucket")
+            self.postings()
+            .repartition("word_bucket")
             .sortWithinPartitions("word")
             .write.mode("overwrite")
             .partitionBy("word_bucket")
-            .parquet(tmp)
+            .parquet(os.path.join(self.path, seg))
         )
-        import shutil
-
-        for s in self.meta["segments"]:
-            shutil.rmtree(os.path.join(self.path, s["name"]))
-        seg = "segment-000000"
-        os.rename(tmp, os.path.join(self.path, seg))
         self.meta["segments"] = [
-            {"name": seg, "n_docs": self.n_docs, "sum_dl": self.sum_dl}
+            {"name": seg, "n_docs": n_docs, "sum_dl": sum_dl}
         ]
         self._save_meta()
+        for s in old_segments:
+            shutil.rmtree(os.path.join(self.path, s["name"]))
         return self
 
     def search(
@@ -240,15 +260,11 @@ class TextIndex:
             F.count_distinct(F.col("doc_id")).alias("df")
         )
         p = p.join(F.broadcast(dfc), "word")
-        idf = F.log(
-            F.lit(1.0)
-            + ((n_docs - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        # THE shared scoring definition (bm25.bm25_contribution_q) —
+        # exact equality with bm25_search holds by construction
+        contrib_q = bm25_contribution_q(
+            F.col("tf"), F.col("df"), F.col("dl"), n_docs, avgdl, k1, b
         )
-        tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
-        )
-        contrib_q = F.floor(idf * tfn * F.lit(float(BM25_SCALE))).cast("long")
         return (
             p.select("doc_id", contrib_q.alias("cq"))
             .groupBy("doc_id")
