@@ -510,3 +510,59 @@ def test_group_site_spacesaving_topk_bounded_state(spark, tmp_path):
     first_a = min(r.batch_id for r in rows if r.site == "a")
     b1 = {r.rank: (r.key, r.n, r.err) for r in rows if r.site == "a" and r.batch_id == first_a}
     assert b1[1] == ("/hot", 5, 0) and b1[2] == ("/warm", 2, 0)
+
+
+def test_group_site_spacesaving_property_bounds(spark, tmp_path):
+    """Property (Metwally '05 invariants) on a random skewed stream:
+    every emitted count brackets the true count (n - err <= true <= n)
+    and the dominant key ends at rank 1 with its exact count."""
+    import random
+
+    from pond_spark.streaming.groupsite import group_site_topk_stream
+
+    rng = random.Random(71)
+    store = str(tmp_path / "store")
+    schema = "id long, site string, uri string"
+    # zipf-ish: key0 dominant, long tail of one-offs
+    stream_keys = (
+        ["/k0"] * 30 + ["/k1"] * 8 + ["/k2"] * 5
+        + [f"/t{i}" for i in range(25)]
+    )
+    rng.shuffle(stream_keys)
+    half = len(stream_keys) // 2
+    for part in (stream_keys[:half], stream_keys[half:]):
+        spark.createDataFrame(
+            [(i, "s", k) for i, k in enumerate(part)], schema
+        ).coalesce(1).write.mode("append").parquet(store)
+
+    true = {}
+    for k in stream_keys:
+        true[k] = true.get(k, 0) + 1
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    out = group_site_topk_stream(sdf, key_col="uri", site_col="site", k=5, m=12)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gsp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from gsp").collect()
+    last = max(r.batch_id for r in rows)
+    fin = [r for r in rows if r.batch_id == last]
+    # bracket invariant on the FINAL batch (true = full-stream counts)
+    for r in fin:
+        t = true.get(r.key, 0)
+        assert t <= r.n, (r.key, t, r.n)
+        assert r.n - r.err <= t, (r.key, t, r.n, r.err)
+    # the dominant key is never evicted: exact count, rank 1
+    top = {r.rank: (r.key, r.n, r.err) for r in fin}
+    assert top[1] == ("/k0", 30, 0)

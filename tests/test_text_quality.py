@@ -380,3 +380,78 @@ def test_text_index_append_and_compact_stay_exact(spark, tmp_path):
         (r.doc_id, r.n_terms, r.score_q)
         for r in idx.search(terms, k=10).collect()
     ] == want
+
+
+def test_rrf_property_matches_python(spark):
+    """Property: rrf_fuse equals a pure-Python RRF on random rank
+    lists (random overlap, 2-3 legs)."""
+    import random
+
+    from pond_spark.functions.hybrid import RRF_K0, rrf_fuse
+
+    rng = random.Random(53)
+    for trial in range(3):
+        n_legs = rng.randint(2, 3)
+        ids = list(range(20))
+        legs = []
+        for _ in range(n_legs):
+            picked = rng.sample(ids, rng.randint(3, 8))
+            legs.append({d: r + 1 for r, d in enumerate(picked)})
+        dfs = [
+            spark.createDataFrame(
+                [(d, r) for d, r in leg.items()], "doc_id long, rank long"
+            )
+            for leg in legs
+        ]
+        k = 50
+        got = [
+            (r.doc_id, r.rank)
+            for r in rrf_fuse(dfs, k=k).orderBy("rank").collect()
+        ]
+
+        union = sorted({d for leg in legs for d in leg})
+        scored = sorted(
+            union,
+            key=lambda d: (
+                -sum(1.0 / (RRF_K0 + leg[d]) for leg in legs if d in leg),
+                d,
+            ),
+        )
+        want = [(d, i + 1) for i, d in enumerate(scored)][:k]
+        assert got == want, (trial, got, want)
+
+
+def test_text_index_property_matches_bm25(spark, tmp_path):
+    """Property: build+append segments over a random corpus split;
+    search equals bm25_search over the whole corpus for random
+    queries."""
+    import random
+
+    from pond_spark.functions.bm25 import bm25_search
+    from pond_spark.functions.lexindex import build_text_index
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10))))
+        for d in range(12)
+    ]
+    cut = rng.randint(3, 9)
+    df_all = spark.createDataFrame(docs, ["doc_id", "text"])
+    idx = build_text_index(
+        spark.createDataFrame(docs[:cut], ["doc_id", "text"]),
+        str(tmp_path / "pix"),
+        n_buckets=4,
+    )
+    idx.append(spark.createDataFrame(docs[cut:], ["doc_id", "text"]))
+    for _ in range(3):
+        terms = rng.sample(vocab, rng.randint(1, 3))
+        got = [
+            (r.doc_id, r.n_terms, r.score_q)
+            for r in idx.search(terms, k=12).collect()
+        ]
+        want = [
+            (r.doc_id, r.n_terms, r.score_q)
+            for r in bm25_search(df_all, terms, k=12).collect()
+        ]
+        assert got == want, (terms, got, want)

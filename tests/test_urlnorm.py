@@ -179,3 +179,59 @@ def test_psl_plan_is_broadcast_only(spark):
     import re
     shuffles = re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan)
     assert shuffles == [], plan
+
+
+def test_psl_property_matches_python(spark):
+    """Property: psl_domains equals a direct pure-Python
+    implementation of the publicsuffix.org algorithm (exception >
+    most-labels, '*' consumes one real label, default rule '*') on
+    random hosts drawn over the bundled rule set."""
+    import random
+
+    from pond_spark.functions.psl import DEFAULT_RULES, psl_domains
+
+    def py_psl(host):
+        labels = host.split(".")
+        best = None  # ((is_exc, n_rule_labels), ps_labels)
+        for rule in DEFAULT_RULES:
+            exc = rule.startswith("!")
+            body = (rule[1:] if exc else rule).split(".")
+            n = len(body)
+            if len(labels) < n:
+                continue
+            tail = labels[-n:]
+            if not all(b == "*" or b == t for b, t in zip(body, tail)):
+                continue
+            key = ((1 if exc else 0), n)
+            ps = n - 1 if exc else n
+            if best is None or key > best[0]:
+                best = (key, ps)
+        ps = best[1] if best else 1
+        if len(labels) <= 1:
+            return 1 if best is None else ps, host
+        if len(labels) >= ps + 1:
+            return ps, ".".join(labels[-(ps + 1):])
+        return ps, None
+
+    rng = random.Random(47)
+    tlds = ["com", "co.uk", "ck", "io", "github.io", "unknowntld", "ck"]
+    subs = ["www", "a", "b", "deep", "x9"]
+    hosts = []
+    for _ in range(120):
+        tld = rng.choice(tlds)
+        depth = rng.randint(0, 3)
+        parts = [rng.choice(subs) for _ in range(depth)]
+        hosts.append(".".join(parts + [tld]) if parts else tld)
+    hosts += ["www.ck", "example.ck", "ck", "a.b.c.d.e.co.uk"]
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id long, url string"
+    )
+    got = {r.id: (r.ps_labels, r.domain) for r in psl_domains(df).collect()}
+    for i, h in enumerate(hosts):
+        # the engine passes single-label hosts through as their own
+        # domain; py twin mirrors that above
+        want_ps, want_dom = py_psl(h)
+        if len(h.split(".")) <= 1:
+            want_dom = h
+        assert got[i] == (want_ps, want_dom), (h, got[i], (want_ps, want_dom))
