@@ -972,6 +972,66 @@ GROUP BY 1, 2
 """
 
 
+#: fixed week the sketch-rollup query estimates (inside the events span)
+SKETCH_RANGE = ("2024-01-08", "2024-01-14")
+
+
+def q_uniques_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch table (operators/sketches.py): per-day
+    per-site DataSketches HLL sketches persisted once, then a week of
+    uniques answered by UNIONING the seven daily sketches — no raw
+    rescan, returning visitors not double-counted (the property plain
+    daily counts cannot provide). Oracle: accuracy envelope — the
+    exact distinct count per site plus a within-10% flag the estimate
+    must satisfy (the q_daily_uniques_approx pattern; estimates are
+    engine-specific)."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.operators.sketches import (
+        build_uniques_sketches,
+        uniques_over_range,
+    )
+
+    logs = events_as_logs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_hll_{tag}")
+    build_uniques_sketches(logs, path)
+
+    lo, hi = SKETCH_RANGE
+    est = uniques_over_range(spark, path, lo, hi)
+    day = F.date_format(F.col("timestamp"), "yyyy-MM-dd")
+    exact = (
+        logs.filter(
+            F.col("timestamp").isNotNull()
+            & F.col("remote_host").isNotNull()
+            & (day >= lo)
+            & (day <= hi)
+        )
+        .groupBy("site")
+        .agg(F.count_distinct("remote_host").alias("uniques"))
+    )
+    return exact.join(est, "site").select(
+        "site",
+        "uniques",
+        (
+            F.abs(F.col("uniques_est") - F.col("uniques"))
+            <= 0.1 * F.col("uniques")
+        ).alias("within_10pct"),
+    )
+
+
+UNIQUES_SKETCH_SQL = f"""
+WITH {{logs_cte}}
+SELECT site, count(DISTINCT remote_host) AS uniques, TRUE AS within_10pct
+FROM logs
+WHERE "timestamp" IS NOT NULL AND remote_host IS NOT NULL
+  AND strftime("timestamp", '%Y-%m-%d') >= '{SKETCH_RANGE[0]}'
+  AND strftime("timestamp", '%Y-%m-%d') <= '{SKETCH_RANGE[1]}'
+GROUP BY site
+""".replace("{logs_cte}", LOGS_CTE)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -3093,6 +3153,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
+    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     # -- round-4 changed implementations (bm25/nbayes/profile twins
     # -- media_decode_real projection, minhash probe, CC fast path
     # -- rangejoin collision renames, DigestCatalog bootstrap) ---------

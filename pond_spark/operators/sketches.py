@@ -1,0 +1,83 @@
+"""Mergeable distinct-count sketch tables — precomputed HyperLogLog
+cubes (Apache DataSketches HLL, built into Spark 3.5+ as
+``hll_sketch_agg`` / ``hll_union_agg``).
+
+The 100 TB pattern this unlocks: plain distinct counts are NOT
+mergeable — a per-day uniques table cannot answer "uniques this week"
+without rescanning the raw events, because summing daily uniques
+over-counts returning visitors. A per-day HLL *sketch* table is
+mergeable: any date range collapses to a union of fixed-size (KB)
+sketches — the raw 100 TB event store is touched exactly once at
+build time, and every later range query reads only the tiny sketch
+partitions it covers (partition-pruned, plan-asserted in tests).
+
+This is the materialized twin of q_daily_uniques_approx's inline
+``approx_count_distinct`` (same sketch family, persisted instead of
+recomputed), and the distinct-count sibling of the rollup family
+(operators/rollup.py) whose additive measures pre-aggregate with
+plain sums.
+
+Accuracy: DataSketches HLL at lg_k=12 has ~1.6% relative standard
+error; estimates are engine-specific, so oracle rows follow the
+established accuracy-envelope pattern (emit exact + within-bound
+flag; see __spark_entry__.q_daily_uniques_approx).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["build_uniques_sketches", "uniques_over_range"]
+
+
+def build_uniques_sketches(
+    logs: DataFrame,
+    path: str,
+    value_col: str = "remote_host",
+    site_col: str = "site",
+    ts_col: str = "timestamp",
+    lg_k: int = 12,
+) -> None:
+    """One pass over the events: per (day, site) HLL sketch, written
+    ``partitionBy(day)`` (ISO date strings, so range predicates prune
+    directories). The sketch column is the DataSketches binary —
+    ~KBs per group at lg_k=12 regardless of cardinality."""
+    daily = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(site_col).alias("site"),
+        )
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"))
+    )
+    (
+        daily.repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def uniques_over_range(
+    spark: SparkSession,
+    path: str,
+    start_day: str,
+    end_day: str,
+    by_site: bool = True,
+) -> DataFrame:
+    """Estimated uniques over ``[start_day, end_day]`` (inclusive ISO
+    dates) from the sketch table alone — no raw-event scan. The day
+    filter is a partition filter on the sketch directories; the union
+    is one tiny groupBy over KB-sized sketches."""
+    sk = spark.read.parquet(path).filter(
+        (F.col("day") >= start_day) & (F.col("day") <= end_day)
+    )
+    merged = (
+        sk.groupBy("site") if by_site else sk.groupBy(F.lit(1).alias("_g"))
+    ).agg(F.hll_union_agg(F.col("sketch")).alias("_u"))
+    out = merged.select(
+        *(["site"] if by_site else []),
+        F.hll_sketch_estimate(F.col("_u")).alias("uniques_est"),
+    )
+    return out

@@ -623,3 +623,48 @@ def test_funnel_property_matches_python(spark):
                     deadline = t + dt.timedelta(seconds=horizon)
                 counts[i] += 1
         assert got == {i + 1: c for i, c in enumerate(counts)}, trial
+
+
+def test_uniques_sketches_merge_and_prune(spark, tmp_path):
+    """Mergeable HLL cube: a range query unions daily sketches
+    without double-counting returning visitors (sum of dailies would),
+    stays inside the sketch error envelope, and reads only the range's
+    day partitions (partition filter in the plan)."""
+    from pond_spark.operators.sketches import (
+        build_uniques_sketches,
+        uniques_over_range,
+    )
+    from pond_spark.plans import formatted_plan
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    rid = 0
+    # day 1: users 0..49 on site a; day 2: users 25..74 (25 returning)
+    for day, lo_u, hi_u in ((0, 0, 50), (1, 25, 75)):
+        for u in range(lo_u, hi_u):
+            rid += 1
+            rows.append(
+                (rid, t0 + dt.timedelta(days=day, seconds=u), "a", f"u{u}")
+            )
+    # day 3 noise that the range query must NOT read
+    for u in range(500):
+        rid += 1
+        rows.append((rid, t0 + dt.timedelta(days=2, seconds=u), "a", f"z{u}"))
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, remote_host string"
+    )
+    path = str(tmp_path / "hll")
+    build_uniques_sketches(logs, path)
+
+    est_df = uniques_over_range(spark, path, "2024-03-01", "2024-03-02")
+    est = est_df.collect()[0].uniques_est
+    # true union = 75 (25 returning users counted once); daily sum = 100
+    assert abs(est - 75) <= 0.1 * 75, est
+    assert est < 95  # clearly below the double-counted sum
+
+    plan = formatted_plan(est_df)
+    assert "PartitionFilters" in plan and "day" in plan, plan
+
+    # single-day query sees only that day's users
+    one = uniques_over_range(spark, path, "2024-03-03", "2024-03-03").collect()
+    assert abs(one[0].uniques_est - 500) <= 0.05 * 500
