@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["build_uniques_sketches", "uniques_over_range"]
+__all__ = [
+    "build_uniques_sketches",
+    "update_uniques_sketches",
+    "uniques_over_range",
+]
 
 
 def build_uniques_sketches(
@@ -57,6 +61,56 @@ def build_uniques_sketches(
         .partitionBy("day")
         .parquet(path)
     )
+
+
+def update_uniques_sketches(
+    logs: DataFrame,
+    path: str,
+    value_col: str = "remote_host",
+    site_col: str = "site",
+    ts_col: str = "timestamp",
+    lg_k: int = 12,
+) -> None:
+    """Incremental maintenance: fold a NEW batch of events into the
+    cube without rebuilding. The batch's per-(day, site) sketches are
+    unioned with the existing sketches of exactly the days the batch
+    touches, and only those day partitions are rewritten (dynamic
+    partition overwrite — untouched days' directories are never read
+    or written). Sketch union is exactly how HLL absorbs new members,
+    so the result equals a full rebuild over old+new (asserted in
+    tests). Single-writer, like every mutable layout here
+    (DigestCatalog, TextIndex)."""
+    spark = logs.sparkSession
+    batch = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(site_col).alias("site"),
+        )
+        .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"))
+    )
+    days = [r.day for r in batch.select("day").distinct().collect()]
+    if not days:
+        return
+    existing = spark.read.parquet(path).filter(F.col("day").isin(days))
+    merged = (
+        batch.unionByName(existing)
+        .groupBy("day", "site")
+        .agg(
+            F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def uniques_over_range(

@@ -668,3 +668,50 @@ def test_uniques_sketches_merge_and_prune(spark, tmp_path):
     # single-day query sees only that day's users
     one = uniques_over_range(spark, path, "2024-03-03", "2024-03-03").collect()
     assert abs(one[0].uniques_est - 500) <= 0.05 * 500
+
+
+def test_uniques_sketches_incremental_update(spark, tmp_path):
+    """update_uniques_sketches folds a new batch into only the touched
+    day partitions and equals a full rebuild over old+new (HLL union
+    absorbs new members exactly)."""
+    from pond_spark.operators.sketches import (
+        build_uniques_sketches,
+        uniques_over_range,
+        update_uniques_sketches,
+    )
+
+    t0 = dt.datetime(2024, 4, 1)
+    schema = "id long, timestamp timestamp, site string, remote_host string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    day1 = [(i, t0 + dt.timedelta(seconds=i), "a", f"u{i}") for i in range(40)]
+    day2 = [
+        (100 + i, t0 + dt.timedelta(days=1, seconds=i), "a", f"v{i}")
+        for i in range(40)
+    ]
+    path = str(tmp_path / "cube")
+    build_uniques_sketches(mk(day1 + day2), path)
+
+    # late batch: 20 RETURNING day-1 users + 20 new ones, day 1 only
+    late = [
+        (200 + i, t0 + dt.timedelta(seconds=3600 + i), "a", f"u{i}")
+        for i in range(20)
+    ] + [
+        (300 + i, t0 + dt.timedelta(seconds=7200 + i), "a", f"w{i}")
+        for i in range(20)
+    ]
+    update_uniques_sketches(mk(late), path)
+
+    # rebuilt-from-scratch reference
+    ref = str(tmp_path / "ref")
+    build_uniques_sketches(mk(day1 + day2 + late), ref)
+
+    for lo, hi in (("2024-04-01", "2024-04-01"), ("2024-04-01", "2024-04-02")):
+        got = uniques_over_range(spark, path, lo, hi).collect()[0].uniques_est
+        want = uniques_over_range(spark, ref, lo, hi).collect()[0].uniques_est
+        assert got == want, (lo, hi, got, want)
+    # day 1 true uniques: 40 original + 20 new = 60 (20 returning absorbed)
+    d1 = uniques_over_range(spark, path, "2024-04-01", "2024-04-01").collect()[0]
+    assert abs(d1.uniques_est - 60) <= 0.1 * 60
