@@ -1263,12 +1263,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip only shows if it actually reorders two docs, not whenever a
     single floored value moves (VERDICT r3 hardening of the PERF_NOTES
     hash-stability rule)."""
-    from pyspark.sql.window import Window
-
     from pond_spark.functions.bm25 import bm25_search
 
     out = bm25_search(_fan(_documents(spark, sf_dir)), BM25_TERMS, k=25)
-    # k=25 rows: the unpartitioned window is a single tiny task.
+    return _bm25_rank_projection(out)
+
+
+def _bm25_rank_projection(out: DataFrame) -> DataFrame:
+    """THE (score_q desc, doc_id asc) rank projection both BM25 rows
+    (in-query and index-backed) hash — one definition so the 'same
+    twin' oracle pairing can't drift. k<=25 rows: the unpartitioned
+    window is a single tiny task."""
+    from pyspark.sql.window import Window
+
     win = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
     return out.select(
         "doc_id",
@@ -1361,19 +1368,11 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized expression as bm25_search. Oracle: the same rank twin as
     q_bm25_search — materializing postings must not change a single
     result row."""
-    from pyspark.sql.window import Window
-
     from pond_spark.functions.lexindex import build_text_index
 
     docs = _fan(_documents(spark, sf_dir))
     idx = build_text_index(docs, _text_index_path(sf_dir), n_buckets=64)
-    out = idx.search(BM25_TERMS, k=25)
-    win = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-    return out.select(
-        "doc_id",
-        "n_terms",
-        F.row_number().over(win).cast("long").alias("rank"),
-    )
+    return _bm25_rank_projection(idx.search(BM25_TERMS, k=25))
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,6 +85,19 @@ class DigestCatalog:
                 e, "getErrorClass", None
             )
             if get_cond and get_cond() == "PATH_NOT_FOUND":
+                # a ._old sibling means a compact() died between its
+                # two renames: the catalog is NOT new, it is sitting at
+                # the ._old path. Refuse to bootstrap empty — that
+                # would silently re-admit everything previously
+                # shipped; make the operator finish the swap instead.
+                old = self.path + "._old"
+                if os.path.exists(old):
+                    raise RuntimeError(
+                        f"digest catalog missing at {self.path} but a "
+                        f"compaction remnant exists at {old} — a "
+                        "compact() crashed mid-swap. Recover with: "
+                        f"mv {old} {self.path} (then re-run compact)"
+                    ) from e
                 return self.spark.createDataFrame([], "content_sha string")
             raise
 
@@ -128,12 +141,13 @@ class DigestCatalog:
         register: don't compact while another pipeline appends.
 
         Crash-safety: the live catalog is never deleted before its
-        replacement is in place — stage new, rename old ASIDE, rename
-        staged in, then delete the old copy. A crash mid-sequence
-        leaves either the original or the compacted catalog at
-        ``path`` (plus a stray ._old/._compact dir to clean up), never
-        a missing one — a vanished catalog would silently bootstrap
-        empty and re-admit everything previously shipped."""
+        replacement is written — stage new, rename old ASIDE, rename
+        staged in, then delete the old copy. POSIX gives no two-path
+        atomic swap, so a crash exactly between the two renames leaves
+        ``path`` briefly absent with the data at ``path + '._old'``;
+        ``_read`` detects that remnant and REFUSES to bootstrap an
+        empty catalog (raising with the one-command recovery) instead
+        of silently re-admitting everything previously shipped."""
         if not os.path.exists(self.path):
             return  # nothing registered yet — nothing to compact
         import shutil

@@ -54,6 +54,15 @@ __all__ = ["build_text_index", "TextIndex"]
 _META = "_text_index_meta.json"
 
 
+def _next_segment_name(segments: list[dict]) -> str:
+    """Strictly-increasing segment ids: max existing id + 1, NEVER the
+    list length — after a compact the live segment keeps a high id
+    while the list shrinks to 1, so len()-based naming would collide
+    with (and overwrite) live data."""
+    ids = [int(s["name"].split("-")[1]) for s in segments]
+    return f"segment-{(max(ids) + 1 if ids else 0):06d}"
+
+
 def _write_segment(
     df: DataFrame,
     seg_path: str,
@@ -182,7 +191,7 @@ class TextIndex:
         rebuild: df is query-time, dl is per-doc, the corpus scalars
         accumulate in the meta. (Callers own doc-id uniqueness across
         segments, as with any inverted index.)"""
-        seg = f"segment-{len(self.meta['segments']):06d}"
+        seg = _next_segment_name(self.meta["segments"])
         stats = _write_segment(
             df,
             os.path.join(self.path, seg),
@@ -211,7 +220,7 @@ class TextIndex:
 
         old_segments = list(self.meta["segments"])
         n_docs, sum_dl = self.n_docs, self.sum_dl
-        seg = f"segment-{len(old_segments):06d}"  # fresh, unused name
+        seg = _next_segment_name(old_segments)  # ids only grow: unused
         (
             self.postings()
             .repartition("word_bucket")

@@ -109,7 +109,7 @@ def write_packet_socket(
     df: DataFrame,
     address: str,
     seqpacket: bool = False,
-    max_datagram_bytes: int = 65_536,
+    max_datagram_bytes: int = 200_000,
     oversize: str = "error",
 ) -> None:
     """S8 packet-socket sink (ResultWriter.cxx:63-75,112-120,368-371):
@@ -126,8 +126,9 @@ def write_packet_socket(
 
     A record larger than the socket buffer would fail the whole task
     with EMSGSIZE deep in a Spark stage; ``max_datagram_bytes``
-    (default 64 KiB, safely under the typical ~208 KiB AF_UNIX
-    default) bounds the encoded size up front. ``oversize`` chooses
+    (default 200 000 B — just under the typical Linux ~208 KiB AF_UNIX
+    datagram limit, so anything the kernel would have accepted still
+    passes) bounds the encoded size up front. ``oversize`` chooses
     the policy: ``"error"`` raises with the row's size (run the
     records through a truncation projection first if dropping payload
     is acceptable), ``"skip"`` drops oversized records (counted and

@@ -455,3 +455,69 @@ def test_text_index_property_matches_bm25(spark, tmp_path):
             for r in bm25_search(df_all, terms, k=12).collect()
         ]
         assert got == want, (terms, got, want)
+
+
+def test_text_index_segment_names_never_collide(spark, tmp_path):
+    """Regression (round-4 review): segment ids must only GROW —
+    len()-based naming made append-after-compact overwrite the live
+    compacted segment, and a second compact pick a live name then
+    delete its own output. Exercise build→append→compact→append→
+    append→compact→search and compare against fresh BM25 throughout."""
+    from pond_spark.functions.bm25 import bm25_search
+    from pond_spark.functions.lexindex import build_text_index
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b1 = [(1, "apple banana"), (2, "banana fig")]
+    b2 = [(3, "apple cherry")]
+    b3 = [(4, "apple apple fig")]
+    b4 = [(5, "fig grape apple")]
+    idx = build_text_index(docs(b1), str(tmp_path / "sx"), n_buckets=4)
+    idx.append(docs(b2))
+    idx.compact()
+    idx.append(docs(b3))   # r4 bug: reused a live segment name
+    idx.append(docs(b4))
+    idx.compact()          # r4 bug: compacted INTO a live name
+    names = [s["name"] for s in idx.meta["segments"]]
+    assert len(names) == len(set(names)) == 1
+
+    terms = ["apple", "fig"]
+    got = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in idx.search(terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, r.n_terms, r.score_q)
+        for r in bm25_search(docs(b1 + b2 + b3 + b4), terms, k=10).collect()
+    ]
+    assert got == want and idx.n_docs == 5
+
+
+def test_digest_catalog_refuses_bootstrap_on_compact_remnant(spark, tmp_path):
+    """Regression (round-4 review): if a compact() died between its
+    two renames, the catalog data sits at path+'._old' — _read must
+    raise with the recovery command, not silently start empty."""
+    import os
+
+    import pytest as _pytest
+
+    from pond_spark.dedup.exact import DigestCatalog
+
+    path = str(tmp_path / "cat")
+    cat = DigestCatalog(spark, path)
+    cat.register(spark.createDataFrame([(1, "seen")], ["doc_id", "text"]))
+    # simulate the crash window
+    os.rename(path, path + "._old")
+    with _pytest.raises(RuntimeError, match="compaction remnant"):
+        cat.filter_new(
+            spark.createDataFrame([(2, "seen")], ["doc_id", "text"])
+        ).count()
+    # the documented recovery restores filtering
+    os.rename(path + "._old", path)
+    assert (
+        cat.filter_new(
+            spark.createDataFrame([(2, "seen"), (3, "new")], ["doc_id", "text"])
+        ).count()
+        == 1
+    )
