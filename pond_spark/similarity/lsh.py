@@ -97,17 +97,30 @@ def lsh_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    multiprobe: int = 1,
+    multiprobe: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's bucket (plus
-    ``multiprobe`` 1-bit-flip neighbor buckets)."""
+    """ANN top-k: score only vectors in the query's bucket plus
+    ``multiprobe`` 1-bit-flip neighbor buckets, chosen
+    closest-hyperplane-first — query-directed probing (Lv et al.,
+    "Multi-probe LSH", VLDB 2007): the bits whose |query · plane|
+    margin is smallest are the likeliest to disagree with a true
+    neighbor's signature, so they flip first. ``None`` (default)
+    probes all ``nbits`` flip neighbors — the recall-max setting the
+    oracle twin replicates; an int trades candidates for recall
+    (the r3 form multiplied by nbits, making every value >= 1
+    identical to "all" — the knob did nothing)."""
     dim = len(query_vec)
     planes = hyperplanes(dim, nbits, seed)
     qsig = 0
+    margins = []
     for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+        dot = sum(a * b for a, b in zip(query_vec, p))
+        margins.append(abs(dot))
+        if dot >= 0:
             qsig |= 1 << i
-    probes = [qsig] + [qsig ^ (1 << i) for i in range(min(multiprobe * nbits, nbits))]
+    t = nbits if multiprobe is None else max(0, min(multiprobe, nbits))
+    flip_order = sorted(range(nbits), key=lambda i: (margins[i], i))
+    probes = [qsig] + [qsig ^ (1 << i) for i in flip_order[:t]]
 
     bucketed = rhp_bucket(df, dim, nbits, seed, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
@@ -135,7 +148,14 @@ def embedding_near_pairs(
     bucket fan-out in the shuffle; they join back onto the (small)
     deduped candidate set for verification. Norms are computed once
     per vector (in the persisted bucketed frame) rather than once per
-    candidate pair — identical value, 2/3 fewer flops in the verify."""
+    candidate pair — identical value, 2/3 fewer flops in the verify.
+
+    Cache lifecycle: the bucketed frame pin feeds THREE plan branches
+    (both join sides + the vector lookup); it stays until the session
+    drops it — loop drivers that run many pair queries should
+    ``spark.catalog.clearCache()`` between them, as bench.py does
+    (the same documented lifecycle as minhash_lsh_pairs' candidate
+    pin)."""
     from pond_spark.similarity.brute import _dot, _norm
 
     # scoring uses the HOF fold (dim=None), not the unrolled form —

@@ -106,7 +106,13 @@ def write_logs_jsonl(df: DataFrame, path: str, gzip: bool = False) -> None:
     INTERCHANGE shape — raw LOG_SCHEMA field names, lossless against
     read_logs_jsonl; the S6 display sink (sinks.write_jsonl) emits the
     reference client's FormatJson key set instead."""
-    w = df.write.mode("overwrite")
+    # default JSON timestampFormat truncates to milliseconds; the
+    # engine's canonical order is (timestamp, id), so sub-millisecond
+    # loss could reorder records after a round-trip — write/read the
+    # same microsecond format the CSV path already pins
+    w = df.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    )
     if gzip:
         w = w.option("compression", "gzip")
     w.json(path, ignoreNullFields=True)
@@ -116,5 +122,6 @@ def read_logs_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.schema(LOG_SCHEMA)
         .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
         .json(path)
     )

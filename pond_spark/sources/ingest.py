@@ -101,12 +101,17 @@ def rate_limit(
         pdf["_discarded"] = out_flags
         return pdf
 
-    charged = df.filter(
-        (F.col(type_col) == message_type) & F.col(site_col).isNotNull()
+    # charged/exempt must PARTITION the frame under SQL three-valued
+    # logic: with a NULL type, (type == msg) is NULL, so both a plain
+    # filter and its ~negation exclude the row — it would silently
+    # vanish from the union. coalesce(..., False) makes the condition
+    # two-valued; exempt is then its exact complement.
+    is_charged = F.coalesce(
+        (F.col(type_col) == message_type) & F.col(site_col).isNotNull(),
+        F.lit(False),
     )
-    exempt = df.filter(
-        ~((F.col(type_col) == message_type) & F.col(site_col).isNotNull())
-    ).withColumn("_discarded", F.lit(False))
+    charged = df.filter(is_charged)
+    exempt = df.filter(~is_charged).withColumn("_discarded", F.lit(False))
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("_discarded", T.BooleanType())]
@@ -145,17 +150,29 @@ def ingest_batch(
     parquet row (METRICS_SCHEMA) — the persistent ingest-metrics table
     that gives STATS its n_received/n_malformed/n_discarded parity
     across restarts (the reference keeps them in process memory)."""
+    # caches are scoped to THIS call: they serve the 2-3 count actions,
+    # then release before return — a long-running ingest_stream calls
+    # this once per micro-batch, and never-unpersisted entries would
+    # accumulate in executor storage for the life of the query. The
+    # caller's consumption of `stored` re-runs the (cheap, projection-
+    # only) parse once; the counts never recompute.
     parsed = parse_datagrams(raw, payload_col).cache()
-    n_received = parsed.count()
-    n_malformed = parsed.filter("_malformed").count()
-    good = parsed.filter(~F.col("_malformed")).select("_rec.*")
-    if rate > 0:
-        flagged = rate_limit(good, rate).cache()
-        n_discarded = flagged.filter("_discarded").count()
-        stored = flagged.filter(~F.col("_discarded")).drop("_discarded")
-    else:
-        n_discarded = 0
-        stored = good
+    try:
+        n_received = parsed.count()
+        n_malformed = parsed.filter("_malformed").count()
+        good = parsed.filter(~F.col("_malformed")).select("_rec.*")
+        if rate > 0:
+            flagged = rate_limit(good, rate).cache()
+            try:
+                n_discarded = flagged.filter("_discarded").count()
+            finally:
+                flagged.unpersist()
+            stored = flagged.filter(~F.col("_discarded")).drop("_discarded")
+        else:
+            n_discarded = 0
+            stored = good
+    finally:
+        parsed.unpersist()
     if metrics_dir is not None:
         raw.sparkSession.createDataFrame(
             [(batch_id, n_received, n_malformed, n_discarded)], METRICS_SCHEMA

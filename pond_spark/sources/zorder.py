@@ -40,7 +40,11 @@ def rank16(col: Column, dtype: str) -> Column:
     """
     if dtype.startswith("timestamp"):
         val = (col.cast("timestamp").cast("long") / 60).cast("long")
-    elif dtype in ("tinyint", "smallint", "int", "bigint", "date") or dtype.startswith(
+    elif dtype == "date":
+        # DATE has no direct numeric cast in Spark (DATATYPE_MISMATCH);
+        # days-since-epoch is the order-preserving integer form
+        val = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+    elif dtype in ("tinyint", "smallint", "int", "bigint") or dtype.startswith(
         ("decimal", "double", "float")
     ):
         val = col.cast("long")
@@ -117,11 +121,24 @@ def cluster_by_zorder(
         )
 
     ordered = [c for c in dims if is_ordered(c)]
+
+    def as_double(c: str) -> Column:
+        # DATE (and only DATE) has no direct numeric cast in Spark —
+        # go through days-since-epoch; timestamps through epoch seconds
+        d = dtypes[c]
+        if d.startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        if d == "date":
+            return F.datediff(
+                F.col(c), F.lit("1970-01-01").cast("date")
+            ).cast("double")
+        return F.col(c).cast("double")
+
     out = df
     if ordered:
         bounds = df.agg(
             *[
-                f(F.col(c).cast("timestamp" if dtypes[c].startswith("timestamp") else dtypes[c]).cast("double")).alias(f"_{tag}_{c}")
+                f(as_double(c)).alias(f"_{tag}_{c}")
                 for c in ordered
                 for tag, f in (("min", F.min), ("max", F.max))
             ]
@@ -131,7 +148,7 @@ def cluster_by_zorder(
     ranks: list[Column] = []
     for c in dims:
         if c in ordered:
-            v = F.col(c).cast("double")
+            v = as_double(c)
             lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
             scaled = F.when(
                 hi > lo,

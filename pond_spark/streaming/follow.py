@@ -61,8 +61,17 @@ def follow_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Q6 FOLLOW: new records only (files modified after subscription),
-    filtered, watermarked. Append-mode sink compatible."""
-    since_now = since_now or dt.datetime.now()
+    filtered, watermarked. Append-mode sink compatible.
+
+    The default subscription cut is UTC "now": the engine session pins
+    spark.sql.session.timeZone=UTC, so a naive local-wall-clock
+    datetime would skew the no-history filter by the machine's UTC
+    offset (future cut → silence; past cut → history replay). An
+    explicit naive ``since_now`` is interpreted as a session-timezone
+    (UTC) instant."""
+    since_now = since_now or dt.datetime.now(dt.timezone.utc).replace(
+        tzinfo=None
+    )
     df = _source(spark, store_dir, since_now, max_files_per_trigger)
     if spec is not None:
         df = df.filter(spec.to_column())

@@ -74,7 +74,13 @@ def rate_limit_stream(
                     now_us = int(ts.value // 1000)
                     if last_us >= 0 and now_us > last_us:
                         tokens = min(cap, tokens + rate * (now_us - last_us) / 1e6)
-                    last_us = now_us
+                    # only ADVANCE the clock: a late event from a
+                    # previous micro-batch must not rewind last_us, or
+                    # the next on-time event would re-credit refill
+                    # time that was already granted before the
+                    # checkpoint (per-batch sorting can't see across
+                    # batches)
+                    last_us = max(last_us, now_us)
                 if tokens >= 1.0:
                     tokens -= 1.0
                     flags.append(False)
@@ -85,12 +91,16 @@ def rate_limit_stream(
             yield pdf
         state.update((float(tokens), int(last_us)))
 
-    charged = sdf.filter(
-        (F.col(type_col) == message_type) & F.col(site_col).isNotNull()
+    # two-valued split (same fix as the batch twin, sources/ingest.py):
+    # a NULL type makes both a plain filter and its ~negation reject
+    # the row under three-valued logic — the record would silently
+    # disappear from the union
+    is_charged = F.coalesce(
+        (F.col(type_col) == message_type) & F.col(site_col).isNotNull(),
+        F.lit(False),
     )
-    exempt = sdf.filter(
-        ~((F.col(type_col) == message_type) & F.col(site_col).isNotNull())
-    ).withColumn("_discarded", F.lit(False))
+    charged = sdf.filter(is_charged)
+    exempt = sdf.filter(~is_charged).withColumn("_discarded", F.lit(False))
 
     limited = charged.groupBy(site_col).applyInPandasWithState(
         bucket, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

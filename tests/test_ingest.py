@@ -218,3 +218,26 @@ def test_store_read_time_bounds_prune_partitions(spark, tmp_path, logs):
     # the derived p_date predicate must reach the scan as a partition
     # filter (directory pruning), the timestamp bound as a data filter
     assert "PartitionFilters" in plan and "p_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_rate_limit_null_type_rows_survive(spark):
+    """Regression (r4 review): a row with type=NULL and a site set
+    matched neither the charged filter nor its ~negation under
+    three-valued logic and silently vanished from the union. It must
+    pass through exempt with _discarded=False."""
+    import datetime as dt
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.ingest import rate_limit
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, typ in [(1, "http_error"), (2, None), (3, "http_access"), (4, "http_error")]:
+        r = dict(base)
+        r.update(id=i, timestamp=t0, site="s1", type=typ)
+        rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    out = {r.id: r._discarded for r in rate_limit(df, rate=1.0).collect()}
+    assert set(out) == {1, 2, 3, 4}  # nothing vanished
+    assert out[2] is False and out[3] is False  # exempt rows

@@ -337,3 +337,25 @@ def test_hard_negative_pairs_same_cluster_no_self(vectors):
     # the planted near-dups of vector 0 share its cluster -> they pair
     pairs = {(r.anchor_id, r.negative_id) for r in out}
     assert any(a in (0, 100, 101) and b in (0, 100, 101) for a, b in pairs)
+
+
+def test_lsh_multiprobe_knob_widens_candidates(vectors):
+    """Regression (r4 review): multiprobe was multiplied by nbits so
+    every value >= 1 probed ALL flip neighbors. Now it is the count of
+    query-directed 1-bit flips: 0 = exact bucket only, higher values
+    only ADD candidates, None = all flips (the old behavior)."""
+    q = [(i % 5) / 5.0 for i in range(16)]
+
+    def ids(mp):
+        return {
+            r.vec_id
+            for r in lsh_topk(
+                vectors, q, k=50, nbits=4, multiprobe=mp
+            ).collect()
+        }
+
+    exact = ids(0)
+    two = ids(2)
+    alln = ids(None)
+    assert exact <= two <= alln
+    assert len(alln) > len(exact)  # flips really add buckets here

@@ -300,3 +300,27 @@ def test_csv_roundtrip_hostile_values(logs, tmp_path):
     write_logs_jsonl(df, jl)
     got = {r.id: r.message for r in read_logs_jsonl(spark, jl).collect()}
     assert got == back
+
+
+def test_jsonl_interchange_keeps_microseconds(spark, tmp_path):
+    """Regression (r4 review): the default JSON timestampFormat
+    truncates to milliseconds; (timestamp, id) is the canonical order,
+    so the interchange round-trip must keep microseconds exactly."""
+    import datetime as ddt
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.formats import read_logs_jsonl, write_logs_jsonl
+
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    r = dict(base)
+    r.update(
+        id=1,
+        timestamp=ddt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        site="a",
+        type="http_access",
+    )
+    df = spark.createDataFrame([r], LOG_SCHEMA)
+    path = str(tmp_path / "jl")
+    write_logs_jsonl(df, path)
+    back = read_logs_jsonl(spark, path).collect()[0]
+    assert back.timestamp == ddt.datetime(2024, 1, 1, 12, 0, 0, 123456)

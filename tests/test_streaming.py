@@ -566,3 +566,51 @@ def test_group_site_spacesaving_property_bounds(spark, tmp_path):
     # the dominant key is never evicted: exact count, rank 1
     top = {r.rank: (r.key, r.n, r.err) for r in fin}
     assert top[1] == ("/k0", 30, 0)
+
+
+def test_rate_limit_stream_late_event_does_not_rewind_clock(spark, tmp_path):
+    """Regression (r4 review): a late event in a later micro-batch
+    must not rewind the bucket's last-refill clock — otherwise the
+    next on-time event re-credits refill time already granted and
+    over-admits. Batch 1 drains the burst at T; batch 2 is one LATE
+    record (T-60s); batch 3 at T again must still be broke."""
+    from pond_spark.streaming import rate_limit_stream
+
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 1, 1, 10)
+
+    def msg_rows(ids, ts):
+        rows = _rows(ids, "a", t0)
+        for r in rows:
+            r["type"] = "http_error"
+            r["timestamp"] = ts
+        return rows
+
+    _write_batch(spark, store, msg_rows(range(1, 12), t0))  # 11: drains 10
+    time.sleep(1.1)
+    _write_batch(spark, store, msg_rows([20], t0 - dt.timedelta(seconds=60)))
+    time.sleep(1.1)
+    _write_batch(spark, store, msg_rows([30, 31], t0))
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    q = (
+        rate_limit_stream(sdf, rate=1.0)
+        .writeStream.format("memory")
+        .queryName("rlw")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.id: r._discarded for r in spark.sql("select id, _discarded from rlw").collect()}
+    assert sum(1 for i in range(1, 12) if out[i]) == 1  # burst 10 passes
+    assert out[20] is True          # late event: no tokens, no refill
+    # with a rewound clock, batch 3 would refill 60 tokens and admit
+    # these; with the monotonic clock they must still be discarded
+    assert out[30] is True and out[31] is True

@@ -134,3 +134,28 @@ def test_logstore_zorder_roundtrip(spark, tmp_path):
         & (F.col("timestamp") <= t0 + dt.timedelta(hours=7))
     ).count()
     assert bounded.count() == expect
+
+
+def test_zorder_date_dimension(spark):
+    """Regression (r4 review): DATE has no direct numeric cast in
+    Spark, so z-ordering by a date column threw DATATYPE_MISMATCH —
+    both rank16 and the normalized cluster_by_zorder path must accept
+    it and preserve date ordering in the rank."""
+    import datetime as ddt
+
+    from pond_spark.sources.zorder import cluster_by_zorder, rank16
+
+    df = spark.createDataFrame(
+        [(i, ddt.date(2024, 1, 1 + i), f"s{i % 3}") for i in range(12)],
+        "id long, d date, site string",
+    )
+    ranks = [
+        r.r
+        for r in df.orderBy("id")
+        .select(rank16(F.col("d"), "date").alias("r"))
+        .collect()
+    ]
+    assert ranks == sorted(ranks) and len(set(ranks)) == 12
+
+    out = cluster_by_zorder(df, ["d", "site"])
+    assert out.count() == 12  # plans + executes without a cast error
