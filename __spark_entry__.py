@@ -3148,14 +3148,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- round-4 NEW surface --------------------------------------------
+    # FIRST 50 = the driver's per-round check window. Round-4 policy:
+    # new surface, every query whose implementing file changed this
+    # round, the two queries never checked in any prior round, the
+    # r3-stale set, then the oldest (r2) greens on unchanged files.
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
-    # -- round-4 changed implementations (bm25/nbayes/profile twins
-    # -- media_decode_real projection, minhash probe, CC fast path
-    # -- rangejoin collision renames, DigestCatalog bootstrap) ---------
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
@@ -3166,10 +3166,16 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "range_join": (q_range_join, None),  # lazy sql
     "geoip": (q_geoip, GEOIP_SQL),
-    # -- never oracle-checked in any round ------------------------------
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
+    "stats": (q_stats, STATS_SQL),
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
-    # -- round-3-stale: last green in r2, implementing file changed in r3
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
@@ -3178,7 +3184,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
-    # -- oldest greens (r2, files unchanged since) -----------------------
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
@@ -3196,25 +3201,21 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, None),  # lazy sql
     "fingerprint": (q_fingerprint, None),  # lazy sql
     "quality_rules": (q_quality_rules, None),  # lazy sql
-    "pii_scrub": (q_pii_scrub, None),  # lazy sql
-    "pack_shards": (q_pack_shards, None),  # lazy sql
-    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
-    # -- r3-green re-confirmations filling the 50-query window ----------
+    "pack_shards": (q_pack_shards, None),  # lazy sql
+    # ---- window boundary: everything below is green on a file ------
+    # ---- unchanged since its last oracle pass ----------------------
     "retention": (q_retention, RETENTION_SQL),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
-    "stats": (q_stats, STATS_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    # ---- window boundary: everything below is r3-green on files -------
-    # ---- unchanged since their last oracle pass ------------------------
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "pii_scrub": (q_pii_scrub, None),  # lazy sql
     "repetition": (q_repetition, REPETITION_SQL),
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3222,11 +3223,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hard_negatives": (q_hard_negatives, None),  # lazy sql
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql

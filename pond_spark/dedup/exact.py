@@ -30,13 +30,22 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep exactly the min-id row per distinct content. Two-phase:
     digest groupBy (narrow shuffle) then a semi-join back on
-    (digest, id) — no full-row shuffle of the corpus."""
+    (digest, id) — no full-row shuffle of the corpus. The digest is
+    part of the join key on purpose: with non-unique ids, an id-only
+    semi-join would keep EVERY row sharing a keeper's id — including
+    duplicate content under a reused id (r4 review finding)."""
     keepers = (
-        df.select(F.sha2(F.col(text_col), 256).alias("_sha"), F.col(id_col))
-        .groupBy("_sha")
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("_dedup_sha"), F.col(id_col)
+        )
+        .groupBy("_dedup_sha")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(keepers, on=id_col, how="leftsemi")
+    return (
+        df.withColumn("_dedup_sha", F.sha2(F.col(text_col), 256))
+        .join(keepers, on=["_dedup_sha", id_col], how="leftsemi")
+        .drop("_dedup_sha")
+    )
 
 
 class DigestCatalog:

@@ -134,14 +134,23 @@ def strip_duplicate_lines(
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # anchor on the INPUT ids, not the exploded lines: a NULL-text doc
+    # produces zero line rows (split(NULL) explodes to nothing) and
+    # would otherwise vanish, breaking the every-input-document
+    # contract (same left-join shape substr.strip_duplicate_spans
+    # uses; r4 review finding)
     return (
-        totals.join(reassembled, on=id_col, how="left")
+        df.select(F.col(id_col))
+        .distinct()
+        .join(totals, on=id_col, how="left")
+        .join(reassembled, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            F.col("n_lines"),
-            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
         )
     )

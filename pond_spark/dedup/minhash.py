@@ -178,13 +178,15 @@ def minhash_lsh_pairs(
         ).alias("_band_key"),
     )
 
+    bucket_counts = None
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("_band_key")
-            .count()
-            .filter(F.col("count") > max_bucket_size)
-            .select("_band_key")
-        )
+        # pin the bucket counts: with skew_salt='auto' the SAME
+        # aggregation also feeds the hot-id probe below — unpinned it
+        # would run as two separate jobs over the banded frame
+        bucket_counts = banded.groupBy("_band_key").count().persist()
+        hot = bucket_counts.filter(
+            F.col("count") > max_bucket_size
+        ).select("_band_key")
         banded = banded.join(F.broadcast(hot), "_band_key", "left_anti")
 
     left = banded.select(F.col(id_col).alias("id_a"), "_band_key")
@@ -206,11 +208,25 @@ def minhash_lsh_pairs(
         # Hot-id bound from band-bucket sizes: one narrow groupBy over
         # (id, band_key) rows — sigs is already persisted, so the probe
         # job re-derives only the cheap band keys, never the self-join.
-        mx_row = banded.groupBy("_band_key").count().agg(F.max("count")).first()
+        if bucket_counts is not None:
+            # reuse the capped-bucket aggregation: surviving buckets
+            # are exactly those <= max_bucket_size
+            mx_row = (
+                bucket_counts.filter(F.col("count") <= max_bucket_size)
+                .agg(F.max("count"))
+                .first()
+            )
+        else:
+            mx_row = (
+                banded.groupBy("_band_key").count().agg(F.max("count")).first()
+            )
         max_bucket = mx_row[0] or 0
         skew_salt = (
             8 if bands * max(0, max_bucket - 1) > hot_id_threshold else None
         )
+    # bucket_counts stays pinned: the returned plan's broadcast
+    # anti-join still reads it lazily — same lifecycle as the sigs pin
+    # (loop drivers clearCache between queries, as bench.py does)
     if skew_salt:
         from pond_spark.operators.skew import salted_join
 

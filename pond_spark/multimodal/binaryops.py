@@ -39,27 +39,42 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-#: magic-byte prefixes → mime (deterministic sniffing, no codec needed)
+#: magic rules → mime: (prefix bytes | None, (offset, marker) | None).
+#: Container formats need the SECOND check — 'RIFF' alone is WAV or
+#: WebP or AVI depending on the fourcc at offset 8, and MP4 is
+#: identified by 'ftyp' at offset 4 after an arbitrary box size (the
+#: r3 leading-zeros rule matched any length-prefixed blob). Rules here
+#: agree with codecs.decode's dispatch, so a sniff-routed row decodes
+#: under the same format the sniffer claimed.
 _MAGIC = [
-    (b"\x89PNG", "image/png"),
-    (b"\xff\xd8\xff", "image/jpeg"),
-    (b"GIF8", "image/gif"),
-    (b"RIFF", "audio/wav"),
-    (b"ID3", "audio/mpeg"),
-    (b"\x00\x00\x00", "video/mp4"),
+    (b"\x89PNG", None, "image/png"),
+    (b"\xff\xd8\xff", None, "image/jpeg"),
+    (b"GIF8", None, "image/gif"),
+    (b"RIFF", (8, b"WAVE"), "audio/wav"),
+    (b"RIFF", (8, b"WEBP"), "image/webp"),
+    (b"RIFF", (8, b"AVI "), "video/avi"),
+    (b"ID3", None, "audio/mpeg"),
+    (None, (4, b"ftyp"), "video/mp4"),
 ]
 
 
 def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Metadata pass: payload size + sniffed mime, built-ins only
-    (no Python) — length and prefix tests run JVM-side."""
+    (no Python) — length, prefix and fourcc tests run JVM-side."""
     p = F.col(payload_col)
     mime = F.lit(None).cast("string")
-    for magic, m in reversed(_MAGIC):
-        hexpfx = magic.hex()
-        mime = F.when(
-            F.hex(F.substring(p, 1, len(magic))) == hexpfx.upper(), F.lit(m)
-        ).otherwise(mime)
+    for magic, marker, m in reversed(_MAGIC):
+        cond = F.lit(True)
+        if magic is not None:
+            cond = cond & (
+                F.hex(F.substring(p, 1, len(magic))) == magic.hex().upper()
+            )
+        if marker is not None:
+            off, mk = marker
+            cond = cond & (
+                F.hex(F.substring(p, off + 1, len(mk))) == mk.hex().upper()
+            )
+        mime = F.when(cond, F.lit(m)).otherwise(mime)
     return df.withColumn("payload_bytes", F.length(p).cast("long")).withColumn(
         "sniffed_mime", mime
     )
@@ -243,15 +258,19 @@ def frame_sample(
     timestamp (the decode of each frame is the stubbed step). Pure
     ``sequence`` + ``explode`` — the row multiplication happens JVM-side
     and the payload column is carried by reference, not copied per row."""
+    # a zero-length or unknown-duration video has NO sampleable frame:
+    # the sequence would still emit t=0 and hand downstream decode a
+    # timestamp outside the media (r4 review finding) — explode of the
+    # NULL sequence drops the row instead
+    dur = F.col(duration_col)
     return (
         df.filter(F.col("kind") == "video")
         .withColumn(
             "sample_ms",
             F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.coalesce(F.col(duration_col), F.lit(0)) - 1, F.lit(0)),
-                    F.lit(every_ms),
+                F.when(
+                    dur > 0,
+                    F.sequence(F.lit(0), dur - 1, F.lit(every_ms)),
                 )
             ),
         )

@@ -40,6 +40,11 @@ def asof_join(
     latest right row with ``right.ts <= left.ts`` (NULLs when none).
 
     Right payload = every right column except the keys and timestamp.
+    A payload column whose name collides with a left column is emitted
+    as ``asof_<name>`` (left columns always win their own names) —
+    without the rename, left rows would carry their OWN value through
+    the ignorenulls carry-forward and the output would hold two
+    identically-named columns (r4 review finding).
     """
     right_ts_col = right_ts_col or ts_col
     payload = [
@@ -47,9 +52,27 @@ def asof_join(
     ]
     lcols = left.columns
 
+    def out_name(c: str) -> str:
+        if c not in lcols:
+            return c
+        renamed = f"asof_{c}"
+        if renamed in lcols or renamed in payload:
+            raise ValueError(
+                f"asof_join: right payload column {c!r} collides with a "
+                f"left column and the fallback name {renamed!r} is also "
+                "taken — rename one side"
+            )
+        return renamed
+
+    # internal payload slots are positional (_p0, _p1, …), so a left
+    # column sharing a payload name can never leak into the carry
+    slots = {c: f"_p{i}" for i, c in enumerate(payload)}
+
     l_tag = left.withColumn("_side", F.lit(1)).withColumn(
         "_ats", F.col(ts_col)
     )
+    for c in payload:
+        l_tag = l_tag.withColumn(slots[c], F.lit(None))
     # a right row without a timestamp can never be "the latest at or
     # before" anything (SQL comparison semantics: ts >= NULL is false)
     r_tag = (
@@ -57,16 +80,13 @@ def asof_join(
         .select(
             *[F.col(c) for c in key_cols],
             F.col(right_ts_col).alias("_ats"),
-            *[F.col(c) for c in payload],
+            *[F.col(c).alias(slots[c]) for c in payload],
         )
         .withColumn("_side", F.lit(0))
     )
     for c in lcols:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None))
-    for c in payload:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None))
     unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
 
     w = (
@@ -77,12 +97,14 @@ def asof_join(
     carried = unioned.select(
         "*",
         *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_carry_{c}")
+            F.last(F.col(slots[c]), ignorenulls=True)
+            .over(w)
+            .alias(f"_carry_{slots[c]}")
             for c in payload
         ],
     )
     out = carried.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_carry_{c}").alias(c) for c in payload],
+        *[F.col(f"_carry_{slots[c]}").alias(out_name(c)) for c in payload],
     )
     return out

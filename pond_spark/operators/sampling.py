@@ -37,10 +37,24 @@ DENOM = 1_000_000
 
 
 def _salt_params(salt: str) -> tuple[int, int]:
-    """Deterministic (a, b) for a salt string — seeded from its UTF-8
-    bytes via the same splitmix stream the minhash permutations use."""
-    seed = int.from_bytes(salt.encode("utf-8")[:8].ljust(8, b"\0"), "big")
+    """Deterministic (a, b) for a salt string — seeded from a sha256 of
+    the WHOLE salt via the same splitmix stream the minhash
+    permutations use. (The r4 review caught the previous first-8-bytes
+    seed: salts sharing an 8-byte prefix — 'experiment1' vs
+    'experiment2' — produced bit-identical "independent" samples.)"""
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.sha256(salt.encode("utf-8")).digest()[:8], "big"
+    )
     return _perm_params(1, seed)[0]
+
+
+def _threshold(rate: float) -> int:
+    """rate → integer bucket threshold; round() not int(): float
+    representation error (0.29*1e6 = 289999.99…) must not silently
+    shave a bucket off the documented fraction."""
+    return int(round(rate * DENOM))
 
 
 def _bucket(id_col: Column, salt: str) -> Column:
@@ -66,14 +80,14 @@ def sample(
     rows whose bucket falls under ``rate * DENOM`` — reproducible
     anywhere, monotone in ``rate`` for a fixed salt (a smaller rate
     yields a subset of a larger one)."""
-    return df.filter(_bucket(F.col(id_col), salt) < int(rate * DENOM))
+    return df.filter(_bucket(F.col(id_col), salt) < _threshold(rate))
 
 
 def sample_sql(
     rate: float, id_expr: str = "doc_id", salt: str = "sample"
 ) -> str:
     """DuckDB twin of ``sample``'s keep predicate."""
-    return f"{_bucket_sql(id_expr, salt)} < {int(rate * DENOM)}"
+    return f"{_bucket_sql(id_expr, salt)} < {_threshold(rate)}"
 
 
 def stratified_sample(
@@ -88,10 +102,10 @@ def stratified_sample(
     value → keep fraction; unlisted strata keep ``default_rate``. One
     scan, one filter — the rate lookup is a literal CASE chain, so
     Catalyst folds it into the pushed-down predicate."""
-    rate = F.lit(int(default_rate * DENOM))
+    rate = F.lit(_threshold(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(
-            F.col(stratum_col) == value, F.lit(int(r * DENOM))
+            F.col(stratum_col) == value, F.lit(_threshold(r))
         ).otherwise(rate)
     return df.filter(_bucket(F.col(id_col), salt) < rate)
 
@@ -104,10 +118,10 @@ def stratified_sample_sql(
     default_rate: float = 0.0,
 ) -> str:
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{v}' THEN {int(r * DENOM)}"
+        f"WHEN {stratum_expr} = '{v}' THEN {_threshold(r)}"
         for v, r in sorted(rates.items())
     )
-    case = f"(CASE {whens} ELSE {int(default_rate * DENOM)} END)"
+    case = f"(CASE {whens} ELSE {_threshold(default_rate)} END)"
     return f"{_bucket_sql(id_expr, salt)} < {case}"
 
 
@@ -202,9 +216,16 @@ def temperature_mixture(
     applies them. The head-stratum downsampling this produces is the
     standard fix for majority-language dominance in multilingual
     corpora."""
+    # a NULL stratum cannot carry a rate (and would crash the sorted()
+    # over weight keys): NULL-source rows get weight 0 — dropped, the
+    # same rule mixture applies to any unlisted source
     counts = {
-        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
     }
+    if not counts:
+        return mixture(df, {}, source_col, id_col, salt)
     return mixture(
         df, temperature_weights(counts, alpha), source_col, id_col, salt
     )

@@ -182,11 +182,18 @@ def curate_foreach_batch(
             from pond_spark.dedup.exact import DigestCatalog
 
             cat = DigestCatalog(batch_df.sparkSession, digest_catalog_path)
-            fresh = cat.filter_new(batch_df, text_col, id_col=id_col)
-            writer(
-                curate(fresh, config, eval_set, text_col, id_col), batch_id
-            )
-            cat.register(fresh, text_col)
+            # pin `fresh`: it feeds both the writer's curate chain and
+            # register — unpinned, every micro-batch would pay the
+            # catalog anti-join + within-batch sha256 dedup TWICE
+            fresh = cat.filter_new(batch_df, text_col, id_col=id_col).persist()
+            try:
+                writer(
+                    curate(fresh, config, eval_set, text_col, id_col),
+                    batch_id,
+                )
+                cat.register(fresh, text_col)
+            finally:
+                fresh.unpersist()
             return
         writer(
             curate(batch_df, config, eval_set, text_col, id_col), batch_id

@@ -397,3 +397,15 @@ def test_digest_catalog_compact(spark, tmp_path):
     # behavior unchanged: everything already seen still filters out
     again = spark.createDataFrame([(100, "doc 0 0"), (101, "new")], ["doc_id", "text"])
     assert {r.doc_id for r in cat.filter_new(again).collect()} == {101}
+
+
+def test_dedup_exact_non_unique_ids(spark):
+    """Regression (r4 review): the semi-join keyed on id alone, so a
+    reused id kept duplicate content. The (digest, id) key drops it."""
+    from pond_spark.dedup.exact import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y")], ["id", "text"]
+    )
+    out = sorted((r.id, r.text) for r in dedup_exact(df).collect())
+    assert out == [(1, "x"), (2, "y")]

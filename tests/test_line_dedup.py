@@ -114,3 +114,18 @@ def test_repetition_empty_doc(spark):
     # split('') yields [''] → one empty "word"; all fractions 0
     assert r["dup_word_frac"] == 0.0
     assert r["top_2gram_char_frac"] == 0.0
+
+
+def test_strip_duplicate_lines_keeps_null_text_docs(spark):
+    """Regression (r4 review): a NULL-text document produced zero line
+    rows and vanished, violating the every-input-document contract."""
+    from pond_spark.dedup.lines import strip_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(1, "dup line\nunique one"), (2, "dup line\nother"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicate_lines(df).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[5].text_clean == "" and out[5].n_lines == 0
+    assert out[5].n_removed == 0

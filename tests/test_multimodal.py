@@ -19,7 +19,7 @@ def media(spark):
         (1, "image", bytes.fromhex("89504e47") + b"fakepng", "image/png", 10, 10, None),
         (2, "image", bytes.fromhex("ffd8ffe0") + b"fakejpg", None, None, None, None),
         (3, "audio", b"ID3fakempeg", None, None, None, 4500),
-        (4, "video", bytes.fromhex("000000") + b"ftypmp4", None, None, None, 3500),
+        (4, "video", bytes.fromhex("00000018") + b"ftypisom", None, None, None, 3500),
         (5, "image", b"no-magic-here", None, None, None, None),
         (6, "image", None, None, None, None, None),
     ]
@@ -32,7 +32,7 @@ def test_extract_media_meta(media):
     assert out[1] == (11, "image/png")
     assert out[2] == (11, "image/jpeg")
     assert out[3] == (11, "audio/mpeg")
-    assert out[4] == (10, "video/mp4")
+    assert out[4] == (12, "video/mp4")
     assert out[5] == (13, None)
     assert out[6] == (None, None)
 
@@ -278,3 +278,36 @@ def test_image_dhash_near_pairs(spark):
     ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert pairs[0].hamming <= 1
+
+
+def test_sniff_riff_containers_and_unknown_duration(spark):
+    """Regression (r4 review): RIFF is a container — the fourcc at
+    offset 8 decides WAV vs WebP vs AVI; a bare length-prefixed blob
+    is NOT an mp4; and a video with zero/NULL duration yields no
+    sampled frames."""
+    from pond_spark.multimodal.binaryops import extract_media_meta, frame_sample
+
+    rows = [
+        (1, "audio", b"RIFF\x10\x00\x00\x00WAVEfmt ", None, None, None, None),
+        (2, "image", b"RIFF\x10\x00\x00\x00WEBPVP8 ", None, None, None, None),
+        (3, "video", b"RIFF\x10\x00\x00\x00AVI LIST", None, None, None, None),
+        (4, "image", b"RIFF\x10\x00\x00\x00XXXX????", None, None, None, None),
+        (5, "video", b"\x00\x00\x00\x01notftyp!", None, None, None, None),
+        (6, "video", b"\x00\x00\x02\x00ftypMSNV", None, None, None, None),
+        (7, "video", b"x", None, None, None, 0),     # zero duration
+        (8, "video", b"x", None, None, None, None),  # unknown duration
+        (9, "video", b"x", None, None, None, 1500),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.sniffed_mime for r in extract_media_meta(df).collect()}
+    assert got[1] == "audio/wav"
+    assert got[2] == "image/webp"
+    assert got[3] == "video/avi"
+    assert got[4] is None   # unknown RIFF fourcc: no claim
+    assert got[5] is None   # leading zeros without ftyp: not mp4
+    assert got[6] == "video/mp4"
+
+    sampled = sorted(
+        (r.media_id, r.sample_ms) for r in frame_sample(df).collect()
+    )
+    assert sampled == [(9, 0), (9, 1000)]

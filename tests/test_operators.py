@@ -715,3 +715,28 @@ def test_uniques_sketches_incremental_update(spark, tmp_path):
     # day 1 true uniques: 40 original + 20 new = 60 (20 returning absorbed)
     d1 = uniques_over_range(spark, path, "2024-04-01", "2024-04-01").collect()[0]
     assert abs(d1.uniques_est - 60) <= 0.1 * 60
+
+
+def test_asof_join_shared_payload_column_name(spark):
+    """Regression (r4 review): a right payload column whose name also
+    exists on the left made left rows carry their OWN value through
+    the ignorenulls carry-forward and emitted two identically-named
+    columns. The payload now lands as asof_<name>."""
+    from pond_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(20), 200.0)],
+        "k long, timestamp timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), 999.0)], "k long, timestamp timestamp, value double"
+    )
+    out = asof_join(left, right, ["k"])
+    assert sorted(out.columns) == ["asof_value", "k", "timestamp", "value"]
+    rows = {r.value: r.asof_value for r in out.collect()}
+    assert rows == {100.0: 999.0, 200.0: 999.0}  # right's value carried

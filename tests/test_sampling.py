@@ -102,3 +102,32 @@ def test_temperature_weights_and_mixture(spark):
     assert out.count() == temperature_mixture(
         df, alpha=0.0, source_col="lang"
     ).count()
+
+
+def test_salts_sharing_prefix_give_independent_samples(spark):
+    """Regression (r4 review): the salt seed used only the first 8
+    UTF-8 bytes, so 'experiment1' and 'experiment2' produced the SAME
+    sample. Long salts must now select differently."""
+    from pond_spark.operators.sampling import sample
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sample(df, 0.3, salt="experiment1").collect()}
+    b = {r.doc_id for r in sample(df, 0.3, salt="experiment2").collect()}
+    assert a != b
+    overlap = len(a & b) / max(1, len(a))
+    assert 0.05 < overlap < 0.6  # independent-ish, not identical
+
+
+def test_temperature_mixture_tolerates_null_sources(spark):
+    """Regression (r4 review): a NULL source row crashed the driver
+    (sorted() over a dict with a None key); it must instead get weight
+    0 — dropped, like any unlisted source."""
+    from pond_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else None) for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = temperature_mixture(df, alpha=0.5).collect()
+    assert all(r.source == "a" for r in out)
+    assert len(out) == 20  # the single stratum keeps everything
