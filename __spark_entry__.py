@@ -3192,11 +3192,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
     "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
-    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
+    "duration_longer": (q_duration_longer, DURATION_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
-    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
-    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
+    "last": (q_last, LAST_SQL),
+    "group_site": (q_group_site, GROUP_SITE_SQL),
     "text_stats": (q_text_stats, None),  # lazy sql
     "lang_id": (q_lang_id, None),  # lazy sql
     "fingerprint": (q_fingerprint, None),  # lazy sql
@@ -3209,7 +3209,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
+    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "pii_scrub": (q_pii_scrub, None),  # lazy sql
@@ -3230,8 +3230,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
-    "last": (q_last, LAST_SQL),
-    "group_site": (q_group_site, GROUP_SITE_SQL),
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
@@ -3239,7 +3239,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    "duration_longer": (q_duration_longer, DURATION_SQL),
+    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

@@ -167,6 +167,11 @@ def parse_query_args(
         elif (v := _filter_value(p, "since")) is not None:
             q.since = parse_time_spec(v, now)[0]
         elif (v := _filter_value(p, "until")) is not None:
+            # reference-verbatim: until = start + duration with the
+            # inclusive filter compare (Main.cxx:173-174) — this admits
+            # a record at exactly the NEXT span's first microsecond,
+            # unlike timeparse.since_until's span-accurate -1µs bound
+            # (divergence documented there)
             start, dur = parse_time_spec(v, now)
             q.until = start + dur
         elif (v := _filter_value(p, "time")) is not None:
@@ -178,9 +183,11 @@ def parse_query_args(
             start = dt.datetime.strptime(v, "%Y-%m-%d")
             q.since, q.until = start, start + dt.timedelta(days=1)
         elif p == "today":
-            now_ = now or dt.datetime.now()
-            start = now_.replace(hour=0, minute=0, second=0, microsecond=0)
-            q.since, q.until = start, start + dt.timedelta(days=1)
+            # same UTC-midnight resolution as time=today / since=today —
+            # a local-wall-clock midnight would select a different day
+            # window than the UTC-pinned store on non-UTC machines
+            start, dur = parse_time_spec("today", now)
+            q.since, q.until = start, start + dur
         elif (v := _filter_value(p, "duration_longer")) is not None:
             q.duration_longer_us = parse_duration_us(v)
         elif (v := _filter_value(p, "type")) is not None:
@@ -295,6 +302,7 @@ def build(
     parsed: ParsedQuery,
     now: dt.datetime | None = None,
     geo_df=None,
+    hostnames_df=None,
 ):
     """Compile a parsed command line onto a log DataFrame.
 
@@ -344,6 +352,18 @@ def build(
         from pond_spark.functions.geoip import geoip_country
 
         out = geoip_country(out, geo_df)
+    if o.resolve_forwarded_to:
+        # the reference resolves live via its cached DNS resolver; the
+        # engine takes the (address, name) lookup table as input — the
+        # same deterministic stand-in contract as --geoip
+        if hostnames_df is None:
+            raise QueryValidationError(
+                "--resolve-forwarded-to requires --hostnames-table "
+                "(address, name)"
+            )
+        from pond_spark.functions.geoip import resolve_forwarded_to
+
+        out = resolve_forwarded_to(out, hostnames_df)
     if o.raw or o.jsonl:
         if o.jsonl:
             from pond_spark.functions.format import to_json_projection
@@ -398,6 +418,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     store = None
     geoip_table = None
+    hostnames_table = None
     rest: list[str] = []
     for a in argv:
         if (v := _filter_value(a, "--store")) is not None:
@@ -406,6 +427,10 @@ def main(argv: list[str] | None = None) -> int:
             # range table (ip_start BIGINT, ip_end BIGINT, country) —
             # the stand-in for the reference's libgeoip system database
             geoip_table = v
+        elif (v := _filter_value(a, "--hostnames-table")) is not None:
+            # (address, name) lookup — the stand-in for the reference's
+            # cached DNS resolver behind --resolve-forwarded-to
+            hostnames_table = v
         else:
             rest.append(a)
     if store is None:
@@ -465,7 +490,10 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         parsed = parse_query_args(rest)
-    except QueryValidationError as e:
+    except (QueryValidationError, ValueError) as e:
+        # parse_time_spec/parse_duration_us/strptime raise ValueError
+        # for malformed specs — the user typo contract is the same:
+        # message to stderr, exit 2, never a traceback
         print(str(e), file=sys.stderr)
         return 2
 
@@ -481,36 +509,57 @@ def main(argv: list[str] | None = None) -> int:
             # --per-site has neither a site filter nor an explicit
             # group_site (Main.cxx:336-343)
             parsed.group_site = (2**32 - 1, 0)
+        from pond_spark.functions.format import OneLineOptions
+
         query = Query(df).filter(parsed.to_filter_spec())
         if parsed.group_site is not None:
             query = query.group_site(*parsed.group_site)
         filtered = query.to_df()
+        po = parsed.options
         write_per_site(
             filtered,
-            parsed.options.per_site,
-            fmt="jsonl" if parsed.options.jsonl else "text",
-            shard=parsed.options.per_site_nested,
-            visitors=parsed.options.track_visitors,
-            gzip=parsed.options.gzip,
+            po.per_site,
+            fmt="json" if po.jsonl else "text",
+            shard=po.per_site_nested,
+            visitors=po.track_visitors,
+            gzip=po.gzip,
+            # the per-site text lines honor the same formatting flags
+            # the stdout path does (show_site stays off: records route
+            # to their own site's file)
+            opts=OneLineOptions(
+                show_site=False,
+                show_host=po.show_host,
+                show_forwarded_to=po.show_forwarded_to,
+                show_referer=po.show_referer,
+                show_agent=po.show_agent,
+                show_content_type=po.show_content_type,
+                iso8601=po.iso8601,
+                anonymize=po.anonymize,
+            ),
+            filename=po.per_site_filename,
         )
-        print(f"wrote per-site tree: {parsed.options.per_site}")
+        print(f"wrote per-site tree: {po.per_site}")
         return 0
 
-    geo_df = None
-    if geoip_table is not None:
-        geo_df = (
+    def _load_table(path):
+        return (
             spark.read.option("header", "true")
             .option("inferSchema", "true")
-            .csv(geoip_table)
-            if geoip_table.endswith(".csv")
-            else spark.read.parquet(geoip_table)
+            .csv(path)
+            if path.endswith(".csv")
+            else spark.read.parquet(path)
         )
+
+    geo_df = _load_table(geoip_table) if geoip_table is not None else None
+    hostnames_df = (
+        _load_table(hostnames_table) if hostnames_table is not None else None
+    )
     try:
         # build() raises for option combinations only detectable after
         # parse (--follow/--continue batch use, --geoip without a geo
         # table); those must exit 2 via stderr like parse errors, not
         # surface as a traceback
-        out = build(spark, df, parsed, geo_df=geo_df)
+        out = build(spark, df, parsed, geo_df=geo_df, hostnames_df=hostnames_df)
     except QueryValidationError as e:
         print(str(e), file=sys.stderr)
         return 2

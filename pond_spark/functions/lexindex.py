@@ -93,13 +93,21 @@ def _write_segment(
         postings = tf.join(dl, "doc_id").withColumn(
             "word_bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
         )
-        (
-            postings.repartition("word_bucket")
-            .sortWithinPartitions("word")
-            .write.mode("overwrite")
-            .partitionBy("word_bucket")
-            .parquet(seg_path)
-        )
+        if int(stats["n_docs"] or 0) == 0:
+            # an EMPTY partitioned write emits no parquet files at all
+            # and spark.read.parquet on the directory then fails schema
+            # inference, poisoning every later search (r4 review
+            # finding). Write the empty frame unpartitioned: a schema-
+            # bearing zero-row file the reader unions harmlessly.
+            postings.write.mode("overwrite").parquet(seg_path)
+        else:
+            (
+                postings.repartition("word_bucket")
+                .sortWithinPartitions("word")
+                .write.mode("overwrite")
+                .partitionBy("word_bucket")
+                .parquet(seg_path)
+            )
     finally:
         tf.unpersist()
     return {
@@ -178,6 +186,12 @@ class TextIndex:
         out = None
         for s in self.meta["segments"]:
             seg = self.spark.read.parquet(os.path.join(self.path, s["name"]))
+            # normalize the bucket dtype: partition discovery infers
+            # int32 from directory names, while an empty (unpartitioned
+            # schema-bearing) segment stores the pmod's int64
+            seg = seg.withColumn(
+                "word_bucket", F.col("word_bucket").cast("int")
+            )
             out = seg if out is None else out.unionByName(seg)
         return out
 
@@ -250,6 +264,13 @@ class TextIndex:
         if not query_terms:
             raise ValueError("search needs at least one query term")
         terms = [t.lower() for t in query_terms]
+        if self.n_docs == 0:
+            # an empty index has no postings AND no avgdl (the ANSI
+            # division would raise) — the correct result is simply
+            # empty, with the search's output schema
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_terms long, score_q long"
+            )
         nb = int(self.meta["n_buckets"])
         hashes = _xxhash64_py(self.spark, terms)
         buckets = sorted({h % nb for h in hashes})

@@ -153,12 +153,31 @@ class Query:
             return df.orderBy(ts.desc_nulls_last(), rid.desc()).limit(1)
 
         if self._group_site is not None:
-            return self._group_site_plan(df)
+            # the reference applies WINDOW over the grouped record
+            # stream too (/root/reference/src/Connection.cxx:779-841) —
+            # _apply_window runs after the group ordering
+            return self._apply_window(self._group_site_plan(df))
 
         out = df.orderBy(ts.asc_nulls_first(), rid.asc())
-        if self._window is not None:
-            if self._window.skip:
-                out = out.offset(self._window.skip)
+        return self._apply_window(out)
+
+    #: Spark's limit/offset take a Java 32-bit int; the reference's
+    #: wire protocol carries uint64 and encodes "unlimited" as its max
+    #: (window= with no value) — anything at or beyond the int range
+    #: therefore means "no limit clause".
+    _JAVA_INT_MAX = (1 << 31) - 1
+
+    def _apply_window(self, out: DataFrame) -> DataFrame:
+        if self._window is None:
+            return out
+        if self._window.skip:
+            if self._window.skip > self._JAVA_INT_MAX:
+                raise QueryValidationError(
+                    f"window skip {self._window.skip} exceeds the engine's "
+                    f"{self._JAVA_INT_MAX} offset bound"
+                )
+            out = out.offset(self._window.skip)
+        if self._window.max < self._JAVA_INT_MAX:
             out = out.limit(self._window.max)
         return out
 

@@ -51,6 +51,7 @@ def write_per_site(
     visitors: bool = False,
     opts: OneLineOptions | None = None,
     gzip: bool = False,
+    filename: str | None = None,
 ) -> None:
     """S10 per-site partitioned sink.
 
@@ -63,6 +64,11 @@ def write_per_site(
       (ResultWriter.cxx:358-362)
     - show_site auto-off: records route to their own site's file
       (ResultWriter.cxx:152-163)
+    - ``filename`` names each site's output file (the reference
+      client's --per-site-file, Main.cxx:229-232): the frame is
+      repartitioned on the site dir so each directory holds exactly
+      one data file, which is renamed after the write. Local-
+      filesystem paths only (os.rename) — the normal CLI context.
     """
     out = df.withColumn("_site_dir", sanitize_site(F.col("site"))).filter(
         F.col("_site_dir").isNotNull()
@@ -85,18 +91,45 @@ def write_per_site(
                 " ", line, F.coalesce(F.col("visitor_id"), F.lit("-"))
             )
         proj = out.select(line.alias("value"), *part_cols)
+        if filename is not None:
+            proj = proj.repartition(*part_cols)
         w = proj.write.mode("overwrite")
         if gzip:
             w = w.option("compression", "gzip")
         w.partitionBy(*part_cols).text(path)
     elif fmt == "json":
         keep = [c for c in out.columns if not c.startswith("_")] + part_cols
-        w = out.select(*keep).write.mode("overwrite")
+        proj = out.select(*keep)
+        if filename is not None:
+            proj = proj.repartition(*part_cols)
+        w = proj.write.mode("overwrite")
         if gzip:
             w = w.option("compression", "gzip")
         w.partitionBy(*part_cols).json(path, ignoreNullFields=True)
     else:
         raise ValueError(f"unknown per-site format: {fmt}")
+    if filename is not None:
+        _rename_part_files(path, filename + (".gz" if gzip else ""))
+
+
+def _rename_part_files(root: str, filename: str) -> None:
+    """Give each site directory its single data file the requested
+    name (see write_per_site ``filename``)."""
+    import glob as _glob
+    import os as _os
+
+    for d, _dirs, files in _os.walk(root):
+        parts = [f for f in files if f.startswith("part-")]
+        if not parts:
+            continue
+        if len(parts) > 1:  # defensive: repartition should prevent this
+            raise RuntimeError(
+                f"per-site dir {d} has {len(parts)} data files; cannot "
+                f"apply --per-site-file name {filename!r}"
+            )
+        _os.rename(_os.path.join(d, parts[0]), _os.path.join(d, filename))
+        for crc in _glob.glob(_os.path.join(d, ".part-*.crc")):
+            _os.remove(crc)
 
 
 def write_raw(df: DataFrame, path: str) -> None:

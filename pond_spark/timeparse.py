@@ -25,9 +25,11 @@ import re
 _REL_RE = re.compile(r"^([+-])(\d+)([smhd])$")
 _UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
+#: fixed-duration partial-ISO patterns. Year and month are NOT here:
+#: their durations are calendar-aware (leap years, month lengths) and
+#: handled inline in parse_time_spec — keeping a fixed-duration copy
+#: in this table invited a silent disagreement between the two.
 _PATTERNS: list[tuple[re.Pattern[str], str, dt.timedelta]] = [
-    (re.compile(r"^(\d{4})$"), "%Y", dt.timedelta(days=366)),  # year: special-cased
-    (re.compile(r"^(\d{4})-(\d{2})$"), "%Y-%m", dt.timedelta(days=31)),  # month: special
     (re.compile(r"^(\d{4})-(\d{2})-(\d{2})$"), "%Y-%m-%d", dt.timedelta(days=1)),
     (
         re.compile(r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2})$"),
@@ -86,7 +88,7 @@ def parse_time_spec(
         end = dt.datetime(y + 1, 1, 1) if mo == 12 else dt.datetime(y, mo + 1, 1)
         return start, end - start
 
-    for pat, fmt, dur in _PATTERNS[2:]:
+    for pat, fmt, dur in _PATTERNS:
         if pat.match(spec):
             if fmt.startswith("%H"):
                 t = dt.datetime.strptime(spec, fmt).time()
@@ -110,6 +112,15 @@ def since_until(
     ``until`` uses start+duration so a partial spec covers its whole
     span; the range filter itself is inclusive (Filter.hxx:42-47), so we
     subtract 1 µs from start+duration to stay within the span.
+
+    **Deliberate divergence from the reference client**: Main.cxx sets
+    until = start + duration with the inclusive compare, which ALSO
+    matches a record timestamped exactly at the next span's first
+    microsecond (until=2024-05-01 admits 2024-05-02T00:00:00.000000).
+    cli.parse_query_args mirrors that reference behavior verbatim;
+    this helper keeps the span-accurate bound instead. A record on the
+    exact boundary microsecond is the only row the two paths disagree
+    on.
     """
     if today:
         time = "today"

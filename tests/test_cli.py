@@ -368,3 +368,95 @@ def test_parse_fuzz_never_crashes_unexpectedly():
             pass
 
     run()
+
+
+def test_cli_bad_time_specs_exit_2(tmp_path, spark):
+    """Regression (r4 review): malformed time/duration/date specs must
+    exit 2 with a message, not traceback (the module's own parse-error
+    contract)."""
+    from pond_spark.cli import main
+    from pond_spark.sources.store import LogStore
+
+    store = str(tmp_path / "s")
+    LogStore(spark, store)  # empty store dir is fine; parse fails first
+    for args in (
+        ["since=bogus"],
+        ["duration_longer=5x7"],
+        ["date=2024-02-31"],
+        ["until=not-a-time"],
+    ):
+        assert main([f"--store={store}", "query", *args]) == 2
+
+
+def test_cli_per_site_honors_format_flags_and_filename(tmp_path, spark):
+    """Regression (r4 review): the --per-site path ignored the line
+    formatting flags and --per-site-file. Now per-site lines honor
+    --iso8601/--no-agent etc. and each site dir holds one file with
+    the requested name."""
+    import glob
+    import os
+
+    from pond_spark.cli import main
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, site in ((1, "alpha"), (2, "beta")):
+        r = dict(base)
+        r.update(id=i, timestamp=t0, site=site, type="http_access",
+                 remote_host="10.0.0.9")
+        rows.append(r)
+    store = str(tmp_path / "st")
+    LogStore(spark, store).append(spark.createDataFrame(rows, LOG_SCHEMA))
+
+    out = str(tmp_path / "tree")
+    rc = main([
+        f"--store={store}", "query",
+        f"--per-site={out}", "--per-site-file=access.log",
+        "--iso8601", "--no-agent", "--no-referer", "--anonymize",
+    ])
+    assert rc == 0
+    files = sorted(glob.glob(os.path.join(out, "_site_dir=*", "access.log")))
+    assert [os.path.basename(os.path.dirname(f)) for f in files] == [
+        "_site_dir=alpha", "_site_dir=beta"
+    ]
+    line = open(files[0]).read().strip()
+    assert "T" in line.split("[")[1]  # iso8601 timestamp honored
+    assert "10.0.0.0" in line        # anonymize honored (/24 zeroed)
+
+
+def test_cli_resolve_forwarded_requires_and_uses_table(tmp_path, spark):
+    """Regression (r4 review): --resolve-forwarded-to silently showed
+    raw addresses. It now requires --hostnames-table and resolves
+    through it."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pond_spark.cli import main
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    r = dict(base)
+    r.update(id=1, timestamp=t0, site="a", type="http_access",
+             remote_host="10.0.0.1", forwarded_to="10.1.1.1:80")
+    store = str(tmp_path / "st2")
+    LogStore(spark, store).append(spark.createDataFrame([r], LOG_SCHEMA))
+
+    # without the table: exit 2 + message (no silent raw output)
+    assert main([f"--store={store}", "query", "--resolve-forwarded-to"]) == 2
+
+    lut = str(tmp_path / "names.csv")
+    with open(lut, "w") as fh:
+        fh.write("address,name\n10.1.1.1:80,backend-a\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            f"--store={store}", f"--hostnames-table={lut}",
+            "query", "--resolve-forwarded-to",
+        ])
+    assert rc == 0
+    assert "backend-a" in buf.getvalue()

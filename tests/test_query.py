@@ -81,3 +81,37 @@ def test_group_site_nonempty_sites_only(logs):
 def test_mutual_exclusions(logs, build):
     with pytest.raises(QueryValidationError):
         build(Query(logs)).validate()
+
+
+def test_unlimited_window_and_group_site_window(spark):
+    """Regression (r4 review): (1) the grammar's unlimited window
+    (uint64 max) crashed DataFrame.limit (Java 32-bit int) — at or
+    beyond the int bound it now means 'no limit clause'; (2) a WINDOW
+    over GROUP_SITE was silently dropped — the reference applies
+    skip/max over the grouped record stream."""
+    import datetime as ddt
+
+    from pond_spark.query import Query
+
+    t0 = ddt.datetime(2024, 1, 1, 10)
+    rows = []
+    rid = 0
+    for site in ("s1", "s2", "s3"):
+        for k in range(4):
+            rid += 1
+            rows.append((rid, t0 + ddt.timedelta(seconds=rid), site))
+    df = spark.createDataFrame(rows, "id long, timestamp timestamp, site string")
+
+    # unlimited window = all rows, no crash
+    out = Query(df).window(max=2**64 - 1, skip=0).to_df().collect()
+    assert len(out) == 12
+    # unlimited with skip still offsets
+    out = Query(df).window(max=2**64 - 1, skip=10).to_df().collect()
+    assert [r.id for r in out] == [11, 12]
+
+    # window over group_site: grouped stream order is (site-rank, ts,
+    # id) = ids 1..12 here; skip 5 take 4 -> ids 6..9
+    out = (
+        Query(df).group_site(max=10, skip=0).window(max=4, skip=5).to_df().collect()
+    )
+    assert [r.id for r in out] == [6, 7, 8, 9]

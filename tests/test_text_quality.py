@@ -521,3 +521,29 @@ def test_digest_catalog_refuses_bootstrap_on_compact_remnant(spark, tmp_path):
         ).count()
         == 1
     )
+
+
+def test_text_index_empty_batches_are_harmless(spark, tmp_path):
+    """Regression (r4 review): an empty build/append wrote a segment
+    directory with no parquet files, and every later search died on
+    schema inference. Empty segments are now schema-bearing and
+    unioned harmlessly."""
+    from pond_spark.functions.lexindex import build_text_index
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "apple fig"), (2, "apple")], "doc_id long, text string"
+    )
+    # build from empty, then append real docs
+    idx = build_text_index(empty, str(tmp_path / "ei"), n_buckets=4)
+    assert idx.n_docs == 0
+    assert idx.search(["apple"], k=5).collect() == []
+    idx.append(docs)
+    got = [(r.doc_id, r.n_terms) for r in idx.search(["apple"], k=5).collect()]
+    # doc 2 is shorter -> higher BM25 for the same tf
+    assert [g[0] for g in got] == [2, 1]
+    # append an empty batch onto a live index
+    idx.append(empty)
+    assert [
+        (r.doc_id, r.n_terms) for r in idx.search(["apple"], k=5).collect()
+    ] == got
