@@ -30,9 +30,8 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or (
-        "BroadcastNestedLoopJoin" in formatted_plan(df)
-    )
+    plan = formatted_plan(df)  # one optimizer pass, both checks
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def has_sort_merge_join(df: DataFrame) -> bool:
@@ -51,12 +50,36 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a struct body on commas OUTSIDE <>/() nesting — a bare
+    split would shred parametrized types (decimal(12,2), array<...>)
+    into garbage column names."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column names read by each Parquet scan (column-pruning check)."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>(?:,|\s|$)", plan):
+        cols = [
+            c.split(":")[0].strip()
+            for c in _split_top_level(m.group(1))
+            if c.strip()
+        ]
         out.append(cols)
     return out
 

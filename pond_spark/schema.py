@@ -91,6 +91,17 @@ def read_parquet_ts(spark: SparkSession, path: str) -> DataFrame:
     exact integer division (``div`` — no double rounding; nanos exceed
     2**53). Truncation matches DuckDB's nanos→µs conversion, so oracle
     comparisons stay exact.
+
+    Two documented sharp edges (r4 review): (1) the conf flip is
+    SESSION-WIDE and deliberately not restored — Spark reads SQLConf
+    lazily at execution, so flipping it back after building this
+    (lazy) DataFrame would break the very read it enabled; after the
+    first nanos file, later plain ``spark.read.parquet`` calls on
+    nanos files return bigint columns instead of raising. (2) the
+    bigint branch ASSUMES an int64 ``ts``/``timestamp`` column holds
+    NANOS-since-epoch (the testdata contract); a plain int64 of
+    millis/micros would be misscaled — convert such columns yourself
+    before or instead of using this reader.
     """
     try:
         df = spark.read.parquet(path)

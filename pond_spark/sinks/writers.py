@@ -98,8 +98,15 @@ def write_per_site(
             w = w.option("compression", "gzip")
         w.partitionBy(*part_cols).text(path)
     elif fmt == "json":
-        keep = [c for c in out.columns if not c.startswith("_")] + part_cols
-        proj = out.select(*keep)
+        # the SAME JSON field set as the S6 stdout sink (FormatJson
+        # parity): per-site JSONL must not leak internal columns like
+        # `id` that to_json_projection excludes (r4 review finding)
+        from pond_spark.functions.format import JSON_FIELDS
+
+        keep = [c for c in JSON_FIELDS if c in out.columns]
+        if visitors and "visitor_id" in out.columns:
+            keep = keep + ["visitor_id"]
+        proj = out.select(*keep, *part_cols)
         if filename is not None:
             proj = proj.repartition(*part_cols)
         w = proj.write.mode("overwrite")

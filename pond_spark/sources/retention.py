@@ -65,6 +65,11 @@ def apply_retention(
 ) -> RetentionReport:
     """Drop aged files, then oldest-first down to the size budget."""
     now = now or dt.datetime.utcnow()
+    if now.tzinfo is not None:
+        # file stats are naive-UTC; an aware `now` (the modern
+        # datetime.now(timezone.utc) idiom) would make the age compare
+        # raise TypeError — normalize instead of crashing the reaper
+        now = now.astimezone(dt.timezone.utc).replace(tzinfo=None)
     # flat layouts and LogStore's p_date=… partition dirs both retain
     # at file granularity; emptied partition dirs are pruned afterwards
     files = sorted(

@@ -109,8 +109,14 @@ def cluster_by_zorder(
     One range shuffle — the same cost as the plain layout sort. Write
     the result with ``.write.parquet`` (or feed LogStore.append):
     parquet min/max footer stats per row-group then serve predicates
-    on any of the dims."""
+    on any of the dims.
+
+    ``bits`` auto-shrinks so ``len(dims) * bits <= 63`` (3 dims → 16
+    bits hold; 4 dims → 15 bits each): the module header's "2-4 dims"
+    promise must not trip zorder_key's 63-bit guard at the default."""
     dtypes = dict(df.dtypes)
+    if dims and len(dims) * bits > 63:
+        bits = 63 // len(dims)
     top = (1 << bits) - 1
 
     def is_ordered(c: str) -> bool:

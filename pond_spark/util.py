@@ -64,7 +64,12 @@ def compact_partition_dirs(
                 continue
             pvalue = os.path.basename(pdir).split("=", 1)[1]
             rewrite(pvalue, pdir, want)
-            report[pvalue] = len(files) - want
+            # re-list for the TRUE removal count: the rewrite's range
+            # partitioner can emit fewer non-empty files than `want`
+            # (skew) or more (maxRecordsPerFile) — len(files) - want
+            # would misstate it
+            after = _glob.glob(os.path.join(pdir, "*.parquet"))
+            report[pvalue] = len(files) - len(after)
     finally:
         spark.conf.set(mode_key, prev)
     return report

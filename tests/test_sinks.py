@@ -324,3 +324,19 @@ def test_jsonl_interchange_keeps_microseconds(spark, tmp_path):
     write_logs_jsonl(df, path)
     back = read_logs_jsonl(spark, path).collect()[0]
     assert back.timestamp == ddt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+
+
+def test_per_site_json_field_parity(logs, tmp_path):
+    """Regression (r4 review): per-site JSONL leaked the internal id
+    column; it must emit the same FormatJson field set as the S6
+    stdout sink."""
+    import json as _json
+
+    out = str(tmp_path / "psj")
+    write_per_site(logs, out, fmt="json")
+    recs = [
+        _json.loads(l)
+        for l in _read_lines(os.path.join(out, "_site_dir=a"), "part-*")
+    ]
+    assert recs and all("id" not in r for r in recs)
+    assert all("_site_dir" not in r for r in recs)

@@ -159,3 +159,15 @@ def test_zorder_date_dimension(spark):
 
     out = cluster_by_zorder(df, ["d", "site"])
     assert out.count() == 12  # plans + executes without a cast error
+
+
+def test_cluster_by_zorder_four_dims_default_bits(spark):
+    """Regression (r4 review): the module header promises 2-4 dims at
+    the default config, but 4x16 bits tripped zorder_key's 63-bit
+    guard — cluster_by_zorder now auto-shrinks bits per dim."""
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i % 3}", i % 7) for i in range(40)],
+        "a long, b double, site string, c long",
+    )
+    out = cluster_by_zorder(df, ["a", "b", "site", "c"])
+    assert out.count() == 40

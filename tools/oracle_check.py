@@ -63,6 +63,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must FAIL loudly — '0/0 pass' with exit 0 would
+        # let a gate believe it checked something it never ran
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
     attempted = 0
     for name, fn in qs.items():

@@ -14,6 +14,7 @@ pay those — documented per-operator.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,8 +45,15 @@ def audit(sf_dir: str) -> list[dict]:
                     "python": plan.count("EvalPython")
                     + plan.count("MapInPandas")
                     + plan.count("FlatMapGroupsInPandas"),
-                    "pushed": "PushedFilters: [" in plan
-                    and "PushedFilters: []" not in plan,
+                    # ANY scan with a non-empty pushed-filter list —
+                    # requiring EVERY scan non-empty let one filterless
+                    # dim scan mask real pushdown on the fact scan
+                    "pushed": any(
+                        f.strip()
+                        for f in re.findall(
+                            r"PushedFilters: \[([^\]]*)\]", plan
+                        )
+                    ),
                 }
             )
         except Exception as e:  # noqa: BLE001
@@ -54,7 +62,15 @@ def audit(sf_dir: str) -> list[dict]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # positional sf_dir is the first NON-flag argument: bare
+    # `plan_audit.py --write PLANS.md` must not treat '--write' as the
+    # sf_dir and clobber the inventory with an all-ERROR table
+    positionals = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag_vals = set()
+    if "--write" in sys.argv:
+        flag_vals.add(sys.argv[sys.argv.index("--write") + 1])
+    positionals = [a for a in positionals if a not in flag_vals]
+    sf_dir = positionals[0] if positionals else "/root/testdata/sf0.001"
     rows = audit(sf_dir)
     out = []
     out.append("| query | exch | bcast | smj | nlj | py | pushdown |")
