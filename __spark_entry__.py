@@ -13,6 +13,7 @@ then cast to double at the end; averages divide the exact sums.
 from __future__ import annotations
 
 import datetime as dt
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -208,29 +209,41 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_D)))
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("double").alias("total_revenue"),
+            .alias("_promo_d"),
+            F.sum(rev).alias("_total_d"),
         )
-        .withColumn(
-            "promo_share",
-            F.round(F.col("promo_revenue") / F.col("total_revenue"), 6),
+        # share as exact-integer basis points: the DECIMAL(18,4) sums
+        # ×10^4 are exact integers, and bps = promo_c*10^4 div total_c
+        # is pure int64 arithmetic — the previous round(double/double,6)
+        # was the representation-tie pattern PERF_NOTES bans (headroom:
+        # promo cents ×10^4 overflows int64 only past ~10^14 in revenue)
+        .select(
+            "month",
+            F.col("_promo_d").cast("double").alias("promo_revenue"),
+            F.col("_total_d").cast("double").alias("total_revenue"),
+            F.expr(
+                "CAST(CAST(_promo_d * 10000 AS BIGINT) * 10000 "
+                "div CAST(_total_d * 10000 AS BIGINT) AS BIGINT)"
+            ).alias("promo_bps"),
         )
     )
 
 
 PROMO_REVENUE_SQL = """
-SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
-  CAST(sum(CASE WHEN p_type = 'PROMO'
-       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
-  round(CAST(sum(CASE WHEN p_type = 'PROMO'
-       THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
-       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS promo_share
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY 1
+WITH g AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+    sum(CASE WHEN p_type = 'PROMO'
+         THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+         ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_d,
+    sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT month,
+  CAST(promo_d AS DOUBLE) AS promo_revenue,
+  CAST(total_d AS DOUBLE) AS total_revenue,
+  CAST(CAST(promo_d * 10000 AS BIGINT) * 10000
+       // CAST(total_d * 10000 AS BIGINT) AS BIGINT) AS promo_bps
+FROM g
 """
 
 
@@ -362,7 +375,10 @@ def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # persist: the parse feeds two aggregation branches (Spark has no
-    # cross-branch CSE — without it the scan+JSON parse runs twice)
+    # cross-branch CSE — without it the scan+JSON parse runs twice).
+    # Lifecycle: the pin lives until the session drops it — loop
+    # drivers (bench.py, oracle_check) clearCache between queries, the
+    # same documented contract as the minhash/LSH pins.
     parsed = parse_datagrams(logs.select(payload.alias("payload"))).persist()
     recv = parsed.agg(
         F.count(F.lit(1)).alias("n_received"),
@@ -477,7 +493,6 @@ SELECT e.id, v.visitor_id FROM enr e LEFT JOIN vids v USING (id)
 
 # synthesized client IPs (the events table has no IP column): v4 for most
 # rows, v6 every 10th — deterministic arithmetic over (id, remote_host).
-_IP_SPARK = None  # built inline below
 _IP_SQL = (
     "CASE WHEN id % 10 = 0 THEN '2001:db8:' || CAST(id % 9 AS VARCHAR) || '::1' "
     "ELSE '10.' || CAST(CAST(remote_host AS BIGINT) % 250 AS VARCHAR) || '.' "
@@ -643,9 +658,12 @@ enr AS (SELECT id, "timestamp" AS ts, site, remote_host,
   CASE WHEN id % 2 = 0 THEN 'Mozilla/5.0' END AS user_agent
 FROM logs)
 SELECT id, concat_ws(' ',
-  site, remote_host, host, '-', '-',
+  coalesce(site, '-'), coalesce(remote_host, '-'), coalesce(host, '-'),
+  '-', '-',
   '[' || coalesce(strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ'), '-') || ']',
-  '"' || coalesce(http_method || ' ' || http_uri, '-') || '"',
+  '"' || CASE WHEN http_method IS NOT NULL OR http_uri IS NOT NULL
+              THEN concat_ws(' ', http_method, http_uri)
+              ELSE '-' END || '"',
   coalesce(CAST(http_status AS VARCHAR), '-'),
   coalesce(CAST(length AS VARCHAR), '-'),
   '"' || coalesce(http_referer, '-') || '"',
@@ -845,7 +863,15 @@ GROUP BY 1, 2
 
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median/p90 of value per site (sort-based
-    aggregate; both engines use linear interpolation)."""
+    aggregate; both engines use linear interpolation).
+
+    ACCEPTED hash-stability risk (unlike the integer-ppm rows): the
+    hashed round(x, 6) sits on an interpolated double whose
+    lo+(hi-lo)*frac operation order is engine-internal — a last-ulp
+    difference straddling a 6th-decimal boundary on some future corpus
+    would flake this row. Kept because the quantile VALUE is the whole
+    point of the query; the rank-envelope sibling
+    (value_quantiles_approx) is the robust formulation."""
     logs = events_as_logs(spark, sf_dir)
     return logs.groupBy("site").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -2607,10 +2633,18 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_emb_sample() -> list:
     """The shared bounded training sample, read with DuckDB from the
     sf dir the driver oracles at (override via
-    SPARK_GRAFT_ORACLE_SF_DIR for tools/oracle_check.py sweeps)."""
+    SPARK_GRAFT_ORACLE_SF_DIR for tools/oracle_check.py sweeps).
+    Memoized per sf dir: oracle_sql() runs every lazy builder, and four
+    of them need this sample — uncached, each paid its own parquet scan
+    plus its own k-means/PQ retraining of bit-identical arrays."""
+    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return _oracle_emb_sample_cached(sfdir)
+
+
+@functools.lru_cache(maxsize=4)
+def _oracle_emb_sample_cached(sfdir: str) -> list:
     import duckdb
 
-    sfdir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     sample = con.execute(
         f"SELECT embedding FROM read_parquet('{sfdir}/embeddings.parquet') "
@@ -3198,13 +3232,13 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
     "text_stats": (q_text_stats, None),  # lazy sql
-    "lang_id": (q_lang_id, None),  # lazy sql
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
     "fingerprint": (q_fingerprint, None),  # lazy sql
     "quality_rules": (q_quality_rules, None),  # lazy sql
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
-    "pack_shards": (q_pack_shards, None),  # lazy sql
     # ---- window boundary: everything below is green on a file ------
     # ---- unchanged since its last oracle pass ----------------------
+    "pack_shards": (q_pack_shards, None),  # lazy sql
     "retention": (q_retention, RETENTION_SQL),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
@@ -3229,7 +3263,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
+    "lang_id": (q_lang_id, None),  # lazy sql
     "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
@@ -3342,6 +3376,14 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None}
+    # a builder registered under several keys (the persisted-index
+    # twins share their in-query builder) runs ONCE per call — the
+    # IVF/PQ builders each retrain k-means/codebooks from the shared
+    # sample, so duplicate invocations are pure recompute
+    built: dict[str, str] = {}
     for name, build in _LAZY_SQL.items():
-        out[name] = build()
+        key = build.__qualname__
+        if key not in built:
+            built[key] = build()
+        out[name] = built[key]
     return out
