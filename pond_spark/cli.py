@@ -410,6 +410,65 @@ def build(
 _COMMANDS = ("query", "stats", "inject", "clone", "cancel")
 
 
+def _run_follow(spark, store_dir: str, parsed, duration: float | None) -> int:
+    """Q6/Q7 live tailing from the CLI — the reference client streams
+    matches to stdout until interrupted (Main.cxx FOLLOW loop). Engine
+    mapping: pond_spark.streaming.follow/continue on the store's
+    parquet directory, each micro-batch printed through the one-line
+    formatter via foreachBatch.
+
+    ``--follow-duration=SECONDS`` (engine extension) bounds the run for
+    scripting/tests; 0 drains exactly the available data
+    (availableNow) and exits — with --continue that prints history then
+    returns, the non-interactive twin of the reference's history+tail.
+    Without the flag the stream runs until interrupted, like the
+    reference."""
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.format import OneLineOptions, one_line
+    from pond_spark.streaming.follow import continue_stream, follow_stream
+
+    o = parsed.options
+    spec = parsed.to_filter_spec()
+    stream = (
+        continue_stream(spark, store_dir, spec)
+        if o.continue_
+        else follow_stream(spark, store_dir, spec)
+    )
+    line = one_line(
+        OneLineOptions(
+            show_host=o.show_host,
+            show_forwarded_to=o.show_forwarded_to,
+            show_referer=o.show_referer,
+            show_agent=o.show_agent,
+            show_content_type=o.show_content_type,
+            iso8601=o.iso8601,
+            anonymize=o.anonymize,
+        )
+    )
+
+    def _emit(batch_df, _bid):
+        rows = (
+            batch_df.select(
+                F.col("timestamp").alias("_t"), F.col("id").alias("_i"), line
+            )
+            .orderBy(F.col("_t").asc_nulls_first(), F.col("_i").asc())
+            .collect()
+        )
+        for r in rows:
+            print(r.line, flush=True)
+
+    writer = stream.writeStream.foreachBatch(_emit).outputMode("append")
+    if duration == 0:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return 0
+    q = writer.start()
+    q.awaitTermination(duration)
+    q.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     """``python -m pond_spark.cli --store=DIR COMMAND ...`` — the
     reference client's command surface (Main.cxx:672-745): query
@@ -419,6 +478,7 @@ def main(argv: list[str] | None = None) -> int:
     store = None
     geoip_table = None
     hostnames_table = None
+    follow_duration: float | None = None
     rest: list[str] = []
     for a in argv:
         if (v := _filter_value(a, "--store")) is not None:
@@ -431,6 +491,14 @@ def main(argv: list[str] | None = None) -> int:
             # (address, name) lookup — the stand-in for the reference's
             # cached DNS resolver behind --resolve-forwarded-to
             hostnames_table = v
+        elif (v := _filter_value(a, "--follow-duration")) is not None:
+            # engine extension: bound a --follow/--continue run for
+            # scripting; 0 = drain-available-and-exit (availableNow)
+            try:
+                follow_duration = float(v)
+            except ValueError:
+                print(f"Bad --follow-duration: {v!r}", file=sys.stderr)
+                return 2
         else:
             rest.append(a)
     if store is None:
@@ -554,11 +622,13 @@ def main(argv: list[str] | None = None) -> int:
     hostnames_df = (
         _load_table(hostnames_table) if hostnames_table is not None else None
     )
+    if parsed.options.follow or parsed.options.continue_:
+        return _run_follow(spark, store, parsed, follow_duration)
+
     try:
         # build() raises for option combinations only detectable after
-        # parse (--follow/--continue batch use, --geoip without a geo
-        # table); those must exit 2 via stderr like parse errors, not
-        # surface as a traceback
+        # parse (--geoip without a geo table, ...); those must exit 2
+        # via stderr like parse errors, not surface as a traceback
         out = build(spark, df, parsed, geo_df=geo_df, hostnames_df=hostnames_df)
     except QueryValidationError as e:
         print(str(e), file=sys.stderr)

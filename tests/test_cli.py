@@ -282,13 +282,31 @@ def test_accumulate_count_must_be_positive():
 
 
 def test_main_build_errors_exit_2_not_traceback(spark, store_dir, capsys):
-    """QueryValidationError raised inside build() (e.g. --follow in
-    batch main) must take the stderr+exit-2 path like parse errors."""
-    from pond_spark.cli import main
+    """QueryValidationError raised inside build() must take the
+    stderr+exit-2 path like parse errors (--geoip without a table is
+    the build-time case; --follow now STREAMS from main — the library
+    build() still refuses it for batch use)."""
+    import pytest as _pytest
 
-    assert main([f"--store={store_dir}", "query", "--follow"]) == 2
+    from pond_spark.cli import build, main, parse_query_args
+    from pond_spark.filters import QueryValidationError
+    from pond_spark.sources.store import LogStore
+
+    assert main([f"--store={store_dir}", "query", "--geoip"]) == 2
     err = capsys.readouterr().err
-    assert "streaming" in err.lower() or "FOLLOW" in err
+    assert "geo" in err.lower()
+
+    # the batch builder still refuses the streaming verbs
+    df = LogStore(spark, store_dir).read()
+    with _pytest.raises(QueryValidationError, match="streaming"):
+        build(spark, df, parse_query_args(["--follow"]))
+
+    # and a bounded --follow run drains and exits 0 (no history by Q6)
+    assert (
+        main([f"--store={store_dir}", "--follow-duration=0", "query", "--follow"])
+        == 0
+    )
+    assert capsys.readouterr().out.strip() == ""
 
 
 def test_main_per_site_auto_group_site(spark, store_dir, tmp_path, capsys):
@@ -460,3 +478,39 @@ def test_cli_resolve_forwarded_requires_and_uses_table(tmp_path, spark):
         ])
     assert rc == 0
     assert "backend-a" in buf.getvalue()
+
+
+def test_cli_continue_streams_history_to_stdout(tmp_path, spark):
+    """Q7 from the CLI: --continue with --follow-duration=0 drains the
+    store's history through the streaming path and prints formatted
+    lines (the reference client's history+tail, non-interactive)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pond_spark.cli import main
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i, site in ((1, "a"), (2, "b"), (3, "a")):
+        r = dict(base)
+        r.update(id=i, timestamp=t0 + dt.timedelta(seconds=i), site=site,
+                 type="http_access", remote_host="10.0.0.1")
+        rows.append(r)
+    store = str(tmp_path / "fs")
+    LogStore(spark, store).append(spark.createDataFrame(rows, LOG_SCHEMA))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            f"--store={store}", "--follow-duration=0",
+            "query", "--continue", "site=a",
+        ])
+    assert rc == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 2            # site filter applied
+    assert all(l.startswith("a ") for l in lines)
+    # chronological within the drained batch
+    assert lines == sorted(lines)
