@@ -331,7 +331,18 @@ def test_build_geoip_and_visitor_line_appends(spark):
 
     from pond_spark.schema import LOG_SCHEMA
 
-    df = spark.createDataFrame(make_log_rows(), LOG_SCHEMA)
+    rows = make_log_rows()
+    # the hard case the reference encodes (ResultWriter.cxx:292-301):
+    # an http_access record in the geo range but WITHOUT a timestamp
+    # does not participate in visitor tracking — its line must still
+    # get the COUNTRY but a '-' visitor slot, never an opaque id
+    extra = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    extra.update(
+        id=99, timestamp=None, site="a", type="http_access",
+        remote_host="1.2.3.99",
+    )
+    rows.append(extra)
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
     geo = spark.createDataFrame(
         [(16909056, 16909311, "DE")],  # 1.2.3.0 - 1.2.3.255
         "ip_start long, ip_end long, country string",
@@ -347,10 +358,17 @@ def test_build_geoip_and_visitor_line_appends(spark):
     import re
 
     assert any(re.search(r" DE [0-9a-f]{16}$", ln) for ln in lines)
-    # a participant-less http_access (no timestamp) gets no appends;
-    # non-http records (ssh, site c) get none either
-    no_ts = [ln for ln in lines if "[-]" in ln]
-    assert no_ts and all(" DE" not in ln for ln in no_ts)
+    # the injected timestamp-less http_access row: COUNTRY appends
+    # (type-gated only) but the visitor slot stays '-' (participation
+    # requires host AND timestamp)
+    no_ts_http = [ln for ln in lines if "[-]" in ln and "1.2.3.99" in ln]
+    assert no_ts_http, lines
+    assert all(re.search(r" DE -$", ln) for ln in no_ts_http), no_ts_http
+    # non-http records get neither append
+    no_ts_other = [
+        ln for ln in lines if "[-]" in ln and "1.2.3.99" not in ln
+    ]
+    assert no_ts_other and all(" DE" not in ln for ln in no_ts_other)
 
 
 # -- grammar fuzz: arbitrary input never crashes unexpectedly ------------
@@ -512,5 +530,12 @@ def test_cli_continue_streams_history_to_stdout(tmp_path, spark):
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(lines) == 2            # site filter applied
     assert all(l.startswith("a ") for l in lines)
-    # chronological within the drained batch
-    assert lines == sorted(lines)
+    # chronological within the drained batch — compare PARSED times
+    # (lexicographic CLF lines only sort correctly within one day)
+    stamps = [
+        dt.datetime.strptime(
+            l.split("[", 1)[1].split("]", 1)[0], "%d/%b/%Y:%H:%M:%S %z"
+        )
+        for l in lines
+    ]
+    assert stamps == sorted(stamps)

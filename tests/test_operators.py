@@ -47,11 +47,9 @@ def test_stats(logs):
     assert row.memory_usage > 0
 
 
-def test_sessionize_gap_splits():
+def test_sessionize_gap_splits(spark):
     import pandas as pd
-    from pond_spark.session import get_spark
 
-    spark = get_spark("pond_spark_tests")
     t0 = dt.datetime(2024, 1, 1, 10)
     rows = [
         # host A: 3 hits within 30 min → one session, then 31-min gap → new
@@ -72,14 +70,12 @@ def test_sessionize_gap_splits():
     assert vids[4] == "B/1"
 
 
-def test_sessionize_participation():
+def test_sessionize_participation(spark):
     """Only http_access records with host+timestamp get visitor ids
     (ResultWriter.cxx:292-301); everyone else gets NULL — and does not
     break sessions or consume ordinals."""
     import pandas as pd
-    from pond_spark.session import get_spark
 
-    spark = get_spark("pond_spark_tests")
     t0 = dt.datetime(2024, 1, 1, 10)
     rows = [
         (1, t0, "A", "http_access"),
@@ -100,11 +96,9 @@ def test_sessionize_participation():
     assert out[2] is None and out[3] is None and out[4] is None and out[7] is None
 
 
-def test_sessionize_scope_reset():
+def test_sessionize_scope_reset(spark):
     import pandas as pd
-    from pond_spark.session import get_spark
 
-    spark = get_spark("pond_spark_tests")
     t0 = dt.datetime(2024, 1, 1, 10)
     df = spark.createDataFrame(
         pd.DataFrame(

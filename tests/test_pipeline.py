@@ -212,6 +212,9 @@ def test_curate_foreach_batch_digest_catalog(spark, tmp_path):
         [(1, good + "unique alpha"), (2, good + "unique bravo")],
         "doc_id long, text string",
     ).coalesce(1).write.mode("append").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # mtime order decides micro-batch order (1 s res)
     spark.createDataFrame(
         [(11, good + "unique alpha"), (12, good + "unique charlie")],
         "doc_id long, text string",

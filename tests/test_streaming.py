@@ -73,7 +73,9 @@ def test_follow_skips_history(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 10)
     _write_batch(spark, store, _rows(range(1, 6), "a", t0))
     time.sleep(1.1)  # modifiedAfter has 1 s granularity
-    subscribe_at = dt.datetime.now()
+    # naive-UTC, matching the session timezone: local wall-clock would
+    # skew the cut by the machine's UTC offset (follow.py docstring)
+    subscribe_at = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
     _write_batch(spark, store, _rows(range(6, 9), "a", t0))
     stream = follow_stream(spark, store, FilterSpec(sites=frozenset({"a"})),
@@ -530,7 +532,9 @@ def test_group_site_spacesaving_property_bounds(spark, tmp_path):
     )
     rng.shuffle(stream_keys)
     half = len(stream_keys) // 2
-    for part in (stream_keys[:half], stream_keys[half:]):
+    for j, part in enumerate((stream_keys[:half], stream_keys[half:])):
+        if j:
+            time.sleep(1.1)  # mtime order decides micro-batch order
         spark.createDataFrame(
             [(i, "s", k) for i, k in enumerate(part)], schema
         ).coalesce(1).write.mode("append").parquet(store)

@@ -101,9 +101,11 @@ def test_normalize_idempotent_bulk(spark):
         norm_col="url_norm2",
         domain_col="domain2",
     )
+    # null-SAFE comparison: a regression emitting NULL on the second
+    # pass must surface, not vanish under three-valued logic
     bad = twice.filter(
-        (F.col("url") != F.col("url_norm2"))
-        | (F.col("domain") != F.col("domain2"))
+        ~F.col("url").eqNullSafe(F.col("url_norm2"))
+        | ~F.col("domain").eqNullSafe(F.col("domain2"))
     ).collect()
     assert bad == []
 
