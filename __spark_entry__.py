@@ -2008,7 +2008,8 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTRING_STRIP_SQL = """
 WITH base AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                     regexp_split_to_array(trim(text), '\\s+') AS wo
               FROM documents),
 shl AS (SELECT doc_id, ws,
                CASE WHEN len(ws) >= 8
@@ -2022,8 +2023,8 @@ sh AS (SELECT doc_id, unnest(ls) AS s,
 dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
 cut AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS tok
         FROM sh WHERE s IN (SELECT s FROM dup)),
-tk AS (SELECT doc_id, unnest(ws) AS w,
-              generate_subscripts(ws, 1) - 1 AS tok
+tk AS (SELECT doc_id, unnest(wo) AS w,
+              generate_subscripts(wo, 1) - 1 AS tok
        FROM base),
 kept AS (SELECT t.doc_id, t.w, t.tok
          FROM tk t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.tok = c.tok
@@ -3221,8 +3222,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
-    "method_filter": (q_method_filter, None),  # lazy sql (F8)
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
     "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
@@ -3231,10 +3232,10 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
-    "text_stats": (q_text_stats, None),  # lazy sql
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
-    "fingerprint": (q_fingerprint, None),  # lazy sql
-    "quality_rules": (q_quality_rules, None),  # lazy sql
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
+    "pii_scrub": (q_pii_scrub, None),  # lazy sql
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
     # ---- window boundary: everything below is green on a file ------
     # ---- unchanged since its last oracle pass ----------------------
@@ -3246,17 +3247,17 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "pii_scrub": (q_pii_scrub, None),  # lazy sql
+    "quality_rules": (q_quality_rules, None),  # lazy sql
     "repetition": (q_repetition, REPETITION_SQL),
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "text_stats": (q_text_stats, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),
+    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
+    "method_filter": (q_method_filter, None),  # lazy sql (F8)
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql
@@ -3264,7 +3265,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "lang_id": (q_lang_id, None),  # lazy sql
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
+    "fingerprint": (q_fingerprint, None),  # lazy sql
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pond_spark.functions.text import _word_ngrams, _words
 from pond_spark.util import fan_out
 
 
@@ -36,16 +37,12 @@ def gram_hashes(
     # position (HOF-vs-CSE trap, PERF_NOTES.md)
     staged = fan_out(df).select(
         F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+        _words(F.col(text_col)).alias("_t"),
     )
     toks = F.col("_t")
-    if n == 1:
-        grams = toks
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    # shared tokenization/gramming (functions.text) — three modules
+    # previously inlined identical expressions, inviting silent drift
+    grams = toks if n == 1 else _word_ngrams(toks, n)
     hashed = F.array_sort(
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     )
@@ -67,7 +64,9 @@ def ngram_jaccard_pairs(
             df.select(F.col(id_col), F.col(block_col).alias("_blk")), id_col
         )
     # feeds three branches (prefix explode + both verify sides); persist
-    # so the scan + gram hashing run once
+    # so the scan + gram hashing run once. Lifecycle: the pin lives
+    # until the session drops it; loop drivers clearCache between
+    # queries (bench.py does), same as the minhash/LSH pins.
     base = base.persist()
 
     # prefix length |g| - ceil(tau*|g|) + 1 (sorted-ascending hash order

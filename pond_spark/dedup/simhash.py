@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pond_spark.functions.text import _word_ngrams, _words
 from pond_spark.util import fan_out
+
 
 def simhash64(
     df: DataFrame,
@@ -48,16 +50,11 @@ def simhash64(
     staged = fan_out(df).select(
         F.col(id_col),
         *carry,
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_t"),
+        _words(F.col(text_col)).alias("_t"),
     )
     words = F.col("_t")
-    if n == 1:
-        grams = words
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+    # shared tokenization/gramming (functions.text) — see ngram.py
+    grams = words if n == 1 else _word_ngrams(words, n)
     hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     base = staged.select(
         F.col(id_col), *carry, hashes.alias("_h"), F.size(hashes).alias("_n")
@@ -124,7 +121,9 @@ def simhash_near_pairs(
     minhash.minhash_lsh_pairs)."""
     carry = (block_col,) if block_col else ()
     # both join sides derive from fps — persist so the explode +
-    # 64-bit-sum aggregation runs once, not per side
+    # 64-bit-sum aggregation runs once, not per side. Lifecycle: the
+    # pin lives until the session drops it; loop drivers clearCache
+    # between queries (bench.py does), same as the minhash/LSH pins.
     fps = simhash64(df, text_col, id_col, n, carry_cols=carry).persist()
     return hamming_near_pairs(
         fps,
@@ -153,6 +152,10 @@ def hamming_near_pairs(
     the exact Hamming verify filters after."""
     chunks = max_hamming + 1
     width = 64 // chunks
+    # width 64 (max_hamming=0, exact matching): the all-ones mask does
+    # not fit a SIGNED int64 literal as (1<<64)-1 — it IS -1 in two's
+    # complement, and AND with -1 is the identity the mask intends
+    chunk_mask = -1 if width == 64 else (1 << width) - 1
     carry = (block_col,) if block_col else ()
 
     chunked = fps.select(
@@ -165,7 +168,7 @@ def hamming_near_pairs(
                     F.struct(
                         F.lit(i).alias("ci"),
                         F.shiftrightunsigned(F.col(sig_col), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("cv"),
                     )
                     for i in range(chunks)

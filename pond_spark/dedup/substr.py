@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pond_spark.functions.text import _word_ngrams, _words
+from pond_spark.util import fan_out
 
 __all__ = ["token_shingles", "substring_dup_stats", "strip_duplicate_spans"]
 
@@ -40,7 +41,12 @@ def token_shingles(
     # stage the split ONCE: an inline `_words(col)` inside the
     # transform lambda re-derives the split per gram position (the
     # HOF-vs-CSE trap documented in PERF_NOTES.md)
-    staged = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    # fan_out: shingling is CPU-bound — small single-split inputs
+    # must not pin the stride-1 explode to one core (same guard as
+    # gram_hashes / simhash64)
+    staged = fan_out(df).select(
+        F.col(id_col), _words(F.col(text_col)).alias("_w")
+    )
     grams = F.when(
         F.size("_w") >= n, _word_ngrams(F.col("_w"), n)
     ).otherwise(F.array().cast("array<string>"))
@@ -83,8 +89,19 @@ def strip_duplicate_spans(
         )
         .distinct()
     )
+    # reassemble from the ORIGINAL-case tokens: detection is canonical
+    # (lowercased shingles via _words) but a removal pass must not
+    # rewrite the surviving text — the r4 review caught the previous
+    # _words-based reassembly lowercasing every document, including
+    # ones with nothing to remove. Same trim+whitespace split as
+    # _words, so token positions align exactly; inter-token whitespace
+    # still collapses to single spaces (inherent to token reassembly,
+    # documented).
     toks = df.select(
-        F.col(id_col), F.posexplode(_words(F.col(text_col))).alias("tok", "w")
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("tok", "w"),
     )
     kept = toks.join(cut, on=[id_col, "tok"], how="left_anti")
     reassembled = kept.groupBy(id_col).agg(

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 PII_RULES: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\b\+?\d{1,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}\b", "<PHONE>"),
+    # (?:\+|\b) not \b\+?: there is no word boundary between a space
+    # and '+', so the optional-plus branch of the old form could never
+    # consume a leading '+' — '+1-555-...' scrubbed to '+<PHONE>'
+    (r"(?:\+|\b)\d{1,3}[- .]\d{3}[- .]\d{3,4}[- .]\d{4}\b", "<PHONE>"),
     (r"\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
 )
 

@@ -64,10 +64,23 @@ def _norm(a: Column, dim: int | None = None) -> Column:
     )
 
 
+def _safe_cos_div(num: Column, den: Column) -> Column:
+    """Cosine division guarded against zero-norm vectors: a zero
+    embedding (failed/padded row) has no direction, so its cosine is
+    NULL — under Spark 4's default ANSI mode the raw division ABORTS
+    the job with DIVIDE_BY_ZERO, and with ANSI off it yields NaN,
+    which both passes ``>= threshold`` filters and sorts FIRST in
+    descending top-k order (r4 review). NULL does neither."""
+    return F.when(den != F.lit(0.0), num / den)
+
+
 def cosine_similarity(
     a: Column, b: Column, decimals: int = 6, dim: int | None = None
 ) -> Column:
-    return F.round(_dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim)), decimals)
+    return F.round(
+        _safe_cos_div(_dot(a, b, dim), _norm(a, dim) * _norm(b, dim)),
+        decimals,
+    )
 
 
 def brute_force_topk(
@@ -83,7 +96,11 @@ def brute_force_topk(
     scored = df.select(
         F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    return (
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm rows out
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 #: refuse to broadcast-cartesian a right side bigger than this many
@@ -138,12 +155,17 @@ def knn_join(
         "qid",
         "nid",
         F.round(
-            _dot(F.col("_qv"), F.col("_nv"), dim) / (F.col("_qn") * F.col("_nn")), 6
+            _safe_cos_div(
+                _dot(F.col("_qv"), F.col("_nv"), dim),
+                F.col("_qn") * F.col("_nn"),
+            ),
+            6,
         ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
-        scored.withColumn("_rank", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())  # zero-norm rows out
+        .withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= k)
         .drop("_rank")
     )

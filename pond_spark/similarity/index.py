@@ -47,7 +47,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pond_spark.similarity.brute import _dot, _norm
+from pond_spark.similarity.brute import _dot, _norm, _safe_cos_div
 from pond_spark.similarity.ivf import (
     ivf_assign,
     probe_lists,
@@ -188,11 +188,14 @@ class IVFIndex:
             .select(
                 F.col(self.id_col),
                 F.round(
-                    _dot(F.col(self.vec_col), qlit)
-                    / (F.col("_vnorm") * F.lit(qnorm)),
+                    _safe_cos_div(
+                        _dot(F.col(self.vec_col), qlit),
+                        F.col("_vnorm") * F.lit(qnorm),
+                    ),
                     6,
                 ).alias("cosine"),
             )
+            .filter(F.col("cosine").isNotNull())
             .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
             .limit(k)
         )
@@ -234,11 +237,14 @@ class IVFIndex:
             .select(
                 F.col(self.id_col),
                 F.round(
-                    _dot(F.col(self.vec_col), qlit)
-                    / (F.col("_vnorm") * F.lit(qnorm)),
+                    _safe_cos_div(
+                        _dot(F.col(self.vec_col), qlit),
+                        F.col("_vnorm") * F.lit(qnorm),
+                    ),
                     6,
                 ).alias("cosine"),
             )
+            .filter(F.col("cosine").isNotNull())
             .orderBy(F.col("cosine").desc(), F.col(self.id_col).asc())
             .limit(k)
         )

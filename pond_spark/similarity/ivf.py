@@ -169,6 +169,7 @@ def ivf_topk(
         .select(
             F.col(id_col), cosine_similarity(F.col(vec_col), qlit).alias("cosine")
         )
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -127,6 +127,7 @@ def lsh_topk(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine"))
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows out
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -156,7 +157,7 @@ def embedding_near_pairs(
     ``spark.catalog.clearCache()`` between them, as bench.py does
     (the same documented lifecycle as minhash_lsh_pairs' candidate
     pin)."""
-    from pond_spark.similarity.brute import _dot, _norm
+    from pond_spark.similarity.brute import _dot, _norm, _safe_cos_div
 
     # scoring uses the HOF fold (dim=None), not the unrolled form —
     # see brute._dot: the flat 64-term tree measured ~3x slower here
@@ -195,8 +196,10 @@ def embedding_near_pairs(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("_va"), F.col("_vb"), None)
-                / (F.col("_na") * F.col("_nb")),
+                _safe_cos_div(
+                    _dot(F.col("_va"), F.col("_vb"), None),
+                    F.col("_na") * F.col("_nb"),
+                ),
                 6,
             ).alias("cosine"),
         )

@@ -41,7 +41,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pond_spark.similarity.brute import cosine_similarity
+from pond_spark.similarity.brute import _safe_cos_div, cosine_similarity
 
 
 def lloyd_l2(x, ksub: int, iters: int = 5) -> list[list[float]]:
@@ -197,7 +197,10 @@ def adc_cosine_expr(
         )
 
     return F.round(
-        lut_sum(dlit) / (F.lit(qnorm) * F.sqrt(lut_sum(nlit))), decimals
+        _safe_cos_div(
+            lut_sum(dlit), F.lit(qnorm) * F.sqrt(lut_sum(nlit))
+        ),
+        decimals,
     )
 
 
@@ -233,6 +236,7 @@ def pq_topk(
             F.col(id_col),
             cosine_similarity(F.col(vec_col), qlit).alias("cosine"),
         )
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -31,7 +31,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pond_spark.similarity.brute import cosine_similarity
 from pond_spark.similarity.ivf import ivf_assign, train_centroids
 
 __all__ = ["auto_n_centroids", "auto_cluster_cap", "semantic_pairs", "semantic_dedup"]
@@ -118,7 +117,7 @@ def semantic_pairs(
     # norm folds (3 array passes -> 1). dot/(na*nb) is the exact
     # operation tree of the oracle's round(dot/(norm(a)*norm(b)), 6),
     # so cross-engine hashes are unaffected.
-    from pond_spark.similarity.brute import _dot, _norm
+    from pond_spark.similarity.brute import _dot, _norm, _safe_cos_div
 
     normed = assigned.withColumn("_nrm", _norm(F.col(vec_col)))
     a = normed.select(
@@ -141,8 +140,10 @@ def semantic_pairs(
             "drop_id",
             "cluster",
             F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / (F.col("_na") * F.col("_nb")),
+                _safe_cos_div(
+                    _dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ),
                 6,
             ).alias("cosine"),
         )

@@ -409,3 +409,46 @@ def test_dedup_exact_non_unique_ids(spark):
     )
     out = sorted((r.id, r.text) for r in dedup_exact(df).collect())
     assert out == [(1, "x"), (2, "y")]
+
+
+def test_hamming_near_pairs_exact_match_mode(spark):
+    """Regression (r4 review): max_hamming=0 (exact 64-bit fingerprint
+    dedup) crashed on the (1<<64)-1 mask literal — width 64 uses -1
+    (all bits) instead."""
+    from pond_spark.dedup.simhash import hamming_near_pairs
+
+    fps = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, -7), (4, -7), (5, 99)],
+        "doc_id long, simhash long",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_pairs(fps, max_hamming=0).collect()
+    )
+    assert got == [(1, 2, 0), (3, 4, 0)]
+
+
+def test_strip_duplicate_spans_preserves_case(spark):
+    """Regression (r4 review): reassembly used the lowercased
+    detection tokens, silently rewriting EVERY document. Detection
+    stays canonical (case-insensitive) but surviving text keeps its
+    original case/punctuation."""
+    from pond_spark.dedup.substr import strip_duplicate_spans
+
+    boiler = "THIS Legal Disclaimer Applies To All Pages Of This Site."
+    docs = spark.createDataFrame(
+        [
+            (1, f"Unique Opening Words Here One. {boiler}"),
+            (2, f"{boiler} Different Closing Words Here Two!"),
+            (3, "No Duplication In This Document At All, Period."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_duplicate_spans(docs, n=8).collect()}
+    # untouched doc keeps its text EXACTLY (single-spaced already)
+    assert out[3].text_clean == "No Duplication In This Document At All, Period."
+    assert out[3].n_removed == 0
+    # the boilerplate span is gone; survivors keep original case
+    assert "Disclaimer" not in out[1].text_clean
+    assert out[1].text_clean.startswith("Unique Opening Words Here One.")
+    assert out[2].text_clean.endswith("Different Closing Words Here Two!")

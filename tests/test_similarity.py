@@ -362,3 +362,24 @@ def test_lsh_multiprobe_knob_widens_candidates(vectors):
     alln = ids(None)
     assert exact <= two <= alln
     assert len(alln) > len(exact)  # flips really add buckets here
+
+
+def test_zero_norm_embeddings_are_inert(spark):
+    """Regression (r4 review): a zero embedding aborted cosine queries
+    under ANSI mode (DIVIDE_BY_ZERO) or, with ANSI off, scored NaN —
+    which passes >= filters and sorts FIRST in top-k. Zero vectors now
+    get NULL cosine: excluded from pairs and never in the top-k."""
+    rows = [(0, [0.0] * 8)] + [
+        (i, [(i + j) % 5 / 4.0 + 0.1 for j in range(8)]) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [0.5] * 8
+    top = brute_force_topk(df, q, k=10, vec_col="embedding").collect()
+    assert 0 not in {r.vec_id for r in top}
+    assert all(r.cosine is not None for r in top)
+
+    pairs = embedding_near_pairs(df, dim=8, threshold=0.5, nbits=2).collect()
+    assert all(0 not in (r.id_a, r.id_b) for r in pairs)
+
+    out = knn_join(df.filter("vec_id > 0"), df, k=3).collect()
+    assert all(r.nid != 0 for r in out)
