@@ -3183,30 +3183,72 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-4 policy:
-    # new surface, every query whose implementing file changed this
-    # round, the two queries never checked in any prior round, the
-    # r3-stale set, then the oldest (r2) greens on unchanged files.
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
-    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
-    "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
-    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
+    # FIRST 50 = the driver's per-round check window. Round-5 policy
+    # (VERDICT r4 ask #1): the 7 round-4 stale-greens FIRST, then every
+    # query whose implementing file changes this round, then ALL
+    # remaining r2/r3 greens so no row's attestation is older than r4.
+    # The window invariant is machine-checked: tools/check_window.py
+    # verifies (at any commit) that every query whose implementing
+    # pond_spark module changed since the last round boundary sits
+    # inside the window; tests/test_window_invariant.py runs it in CI.
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
+    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
+    "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
+    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
-    "corpus_profile": (q_corpus_profile, None),  # lazy sql
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "pack_shards": (q_pack_shards, None),  # lazy sql
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "quality_rules": (q_quality_rules, None),  # lazy sql
+    "text_stats": (q_text_stats, None),  # lazy sql
+    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
+    "method_filter": (q_method_filter, None),  # lazy sql (F8)
+    "lang_id": (q_lang_id, None),  # lazy sql
+    "fingerprint": (q_fingerprint, None),  # lazy sql
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
+    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
+    "retention": (q_retention, RETENTION_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
+    "hard_negatives": (q_hard_negatives, None),  # lazy sql
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql
+    "funnel": (q_funnel, None),  # lazy sql
+    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
+    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "age_only": (q_age_only, AGE_ONLY_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    # ---- window boundary: everything below is r4-green on files ----
+    # ---- unchanged since that driver attestation --------------------
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
+    "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "range_join": (q_range_join, None),  # lazy sql
     "geoip": (q_geoip, GEOIP_SQL),
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "stats": (q_stats, STATS_SQL),
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
@@ -3237,44 +3279,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "pii_scrub": (q_pii_scrub, None),  # lazy sql
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
-    # ---- window boundary: everything below is green on a file ------
-    # ---- unchanged since its last oracle pass ----------------------
-    "pack_shards": (q_pack_shards, None),  # lazy sql
-    "retention": (q_retention, RETENTION_SQL),
-    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "quality_rules": (q_quality_rules, None),  # lazy sql
-    "repetition": (q_repetition, REPETITION_SQL),
-    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "text_stats": (q_text_stats, None),  # lazy sql
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
-    "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
-    "method_filter": (q_method_filter, None),  # lazy sql (F8)
-    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql
-    "funnel": (q_funnel, None),  # lazy sql
-    "event_transitions": (q_event_transitions, None),  # lazy sql
-    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
-    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "lang_id": (q_lang_id, None),  # lazy sql
-    "fingerprint": (q_fingerprint, None),  # lazy sql
-    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
-    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
-    "age_only": (q_age_only, AGE_ONLY_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

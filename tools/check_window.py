@@ -1,0 +1,360 @@
+#!/usr/bin/env python3
+"""Driver-window invariant checker (VERDICT r4 ask #1).
+
+The driver attests only the FIRST ``WINDOW`` queries of
+``__spark_entry__._QUERIES`` per round, so a query is "stale-green"
+whenever its implementing code changed after its last attestation.
+Round 4 broke that invariant by accident: late review-fix commits
+touched dedup/similarity modules whose queries sat below the window.
+
+This tool makes the invariant mechanical:
+
+1. ``git diff --name-only <last-round-ref>..HEAD -- pond_spark/``
+   gives the modules changed since the last driver attestation
+   (the ref defaults to the most recent ``round N: verdict...``
+   commit the driver writes; override with ``--ref``).
+2. Each registered query is mapped to the pond_spark modules that
+   implement it — derived automatically, no hand-kept table:
+
+   - parse ``__spark_entry__.py``; for every function collect the
+     pond_spark modules it imports (top-level or inline) and the other
+     entry-local functions it references, transitively (queries call
+     helpers like ``_media``/``events_as_logs`` which hold the real
+     imports);
+   - close over the pond_spark-internal import graph (a query on
+     ``dedup.minhash`` also depends on ``operators.skew`` which
+     minhash imports).
+
+3. Any query whose module closure intersects the changed set must sit
+   at index < WINDOW. Violations → exit 1 with the offending rows.
+
+Run in CI via tests/test_window_invariant.py (synthetic-change mode
+exercises the mapper without needing git history).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY = os.path.join(REPO, "__spark_entry__.py")
+WINDOW = 50
+
+
+def _module_to_path(mod: str) -> str | None:
+    """pond_spark.a.b -> pond_spark/a/b.py (or package __init__)."""
+    rel = mod.replace(".", "/")
+    for cand in (rel + ".py", rel + "/__init__.py"):
+        if os.path.exists(os.path.join(REPO, cand)):
+            return cand
+    return None
+
+
+def _resolve_reexport(pkg: str, name: str) -> str | None:
+    """If ``pkg``'s __init__ re-exports ``name`` from a submodule,
+    return that submodule (``pond_spark.dedup`` + ``minhash_pairs`` ->
+    ``pond_spark.dedup.minhash``)."""
+    path = _module_to_path(pkg)
+    if not path or not path.endswith("__init__.py"):
+        return None
+    with open(os.path.join(REPO, path)) as fh:
+        tree = ast.parse(fh.read())
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: from .minhash import ...
+                base = pkg + "." + (node.module or "")
+            elif node.module and node.module.startswith("pond_spark"):
+                base = node.module
+            else:
+                continue
+            for a in node.names:
+                if (a.asname or a.name) == name:
+                    sub = base.rstrip(".")
+                    return sub if _module_to_path(sub) else None
+    return None
+
+
+def _imported_pond_modules(tree: ast.AST) -> set[str]:
+    """All pond_spark.* modules imported anywhere under ``tree``;
+    names re-exported by a package __init__ resolve to the defining
+    submodule."""
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("pond_spark"):
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.startswith("pond_spark"):
+                mods.add(node.module)
+                for a in node.names:
+                    # `from pond_spark.x import y`: y may be a
+                    # submodule, or a name the package re-exports
+                    sub = f"{node.module}.{a.name}"
+                    if _module_to_path(sub):
+                        mods.add(sub)
+                    else:
+                        origin = _resolve_reexport(node.module, a.name)
+                        if origin:
+                            mods.add(origin)
+    return mods
+
+
+def _referenced_names(tree: ast.AST) -> set[str]:
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            # walk to the root name of pond_spark.a.b chains
+            cur = node
+            while isinstance(cur, ast.Attribute):
+                cur = cur.value
+            if isinstance(cur, ast.Name):
+                names.add(cur.id)
+    return names
+
+
+def _pond_import_graph() -> dict[str, set[str]]:
+    """pond_spark-internal module -> modules it imports."""
+    graph: dict[str, set[str]] = {}
+    pkg_root = os.path.join(REPO, "pond_spark")
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, REPO)
+            mod = rel[:-3].replace("/", ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            graph[mod] = _imported_pond_modules(tree)
+    return graph
+
+
+def _close(mods: set[str], graph: dict[str, set[str]]) -> set[str]:
+    out, todo = set(), list(mods)
+    while todo:
+        m = todo.pop()
+        if m in out:
+            continue
+        out.add(m)
+        # Package __init__ edges are NOT traversed: an __init__ that
+        # re-exports every sibling would otherwise make each query
+        # depend on the whole package. The __init__ FILE itself is in
+        # the closure (added below) — a change there still flags — but
+        # its re-export imports don't fan out.
+        if not _module_to_path(m) or not _module_to_path(m).endswith("__init__.py"):
+            todo.extend(graph.get(m, ()))
+        if "." in m:
+            parent = m.rsplit(".", 1)[0]
+            if parent not in out:
+                out.add(parent)
+    return out
+
+
+def query_module_map() -> dict[str, set[str]]:
+    """query name -> closure of pond_spark modules implementing it."""
+    with open(ENTRY) as fh:
+        tree = ast.parse(fh.read())
+
+    # entry-local function defs: name -> (pond imports, referenced ids)
+    fn_imports: dict[str, set[str]] = {}
+    fn_refs: dict[str, set[str]] = {}
+    top_imports: dict[str, set[str]] = {}  # imported NAME -> modules
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fn_imports[node.name] = _imported_pond_modules(node)
+            fn_refs[node.name] = _referenced_names(node)
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith("pond_spark"):
+            for a in node.names:
+                name = a.asname or a.name
+                sub = f"{node.module}.{a.name}"
+                top_imports.setdefault(name, set()).add(
+                    sub if _module_to_path(sub) else node.module
+                )
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("pond_spark"):
+                    top_imports.setdefault(a.asname or a.name.split(".")[0], set()).add(a.name)
+
+    def fn_closure(root: str) -> set[str]:
+        mods: set[str] = set()
+        seen: set[str] = set()
+        todo = [root]
+        while todo:
+            f = todo.pop()
+            if f in seen or f not in fn_refs:
+                continue
+            seen.add(f)
+            mods |= fn_imports[f]
+            for ref in fn_refs[f]:
+                if ref in fn_refs and ref not in seen:
+                    todo.append(ref)
+                if ref in top_imports:
+                    mods |= top_imports[ref]
+        return mods
+
+    # registered queries: parse the _QUERIES dict literal
+    qmap: dict[str, set[str]] = {}
+    graph = _pond_import_graph()
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_QUERIES":
+            d = node.value
+            for k, v in zip(d.keys, d.values):
+                qname = k.value
+                fn_name = v.elts[0].id  # (q_xxx, SQL) tuple
+                qmap[qname] = _close(fn_closure(fn_name), graph)
+    return qmap
+
+
+def _entry_query_fingerprints(entry_src: str) -> dict[str, str]:
+    """query name -> stable fingerprint of its ENTRY-LOCAL definition:
+    the AST dump of its function closure (helpers included) plus its
+    oracle SQL (constant or lazy builder). Comments/whitespace don't
+    move the fingerprint; any semantic edit does."""
+    tree = ast.parse(entry_src)
+    fns: dict[str, ast.AST] = {}
+    consts: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fns[node.name] = node
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1:
+            t = node.targets[0]
+            if isinstance(t, ast.Name):
+                consts[t.id] = node.value
+    fn_refs = {name: _referenced_names(n) for name, n in fns.items()}
+
+    def closure_dump(root: str) -> str:
+        seen: list[str] = []
+        todo = [root]
+        while todo:
+            f = todo.pop()
+            if f in seen or f not in fns:
+                continue
+            seen.append(f)
+            todo.extend(r for r in fn_refs[f] if r in fns and r not in seen)
+        return "|".join(ast.dump(fns[f]) for f in sorted(seen))
+
+    # lazy oracle builders: _LAZY_SQL = {"name": _builder, ...}
+    lazy: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_LAZY_SQL":
+            for k, v in zip(node.value.keys, node.value.values):
+                if isinstance(v, ast.Name):
+                    lazy[k.value] = v.id
+
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_QUERIES":
+            for k, v in zip(node.value.keys, node.value.values):
+                qname = k.value
+                fn_name = v.elts[0].id
+                parts = [closure_dump(fn_name)]
+                sql = v.elts[1]
+                if isinstance(sql, ast.Name) and sql.id in consts:
+                    parts.append(ast.dump(consts[sql.id]))
+                if qname in lazy:
+                    parts.append(closure_dump(lazy[qname]))
+                out[qname] = "|".join(parts)
+    return out
+
+
+def entry_changed_queries(ref: str) -> set[str]:
+    """Queries whose entry-local definition (function closure or
+    oracle SQL) differs between ``ref`` and the working tree."""
+    old_src = subprocess.run(
+        ["git", "show", f"{ref}:__spark_entry__.py"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    with open(ENTRY) as fh:
+        new_src = fh.read()
+    old = _entry_query_fingerprints(old_src)
+    new = _entry_query_fingerprints(new_src)
+    # queries absent at ref are NEW — they must be attested too
+    return {q for q, fp in new.items() if old.get(q) != fp}
+
+
+def registered_order() -> list[str]:
+    with open(ENTRY) as fh:
+        tree = ast.parse(fh.read())
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_QUERIES":
+            return [k.value for k in node.value.keys]
+    raise RuntimeError("_QUERIES not found")
+
+
+def last_round_ref() -> str:
+    out = subprocess.run(
+        ["git", "log", "--grep", "^round [0-9]*: verdict", "-1", "--format=%H"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if not out:
+        raise RuntimeError("no round-boundary commit found; pass --ref")
+    return out
+
+
+def changed_modules(ref: str, include_worktree: bool = True) -> set[str]:
+    args = ["git", "diff", "--name-only", ref]
+    if not include_worktree:
+        args.append("HEAD")
+    args += ["--", "pond_spark/"]
+    out = subprocess.run(args, cwd=REPO, capture_output=True, text=True, check=True).stdout
+    mods = set()
+    for line in out.splitlines():
+        if line.endswith(".py"):
+            mod = line[:-3].replace("/", ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            mods.add(mod)
+    return mods
+
+
+def check(
+    changed: set[str], entry_changed: set[str] = frozenset()
+) -> list[tuple[str, int, set[str]]]:
+    """Rows violating the invariant: (query, index, touching modules)."""
+    order = registered_order()
+    qmap = query_module_map()
+    bad = []
+    for i, q in enumerate(order):
+        hit = set(qmap.get(q, set()) & changed)
+        if q in entry_changed:
+            hit.add("__spark_entry__.py")
+        if hit and i >= WINDOW:
+            bad.append((q, i, hit))
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--ref", default=None, help="round boundary ref (default: last 'round N: verdict' commit)")
+    ap.add_argument("--committed-only", action="store_true", help="ignore uncommitted worktree changes")
+    args = ap.parse_args()
+    ref = args.ref or last_round_ref()
+    changed = changed_modules(ref, include_worktree=not args.committed_only)
+    entry_changed = entry_changed_queries(ref)
+    print(f"round boundary: {ref[:12]}  changed pond_spark modules: {len(changed)}")
+    for m in sorted(changed):
+        print(f"  changed: {m}")
+    if entry_changed:
+        print(f"  entry-local changed queries: {', '.join(sorted(entry_changed))}")
+    bad = check(changed, entry_changed)
+    if bad:
+        print(f"\nINVARIANT VIOLATED — {len(bad)} query(s) on changed modules sit "
+              f"below the {WINDOW}-query driver window:")
+        for q, i, hit in bad:
+            print(f"  {q} (index {i}) <- {', '.join(sorted(hit))}")
+        return 1
+    print(f"\nOK: every query on a changed module is inside the first {WINDOW}.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
