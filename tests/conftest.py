@@ -34,7 +34,7 @@ def make_log_rows():
 
     add(1, timestamp=ts(1, 10), site="a", type="http_access", http_method="GET",
         http_status=200, http_uri="/api/v1/x", host="h1", duration_us=1000,
-        remote_host="1.2.3.4")
+        remote_host="1.2.3.4", generator="gen-a")
     add(2, timestamp=ts(1, 11), site="b", type="http_access", http_method="POST",
         http_status=404, http_uri="/api/v2/y", host="h2", duration_us=500_000,
         remote_host="1.2.3.5")
@@ -43,13 +43,13 @@ def make_log_rows():
         remote_host="1.2.3.4")
     add(4, timestamp=ts(2, 9), site="", type="http_access", http_method="HEAD",
         http_status=204, http_uri="/index.html", host="", duration_us=None,
-        remote_host="2001:db8::1")
+        remote_host="2001:db8::1", generator="")
     add(5, timestamp=None, site="a", type="submission", http_method="PUT",
         http_status=301, http_uri="/api/v1/z", host="h1", duration_us=2_000_000,
         remote_host="1.2.3.6")
     add(6, timestamp=ts(2, 10), site="a", type="http_access", http_method="DELETE",
         http_status=403, http_uri="/api/v1/x", host="h1", duration_us=30_000_000,
-        remote_host="1.2.3.4")
+        remote_host="1.2.3.4", generator="gen-b")
     add(7, timestamp=ts(3, 8), site="c", type="ssh", http_method=None,
         http_status=None, http_uri=None, host=None, message="login",
         remote_host="9.9.9.9")

@@ -17,21 +17,31 @@ from tests.conftest import make_log_rows
 
 def random_spec(rng: random.Random) -> FilterSpec:
     kw = {}
-    if rng.random() < 0.4:
+    r = rng.random()
+    if r < 0.4:
         kw["sites"] = frozenset(
             rng.sample(["a", "b", "c", "", "zz"], rng.randint(1, 3))
         )
+    elif r < 0.5:
+        # empty set == attribute not set (reference sends no filter);
+        # must compile to no predicate, not `IN ()`
+        kw["sites"] = frozenset()
     if rng.random() < 0.3:
         kw["hosts"] = frozenset(rng.sample(["h1", "h2", "", "nope"], rng.randint(1, 2)))
+    if rng.random() < 0.2:
+        kw["generators"] = frozenset(rng.sample(["gen-a", "gen-b", "", "nope"], rng.randint(1, 2)))
     if rng.random() < 0.3:
         kw["type"] = rng.choice(["http_access", "http_error", "ssh", "job"])
     if rng.random() < 0.4:
         kw["since"] = dt.datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 23))
     if rng.random() < 0.4:
+        # deliberately allowed to land BEFORE `since` (degenerate
+        # since>until window): both engines must agree on the empty set
         kw["until"] = dt.datetime(2024, 1, rng.randint(1, 3), rng.randint(0, 23))
     if rng.random() < 0.3:
         b = rng.choice([200, 204, 301, 400, 404, 500])
-        kw["status_begin"], kw["status_end"] = b, b + rng.choice([1, 100])
+        # end == begin is a degenerate half-open range matching nothing
+        kw["status_begin"], kw["status_end"] = b, b + rng.choice([0, 1, 100])
     if rng.random() < 0.3:
         kw["duration_longer_us"] = rng.choice([0, 999, 1000, 500_000, 10**9])
     if rng.random() < 0.3:
@@ -55,9 +65,17 @@ def duck():
 
 
 def test_random_filters_match_duckdb(logs, duck):
+    """>=200 random FilterSpec combinations per run (VERDICT r4 ask
+    #6), covering empty-site sets, degenerate since>until windows and
+    empty status ranges alongside the full attribute surface."""
     rng = random.Random(1234)
-    for i in range(80):
+    degenerate_windows = empty_status = 0
+    for i in range(200):
         spec = random_spec(rng)
+        if spec.since and spec.until and spec.since > spec.until:
+            degenerate_windows += 1
+        if spec.status_begin is not None and spec.status_begin == spec.status_end:
+            empty_status += 1
         spark_ids = sorted(
             r.id for r in logs.filter(spec.to_column()).select("id").collect()
         )
@@ -68,6 +86,30 @@ def test_random_filters_match_duckdb(logs, duck):
             ).fetchall()
         )
         assert spark_ids == duck_ids, f"iteration {i}: {spec} → {spark_ids} vs {duck_ids}"
+    # the generator must actually exercise the degenerate classes
+    assert degenerate_windows >= 5
+    assert empty_status >= 3
+
+
+def test_method_mask_unsafe_exclusivity():
+    """F8+F9 mutual exclusion (Connection.cxx:552-567): BOTH compilers
+    must reject the combination identically, for every mask size."""
+    from pond_spark.filters import QueryValidationError
+
+    rng = random.Random(42)
+    for _ in range(20):
+        spec = FilterSpec(
+            methods=frozenset(rng.sample(["GET", "POST", "HEAD", "PUT", "DELETE"], rng.randint(1, 4))),
+            unsafe_method=True,
+        )
+        with pytest.raises(QueryValidationError):
+            spec.to_column()
+        with pytest.raises(QueryValidationError):
+            spec.to_sql()
+    # one-sided statuses are rejected too
+    for kw in ({"status_begin": 200}, {"status_end": 300}):
+        with pytest.raises(QueryValidationError):
+            FilterSpec(**kw).to_column()
 
 
 def test_quote_bearing_literals_match_duckdb(spark, duck):
