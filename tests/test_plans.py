@@ -257,3 +257,57 @@ def test_image_dhash_pairs_no_cartesian(spark, entry):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_site_broadcasts_site_rank(spark, entry):
+    """Q5's ranked-sites frame must BROADCAST back onto the fact table
+    (VERDICT r4 ask #4): the fact scan feeds the join with no exchange
+    on the fact side, no SortMergeJoin anywhere, and the only
+    exchanges are the two site-cardinality aggregations plus the final
+    range exchange for the contract (site_rank, ts, id) order."""
+    df = entry.queries()["group_site"](spark, SF)
+    plan = formatted_plan(df)
+    assert not has_sort_merge_join(df), plan
+    assert has_broadcast_join(df), plan
+    # first-seen groupBy + matched-sites distinct + final sort = 3;
+    # a regression that shuffles the fact table for the join adds a 4th
+    assert count_exchanges(df) == 3, plan
+
+
+def test_window_offset_fuses_into_take_ordered(spark, entry):
+    """Q4 max@skip pagination must compile to ONE TakeOrderedAndProject
+    (limit+offset fused per-partition top-k, no global sort exchange) —
+    the shape that stays cheap when the filter matches 10^9 rows."""
+    from pond_spark.filters import FilterSpec
+    from pond_spark.query import Query
+
+    logs = entry.events_as_logs(spark, SF)
+    df = (
+        Query(logs)
+        .filter(FilterSpec(sites=frozenset({"site-001"})))
+        .window(max=50, skip=10)
+        .to_df()
+    )
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count_exchanges(df) == 0, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_window_skip_without_limit_is_global_sort(spark, entry):
+    """The unlimited-max + skip corner is the one Q4 shape that NEEDS
+    the global order (offset over the full stream): expect exactly the
+    range exchange + Sort + CollectLimit, nothing more."""
+    from pond_spark.filters import FilterSpec
+    from pond_spark.query import Query
+
+    logs = entry.events_as_logs(spark, SF)
+    df = (
+        Query(logs)
+        .filter(FilterSpec(sites=frozenset({"site-001"})))
+        .window(max=(1 << 40), skip=5)
+        .to_df()
+    )
+    plan = formatted_plan(df)
+    assert "CollectLimit" in plan, plan
+    assert count_exchanges(df) == 1, plan
