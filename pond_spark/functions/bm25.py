@@ -18,7 +18,21 @@ Numeric determinism: the per-(doc, term) BM25 contribution is computed
 as ONE double expression with identical literals and operation order
 in both engines, then floor-quantized to an integer; per-doc scores
 are exact BIGINT sums of those, so ranking, cutoff and hash never
-compare raw floats (PERF_NOTES hash-stability rule)."""
+compare raw floats (PERF_NOTES hash-stability rule).
+
+ACCEPTED hash-stability risk (the explicit adjudication PERF_NOTES
+requires for every floor(double) that can reach a hashed column or an
+ordering key): the score contains ``ln``, which has no exact integer
+reformulation, so a last-ulp difference between the JVM's and the
+oracle engine's libm could in principle flip ``floor(x * 1e6)`` when
+``x * 1e6`` sits within ~1 ulp of an integer. Kept because (a) the
+registered query hashes only ``(doc_id, n_terms, rank)`` — the score
+is demoted to an internal ordering key, so a flip must reorder two
+docs, not merely move one value — and (b) the margin is MEASURED, not
+assumed: tests/test_quantization_margin.py audits every contribution
+on the correctness corpus and fails if any sits closer to a boundary
+than 1000x the worst-case ulp perturbation (observed slack at sf0.01:
+~6e6x)."""
 
 from __future__ import annotations
 

@@ -29,8 +29,17 @@ Numeric determinism (the PERF_NOTES hash-stability rule): log-
 probabilities are quantized to integers BEFORE summation —
 ``logq = floor(ln((cnt+1)/(total_c+V)) * 1e6)`` — so per-doc scores,
 the argmax and the oracle hash compare exact BIGINTs. Both engines
-compute ``ln`` of the identical IEEE-double ratio; a flip requires the
-scaled value within 1 ulp of an integer boundary (measure-zero).
+compute ``ln`` of the identical IEEE-double ratio.
+
+ACCEPTED hash-stability risk (explicit adjudication): ``ln`` has no
+exact integer reformulation, and here the quantized score IS hashed
+(``score_q`` is an output column), so a libm last-ulp difference
+landing exactly on a floor boundary would flake the row. Kept because
+the exposure is measured, not assumed: tests/
+test_quantization_margin.py audits every reachable log-likelihood and
+prior on the correctness corpus and fails if any sits closer to a
+boundary than 1000x the worst-case ulp perturbation (observed slack
+at sf0.01: ~3.5e4x for likelihoods, ~8e6x for priors).
 """
 
 from __future__ import annotations

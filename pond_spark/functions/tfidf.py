@@ -14,10 +14,19 @@ single string or id; the DF table is vocab-sized (zipf-bounded), and
 Numeric-determinism: the tf-idf score is quantized to an integer —
 ``score_q = tf * floor(ln(n_docs/df) * 1e6)`` — so ranking, top-k
 cutoff and the oracle hash all compare integers. Both engines compute
-``ln`` on the identical IEEE double ``n_docs/df``; a floor-boundary
-flip needs the product within 1 ulp of an integer, measure-zero in
-practice (the durable hash-stability rule from PERF_NOTES: floats
-never enter a hashed projection or an ordering key un-quantized).
+``ln`` on the identical IEEE double ``n_docs/df`` (the durable
+hash-stability rule from PERF_NOTES: floats never enter a hashed
+projection or an ordering key un-quantized).
+
+ACCEPTED hash-stability risk (explicit adjudication): ``ln`` has no
+exact integer reformulation and ``score_q`` is hashed, so a libm
+last-ulp difference exactly on a floor boundary would flake the row.
+The exposed set is tiny — one floored value per DISTINCT (n_docs, df)
+pair, since tf multiplies after the floor — and the margin is
+measured: tests/test_quantization_margin.py audits every distinct idf
+on the correctness corpus and fails if any sits closer to a boundary
+than 1000x the worst-case ulp perturbation (observed slack at sf0.01:
+~4e7x).
 """
 
 from __future__ import annotations
