@@ -3,13 +3,14 @@ with typed metadata (north-star extension).
 
 The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
 signatures, partitioning discipline — is real and tested. Codecs:
-``codec='stdlib'`` REALLY decodes/resizes PNG, 24-bit BMP and PCM WAV
-using only the standard library (multimodal/codecs.py — zlib inflate
-+ scanline un-filtering for PNG, struct for BMP, the ``wave`` module
-for audio); JPEG/MP4/MP3 still raise ``NotImplementedError`` (their
-entropy coders genuinely need external libraries, which this
-container lacks). ``codec='fake'`` keeps a deterministic stand-in
-with the identical batch interface for synthetic payloads.
+``codec='stdlib'`` REALLY decodes/resizes PNG, 24-bit BMP, PCM WAV
+and baseline sequential JPEG without external codec libraries
+(multimodal/codecs.py — zlib inflate + scanline un-filtering for PNG,
+struct for BMP, the ``wave`` module for audio, canonical Huffman +
+dequant + IDCT for JPEG); MP3/MP4 and progressive JPEG still raise
+``NotImplementedError`` (those genuinely need external libraries,
+which this container lacks). ``codec='fake'`` keeps a deterministic
+stand-in with the identical batch interface for synthetic payloads.
 
 Scale notes: media payloads dominate row size, so every operator here
 is ``mapInPandas`` (Arrow-batched, streaming per partition — payloads
@@ -95,18 +96,20 @@ def decode_media_batch(
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
     ``codec='stdlib'`` runs REAL decoders for PNG (zlib inflate +
-    scanline un-filtering), 24-bit BMP and PCM WAV — pure standard
-    library, multimodal/codecs.py; rows whose payload is another
-    format (JPEG/MP4 genuinely need external libraries) or
-    unrecognized decode to NULLs instead of failing the batch.
-    ``codec='fake'`` keeps the deterministic stand-in (byte-histogram
-    features) with the identical batch shape for synthetic payloads.
+    scanline un-filtering), 24-bit BMP, PCM WAV and baseline JPEG
+    (canonical Huffman + dequant + IDCT) — no external codec
+    libraries, multimodal/codecs.py; rows whose payload is another
+    format (MP3/MP4 genuinely need external libraries; progressive
+    JPEG too) or unrecognized decode to NULLs instead of failing the
+    batch. ``codec='fake'`` keeps the deterministic stand-in
+    (byte-histogram features) with the identical batch shape for
+    synthetic payloads.
     """
     if codec not in ("fake", "stdlib"):
         raise NotImplementedError(
-            f"codec {codec!r}: only 'stdlib' (PNG/BMP/WAV, real) and "
-            "'fake' (deterministic stand-in) are available — JPEG/MP4 "
-            "decoders require external libraries"
+            f"codec {codec!r}: only 'stdlib' (PNG/BMP/WAV/baseline "
+            "JPEG, real) and 'fake' (deterministic stand-in) are "
+            "available — MP3/MP4 decoders require external libraries"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -183,24 +186,23 @@ def resize_image_batch(
     """Resize via Arrow-batched ``mapInPandas`` — the third stubbed
     codec verb next to decode and frame-sample.
 
-    ``codec='stdlib'`` REALLY resizes PNG/BMP rasters: decode
-    (multimodal/codecs.py), nearest-neighbor resample, re-encode as
-    PNG; non-raster / unrecognized payloads map to NULL. ``codec=
-    'fake'`` keeps the deterministic stand-in payload of exactly
-    ``width*height`` bytes (cyclic repetition/truncation).
+    ``codec='stdlib'`` REALLY resizes PNG/BMP/baseline-JPEG rasters:
+    decode (multimodal/codecs.py), nearest-neighbor resample,
+    re-encode as PNG; non-raster / unrecognized payloads map to NULL.
+    ``codec='fake'`` keeps the deterministic stand-in payload of
+    exactly ``width*height`` bytes (cyclic repetition/truncation).
     """
     if codec not in ("fake", "stdlib"):
         raise NotImplementedError(
-            f"codec {codec!r}: only 'stdlib' (PNG/BMP, real) and 'fake' "
-            "are available — JPEG resizing requires external libraries"
+            f"codec {codec!r}: only 'stdlib' (PNG/BMP/JPEG, real) and "
+            "'fake' are available"
         )
     n = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if codec == "stdlib":
             from pond_spark.multimodal.codecs import (
-                decode_bmp,
-                decode_png,
+                decode_raster,
                 encode_png,
                 resize_nearest,
             )
@@ -208,14 +210,8 @@ def resize_image_batch(
             def real_resize(b):
                 if not b:
                     return None
-                raw = bytes(b)
                 try:
-                    if raw.startswith(b"\x89PNG"):
-                        w, h, ch, samples = decode_png(raw)
-                    elif raw[:2] == b"BM":
-                        w, h, ch, samples = decode_bmp(raw)
-                    else:
-                        return None
+                    w, h, ch, samples = decode_raster(bytes(b))
                     resized = resize_nearest(w, h, ch, samples, width, height)
                     return encode_png(width, height, ch, resized)
                 except Exception:
@@ -377,25 +373,15 @@ def image_dhash_batch(
     machinery for every 64-bit fingerprint in the engine).
 
     Arrow-batched ``mapInPandas``; rows whose payload is undecodable
-    or needs an external codec (JPEG/MP4) hash to NULL instead of
-    failing the batch. Map-only at any scale."""
-    from pond_spark.multimodal.codecs import (
-        decode_bmp,
-        decode_png,
-        resize_nearest,
-    )
+    or needs an external codec (MP4; progressive JPEG) hash to NULL
+    instead of failing the batch. Map-only at any scale."""
+    from pond_spark.multimodal.codecs import decode_raster, resize_nearest
 
     def dhash(b) -> int | None:
         if b is None:
             return None
         try:
-            raw = bytes(b)
-            if raw.startswith(b"\x89PNG\r\n\x1a\n"):
-                w, h, ch, samples = decode_png(raw)
-            elif raw[:2] == b"BM":
-                w, h, ch, samples = decode_bmp(raw)
-            else:
-                return None
+            w, h, ch, samples = decode_raster(bytes(b))
         except Exception:
             return None
         if ch > 1:  # grayscale = per-pixel channel mean

@@ -1,16 +1,22 @@
-"""Pure-stdlib media codecs: PNG, BMP, WAV — real decodes, no
-external libraries.
+"""Library-free media codecs: PNG, BMP, WAV and baseline JPEG — real
+decodes, no external codec libraries.
 
-The container has no Pillow/ffmpeg, but three ubiquitous formats are
-fully decodable with the standard library alone: PNG is zlib inflate
-+ per-scanline un-filtering (RFC 2083 §6), BMP is a struct-packed
-uncompressed raster, and PCM WAV parses with the ``wave`` module.
-These back ``decode_media_batch(codec="stdlib")`` so the decode path
-runs a REAL codec for those formats; JPEG/MP4 still raise (their
-entropy coders genuinely need external libraries).
+The container has no Pillow/ffmpeg, but four ubiquitous formats are
+fully decodable without them: PNG is zlib inflate + per-scanline
+un-filtering (RFC 2083 §6), BMP is a struct-packed uncompressed
+raster, PCM WAV parses with the ``wave`` module, and baseline
+sequential JPEG (ITU T.81) is canonical Huffman (Annex C) + dequant +
+IDCT — implemented here from the spec, with numpy only for the 8x8
+DCT matrix math. These back ``decode_media_batch(codec="stdlib")`` so
+the decode path runs a REAL codec for those formats; progressive
+JPEG, 12-bit/arithmetic JPEG, MP3 and MP4 still raise (closing those
+genuinely needs external libraries).
 
-Encoders for the same three formats exist so tests can round-trip
-pixel-exact payloads without fixtures.
+The JPEG decoder covers the baseline feature set: grayscale and
+3-component YCbCr with any 1-2x sampling factors (4:4:4, 4:2:2,
+4:2:0 via replication upsampling), multiple DQT/DHT segments and
+restart markers. The encoder (grayscale + 4:4:4 color) exists so
+tests and oracle queries can synthesize payloads without fixtures.
 
 Everything here is per-payload Python executed inside Arrow-batched
 ``mapInPandas`` workers — the Spark-side batching discipline lives in
@@ -28,9 +34,11 @@ __all__ = [
     "decode_png",
     "decode_bmp",
     "decode_wav",
+    "decode_jpeg",
     "encode_png",
     "encode_bmp",
     "encode_wav",
+    "encode_jpeg",
     "resize_nearest",
 ]
 
@@ -201,7 +209,518 @@ def encode_wav(
 
 
 # ---------------------------------------------------------------------------
+# baseline JPEG (ITU T.81 sequential DCT, 8-bit)
+
+#: zigzag scan order, T.81 Figure A.6: zigzag position -> (row*8+col)
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (natural
+#: row-major order)
+_QT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_QT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix: F = C @ f @ C.T (T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    c = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]):
+    """Annex C canonical Huffman assignment.
+
+    Returns (encode: symbol -> (code, length),
+             decode: (length, code) -> symbol)."""
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = symbols[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+#: encoder Huffman tables: every legal symbol at a fixed length keeps
+#: the tables self-describing and the assignment trivially valid
+#: (Kraft sum < 1). Decoders read whatever DHT declares, so these
+#: interoperate like any custom table a real encoder may emit.
+_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # 12 syms @5
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS), 0, 0, 0, 0, 0, 0, 0]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+
+    def pad(self) -> None:
+        if self.nbits:
+            n = 8 - self.nbits
+            self.write((1 << n) - 1, n)  # pad with 1-bits
+
+    def mark(self, marker: int) -> None:
+        """Byte-align and emit a bare marker (RSTn) unstuffed."""
+        self.pad()
+        self.out += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Skip to just past the next RST marker (T.81 E.2.4)."""
+        self.acc = self.nbits = 0
+        d = self.data
+        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+    def read_symbol(self, dec: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size`-bit raw value to signed."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    """Bit-size category of a DC diff / AC value (T.81 F.1.2.1.1)."""
+    return abs(v).bit_length()
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    samples: bytes,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder: 8-bit grayscale (channels=1)
+    or 4:4:4 YCbCr color (channels=3, RGB input). Standard Annex K
+    quantization tables; self-describing fixed-length Huffman tables
+    written in DHT. Quantization rounds half away from zero. A nonzero
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (and
+    resets the DC predictors), exercising the decoder's resync path."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    C = _dct_matrix()
+    img = np.frombuffer(samples, dtype=np.uint8).astype(np.float64)
+    img = img.reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+        qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+        qids = [0, 1, 1]
+    else:
+        planes = [img[..., 0]]
+        qts = [_QT_LUMA]
+        qids = [0]
+
+    # pad every plane to 8x8 multiples by edge replication
+    ph = (height + 7) // 8 * 8
+    pw = (width + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        p2 = np.empty((ph, pw))
+        p2[:height, :width] = p
+        p2[height:, :width] = p[-1:, :]
+        p2[:, width:] = p2[:, width - 1 : width]
+        padded.append(p2)
+
+    dc_enc, _ = _canonical_codes(_DC_BITS, _DC_SYMS)
+    ac_enc, _ = _canonical_codes(_AC_BITS, _AC_SYMS)
+    qtabs = [np.array(qt, dtype=np.float64).reshape(8, 8) for qt in qts]
+
+    w = _BitWriter()
+    prev_dc = [0] * len(planes)
+
+    def emit_value(v: int, size: int) -> None:
+        if size:
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+    def encode_block(ci: int, block) -> None:
+        F = C @ (block - 128.0) @ C.T
+        q = F / qtabs[ci]
+        coef = np.where(q >= 0, np.floor(q + 0.5), -np.floor(-q + 0.5))
+        coef = coef.astype(np.int64).reshape(64)
+        zz = [int(coef[_ZIGZAG[i]]) for i in range(64)]
+        diff = zz[0] - prev_dc[ci]
+        prev_dc[ci] = zz[0]
+        size = _category(diff)
+        code, ln = dc_enc[size]
+        w.write(code, ln)
+        emit_value(diff, size)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for i in range(1, last + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            size = _category(zz[i])
+            code, ln = ac_enc[(run << 4) | size]
+            w.write(code, ln)
+            emit_value(zz[i], size)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            w.write(code, ln)
+
+    # interleaved 4:4:4: one block per component per MCU
+    mcu_count = 0
+    rst = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.mark(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc[:] = [0] * len(planes)
+            mcu_count += 1
+            for ci, p in enumerate(padded):
+                encode_block(ci, p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    emitted_q = []
+    for qid, qt in zip(qids, qts):
+        if qid in emitted_q:
+            continue
+        emitted_q.append(qid)
+        out += seg(0xDB, bytes([qid]) + bytes(qt[_ZIGZAG[i]] for i in range(64)))
+    comps = b"".join(
+        struct.pack(">BBB", ci + 1, 0x11, qids[ci]) for ci in range(len(planes))
+    )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, len(planes)) + comps,
+    )
+
+    def dht(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
+        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(syms))
+
+    out += dht(0, 0, _DC_BITS, _DC_SYMS)
+    out += dht(1, 0, _AC_BITS, _AC_SYMS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    scomps = b"".join(
+        struct.pack(">BB", ci + 1, 0x00) for ci in range(len(planes))
+    )
+    out += seg(
+        0xDA, bytes([len(planes)]) + scomps + bytes([0, 63, 0])
+    )
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw samples top-down) for a baseline
+    sequential JPEG: grayscale or 3-component YCbCr with 1-2x sampling
+    factors (4:4:4 / 4:2:2 / 4:2:0), restart markers supported.
+    Progressive (SOF2), extended/12-bit, and arithmetic coding raise
+    NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no payload
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        payload = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                p += 1
+                if pq:
+                    raise NotImplementedError("16-bit quantization tables")
+                zz = payload[p : p + 64]
+                p += 64
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_ZIGZAG[i]] = zz[i]
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                syms = list(payload[p + 17 : p + 17 + n])
+                _, dec = _canonical_codes(bits, syms)
+                huff[(tc, th)] = dec
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-ish
+            prec, h, w_, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack(
+                    ">BBB", payload[6 + ci * 3 : 9 + ci * 3]
+                )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w_, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan = []
+            for ci in range(ns):
+                cs, tdta = payload[1 + ci * 2], payload[2 + ci * 2]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            pos += seglen
+            return _decode_scan(
+                data, pos, frame, scan, qtables, huff, restart_interval
+            )
+        pos += seglen
+    raise ValueError("no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
+    import numpy as np
+
+    C = _dct_matrix()
+    W, H = frame["w"], frame["h"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors above 2")
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(
+            np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8))
+        )
+    qmats = [
+        np.array(qtables[comp["tq"]], dtype=np.float64).reshape(8, 8)
+        for comp, _, _ in scan
+    ]
+
+    r = _BitReader(data, pos)
+    prev_dc = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.align_to_restart()
+                prev_dc = [0] * len(scan)
+            mcu_count += 1
+            for ci, (comp, td, ta) in enumerate(scan):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        try:
+                            blk = _decode_block(
+                                r, huff[(0, td)], huff[(1, ta)], prev_dc, ci
+                            )
+                        except _RestartMarker:
+                            # encoder emitted RST early (spec-legal only
+                            # at interval boundaries) — corrupt stream
+                            raise ValueError("unexpected restart marker")
+                        F = np.zeros((8, 8))
+                        for i in range(64):
+                            F.flat[_ZIGZAG[i]] = blk[i]
+                        px = C.T @ (F * qmats[ci]) @ C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    out_planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        p = planes[ci]
+        # replication upsample to full resolution, then crop
+        if comp["h"] != hmax:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        if comp["v"] != vmax:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        out_planes.append(p[:H, :W])
+
+    if len(out_planes) == 1:
+        pix = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return W, H, 1, pix.tobytes()
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG")
+    y, cb, cr = out_planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [
+            np.clip(np.floor(r_ + 0.5), 0, 255),
+            np.clip(np.floor(g_ + 0.5), 0, 255),
+            np.clip(np.floor(b_ + 0.5), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return W, H, 3, rgb.tobytes()
+
+
+def _decode_block(r, dc_dec, ac_dec, prev_dc, ci):
+    blk = [0] * 64
+    size = r.read_symbol(dc_dec)
+    diff = _extend(r.read_bits(size), size) if size else 0
+    prev_dc[ci] += diff
+    blk[0] = prev_dc[ci]
+    i = 1
+    while i < 64:
+        sym = r.read_symbol(ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        blk[i] = _extend(r.read_bits(size), size)
+        i += 1
+    return blk
+
+
+# ---------------------------------------------------------------------------
 # dispatch + raster resize
+
+
+def decode_raster(data: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, samples) for any raster format this
+    module decodes (PNG, BMP, baseline JPEG); raises on audio or
+    unrecognized payloads."""
+    if data.startswith(_PNG_MAGIC):
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(data)
+    raise ValueError("not a decodable raster payload")
 
 
 def decode(data: bytes) -> tuple[str, int, bytes]:
@@ -218,8 +737,11 @@ def decode(data: bytes) -> tuple[str, int, bytes]:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         n, _ch, _rate, frames = decode_wav(data)
         return "audio", n, frames
-    if data[:3] == b"\xff\xd8\xff" or data[:3] == b"ID3" or data[4:8] == b"ftyp":
-        raise NotImplementedError("JPEG/MP3/MP4 need external codecs")
+    if data[:3] == b"\xff\xd8\xff":
+        w, h, _ch, samples = decode_jpeg(data)
+        return "image", w * h, samples
+    if data[:3] == b"ID3" or data[4:8] == b"ftyp":
+        raise NotImplementedError("MP3/MP4 need external codecs")
     raise ValueError("unrecognized media payload")
 
 

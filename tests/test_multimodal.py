@@ -311,3 +311,170 @@ def test_sniff_riff_containers_and_unknown_duration(spark):
         (r.media_id, r.sample_ms) for r in frame_sample(df).collect()
     )
     assert sampled == [(9, 0), (9, 1000)]
+
+
+# -- baseline JPEG codec (multimodal/codecs.py, VERDICT r4 ask #3) -------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def test_jpeg_flat_even_blocks_roundtrip_exact():
+    """Flat 8x8 blocks with EVEN pixel values survive the full
+    FDCT -> quant -> Huffman -> dequant -> IDCT pipeline exactly
+    (DC quant 16: round(8s/16) = s/2 lossless for even level-shifted
+    s; every AC coefficient is zero)."""
+    np = _np()
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 14, 250, 128, 2
+    w, h, ch, out = decode_jpeg(encode_jpeg(16, 16, 1, img.tobytes()))
+    assert (w, h, ch) == (16, 16, 1)
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(16, 16), img)
+
+
+def test_jpeg_smooth_image_close_and_nonmultiple_dims():
+    """A smooth gradient survives with small quantization error, at
+    non-multiple-of-8 dimensions (edge-replication padding + crop)."""
+    np = _np()
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(17), np.arange(24))
+    img = ((xx * 3 + yy * 5) % 200 + 20).astype(np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(17, 24, 1, img.tobytes()))
+    assert (w, h, ch) == (17, 24, 1)
+    dec = np.frombuffer(out, np.uint8).reshape(24, 17).astype(int)
+    assert np.abs(dec - img.astype(int)).max() <= 12
+
+
+def test_jpeg_color_444_roundtrip():
+    np = _np()
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), (120, 64, 200), dtype=np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg(8, 8, 3, img.tobytes()))
+    assert (w, h, ch) == (8, 8, 3)
+    dec = np.frombuffer(out, np.uint8).reshape(8, 8, 3).astype(int)
+    # YCbCr forward+inverse costs at most +-2 per channel on flat color
+    assert np.abs(dec - img.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    np = _np()
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8).tobytes()
+    plain = decode_jpeg(encode_jpeg(32, 32, 1, img))
+    rst = decode_jpeg(encode_jpeg(32, 32, 1, img, restart_interval=3))
+    assert plain == rst
+    # and DRI actually emitted RST markers into the stream
+    assert b"\xff\xd0" in encode_jpeg(32, 32, 1, img, restart_interval=3)
+
+
+def test_jpeg_420_subsampled_decode():
+    """Hand-built 4:2:0 stream (2x2 Y sampling, 1x1 chroma): flat gray
+    v with Cb=Cr=128 must decode to exactly (v, v, v) everywhere —
+    drives the multi-block MCU loop and the replication upsampler,
+    which the 4:4:4-only encoder cannot produce."""
+    import struct
+
+    np = _np()
+    from pond_spark.multimodal import codecs as cj
+
+    v = 100  # even -> DC-exact
+    dc_enc, _ = cj._canonical_codes(cj._DC_BITS, cj._DC_SYMS)
+    ac_enc, _ = cj._canonical_codes(cj._AC_BITS, cj._AC_SYMS)
+    w = cj._BitWriter()
+
+    def put_flat_block(dc_quant: int, prev: int) -> int:
+        diff = dc_quant - prev
+        size = abs(diff).bit_length()
+        code, ln = dc_enc[size]
+        w.write(code, ln)
+        if size:
+            w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        code, ln = ac_enc[0x00]  # EOB
+        w.write(code, ln)
+        return dc_quant
+
+    # one MCU: 4 Y blocks (DC = 8*(v-128)/16) then Cb, Cr (DC = 0)
+    ydc = (8 * (v - 128)) // 16
+    prev = 0
+    for _ in range(4):
+        prev = put_flat_block(ydc, prev)
+    put_flat_block(0, 0)  # Cb
+    put_flat_block(0, 0)  # Cr
+    entropy = w.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    qt_l = bytes(cj._QT_LUMA[cj._ZIGZAG[i]] for i in range(64))
+    qt_c = bytes(cj._QT_CHROMA[cj._ZIGZAG[i]] for i in range(64))
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qt_l)
+        + seg(0xDB, b"\x01" + qt_c)
+        + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 3)
+              + struct.pack(">BBB", 1, 0x22, 0)
+              + struct.pack(">BBB", 2, 0x11, 1)
+              + struct.pack(">BBB", 3, 0x11, 1))
+        + seg(0xC4, bytes([0x00]) + bytes(cj._DC_BITS) + bytes(cj._DC_SYMS))
+        + seg(0xC4, bytes([0x10]) + bytes(cj._AC_BITS) + bytes(cj._AC_SYMS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+    w_, h_, ch, out = cj.decode_jpeg(data)
+    assert (w_, h_, ch) == (16, 16, 3)
+    dec = np.frombuffer(out, np.uint8).reshape(16, 16, 3)
+    assert (dec == v).all()
+
+
+def test_jpeg_progressive_and_truncated_rejected():
+    import struct
+
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    jp = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = jp.find(b"\xff\xc0")
+    jp[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(jp))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x11garbage")
+    with pytest.raises(Exception):
+        decode_jpeg(encode_jpeg(8, 8, 1, bytes(64))[:20])
+
+
+def test_jpeg_dct_matrix_orthonormal_and_unquantized_roundtrip():
+    """Independent math check that guards against compensating
+    encoder/decoder bugs: the DCT matrix is orthonormal, and
+    IDCT(FDCT(x)) == x without quantization in the loop."""
+    np = _np()
+    from pond_spark.multimodal.codecs import _dct_matrix
+
+    C = _dct_matrix()
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(1)
+    f = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(C.T @ (C @ f @ C.T) @ C, f, atol=1e-9)
+
+
+def test_jpeg_dispatch_and_dhash():
+    """decode() routes JPEG payloads; image_dhash_batch fingerprints
+    them like any raster (decode_raster path)."""
+    np = _np()
+    from pond_spark.multimodal.codecs import decode, decode_raster, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8) + 200
+    jp = encode_jpeg(8, 8, 1, img.tobytes())
+    kind, n, samples = decode(jp)
+    assert (kind, n) == ("image", 64)
+    assert decode_raster(jp)[:3] == (8, 8, 1)
