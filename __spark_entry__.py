@@ -3484,6 +3484,153 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
+    """Self-timed bench probes (VERDICT r4 asks #5 and #8) for the two
+    surfaces a DataFrame-returning bench row cannot express:
+
+    - **streaming micro-batch latency**: the batch bench never times
+      the live path. Each stream probe materializes the sf events as K
+      parquet files, drives them through the real streaming operator
+      one file per trigger (availableNow), and reports the MEDIAN
+      per-batch wall latency (first batch dropped — it carries stream
+      startup). Median damps noise; bench.py still takes best-of-2.
+    - **store retention + compaction**: the ring-buffer analog
+      (§1.3). Setup (two appends into a throwaway store) is untimed;
+      the probe times retain(max_bytes=60%) + compact() end to end.
+
+    Each callable returns SECONDS; bench.py merges them into the
+    per-query dict (outside the contract total, like bench_queries)."""
+    import shutil
+    import statistics
+    import tempfile
+    import time as _time
+
+    from pond_spark.filters import FilterSpec
+    from pond_spark.schema import events_as_logs
+
+    N_FILES = 8
+
+    def _stream_src(spark: SparkSession, sf_dir: str) -> str:
+        """K-file parquet log dir (one file per micro-batch)."""
+        tmp = tempfile.mkdtemp(prefix="pond_bench_stream_")
+        events_as_logs(spark, sf_dir).repartition(N_FILES).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        return tmp
+
+    def _median_batch_sec(sdf: DataFrame) -> float:
+        stamps: list[float] = []
+
+        def sink(df: DataFrame, _bid: int) -> None:
+            df.write.format("noop").mode("overwrite").save()
+            stamps.append(_time.perf_counter())
+
+        ckpt = tempfile.mkdtemp(prefix="pond_bench_ckpt_")
+        try:
+            q = (
+                sdf.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        if len(stamps) < 3:
+            raise RuntimeError(f"expected >=3 micro-batches, got {len(stamps)}")
+        deltas = [b - a for a, b in zip(stamps, stamps[1:])]
+        return round(statistics.median(deltas), 3)
+
+    def _with_src(fn):
+        def run(spark: SparkSession, sf_dir: str) -> float:
+            src = _stream_src(spark, sf_dir)
+            try:
+                return fn(spark, src)
+            finally:
+                shutil.rmtree(src, ignore_errors=True)
+
+        return run
+
+    @_with_src
+    def stream_follow_batch_p50(spark: SparkSession, src: str) -> float:
+        """Q6 FOLLOW plan (mtime cut + filter + watermark): the cut is
+        set to epoch so the prepared files count as 'new'."""
+        import datetime as _dt
+
+        from pond_spark.streaming.follow import follow_stream
+
+        sdf = follow_stream(
+            spark,
+            src,
+            spec=FilterSpec(status_begin=200, status_end=500),
+            since_now=_dt.datetime(1970, 1, 2),
+            max_files_per_trigger=1,
+        )
+        return _median_batch_sec(sdf)
+
+    @_with_src
+    def stream_ratelimit_batch_p50(spark: SparkSession, src: str) -> float:
+        """T6 per-site token bucket (applyInPandasWithState) on the
+        live path — the stateful operator's per-batch cost."""
+        from pond_spark.streaming.follow import continue_stream
+        from pond_spark.streaming.ratelimit import rate_limit_stream
+
+        sdf = rate_limit_stream(
+            continue_stream(spark, src, max_files_per_trigger=1),
+            rate=5.0,
+            message_type="http_access",
+        )
+        return _median_batch_sec(sdf)
+
+    @_with_src
+    def stream_trending_batch_p50(spark: SparkSession, src: str) -> float:
+        """Windowed agg + watermark state (trending terms over the
+        request URIs) — the windowed-state per-batch cost."""
+        from pond_spark.streaming.follow import continue_stream
+        from pond_spark.streaming.trending import trending_terms_stream
+
+        sdf = trending_terms_stream(
+            # watermark=None: trending defines its own watermark
+            continue_stream(spark, src, watermark=None, max_files_per_trigger=1),
+            text_col="http_uri",
+            every="5 minutes",
+        )
+        return _median_batch_sec(sdf)
+
+    def store_retain_compact(spark: SparkSession, sf_dir: str) -> float:
+        """LogStore ring-buffer eviction + hourly-compress analog on a
+        store built from the sf events (two appends -> every date has
+        redundant files, so compact has real work)."""
+        import os as _os
+
+        from pond_spark.sources.store import LogStore
+
+        tmp = tempfile.mkdtemp(prefix="pond_bench_store_")
+        try:
+            store = LogStore(spark, tmp)
+            logs = events_as_logs(spark, sf_dir)
+            store.append(logs)
+            store.append(logs)
+            total = sum(
+                _os.path.getsize(_os.path.join(dp, f))
+                for dp, _dn, fns in _os.walk(tmp)
+                for f in fns
+            )
+            t0 = _time.perf_counter()
+            store.retain(max_bytes=int(total * 0.6))
+            store.compact(target_file_bytes=1 << 22)
+            return round(_time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "stream_follow_batch_p50": stream_follow_batch_p50,
+        "stream_ratelimit_batch_p50": stream_ratelimit_batch_p50,
+        "stream_trending_batch_p50": stream_trending_batch_p50,
+        "store_retain_compact": store_retain_compact,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in _QUERIES.items() if sql is not None}
     # a builder registered under several keys (the persisted-index

@@ -57,7 +57,7 @@ def follow_stream(
     store_dir: str,
     spec: FilterSpec | None = None,
     since_now: dt.datetime | None = None,
-    watermark: str = "10 seconds",
+    watermark: str | None = "10 seconds",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Q6 FOLLOW: new records only (files modified after subscription),
@@ -75,14 +75,16 @@ def follow_stream(
     df = _source(spark, store_dir, since_now, max_files_per_trigger)
     if spec is not None:
         df = df.filter(spec.to_column())
-    return df.withWatermark("timestamp", watermark)
+    # watermark=None: leave the stream unwatermarked for downstream
+    # operators that define their own (Spark disallows redefining one)
+    return df.withWatermark("timestamp", watermark) if watermark else df
 
 
 def continue_stream(
     spark: SparkSession,
     store_dir: str,
     spec: FilterSpec | None = None,
-    watermark: str = "10 seconds",
+    watermark: str | None = "10 seconds",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Q7 CONTINUE: history first (existing files), then live tail —
@@ -90,7 +92,7 @@ def continue_stream(
     df = _source(spark, store_dir, None, max_files_per_trigger)
     if spec is not None:
         df = df.filter(spec.to_column())
-    return df.withWatermark("timestamp", watermark)
+    return df.withWatermark("timestamp", watermark) if watermark else df
 
 
 def follow_visitors(
