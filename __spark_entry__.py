@@ -1401,6 +1401,51 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_rank_projection(idx.search(BM25_TERMS, k=25))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English slice
+    (functions/dsir.py): hashed-unigram bucket likelihood ratios,
+    n_buckets-bounded statistics, broadcast scoring join. The whole
+    output frame is integer columns (weight_q inherits the nbayes
+    logq adjudication + margin audit)."""
+    from pond_spark.functions.dsir import dsir_weights
+
+    return dsir_weights(
+        _fan(_documents(spark, sf_dir)), F.col("lang") == "en", n_buckets=256
+    )
+
+
+def _dsir_weights_sql() -> str:
+    from pond_spark.functions.dsir import dsir_weights_sql
+
+    return dsir_weights_sql("lang = 'en'", n_buckets=256)
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR resampling head: the 50 most target-like
+    docs, ties by id — TakeOrderedAndProject, no global sort."""
+    from pond_spark.functions.dsir import dsir_topk
+
+    return dsir_topk(
+        _fan(_documents(spark, sf_dir)),
+        F.col("lang") == "en",
+        k=50,
+        n_buckets=256,
+    )
+
+
+def _dsir_topk_sql() -> str:
+    from pond_spark.functions.dsir import dsir_weights_sql
+
+    inner = dsir_weights_sql("lang = 'en'", n_buckets=256)
+    return f"""
+WITH weights AS ({inner})
+SELECT doc_id, n_tokens, weight_q,
+       CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM weights ORDER BY weight_q DESC, doc_id ASC LIMIT 50
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
     two map-side-combined groupBys → one term-keyed join → per-doc
@@ -3296,9 +3341,12 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
-    # new this round: baseline-JPEG real decode + width-64 exact pairs
+    # new this round: baseline-JPEG real decode, width-64 exact pairs,
+    # DSIR importance selection
     "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
+    "dsir_weights": (q_dsir_weights, None),  # lazy sql
+    "dsir_topk": (q_dsir_topk, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3342,9 +3390,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
+    # ---- window boundary: everything below is r4-green on files ----
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    # ---- window boundary: everything below is r4-green on files ----
     # ---- unchanged since that driver attestation --------------------
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
@@ -3388,6 +3436,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
 _LAZY_SQL: dict[str, Callable[[], str]] = {
+    "dsir_weights": _dsir_weights_sql,
+    "dsir_topk": _dsir_topk_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -311,3 +311,13 @@ def test_window_skip_without_limit_is_global_sort(spark, entry):
     plan = formatted_plan(df)
     assert "CollectLimit" in plan, plan
     assert count_exchanges(df) == 1, plan
+
+
+def test_dsir_broadcasts_ratio_table(spark, entry):
+    """DSIR's scoring join must broadcast the n_buckets-row ratio
+    table onto the per-(doc, bucket) counts — a SortMergeJoin here
+    would shuffle the corpus-sized side on a 256-value key."""
+    df = entry.queries()["dsir_weights"](spark, SF)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert not has_sort_merge_join(df), formatted_plan(df)
+    assert has_partial_aggregate(df)

@@ -121,6 +121,40 @@ def test_nbayes_logq_and_prior_margins(duck):
     """)
 
 
+def test_dsir_ratio_margins(duck):
+    """Both logq families of the DSIR ratio table (target and raw
+    per-bucket smoothed likelihoods, functions/dsir.py) clear the
+    margin policy — <= 2*n_buckets values total."""
+    from pond_spark.functions.text import HASH_BASE, HASH_MOD
+
+    B = 256
+    w = f"""
+      SELECT doc_id, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(word, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) % {B}
+               AS bucket
+      FROM (SELECT doc_id, (lang = 'en') AS t,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+    """
+    _assert_margin(duck, "dsir-ratio", f"""
+      SELECT * FROM (
+        WITH w AS ({w}),
+        raw AS (SELECT bucket, count(*) AS n_r FROM w GROUP BY bucket),
+        tgt AS (SELECT bucket, count(*) AS n_t FROM w WHERE t GROUP BY bucket),
+        totals AS (SELECT count(*) AS r_total,
+                          sum(CASE WHEN t THEN 1 ELSE 0 END) AS t_total FROM w)
+        SELECT ln(CAST(coalesce(tgt.n_t, 0) + 1 AS DOUBLE)
+                  / (tt.t_total + {B})) * 1000000.0 AS v
+        FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN totals tt
+        UNION ALL
+        SELECT ln(CAST(raw.n_r + 1 AS DOUBLE) / (tt.r_total + {B})) * 1000000.0
+        FROM raw CROSS JOIN totals tt)
+    """)
+
+
 def test_tfidf_idf_margins(duck):
     """Every distinct idf value over the corpus vocabulary clears the
     margin policy (tf multiplies AFTER the floor, so the contribution

@@ -547,3 +547,51 @@ def test_text_index_empty_batches_are_harmless(spark, tmp_path):
     assert [
         (r.doc_id, r.n_terms) for r in idx.search(["apple"], k=5).collect()
     ] == got
+
+
+# -- DSIR importance selection (functions/dsir.py) -----------------------
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary must out-weigh docs
+    that don't — the defining property of the likelihood-ratio
+    selector. Target = label 't'; 'mystery' doc shares its words."""
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.dsir import dsir_weights
+
+    rows = (
+        # target slice: clearly "spark-flavored" vocabulary
+        [(i, "spark shuffle partition broadcast join", "t") for i in range(6)]
+        # raw-only noise: different vocabulary
+        + [(10 + i, "cats dogs birds fish hamsters llamas", "r") for i in range(6)]
+        # probes, both in the raw pool
+        + [(100, "spark shuffle partition broadcast join", "r"),
+           (101, "cats dogs birds fish hamsters llamas", "r")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    out = {
+        r.doc_id: r.weight_q
+        for r in dsir_weights(
+            docs, F.col("label") == "t", n_buckets=64
+        ).collect()
+    }
+    assert out[100] > out[101]
+    # every doc gets a weight, token counts included
+    assert len(out) == 14
+
+
+def test_dsir_topk_is_deterministic_and_ranked(spark):
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.dsir import dsir_topk
+
+    rows = [(i, f"word{i % 3} filler text", "t" if i % 3 == 0 else "r")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    a = dsir_topk(docs, F.col("label") == "t", k=5).collect()
+    b = dsir_topk(docs, F.col("label") == "t", k=5).collect()
+    assert a == b
+    assert [r.rank for r in a] == [1, 2, 3, 4, 5]
+    ws = [r.weight_q for r in a]
+    assert ws == sorted(ws, reverse=True)
