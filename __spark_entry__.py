@@ -1446,6 +1446,26 @@ FROM weights ORDER BY weight_q DESC, doc_id ASC LIMIT 50
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-stable corpus permutation + shard split
+    (operators/packing.reproducible_shuffle): portable affine hash
+    key, hash-balanced shard, per-shard position — one exchange +
+    n_shards parallel local sorts, never a global window."""
+    from pond_spark.operators.packing import reproducible_shuffle
+
+    return reproducible_shuffle(
+        _fan(_documents(spark, sf_dir)), n_shards=16, seed=7
+    ).select("doc_id", "shuffle_key", "shard", "pos")
+
+
+def _shuffle_shards_sql() -> str:
+    from pond_spark.operators.packing import reproducible_shuffle_sql
+
+    return reproducible_shuffle_sql(
+        16, "documents", seed=7, cols="doc_id"
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf keywords (functions/tfidf.py): explode →
     two map-side-combined groupBys → one term-keyed join → per-doc
@@ -3347,6 +3367,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
+    "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3389,11 +3410,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anonymize": (q_anonymize, ANONYMIZE_SQL),
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    # ---- window boundary (index 50): everything below is green -----
+    # ---- (r3/r4) on files unchanged since that attestation ---------
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    # ---- window boundary: everything below is r4-green on files ----
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    # ---- unchanged since that driver attestation --------------------
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
@@ -3438,6 +3459,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 _LAZY_SQL: dict[str, Callable[[], str]] = {
     "dsir_weights": _dsir_weights_sql,
     "dsir_topk": _dsir_topk_sql,
+    "shuffle_shards": _shuffle_shards_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -87,3 +87,62 @@ SELECT {cols}, {prefix} AS token_offset,
        CAST(floor({prefix} * 1.0 / {budget}) AS BIGINT) AS shard
 FROM {table_expr}
 """
+
+
+#: Lehmer multiplier + Knuth constant for the portable permutation key
+SHUFFLE_A = 48_271
+SHUFFLE_C = 2_654_435_761
+SHUFFLE_MOD = 1_000_000_007
+
+
+def reproducible_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Seed-stable corpus permutation + shard split — the "global
+    shuffle" every training-data loader needs, without a global sort.
+
+    ``key = (id*48271 + seed*2654435761) mod 1e9+7`` is an affine hash
+    any engine computes identically (the oracle-portability discipline
+    of functions/text.fingerprint); ``shard = key mod n_shards``
+    balances by hashing (no rank needed, fully parallel), and ``pos``
+    is the row's position within its shard by ``(key, id)`` — so
+    reading shards 0..n-1 each in pos order IS the seeded permutation
+    of the corpus.
+
+    Scale shape: ONE hash exchange on ``shard`` + a per-shard local
+    sort (the window is partitioned — n_shards parallel sorts, never
+    the single-task global window). Changing the seed re-permutes
+    every epoch; changing n_shards only re-buckets.
+    """
+    key = F.pmod(
+        F.col(id_col) * F.lit(SHUFFLE_A) + F.lit(seed) * F.lit(SHUFFLE_C),
+        F.lit(SHUFFLE_MOD),
+    ).alias("shuffle_key")
+    rows = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return rows.withColumn(
+        "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
+def reproducible_shuffle_sql(
+    n_shards: int,
+    table_expr: str,
+    id_expr: str = "doc_id",
+    seed: int = 1,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — identical affine key, shard and in-shard rank."""
+    key = f"(({id_expr}) * {SHUFFLE_A} + {seed} * {SHUFFLE_C}) % {SHUFFLE_MOD}"
+    return f"""
+SELECT {cols}, CAST({key} AS BIGINT) AS shuffle_key,
+       CAST({key} % {n_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY {key} % {n_shards}
+                               ORDER BY {key}, {id_expr}) - 1 AS BIGINT) AS pos
+FROM {table_expr}
+"""

@@ -131,3 +131,41 @@ def test_temperature_mixture_tolerates_null_sources(spark):
     out = temperature_mixture(df, alpha=0.5).collect()
     assert all(r.source == "a" for r in out)
     assert len(out) == 20  # the single stratum keeps everything
+
+
+# -- reproducible shuffle / shard split (operators/packing.py) ----------
+
+
+def test_reproducible_shuffle_is_a_permutation(spark):
+    from pond_spark.operators.packing import reproducible_shuffle
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = reproducible_shuffle(docs, n_shards=8, seed=3).collect()
+    assert len(out) == 200
+    # every doc appears once; shard positions are contiguous 0..n-1
+    assert len({r.doc_id for r in out}) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # determinism + seed sensitivity
+    again = reproducible_shuffle(docs, n_shards=8, seed=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = reproducible_shuffle(docs, n_shards=8, seed=4).collect()
+    order_a = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+    order_b = [r.doc_id for r in sorted(other, key=lambda r: (r.shard, r.pos))]
+    assert order_a != order_b
+
+
+def test_reproducible_shuffle_no_global_window(spark):
+    """The in-shard rank must be a PARTITIONED window — a plan with a
+    SinglePartition exchange would serialize the corpus into one task
+    (the scale-killer pack_shards' two-level design exists to avoid)."""
+    from pond_spark.operators.packing import reproducible_shuffle
+    from pond_spark.plans import formatted_plan
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = formatted_plan(reproducible_shuffle(docs, n_shards=16))
+    assert "SinglePartition" not in plan, plan
