@@ -478,3 +478,29 @@ def test_jpeg_dispatch_and_dhash():
     kind, n, samples = decode(jp)
     assert (kind, n) == ("image", 64)
     assert decode_raster(jp)[:3] == (8, 8, 1)
+
+
+def test_jpeg_decoder_fuzz_fails_fast():
+    """Mutated/truncated streams must raise promptly (the Arrow batch
+    decoder maps failures to NULL rows) — no hangs, no silent
+    mis-sized output."""
+    import random
+    import time
+
+    np = _np()
+    from pond_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = random.Random(0)
+    jp = bytearray(encode_jpeg(16, 16, 1, bytes(range(256))))
+    t0 = time.time()
+    for _ in range(200):
+        b = bytearray(jp)
+        for _ in range(rng.randint(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            w, h, ch, out = decode_jpeg(bytes(b))
+            # when a mutation still decodes, the geometry contract holds
+            assert len(out) == w * h * ch
+        except Exception:
+            pass
+    assert time.time() - t0 < 20.0
