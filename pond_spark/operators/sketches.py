@@ -135,3 +135,114 @@ def uniques_over_range(
         F.hll_sketch_estimate(F.col("_u")).alias("uniques_est"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable QUANTILE sketches: deterministic bottom-k value samples
+
+#: affine hash constants for the sample membership key — the same
+#: cross-engine-portable arithmetic family as
+#: operators/packing.reproducible_shuffle and functions/text.fingerprint
+BK_A = 48_271
+BK_C = 2_654_435_761
+BK_MOD = 1_000_000_007
+
+
+def _bk_key(id_col: str, seed: int) -> F.Column:
+    return F.pmod(
+        F.col(id_col) * F.lit(BK_A) + F.lit(seed) * F.lit(BK_C),
+        F.lit(BK_MOD),
+    )
+
+
+def build_value_sketches(
+    logs: DataFrame,
+    path: str,
+    k: int = 64,
+    value_col: str = "value",
+    id_col: str = "id",
+    site_col: str = "site",
+    ts_col: str = "timestamp",
+    seed: int = 1,
+) -> None:
+    """Per-(day, site) bottom-k VALUE sample — the quantile sibling of
+    the HLL cube above, built on the classic mergeable bottom-k
+    sketch: keep the k rows whose hash key is smallest. Because
+    ``bottom_k(A ∪ B) = bottom_k(bottom_k(A) ∪ bottom_k(B))``, any
+    date range later collapses to a union of the per-day samples and
+    one more bottom-k — the raw store is scanned exactly once, here.
+
+    Spark has no mergeable quantile-sketch aggregate (HLL landed in
+    3.5; KLL did not), so this IS the engine's scale path for
+    persisted percentile rollups. Unlike KLL/t-digest, the sample
+    membership is a PURE function of (id, seed) — deterministic
+    across engines, so oracle twins replay it exactly instead of
+    settling for an accuracy envelope. Error is the uniform-sampling
+    bound O(1/sqrt(k)) on rank, ~12% rank error at k=64; raise k for
+    tighter tails (cost is linear in k per group).
+    """
+    ranked = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(site_col).alias("site"),
+            F.col(value_col).alias("value"),
+            _bk_key(id_col, seed).alias("bk"),
+            F.col(id_col).alias("rid"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("day", "site").orderBy("bk", "rid")
+    sample = ranked.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).drop("_rn")
+    (
+        sample.repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def value_quantiles_over_range(
+    spark: SparkSession,
+    path: str,
+    start_day: str,
+    end_day: str,
+    k: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Per-site quantile estimates over ``[start_day, end_day]`` from
+    the sample table alone — no raw-event scan. Merge = take the k
+    smallest hash keys per site across the covered days, then select
+    EXACT-RANK elements (position ``ceil(q*m)`` of the sample ordered
+    by value): the output values are untouched input doubles — no
+    interpolation arithmetic — so they hash identically everywhere
+    (PERF_NOTES rule: raw pass-through floats are safe; computed ones
+    are not). Returns ``(site, n_sample, q50, q90, ...)``."""
+    from pyspark.sql.window import Window
+
+    sk = spark.read.parquet(path).filter(
+        (F.col("day") >= start_day) & (F.col("day") <= end_day)
+    )
+    wk = Window.partitionBy("site").orderBy("bk", "rid")
+    merged = sk.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= k
+    )
+    wv = Window.partitionBy("site").orderBy("value", "rid")
+    sized = (
+        merged.withColumn("_vr", F.row_number().over(wv))
+        .withColumn("_m", F.count(F.lit(1)).over(Window.partitionBy("site")))
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_vr") == F.ceil(F.lit(q) * F.col("_m")), F.col("value")
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in quantiles
+    ]
+    return sized.groupBy("site").agg(
+        F.max("_m").cast("long").alias("n_sample"), *picks
+    )

@@ -734,3 +734,56 @@ def test_asof_join_shared_payload_column_name(spark):
     assert sorted(out.columns) == ["asof_value", "k", "timestamp", "value"]
     rows = {r.value: r.asof_value for r in out.collect()}
     assert rows == {100.0: 999.0, 200.0: 999.0}  # right's value carried
+
+
+def test_value_sketches_bottom_k_merge_exact(spark, tmp_path):
+    """Bottom-k quantile sketch: the range query's merged sample must
+    EQUAL the bottom-k computed directly over the raw range (the
+    mergeability identity), day partitions outside the range are
+    pruned, and the rank-selected quantiles are raw input values."""
+    from pond_spark.operators.sketches import (
+        BK_A,
+        BK_C,
+        BK_MOD,
+        build_value_sketches,
+        value_quantiles_over_range,
+    )
+    from pond_spark.plans import formatted_plan
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    rid = 0
+    for day in range(3):
+        for u in range(300):
+            rid += 1
+            rows.append(
+                (rid, t0 + dt.timedelta(days=day, seconds=u), "a",
+                 float((rid * 37) % 1000))
+            )
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, value double"
+    )
+    path = str(tmp_path / "bk")
+    build_value_sketches(logs, path, k=32)
+
+    out_df = value_quantiles_over_range(
+        spark, path, "2024-03-01", "2024-03-02", k=32
+    )
+    out = out_df.collect()[0]
+    assert out.n_sample == 32
+    plan = formatted_plan(out_df)
+    assert "PartitionFilters" in plan and "day" in plan, plan
+
+    # replay the sketch definition directly over the raw range rows
+    import math
+
+    raw = [r for r in rows if r[1] < t0 + dt.timedelta(days=2)]
+    keyed = sorted(raw, key=lambda r: ((r[0] * BK_A + BK_C) % BK_MOD, r[0]))
+    sample = sorted((r[3], r[0]) for r in keyed[:32])
+    vals = [v for v, _ in sample]
+    assert out.q50 == vals[math.ceil(0.5 * 32) - 1]
+    assert out.q90 == vals[math.ceil(0.9 * 32) - 1]
+    # the estimate is a genuine quantile estimate of the raw data
+    exact = sorted(r[3] for r in raw)
+    rank = exact.index(out.q50) / len(exact)
+    assert 0.25 <= rank <= 0.75, rank
