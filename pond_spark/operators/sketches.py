@@ -246,3 +246,58 @@ def value_quantiles_over_range(
     return sized.groupBy("site").agg(
         F.max("_m").cast("long").alias("n_sample"), *picks
     )
+
+
+def update_value_sketches(
+    logs: DataFrame,
+    path: str,
+    k: int = 64,
+    value_col: str = "value",
+    id_col: str = "id",
+    site_col: str = "site",
+    ts_col: str = "timestamp",
+    seed: int = 1,
+) -> None:
+    """Incremental maintenance, the update_uniques_sketches twin: fold
+    a NEW batch into the sample table by unioning the batch's
+    per-(day, site) bottom-k with the existing samples of exactly the
+    touched days and re-taking bottom-k — equal to a full rebuild by
+    the bottom-k merge identity (asserted in tests). Only touched day
+    partitions rewrite (dynamic partition overwrite)."""
+    from pyspark.sql.window import Window
+
+    spark = logs.sparkSession
+    batch = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(site_col).alias("site"),
+            F.col(value_col).alias("value"),
+            _bk_key(id_col, seed).alias("bk"),
+            F.col(id_col).alias("rid"),
+        )
+    )
+    days = [r.day for r in batch.select("day").distinct().collect()]
+    if not days:
+        return
+    existing = spark.read.parquet(path).filter(F.col("day").isin(days)).select(
+        "day", "site", "value", "bk", "rid"
+    )
+    w = Window.partitionBy("day", "site").orderBy("bk", "rid")
+    merged = (
+        batch.unionByName(existing)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

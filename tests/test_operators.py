@@ -787,3 +787,49 @@ def test_value_sketches_bottom_k_merge_exact(spark, tmp_path):
     exact = sorted(r[3] for r in raw)
     rank = exact.index(out.q50) / len(exact)
     assert 0.25 <= rank <= 0.75, rank
+
+
+def test_value_sketches_update_equals_rebuild(spark, tmp_path):
+    """Incremental bottom-k maintenance == full rebuild over old+new
+    (the merge identity), and untouched day partitions are not
+    rewritten."""
+    import os
+
+    from pond_spark.operators.sketches import (
+        build_value_sketches,
+        update_value_sketches,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def mk(rid0, day, n):
+        return [
+            (rid0 + u, t0 + dt.timedelta(days=day, seconds=u), "a",
+             float(((rid0 + u) * 41) % 997))
+            for u in range(n)
+        ]
+
+    schema = "id long, timestamp timestamp, site string, value double"
+    old = mk(0, 0, 200) + mk(1000, 1, 200)
+    new = mk(2000, 1, 150)  # touches day 2 only
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_value_sketches(spark.createDataFrame(old, schema), inc_path, k=16)
+    day1_dir = os.path.join(inc_path, "day=2024-03-01")
+    mtimes_before = sorted(
+        os.path.getmtime(os.path.join(day1_dir, f))
+        for f in os.listdir(day1_dir) if f.endswith(".parquet")
+    )
+    update_value_sketches(spark.createDataFrame(new, schema), inc_path, k=16)
+    build_value_sketches(
+        spark.createDataFrame(old + new, schema), full_path, k=16
+    )
+
+    inc = sorted(map(tuple, spark.read.parquet(inc_path).collect()))
+    full = sorted(map(tuple, spark.read.parquet(full_path).collect()))
+    assert inc == full
+    mtimes_after = sorted(
+        os.path.getmtime(os.path.join(day1_dir, f))
+        for f in os.listdir(day1_dir) if f.endswith(".parquet")
+    )
+    assert mtimes_before == mtimes_after  # day 1 untouched
