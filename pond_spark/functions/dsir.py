@@ -16,9 +16,10 @@ Shape, end to end:
   ``fingerprint(word) % n_buckets`` — the engine's cross-engine
   polynomial hash (functions/text.py), so the DuckDB oracle computes
   the identical bucket ids.
-- **bucket stats**: raw counts over ALL docs, target counts over the
-  ``target`` predicate's docs — two map-side-combined groupBys on a
-  <= n_buckets key.
+- **bucket stats**: ONE corpus-wide (doc, bucket) count aggregation;
+  raw totals, target totals and the corpus totals all derive from
+  that frame (its shuffle is written once — ReuseExchange — and it
+  is docs-x-buckets sized, not token-sized).
 - **ratio table**: per-bucket Laplace-smoothed quantized log ratio
   ``ratio_q(f) = logq(n_t+1, t_total+B) - logq(n_r+1, r_total+B)`` —
   an ``n_buckets``-row frame, broadcast.
@@ -68,15 +69,26 @@ def dsir_weights(
         F.pmod(fingerprint(F.col("word")), F.lit(n_buckets)).alias("bucket"),
     )
 
-    raw = w.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
-    tgt = (
-        w.filter(F.col("_t"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_t"))
+    # ONE corpus-wide aggregation — everything downstream derives from
+    # this (docs x buckets)-sized frame, so the exploded corpus is
+    # scanned once, not once per statistic. Persisted because four
+    # consumers branch off it (the repo's multi-branch reuse rule);
+    # it is the REDUCED frame, never the token stream.
+    per_doc = (
+        w.groupBy(id_col, "bucket", "_t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    totals = w.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.sum(F.col("_t").cast("long")).alias("t_total"),
+
+    raw = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("n_r"))
+    tgt = (
+        per_doc.filter(F.col("_t"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("n_t"))
+    )
+    totals = per_doc.agg(
+        F.sum("cnt").alias("r_total"),
+        F.sum(F.when(F.col("_t"), F.col("cnt")).otherwise(0)).alias("t_total"),
     )
 
     ratio = (
@@ -97,7 +109,6 @@ def dsir_weights(
         )
     )
 
-    per_doc = w.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         per_doc.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
