@@ -3004,6 +3004,32 @@ SELECT qid, nid, cosine FROM ranked WHERE rn <= 3
 """
 
 
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (similarity/bitext.py, the LASER/
+    CCMatrix recipe): align the label<5 embedding slice against the
+    label>=5 slice by ratio margin over forward+backward k-NN.
+    Hashed projection is all-integer (micro-unit cosines, basis-point
+    margins via integer division) — no float crosses a row boundary."""
+    from pond_spark.similarity.bitext import bitext_mine
+
+    emb = _fan(_embeddings(spark, sf_dir))
+    return bitext_mine(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        k=4,
+        margin_threshold_bp=9_000,
+        dim=64,
+    )
+
+
+def _bitext_pairs_sql() -> str:
+    from pond_spark.similarity.bitext import bitext_mine_sql
+
+    return bitext_mine_sql(
+        "label < 5", "label >= 5", _COS_SQL, k=4, margin_threshold_bp=9_000
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via RHP-LSH buckets, oracle-
     checked end-to-end: the oracle recomputes the same literal-plane
@@ -3421,6 +3447,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
+    "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3460,8 +3487,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
     # ---- window boundary (index 50): everything below is green -----
     # ---- (r3/r4) on files unchanged since that attestation ---------
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
@@ -3513,6 +3540,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "dsir_weights": _dsir_weights_sql,
     "dsir_topk": _dsir_topk_sql,
     "shuffle_shards": _shuffle_shards_sql,
+    "bitext_pairs": _bitext_pairs_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

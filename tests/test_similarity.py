@@ -383,3 +383,56 @@ def test_zero_norm_embeddings_are_inert(spark):
 
     out = knn_join(df.filter("vec_id > 0"), df, k=3).collect()
     assert all(r.nid != 0 for r in out)
+
+
+def test_bitext_margin_suppresses_hub(spark):
+    """The ratio margin must prefer a mutually-exclusive near-identical
+    pair over a hub vector that is moderately close to EVERY source —
+    raw cosine alone would sometimes pick the hub (Artetxe & Schwenk's
+    motivating failure)."""
+    from pond_spark.similarity.bitext import bitext_mine
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    src = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1)), (3, v(0.8, -0.6))],
+        "vec_id long, embedding array<float>",
+    )
+    # t11 ~ s1, t12 ~ s2, t13 ~ s3, hub equally close to s1 and s2
+    tgt = spark.createDataFrame(
+        [(11, v(0.99, 0.01)), (12, v(0.01, 0.99)),
+         (13, v(0.79, -0.61)), (99, v(0.72, 0.69))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.sid: r for r in bitext_mine(
+        src, tgt, k=2, margin_threshold_bp=0, dim=8
+    ).collect()}
+    assert out[1].tid == 11
+    assert out[2].tid == 12
+    assert out[3].tid == 13
+    # determinism
+    again = {r.sid: r.tid for r in bitext_mine(
+        src, tgt, k=2, margin_threshold_bp=0, dim=8
+    ).collect()}
+    assert again == {s: r.tid for s, r in out.items()}
+
+
+def test_bitext_all_integer_projection(spark):
+    """Hashed columns are integers end to end — no float crosses a
+    row boundary (the PERF_NOTES grouping-order rule)."""
+    from pond_spark.similarity.bitext import bitext_mine
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    df = bitext_mine(
+        emb.filter("vec_id < 10"), emb.filter("vec_id >= 10"),
+        k=3, margin_threshold_bp=0, dim=8,
+    )
+    kinds = dict(df.dtypes)
+    assert kinds == {"sid": "bigint", "tid": "bigint",
+                     "cos_q": "bigint", "margin_bp": "bigint"}
+    assert df.count() > 0
