@@ -1110,6 +1110,37 @@ FROM sized GROUP BY site
 """
 
 
+def q_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppressed (site, day) count export
+    (operators/kanon.py): groups with fewer than 60 DISTINCT visitors
+    generalize day -> '<other>' per site and re-test; a still-under-k
+    remainder would drop entirely. The distinct-count basis uses the
+    exact join-back (summing per-group distincts would overstate the
+    merged population and publish under-k cells)."""
+    from pond_spark.operators.kanon import kanonymize_counts
+
+    logs = events_as_logs(spark, sf_dir).select(
+        "site",
+        F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+        "remote_host",
+    )
+    return kanonymize_counts(
+        logs, ("site", "day"), k=60, protect="remote_host"
+    )
+
+
+def _kanon_export_sql() -> str:
+    from pond_spark.operators.kanon import kanonymize_counts_sql
+
+    inner = (
+        f"(WITH {LOGS_CTE} SELECT site, "
+        "strftime(\"timestamp\", '%Y-%m-%d') AS day, remote_host FROM logs)"
+    )
+    return kanonymize_counts_sql(
+        inner, ("site", "day"), k=60, protect="remote_host"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
@@ -3448,6 +3479,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
+    "kanon_export": (q_kanon_export, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3541,6 +3573,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "dsir_topk": _dsir_topk_sql,
     "shuffle_shards": _shuffle_shards_sql,
     "bitext_pairs": _bitext_pairs_sql,
+    "kanon_export": _kanon_export_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -833,3 +833,57 @@ def test_value_sketches_update_equals_rebuild(spark, tmp_path):
         for f in os.listdir(day1_dir) if f.endswith(".parquet")
     )
     assert mtimes_before == mtimes_after  # day 1 untouched
+
+
+def test_kanonymize_distinct_basis_exact_rollup(spark):
+    """The distinct-user basis must be EXACT at every generalization
+    level: a user spanning two suppressed groups counts ONCE in the
+    merged cell — the sum-of-group-distincts shortcut would publish
+    an under-k cell here (site b: sum 2+2=4 >= 3 but truly 2 users)."""
+    from pond_spark.operators.kanon import OTHER, kanonymize_counts
+
+    rows = (
+        [("a", "d1", f"u{i}") for i in range(3)]          # keep: 3 users
+        + [("b", "d1", "u1"), ("b", "d1", "u2")]           # suppressed
+        + [("b", "d2", "u2"), ("b", "d2", "u1")]           # suppressed
+        + [("c", "d1", "u9")]                              # suppressed
+    )
+    df = spark.createDataFrame(rows, "site string, day string, user string")
+    out = {(r.site, r.day): r.n for r in kanonymize_counts(
+        df, ("site", "day"), k=3, protect="user"
+    ).collect()}
+    assert out[("a", "d1")] == 3
+    # site b must NOT get a published <other> rollup (2 users < 3)
+    assert ("b", OTHER) not in out
+    # the catchall pools b (4 rows, {u1,u2}) + c (1 row, u9): 3 users
+    assert out[(OTHER, OTHER)] == 5
+    assert set(out) == {("a", "d1"), (OTHER, OTHER)}
+
+
+def test_kanonymize_row_basis_and_dropped_catchall(spark):
+    from pond_spark.operators.kanon import OTHER, kanonymize_counts
+
+    rows = [("x", f"r{i}") for i in range(5)] + [("y", "r0"), ("z", "r1")]
+    df = spark.createDataFrame(rows, "site string, user string")
+    out = {r.site: r.n for r in kanonymize_counts(
+        df, ("site",), k=3
+    ).collect()}
+    assert out == {"x": 5}  # y+z pool 2 rows < 3: catchall dropped
+
+
+def test_kanonymize_null_dims_suppress_correctly(spark):
+    """NULL dim values are real groups; the suppressed-row join-back
+    must be null-safe or their rows silently vanish from the pool."""
+    from pond_spark.operators.kanon import OTHER, kanonymize_counts
+
+    rows = (
+        [("a", "d1", f"u{i}") for i in range(4)]
+        + [(None, "d1", "u1"), (None, "d2", "u2"), (None, "d3", "u3")]
+    )
+    df = spark.createDataFrame(rows, "site string, day string, user string")
+    out = {(r.site, r.day): r.n for r in kanonymize_counts(
+        df, ("site", "day"), k=3, protect="user"
+    ).collect()}
+    assert out[("a", "d1")] == 4
+    # NULL site generalizes to (NULL, <other>): 3 users -> published
+    assert out[(None, OTHER)] == 3
