@@ -3518,8 +3518,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
-    "age_only": (q_age_only, AGE_ONLY_SQL),
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
+    "age_only": (q_age_only, AGE_ONLY_SQL),
     "anonymize": (q_anonymize, ANONYMIZE_SQL),
     # ---- window boundary (index 50): everything below is green -----
     # ---- (r3/r4) on files unchanged since that attestation ---------
