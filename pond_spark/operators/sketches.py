@@ -25,13 +25,16 @@ flag; see __spark_entry__.q_daily_uniques_approx).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
     "build_uniques_sketches",
     "update_uniques_sketches",
     "uniques_over_range",
+    "build_cm_sketches",
+    "update_cm_sketches",
+    "cm_estimate_over_range",
 ]
 
 
@@ -246,6 +249,198 @@ def value_quantiles_over_range(
     return sized.groupBy("site").agg(
         F.max("_m").cast("long").alias("n_sample"), *picks
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable COUNT-MIN sketches: fixed-size frequency cells per day
+
+#: Count-Min geometry defaults: depth×width cells per day partition.
+#: ε = e/width (overestimate bound as a fraction of total count),
+#: δ = e^-depth (probability the bound is exceeded) — Cormode &
+#: Muthukrishnan 2005. 4×1024 int64 cells = 32 KB per day regardless
+#: of key cardinality.
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_col(keyhash: Column, row: int, width: int) -> Column:
+    """Row-``row`` cell index for a (portable-hashed) long key — the
+    same affine family as ``_bk_key``, seeded by the row number."""
+    return F.pmod(
+        F.pmod(
+            keyhash * F.lit(BK_A) + F.lit(row + 1) * F.lit(BK_C),
+            F.lit(BK_MOD),
+        ),
+        F.lit(width),
+    )
+
+
+def build_cm_sketches(
+    logs: DataFrame,
+    path: str,
+    key_col: str = "message",
+    ts_col: str = "timestamp",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> None:
+    """Per-day Count-Min frequency sketch over a string key — the
+    point-frequency sibling of the HLL (distinct) and bottom-k
+    (quantile) cubes above: plain per-key counts at 100 TB produce a
+    table as big as the key space, but CM cells are a FIXED
+    ``depth×width`` grid per day, mergeable by cell-wise addition, so
+    any date range answers "how often did key X appear" from KBs.
+
+    The key is hashed with functions.text.fingerprint (the portable
+    polynomial hash), so estimates replay exactly in the DuckDB twin —
+    a hard hash-match oracle, not an accuracy envelope: the estimate
+    is DETERMINISTIC; only its relation to the true count is
+    probabilistic (est ≥ true always; est ≤ true + ε·N w.p. 1-δ)."""
+    from pond_spark.functions.text import fingerprint
+
+    keyed = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("kh", fingerprint(F.col("key")))
+    )
+    cells = (
+        keyed.select(
+            "day",
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cm_col(F.col("kh"), r, width).alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .groupBy("day", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    (
+        cells.repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def update_cm_sketches(
+    logs: DataFrame,
+    path: str,
+    key_col: str = "message",
+    ts_col: str = "timestamp",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> None:
+    """Incremental maintenance (update_uniques_sketches twin): CM
+    merge is cell-wise ADDITION, so folding a new batch = add its
+    day-cells to the existing cells of exactly the touched days and
+    rewrite only those partitions. Equal to a full rebuild over
+    old+new (asserted in tests); single-writer like every mutable
+    layout here."""
+    from pond_spark.functions.text import fingerprint
+
+    spark = logs.sparkSession
+    keyed = (
+        logs.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("kh", fingerprint(F.col("key")))
+    )
+    batch = (
+        keyed.select(
+            "day",
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cm_col(F.col("kh"), r, width).alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .groupBy("day", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    days = [r.day for r in batch.select("day").distinct().collect()]
+    if not days:
+        return
+    existing = spark.read.parquet(path).filter(F.col("day").isin(days)).select(
+        "day", "row", "col", "cnt"
+    )
+    merged = (
+        batch.unionByName(existing)
+        .groupBy("day", "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def cm_estimate_over_range(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    start_day: str,
+    end_day: str,
+    key_col: str = "key",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Estimated frequency of each candidate key over
+    ``[start_day, end_day]`` from the sketch table alone — day filter
+    prunes partitions, cells merge by summation into one
+    ``depth×width`` grid (KBs), and each key's estimate is the MIN
+    over its ``depth`` cells — ``depth`` chained broadcast joins
+    against the merged grid, zero shuffles on the key relation.
+    Returns ``(key, est)``; est ≥ the true range count, always."""
+    from pond_spark.functions.text import fingerprint
+
+    cells = (
+        spark.read.parquet(path)
+        .filter((F.col("day") >= start_day) & (F.col("day") <= end_day))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    out = keys.select(
+        F.col(key_col).alias("key"), fingerprint(F.col(key_col)).alias("_kh")
+    )
+    ests = []
+    for r in range(depth):
+        side = cells.filter(F.col("row") == r).select(
+            F.col("col").alias(f"_c{r}"), F.col("cnt").alias(f"_n{r}")
+        )
+        out = out.withColumn(f"_p{r}", _cm_col(F.col("_kh"), r, width))
+        out = out.join(
+            F.broadcast(side), out[f"_p{r}"] == side[f"_c{r}"], "left"
+        )
+        ests.append(F.coalesce(F.col(f"_n{r}"), F.lit(0)))
+    return out.select("key", F.least(*ests).cast("long").alias("est"))
 
 
 def update_value_sketches(

@@ -1,0 +1,177 @@
+"""Bloom prefilter, integer PageRank, Count-Min sketch table."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pond_spark.dedup.bloom import (
+    bloom_prefilter_new,
+    build_bloom,
+    mark_membership,
+)
+from pond_spark.operators.pagerank import click_edges, pagerank
+from pond_spark.operators.sketches import (
+    build_cm_sketches,
+    cm_estimate_over_range,
+    update_cm_sketches,
+)
+
+M, K = 4096, 5
+
+
+def test_bloom_no_false_negatives(spark):
+    cat = spark.createDataFrame([(i * 7919,) for i in range(100)], ["key"])
+    bloom = build_bloom(cat, "key", M, K)
+    probe = spark.createDataFrame([(i * 7919,) for i in range(200)], ["key"])
+    out = mark_membership(probe, bloom, "key", M, K).collect()
+    members = {r.key for r in out if r.might_contain}
+    # every true member flagged — the Bloom guarantee
+    assert {i * 7919 for i in range(100)} <= members
+
+
+def test_bloom_null_key_never_contains(spark):
+    cat = spark.createDataFrame([(1,), (2,)], ["key"])
+    bloom = build_bloom(cat, "key", M, K)
+    probe = spark.createDataFrame([(None,), (1,)], "key long")
+    got = {
+        r.key: r.might_contain
+        for r in mark_membership(probe, bloom, "key", M, K).collect()
+    }
+    assert got[1] is True and got[None] is False
+
+
+def test_bloom_prefilter_equals_plain_anti_join(spark):
+    cat = spark.createDataFrame([(i,) for i in range(0, 500, 3)], ["key"])
+    batch = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(400)], ["key", "text"]
+    )
+    fast = bloom_prefilter_new(batch, cat, "key", m_bits=M, k=K)
+    plain = batch.join(cat, "key", "left_anti")
+    assert sorted((r.key, r.text) for r in fast.collect()) == sorted(
+        (r.key, r.text) for r in plain.collect()
+    )
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """The membership probe is k BroadcastHashJoins — never a
+    shuffle-side join on the probe relation."""
+    cat = spark.createDataFrame([(i,) for i in range(50)], ["key"])
+    bloom = build_bloom(cat, "key", M, K)
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["key"])
+    plan = (
+        mark_membership(probe, bloom, "key", M, K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == K
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_two_cycle_fixed_point(spark):
+    """a<->b is symmetric: every iteration returns exactly the initial
+    mass — integer arithmetic, no drift."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_pagerank_chain_exact_values(spark):
+    """a->b with no back-edge: a decays to the teleport floor after
+    iter 1, b settles at teleport + d*teleport."""
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert got["a"] == 150_000
+    assert got["b"] == 150_000 + (85 * 150_000) // 100
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """The node pointed to by everyone outranks the teleport-floor
+    leaves (b, c have no in-edges); a — the hub's sole outlink —
+    inherits the hub's whole rank, so it too sits above the floor."""
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        ["src", "dst"],
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert got["hub"] > got["b"] == got["c"] == 150_000
+    assert got["a"] > got["b"]
+
+
+def test_click_edges_per_user_transitions(spark):
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        # user u1: x -> y -> x ; user u2: y -> y (self-loop dropped)
+        (1, t0, "u1", "x"),
+        (2, t0 + dt.timedelta(minutes=1), "u1", "y"),
+        (3, t0 + dt.timedelta(minutes=2), "u1", "x"),
+        (4, t0, "u2", "y"),
+        (5, t0 + dt.timedelta(minutes=1), "u2", "y"),
+        (6, None, "u2", "z"),  # NULL ts excluded
+    ]
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, remote_host string, message string"
+    )
+    got = {(r.src, r.dst) for r in click_edges(logs).collect()}
+    assert got == {("x", "y"), ("y", "x")}
+
+
+def _cm_logs(spark, rows):
+    return spark.createDataFrame(rows, "timestamp timestamp, message string")
+
+
+def test_cm_estimate_overestimates_never_under(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = []
+    for i, (key, n) in enumerate([("a", 30), ("b", 7), ("c", 1)]):
+        rows += [(t0 + dt.timedelta(seconds=i), key)] * n
+    logs = _cm_logs(spark, rows)
+    path = str(tmp_path / "cm")
+    build_cm_sketches(logs, path, width=64)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], ["key"])
+    got = {
+        r.key: r.est
+        for r in cm_estimate_over_range(
+            spark, path, keys, "2024-01-01", "2024-01-01", width=64
+        ).collect()
+    }
+    assert got["a"] >= 30 and got["b"] >= 7 and got["c"] >= 1
+    # total mass bounds any single estimate
+    assert all(v <= 38 for v in got.values())
+
+
+def test_cm_update_equals_rebuild(spark, tmp_path):
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    day1 = [(d1, k) for k in ["a", "a", "b"]]
+    day2 = [(d2, k) for k in ["a", "c", "c", "c"]]
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_cm_sketches(_cm_logs(spark, day1), inc)
+    update_cm_sketches(_cm_logs(spark, day2), inc)
+    build_cm_sketches(_cm_logs(spark, day1 + day2), full)
+    a = sorted(
+        (r.day, r.row, r.col, r.cnt)
+        for r in spark.read.parquet(inc).collect()
+    )
+    b = sorted(
+        (r.day, r.row, r.col, r.cnt)
+        for r in spark.read.parquet(full).collect()
+    )
+    assert a == b
+    # range query over both days: a appears 3x total
+    keys = spark.createDataFrame([("a",)], ["key"])
+    est = cm_estimate_over_range(
+        spark, inc, keys, "2024-01-01", "2024-01-02"
+    ).collect()[0].est
+    assert est >= 3
+
+
+def test_cm_day_filter_prunes_partitions(spark, tmp_path):
+    """The range read reaches the sketch table as a partition filter."""
+    d1, d2 = dt.datetime(2024, 1, 1, 9), dt.datetime(2024, 1, 2, 9)
+    path = str(tmp_path / "cm")
+    build_cm_sketches(_cm_logs(spark, [(d1, "a"), (d2, "b")]), path)
+    sub = spark.read.parquet(path).filter(F.col("day") == "2024-01-01")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
