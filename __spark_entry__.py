@@ -1110,6 +1110,230 @@ FROM sized GROUP BY site
 """
 
 
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketch table (operators/sketches.py): per-day
+    depth×width frequency cells persisted once, then a week's key
+    frequencies answered by cell-wise-summing the covered days and
+    taking the min over depth rows — fixed KBs per day regardless of
+    key cardinality, the point-frequency sibling of the HLL cube. The
+    key hash is the portable fingerprint, so the estimate is
+    DETERMINISTIC and the oracle replays it bit-for-bit (a hard hash
+    row); only est's relation to the true count is probabilistic —
+    emitted as the always-true ``never_under`` flag (est ≥ exact, the
+    CM guarantee)."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimate_over_range,
+    )
+
+    logs = events_as_logs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_cm_{tag}")
+    build_cm_sketches(logs, path, key_col="message")
+    lo, hi = SKETCH_RANGE
+    day = F.date_format("timestamp", "yyyy-MM-dd")
+    inrange = logs.filter(
+        F.col("timestamp").isNotNull()
+        & F.col("message").isNotNull()
+        & (day >= lo)
+        & (day <= hi)
+    )
+    keys = inrange.select(F.col("message").alias("key")).distinct()
+    est = cm_estimate_over_range(spark, path, keys, lo, hi)
+    exact = inrange.groupBy(F.col("message").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        est.join(exact, "key")
+        .select(
+            "key",
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("never_under"),
+        )
+        .orderBy(F.col("est").desc(), F.col("key"))
+        .limit(25)
+    )
+
+
+def _cm_heavy_hitters_sql() -> str:
+    from pond_spark.functions.text import fingerprint_sql
+    from pond_spark.operators.sketches import (
+        BK_A,
+        BK_C,
+        BK_MOD,
+        CM_DEPTH,
+        CM_WIDTH,
+    )
+
+    lo, hi = SKETCH_RANGE
+    # building cells from per-key range totals == building per-day and
+    # summing the covered days (cell merge is addition)
+    return f"""
+WITH {LOGS_CTE},
+occ AS (SELECT message AS key FROM logs
+        WHERE "timestamp" IS NOT NULL AND message IS NOT NULL
+          AND strftime("timestamp", '%Y-%m-%d') >= '{lo}'
+          AND strftime("timestamp", '%Y-%m-%d') <= '{hi}'),
+cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS exact FROM occ GROUP BY 1),
+kh AS (SELECT key, exact, {fingerprint_sql("key")} AS kh FROM cnt),
+rows_ AS (SELECT unnest(range({CM_DEPTH})) AS r),
+cells AS (SELECT r,
+                 ((kh * {BK_A} + (r + 1) * {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col,
+                 CAST(sum(exact) AS BIGINT) AS cnt
+          FROM kh CROSS JOIN rows_ GROUP BY 1, 2),
+probe AS (SELECT k.key, k.exact, r,
+                 ((k.kh * {BK_A} + (r + 1) * {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col
+          FROM kh k CROSS JOIN rows_),
+est AS (SELECT p.key, p.exact, CAST(min(c.cnt) AS BIGINT) AS est
+        FROM probe p JOIN cells c ON p.r = c.r AND p.col = c.col
+        GROUP BY 1, 2)
+SELECT key, est, exact, est >= exact AS never_under
+FROM est ORDER BY est DESC, key ASC LIMIT 25
+"""
+
+
+#: bloom blocklist: every doc whose source is one of these is "seen"
+BLOOM_SOURCES = ("src0", "src3", "src7", "src11")
+BLOOM_M, BLOOM_K = 8192, 5
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (dedup/bloom.py): build the
+    bitmap over the portable content fingerprints of a 4-source
+    blocklist, probe EVERY document with k chained broadcast joins
+    (zero probe-side exchanges — the map-side front end that keeps
+    definite-new rows out of DigestCatalog's anti-join at 100 TB),
+    then report per source: docs, bloom hits, true members, false
+    positives. No false negatives by construction — n_flagged ≥
+    n_member on every row; the whole frame is exact integers and the
+    oracle rebuilds the identical bitmap."""
+    from pond_spark.dedup.bloom import build_bloom, mark_membership
+    from pond_spark.functions.text import fingerprint
+
+    docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
+    keyed = _fan(docs).select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    blocklist = (
+        keyed.filter(F.col("source").isin(*BLOOM_SOURCES))
+        .select(F.col("fp").alias("key"))
+        .distinct()
+    )
+    bloom = build_bloom(blocklist, "key", BLOOM_M, BLOOM_K)
+    marked = mark_membership(keyed, bloom, "fp", BLOOM_M, BLOOM_K)
+    member = marked.join(
+        blocklist, marked.fp == blocklist.key, "left"
+    ).select(
+        "source",
+        F.col("might_contain").cast("long").alias("_hit"),
+        F.col("key").isNotNull().cast("long").alias("_mem"),
+    )
+    return (
+        member.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_hit").alias("n_flagged"),
+            F.sum("_mem").alias("n_member"),
+            (F.sum("_hit") - F.sum("_mem")).alias("n_false_pos"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bloom_prefilter_sql() -> str:
+    from pond_spark.dedup.bloom import BF_A1, BF_A2, BF_C1, BF_C2, BF_P
+    from pond_spark.functions.text import fingerprint_sql
+
+    srcs = ", ".join(f"'{s}'" for s in BLOOM_SOURCES)
+    h1 = f"(fp * {BF_A1} + {BF_C1}) % {BF_P}"
+    h2 = f"(((fp * {BF_A2} + {BF_C2}) % {BF_P}) * 2 + 1)"
+    return f"""
+WITH fpd AS (SELECT doc_id, source, {fingerprint_sql("text")} AS fp
+             FROM documents WHERE text IS NOT NULL),
+bl AS (SELECT DISTINCT fp FROM fpd WHERE source IN ({srcs})),
+ks AS (SELECT unnest(range({BLOOM_K})) AS i),
+blpos AS (SELECT ({h1} + i * {h2}) % {BLOOM_M} AS pos
+          FROM bl CROSS JOIN ks),
+bloom AS (SELECT pos // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+          FROM blpos GROUP BY 1),
+probe AS (SELECT doc_id, ({h1} + i * {h2}) % {BLOOM_M} AS pos
+          FROM fpd CROSS JOIN ks),
+hit AS (SELECT doc_id,
+               min(CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits & (CAST(1 AS BIGINT)
+                                        << CAST(p.pos % 32 AS INT))) != 0
+                        THEN 1 ELSE 0 END) AS ok
+        FROM probe p LEFT JOIN bloom b ON p.pos // 32 = b.word
+        GROUP BY 1)
+SELECT f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h.ok) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN bl.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_member,
+       CAST(sum(h.ok) - sum(CASE WHEN bl.fp IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM fpd f
+JOIN hit h ON f.doc_id = h.doc_id
+LEFT JOIN bl ON f.fp = bl.fp
+GROUP BY 1 ORDER BY 1
+"""
+
+
+PR_ITER, PR_SCALE, PR_TELEPORT = 5, 1_000_000, 150_000
+
+
+def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-graph PageRank (operators/pagerank.py): per-user
+    consecutive page transitions → distinct directed edges → 5
+    fixed-point iterations of all-integer rank flow (teleport +
+    rational damping, floor-div shares). The host-authority signal
+    curation pipelines weight corpora by, computed with node-id-only
+    shuffles. Hashed projection is pure int64 — the oracle unrolls the
+    identical 5 iterations."""
+    from pond_spark.operators.pagerank import click_edges, pagerank
+
+    logs = events_as_logs(spark, sf_dir)
+    pr = pagerank(click_edges(logs), iterations=PR_ITER, scale=PR_SCALE)
+    return pr.orderBy(F.col("rank").desc(), F.col("node")).limit(25)
+
+
+def _pagerank_top_sql() -> str:
+    iters = "r0 AS (SELECT node, CAST({s} AS BIGINT) AS rank FROM nodes)".format(
+        s=PR_SCALE
+    )
+    for n in range(1, PR_ITER + 1):
+        iters += f""",
+r{n} AS (SELECT n.node,
+                {PR_TELEPORT} + (85 * COALESCE(s.inflow, 0)) // 100 AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inflow
+           FROM r{n - 1} r
+           JOIN edges e ON r.node = e.src
+           JOIN deg d ON e.src = d.src
+           GROUP BY 1) s ON n.node = s.node)"""
+    return f"""
+WITH {LOGS_CTE},
+clicks AS (SELECT remote_host AS u, "timestamp" AS ts, id, message AS node
+           FROM logs WHERE "timestamp" IS NOT NULL
+             AND message IS NOT NULL AND remote_host IS NOT NULL),
+steps AS (SELECT lag(node) OVER (PARTITION BY u ORDER BY ts, id) AS src,
+                 node AS dst
+          FROM clicks),
+edges AS (SELECT DISTINCT src, dst FROM steps
+          WHERE src IS NOT NULL AND src != dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+{iters}
+SELECT node, CAST(rank AS BIGINT) AS rank
+FROM r{PR_ITER} ORDER BY rank DESC, node ASC LIMIT 25
+"""
+
+
 def q_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppressed (site, day) count export
     (operators/kanon.py): groups with fewer than 60 DISTINCT visitors
@@ -3480,6 +3704,10 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "kanon_export": (q_kanon_export, None),  # lazy sql
+    # new this round (2): CM sketch cube, bloom prefilter, pagerank
+    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
+    "bloom_prefilter": (q_bloom_prefilter, None),  # lazy sql
+    "pagerank_top": (q_pagerank_top, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3506,23 +3734,27 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "retention": (q_retention, RETENTION_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "repetition": (q_repetition, REPETITION_SQL),
-    "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
     # ---- window boundary (index 50): everything below is green -----
     # ---- (r3/r4) on files unchanged since that attestation ---------
+    # (accumulate_top/more, anonymize, perplexity, hard_negatives and
+    # chunk_documents rotated below in round 5 to make room for the
+    # six new operators — their files are unchanged since their last
+    # green row, a legitimate carry)
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
+    "hard_negatives": (q_hard_negatives, None),  # lazy sql
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
@@ -3574,6 +3806,9 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "shuffle_shards": _shuffle_shards_sql,
     "bitext_pairs": _bitext_pairs_sql,
     "kanon_export": _kanon_export_sql,
+    "cm_heavy_hitters": _cm_heavy_hitters_sql,
+    "bloom_prefilter": _bloom_prefilter_sql,
+    "pagerank_top": _pagerank_top_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
