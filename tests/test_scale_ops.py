@@ -175,3 +175,174 @@ def test_cm_day_filter_prunes_partitions(spark, tmp_path):
     sub = spark.read.parquet(path).filter(F.col("day") == "2024-01-01")
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+# ---------------------------------------------------------------------------
+# CUSUM, corpus drift, BPE
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """Hand-solved series with a gap hour; scores must equal the
+    textbook recursion s_t = max(0, s_{t-1} + x_t - k)."""
+    t0 = dt.datetime(2024, 1, 1, 0)
+    counts = {0: 10, 2: 30, 3: 30, 4: 5, 5: 25}  # hour 1 is a gap
+    rows = []
+    i = 0
+    for h, n in counts.items():
+        for _ in range(n):
+            rows.append((i, t0 + dt.timedelta(hours=h), "s"))
+            i += 1
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string"
+    )
+    from pond_spark.operators.anomaly import cusum_anomalies, cusum_scores
+
+    got = {
+        r.hour.hour: (r.cnt, r.cusum)
+        for r in cusum_scores(logs, k=10).collect()
+    }
+    assert got == {
+        0: (10, 0),
+        1: (0, 0),
+        2: (30, 20),
+        3: (30, 40),
+        4: (5, 35),
+        5: (25, 50),
+    }
+    alerts = {r.hour.hour for r in cusum_anomalies(logs, k=10, h=34).collect()}
+    assert alerts == {3, 4, 5}
+
+
+def _pyfp(word: str) -> int:
+    h = 0
+    for c in word:
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    return h
+
+
+def test_corpus_drift_matches_python_replay(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb bb cc", "A"),
+            (2, "aa aa dd", "A"),
+            (3, "bb bb bb ee", "B"),
+            (4, "cc dd dd", "B"),
+            (5, "zz zz", "C"),  # in neither slice
+        ],
+        "doc_id long, text string, grp string",
+    )
+    from pond_spark.operators.drift import corpus_drift
+
+    nb = 16
+    got = corpus_drift(
+        docs, F.col("grp") == "A", F.col("grp") == "B", n_buckets=nb, top=16
+    ).collect()
+
+    import collections
+
+    ca: dict[int, int] = collections.Counter()
+    cb: dict[int, int] = collections.Counter()
+    for text, grp in [
+        ("aa bb bb cc", "A"),
+        ("aa aa dd", "A"),
+        ("bb bb bb ee", "B"),
+        ("cc dd dd", "B"),
+    ]:
+        for w in text.strip().lower().split():
+            if grp == "A":
+                ca[_pyfp(w) % nb] += 1
+            else:
+                cb[_pyfp(w) % nb] += 1
+    ta, tb = sum(ca.values()), sum(cb.values())
+    exp = {}
+    for bkt in set(ca) | set(cb):
+        pa = ca[bkt] * 1_000_000 // max(ta, 1)
+        pb = cb[bkt] * 1_000_000 // max(tb, 1)
+        exp[bkt] = (ca[bkt], cb[bkt], pa, pb, pa - pb)
+    assert {
+        r.bucket: (r.cnt_a, r.cnt_b, r.ppm_a, r.ppm_b, r.delta_ppm)
+        for r in got
+    } == exp
+
+
+def _ref_bpe(word_counts, n, min_pair=2):
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n + 1):
+        pairs: dict = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = (
+                    pairs.get((sym[i], sym[i + 1]), 0) + c
+                )
+        cand = [(v, a, b) for (a, b), v in pairs.items() if v >= min_pair]
+        if not cand:
+            break
+        best = sorted(cand, key=lambda t: (-t[0], t[1], t[2]))[0]
+        merges.append((rank, best[1], best[2], best[0]))
+        new: dict = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[1]
+                    and sym[i + 1] == best[2]
+                ):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges, vocab
+
+
+_BPE_DOCS = [
+    (1, "low low low low low"),
+    (2, "lower lower newest newest"),
+    (3, "newest newest newest newest"),
+    (4, "widest widest widest"),
+    (5, "new new lower"),
+]
+
+
+def _bpe_word_counts():
+    import collections
+
+    wc: dict = collections.Counter()
+    for _, text in _BPE_DOCS:
+        for w in text.strip().lower().split():
+            wc[w] += 1
+    return wc
+
+
+def test_bpe_train_matches_reference(spark):
+    from pond_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, 8).orderBy("rank").collect()
+    ]
+    exp, _ = _ref_bpe(_bpe_word_counts(), 8)
+    assert got == exp
+
+
+def test_bpe_segment_roundtrip_and_reference(spark):
+    from pond_spark.functions.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, 8).orderBy("rank").collect()
+    ]
+    seg = bpe_segment(docs, merges).collect()
+    # reassembly: pieces always concatenate back to word + </w>
+    for r in seg:
+        assert "".join(r.pieces) == r.word + "</w>"
+    # exact piece sequences match the reference apply
+    _, ref_vocab = _ref_bpe(_bpe_word_counts(), 8)
+    ref_pieces = {"".join(sym)[: -len("</w>")]: list(sym) for sym in ref_vocab}
+    for r in seg:
+        assert list(r.pieces) == ref_pieces[r.word]
