@@ -1404,6 +1404,85 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_fan(_documents(spark, sf_dir)), n_merges=12)
 
 
+UNIMAX_EPOCHS = 2
+
+
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped budget allocation + deterministic
+    materialization (operators/unimax.py, Chung et al. 2023): the
+    waterfilling recursion in closed form (two windows over the L-row
+    language frame), budget = half the corpus, caps at 2 epochs; then
+    the seed-stable selected subset per language (one (id, lang, size)
+    shuffle — documents never move). Output is all-integer:
+    per-language corpus size, cap, quota, selected docs/chars. The
+    budget is data-derived (total div 2) so the funded/unfunded split
+    exercises both branches at every SF; the bounded 1-row total
+    collect is the IVF-Lloyd pattern."""
+    from pond_spark.operators.unimax import unimax_quotas, unimax_select
+
+    docs = _documents(spark, sf_dir)
+    base = docs.filter(
+        F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    total = base.agg(F.sum("n_chars").cast("long")).collect()[0][0] or 0
+    budget = total // 2
+    quotas = unimax_quotas(docs, budget, UNIMAX_EPOCHS)
+    sel = (
+        unimax_select(docs, budget, UNIMAX_EPOCHS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.sum("size").alias("sel_chars"),
+        )
+    )
+    return quotas.join(sel, "lang", "left").select(
+        "lang",
+        "size",
+        "cap",
+        "quota",
+        F.coalesce("n_sel", F.lit(0)).cast("long").alias("n_sel"),
+        F.coalesce("sel_chars", F.lit(0)).cast("long").alias("sel_chars"),
+    )
+
+
+def _unimax_mixture_sql() -> str:
+    from pond_spark.operators.unimax import (
+        UX_A,
+        UX_C,
+        UX_MOD,
+        unimax_quotas_sql,
+    )
+
+    budget = (
+        "(SELECT CAST(sum(n_chars) AS BIGINT) // 2 FROM documents "
+        "WHERE lang IS NOT NULL AND n_chars IS NOT NULL)"
+    )
+    quotas = unimax_quotas_sql(
+        budget, UNIMAX_EPOCHS, as_with_quotas=True
+    ).strip()
+    return f"""
+{quotas},
+keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS dsize,
+         (doc_id * {UX_A} + 1 * {UX_C}) % {UX_MOD} AS sk
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+running AS (
+  SELECT lang, dsize,
+         sum(dsize) OVER (PARTITION BY lang ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM keyed),
+sel AS (
+  SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sel,
+         CAST(sum(r.dsize) AS BIGINT) AS sel_chars
+  FROM running r JOIN quotas q ON r.lang = q.lang
+  WHERE r.run <= q.quota GROUP BY 1)
+SELECT q.lang, q.size, q.cap, q.quota,
+       COALESCE(s.n_sel, 0) AS n_sel,
+       COALESCE(s.sel_chars, 0) AS sel_chars
+FROM quotas q LEFT JOIN sel s ON q.lang = s.lang
+"""
+
+
 def q_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity suppressed (site, day) count export
     (operators/kanon.py): groups with fewer than 60 DISTINCT visitors
@@ -3781,6 +3860,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
     "bpe_vocab": (q_bpe_vocab, None),  # rows-only (iterative argmax)
+    "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
@@ -3807,7 +3887,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "repetition": (q_repetition, REPETITION_SQL),
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
@@ -3829,6 +3908,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "retention": (q_retention, RETENTION_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
@@ -3885,6 +3965,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "pagerank_top": _pagerank_top_sql,
     "cusum_alerts": _cusum_alerts_sql,
     "corpus_drift": _corpus_drift_sql,
+    "unimax_mixture": _unimax_mixture_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -30,8 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pond_spark.similarity.brute import knn_join
-
 #: margin quantization: basis points (1.0 ratio == 10000)
 MARGIN_SCALE = 10_000
 
@@ -58,21 +56,41 @@ def bitext_mine(
     id. ``cos_q`` is the micro-unit cosine (integer)."""
     from pyspark.sql.window import Window
 
-    kw = dict(k=k, vec_col=vec_col, dim=dim)
+    from pond_spark.similarity.brute import cross_scores
+
+    # cosine is symmetric, so the forward (src->tgt) and backward
+    # (tgt->src) k-NN rank the SAME score matrix — score it once
+    # (element-order-identical dot products, so values are bit-equal
+    # to two knn_join passes) and persist the (ids, cosine) frame:
+    # it feeds both direction windows plus the candidate union, and
+    # its footprint is the O(n·m) the exact miner already is.
+    kw = {}
     if max_rows is not None:
         kw["max_right_rows"] = max_rows
-    fwd = knn_join(src, tgt, left_id=src_id, right_id=tgt_id, **kw)
-    bwd = knn_join(tgt, src, left_id=tgt_id, right_id=src_id, **kw)
-
-    fq = fwd.select(
-        F.col("qid").alias("sid"),
-        F.col("nid").alias("tid"),
-        _micro(F.col("cosine")).alias("cos_q"),
+    sc = (
+        cross_scores(src, tgt, vec_col, src_id, tgt_id, dim, **kw)
+        .select(
+            F.col("qid").alias("sid"),
+            F.col("nid").alias("tid"),
+            _micro(F.col("cosine")).alias("cos_q"),
+        )
+        .persist()
     )
-    bq = bwd.select(
-        F.col("nid").alias("sid"),
-        F.col("qid").alias("tid"),
-        _micro(F.col("cosine")).alias("cos_q"),
+    wf = Window.partitionBy("sid").orderBy(
+        F.col("cos_q").desc(), F.col("tid").asc()
+    )
+    wb = Window.partitionBy("tid").orderBy(
+        F.col("cos_q").desc(), F.col("sid").asc()
+    )
+    fq = (
+        sc.withColumn("_rk", F.row_number().over(wf))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    bq = (
+        sc.withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
     # candidate pairs: union of both directions (cosine is symmetric,
     # so the distinct collapses duplicates exactly)

@@ -138,6 +138,42 @@ def knn_join(
             "similarity.ivf.ivf_topk for large right sides, or raise "
             "max_right_rows explicitly."
         )
+    scored = cross_scores(
+        left, right, vec_col, left_id, right_id, dim, guard=False
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def cross_scores(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    dim: int | None = None,
+    guard: bool = True,
+    max_right_rows: int = KNN_JOIN_MAX_RIGHT_ROWS,
+) -> DataFrame:
+    """The broadcast cross-score frame ``(qid, nid, cosine)`` both
+    knn_join and bitext_mine rank over — factored out so a consumer
+    that needs BOTH directions (bitext's forward and backward k-NN)
+    scores the symmetric matrix once instead of twice. Zero-norm rows
+    (NULL cosine) are already filtered; cosines carry knn_join's
+    6-decimal rounding."""
+    if guard and (
+        right.select(right_id).limit(max_right_rows + 1).count()
+        > max_right_rows
+    ):
+        raise ValueError(
+            f"cross_scores right side exceeds max_right_rows="
+            f"{max_right_rows}: a broadcast cartesian at this size is a "
+            "scale-killer. Use similarity.lsh / similarity.ivf candidates."
+        )
     # hoist the norms out of the cross score: one norm per vector
     # instead of one per (query, neighbor) pair — identical value
     # (same fold over the same vector), 2/3 fewer flops in the join
@@ -151,21 +187,18 @@ def knn_join(
         F.col(vec_col).alias("_nv"),
         _norm(F.col(vec_col), dim).alias("_nn"),
     )
-    scored = l.join(F.broadcast(r), F.lit(True)).select(
-        "qid",
-        "nid",
-        F.round(
-            _safe_cos_div(
-                _dot(F.col("_qv"), F.col("_nv"), dim),
-                F.col("_qn") * F.col("_nn"),
-            ),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
-        scored.filter(F.col("cosine").isNotNull())  # zero-norm rows out
-        .withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= k)
-        .drop("_rank")
+        l.join(F.broadcast(r), F.lit(True))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _safe_cos_div(
+                    _dot(F.col("_qv"), F.col("_nv"), dim),
+                    F.col("_qn") * F.col("_nn"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())  # zero-norm rows out
     )

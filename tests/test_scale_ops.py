@@ -346,3 +346,88 @@ def test_bpe_segment_roundtrip_and_reference(spark):
     ref_pieces = {"".join(sym)[: -len("</w>")]: list(sym) for sym in ref_vocab}
     for r in seg:
         assert list(r.pieces) == ref_pieces[r.word]
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation
+
+
+def _ref_unimax_quotas(sizes: dict, budget: int, epochs: int) -> dict:
+    """Independent replay of the documented closed form: fund the
+    largest prefix (capacity asc) whose cap fits the even split of
+    the remaining budget; everyone after gets the floor-even share."""
+    order = sorted(sizes.items(), key=lambda kv: (epochs * kv[1], kv[0]))
+    L = len(order)
+    caps = [epochs * s for _, s in order]
+    prefix = 0
+    k, spent = 0, 0
+    for i, c in enumerate(caps, start=1):
+        prefix += c
+        if c * (L - i + 1) <= budget - (prefix - c):
+            k, spent = i, prefix
+    out = {}
+    for i, (lang, s) in enumerate(order, start=1):
+        if i <= k:
+            out[lang] = epochs * s
+        else:
+            out[lang] = max((budget - spent) // max(L - k, 1), 0)
+    return out
+
+
+def test_unimax_quotas_match_reference(spark):
+    from pond_spark.operators.unimax import unimax_quotas
+
+    rows = []
+    sizes = {"aa": 100, "bb": 400, "cc": 2000, "dd": 5000}
+    i = 0
+    for lang, total in sizes.items():
+        # split each language's mass over a few docs
+        for part in (total // 2, total - total // 2):
+            rows.append((i, lang, part))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    for budget, epochs in [(3000, 2), (100_000, 2), (50, 1), (0, 3)]:
+        got = {
+            r.lang: r.quota
+            for r in unimax_quotas(docs, budget, epochs).collect()
+        }
+        exp = _ref_unimax_quotas(sizes, budget, epochs)
+        assert got == exp, (budget, epochs)
+        assert sum(got.values()) <= max(budget, sum(exp.values()))
+        for lang, q in got.items():
+            assert 0 <= q <= epochs * sizes[lang]
+
+
+def test_unimax_select_respects_quota_and_determinism(spark):
+    from pond_spark.operators.unimax import unimax_quotas, unimax_select
+
+    rows = [(i, "aa" if i % 3 else "bb", 50 + (i % 7) * 10) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    sel = unimax_select(docs, budget=1500, epochs=1).collect()
+    quotas = {
+        r.lang: r.quota for r in unimax_quotas(docs, 1500, 1).collect()
+    }
+    by_lang: dict = {}
+    for r in sel:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert sum(r.size for r in rs) <= quotas[lang]
+    # deterministic: second run identical
+    sel2 = unimax_select(docs, budget=1500, epochs=1).collect()
+    assert sorted(r.doc_id for r in sel) == sorted(r.doc_id for r in sel2)
+    # greedy prefix property: selected ids are a prefix in shuffle-key
+    # order — no selected doc has a larger key than an unselected one
+    # that would still have fit entirely before it
+    all_keys = {
+        r.doc_id: r.shuffle_key
+        for r in unimax_select(docs, budget=10**9, epochs=10).collect()
+    }
+    for lang, rs in by_lang.items():
+        chosen = {r.doc_id for r in rs}
+        max_chosen = max(all_keys[d] for d in chosen)
+        skipped = [
+            d
+            for d, k in all_keys.items()
+            if d not in chosen and k < max_chosen and (d % 3 == 0) == (lang == "bb")
+        ]
+        assert not skipped
