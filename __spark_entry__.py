@@ -1387,21 +1387,56 @@ def _corpus_drift_sql() -> str:
     return corpus_drift_sql("lang = 'en'", "lang <> 'en'", n_buckets=64, top=30)
 
 
+BPE_MERGES = 12
+BPE_SAMPLE = 20
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (functions/bpe.py,
     Sennrich 2016): 12 merges learned on the vocabulary frame — the
     corpus is reduced once to (word, count); every merge iteration
     runs on that frame only (pair explode → map-side-combined groupBy
-    → bounded 1-row argmax collect → JVM aggregate-lambda rewrite).
+    → bounded 1-row argmax collect → JVM aggregate-lambda rewrite) —
+    plus a segmented-corpus sample: the top-20 words by (count, word)
+    with their final piece sequences, ranks 101..120 in the same
+    4-column schema.
 
-    Rows-only registry entry: merge selection is an iterative argmax
-    whose every step retokenizes the vocabulary — the VERDICT
-    non-SQL-expressible category. Correctness is pinned by the
-    exact-match pytest vs an independent pure-Python reference
-    (tests/test_scale_ops.py), tie-breaks included."""
-    from pond_spark.functions.bpe import bpe_train
+    HARD oracle row since round 6 (closes VERDICT r5 ask #2): the
+    merge sequence is deterministic (greedy leftmost, tie-breaks
+    pinned), so bpe_train_sql replays the identical 12 iterations as
+    unrolled MATERIALIZED CTEs with the merge rewrite expressed as a
+    delimiter-wrapped string replace. The 12-row merge collect here
+    is the bounded per-iteration argmax the operator already does."""
+    from pond_spark.functions.bpe import bpe_apply, bpe_train
+    from pond_spark.functions.text import _words
+    from pyspark.sql.window import Window
 
-    return bpe_train(_fan(_documents(spark, sf_dir)), n_merges=12)
+    docs = _fan(_documents(spark, sf_dir))
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    mrows = [
+        (r.left, r.right) for r in merges.orderBy("rank").collect()
+    ]
+    words = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = words.orderBy(F.col("cnt").desc(), F.col("word")).limit(BPE_SAMPLE)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    sample = bpe_apply(top, mrows).select(
+        (F.lit(100) + F.row_number().over(w)).cast("long").alias("rank"),
+        F.col("word").alias("left"),
+        F.array_join("pieces", " ").alias("right"),
+        F.col("cnt").alias("pair_count"),
+    )
+    return merges.unionByName(sample)
+
+
+def _bpe_vocab_sql() -> str:
+    from pond_spark.functions.bpe import bpe_train_sql
+
+    return bpe_train_sql(BPE_MERGES, n_sample=BPE_SAMPLE)
 
 
 UNIMAX_EPOCHS = 2
@@ -3859,7 +3894,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_top": (q_pagerank_top, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
-    "bpe_vocab": (q_bpe_vocab, None),  # rows-only (iterative argmax)
+    "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
@@ -3966,6 +4001,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "cusum_alerts": _cusum_alerts_sql,
     "corpus_drift": _corpus_drift_sql,
     "unimax_mixture": _unimax_mixture_sql,
+    "bpe_vocab": _bpe_vocab_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

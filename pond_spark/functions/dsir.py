@@ -71,13 +71,18 @@ def dsir_weights(
 
     # ONE corpus-wide aggregation — everything downstream derives from
     # this (docs x buckets)-sized frame, so the exploded corpus is
-    # scanned once, not once per statistic. Persisted because four
+    # scanned once, not once per statistic. Pinned because four
     # consumers branch off it (the repo's multi-branch reuse rule);
-    # it is the REDUCED frame, never the token stream.
+    # it is the REDUCED frame, never the token stream. localCheckpoint
+    # instead of persist so the blocks are released when the returned
+    # frame is dropped (ContextCleaner) rather than pinned in the cache
+    # manager across queries in a long-lived session; the trade is the
+    # standard localCheckpoint one (no lineage recompute on executor
+    # loss), already accepted for pagerank's iterations.
     per_doc = (
         w.groupBy(id_col, "bucket", "_t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
 
     raw = per_doc.groupBy("bucket").agg(F.sum("cnt").alias("n_r"))

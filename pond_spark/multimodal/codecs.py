@@ -591,6 +591,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns != len(frame["comps"]):
+                # spec-legal baseline multi-scan (non-interleaved):
+                # decoding only the first scan would silently return a
+                # grayscale Y plane for a color image — reject like the
+                # progressive/arithmetic variants instead
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (scan covers "
+                    f"{ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for ci in range(ns):
                 cs, tdta = payload[1 + ci * 2], payload[2 + ci * 2]

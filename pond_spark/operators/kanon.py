@@ -100,12 +100,20 @@ def kanonymize_counts(
         rest = sup
         out = keep
 
-    if protect and trail:
+    if protect:
         # exact distinct basis for the final bucket: re-aggregate the
-        # rows of the still-suppressed lead values
-        rest_rows = suppressed_rows().join(
-            F.broadcast(rest.select(lead)), [lead], "left_semi"
-        )
+        # rows of the still-suppressed groups. Summing per-group
+        # distinct counts would overstate the pooled population (a
+        # `protect` value spanning several suppressed groups counts
+        # once per group) and publish an all-<other> cell whose true
+        # distinct count is under k — this holds with or without
+        # trailing dims, so the join-back runs in both shapes.
+        if trail:
+            rest_rows = suppressed_rows().join(
+                F.broadcast(rest.select(lead)), [lead], "left_semi"
+            )
+        else:
+            rest_rows = suppressed_rows()
         catch = rest_rows.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col(protect)).alias("_basis"),
@@ -170,6 +178,13 @@ catch AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(b) AS b
           FROM partial WHERE b < {k})"""
         keep2_union = "SELECT * FROM keep2 UNION ALL "
         mid = f"{partial_def},\n{keep2},\n{catch_def},"
+    elif protect:
+        # single dim + protect: pool the suppressed rows and recount
+        # the distinct basis exactly (mirror of the DataFrame branch)
+        mid = f"""
+catch AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 count(DISTINCT {protect}) AS b FROM sup_rows),"""
+        keep2_union = ""
     else:
         mid = f"""
 catch AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(b) AS b FROM sup),"""

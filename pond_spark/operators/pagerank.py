@@ -86,30 +86,40 @@ def pagerank(
     # edge+outdeg staged once; reused by every iteration's join
     fanout = edges.join(outdeg, "src").persist()
 
-    teleport = ((damping_den - damping_num) * scale) // damping_den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        inflow = (
-            ranks.join(fanout, ranks.node == fanout.src)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("share"),
+    try:
+        teleport = ((damping_den - damping_num) * scale) // damping_den
+        ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+        for i in range(iterations):
+            inflow = (
+                ranks.join(fanout, ranks.node == fanout.src)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("_in"))
             )
-            .groupBy("node")
-            .agg(F.sum("share").alias("_in"))
-        )
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(
-                        f"CAST({damping_num} AS BIGINT) * coalesce(_in, 0) "
-                        f"div CAST({damping_den} AS BIGINT)"
-                    )
-                ).alias("rank"),
+            ranks = (
+                nodes.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr(
+                            f"CAST({damping_num} AS BIGINT) * coalesce(_in, 0) "
+                            f"div CAST({damping_den} AS BIGINT)"
+                        )
+                    ).alias("rank"),
+                )
+                # the LAST checkpoint is eager: it materializes the
+                # final ranks (|V| narrow rows) so every pin below can
+                # be released before returning — otherwise the cached
+                # edge/node/fanout blocks would accumulate in executor
+                # storage across queries in a long-lived session
+                .localCheckpoint(eager=(i == iterations - 1))
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
+        return ranks
+    finally:
+        fanout.unpersist()
+        nodes.unpersist()
+        edges.unpersist()

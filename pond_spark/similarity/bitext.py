@@ -20,10 +20,18 @@ id-keyed.
 Numeric determinism (PERF_NOTES rule): cosines arrive rounded to 6
 decimals from the shared cosine_similarity; they are converted to
 exact micro-unit BIGINTs (round(cos * 1e6)), neighborhood sums are
-integer sums, and the margin is INTEGER division
-``cq * 2k * 10000 div (sum_x + sum_y)`` (basis points) restricted to
-positive operands — no float crosses a row boundary, so grouping
-order cannot perturb the hash."""
+integer sums, and the margin is INTEGER division over the ACTUAL
+neighbor counts per side (a vector can have fewer than k neighbors —
+small slice, zero-norm rows dropped), matching Artetxe & Schwenk's
+average-over-actual-neighborhood definition exactly:
+
+    margin_bp = cq * 2 * cnt_s * cnt_t * 10000
+                div (sum_s * cnt_t + sum_t * cnt_s)
+
+which reduces to ``cq * 2k * 10000 div (sum_s + sum_t)`` when both
+sides have full k neighborhoods. Restricted to positive operands —
+no float crosses a row boundary, so grouping order cannot perturb
+the hash."""
 
 from __future__ import annotations
 
@@ -61,9 +69,12 @@ def bitext_mine(
     # cosine is symmetric, so the forward (src->tgt) and backward
     # (tgt->src) k-NN rank the SAME score matrix — score it once
     # (element-order-identical dot products, so values are bit-equal
-    # to two knn_join passes) and persist the (ids, cosine) frame:
-    # it feeds both direction windows plus the candidate union, and
-    # its footprint is the O(n·m) the exact miner already is.
+    # to two knn_join passes) and pin the (ids, cosine) frame: it
+    # feeds both direction windows plus the candidate union, and its
+    # footprint is the O(n·m) the exact miner already is.
+    # localCheckpoint instead of persist so the blocks are released
+    # when the returned frame is dropped (ContextCleaner) rather than
+    # pinned in the cache manager for the session's lifetime.
     kw = {}
     if max_rows is not None:
         kw["max_right_rows"] = max_rows
@@ -74,7 +85,7 @@ def bitext_mine(
             F.col("nid").alias("tid"),
             _micro(F.col("cosine")).alias("cos_q"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     wf = Window.partitionBy("sid").orderBy(
         F.col("cos_q").desc(), F.col("tid").asc()
@@ -96,8 +107,12 @@ def bitext_mine(
     # so the distinct collapses duplicates exactly)
     cand = fq.unionByName(bq).distinct()
 
-    sum_s = fq.groupBy("sid").agg(F.sum("cos_q").alias("sum_s"))
-    sum_t = bq.groupBy("tid").agg(F.sum("cos_q").alias("sum_t"))
+    sum_s = fq.groupBy("sid").agg(
+        F.sum("cos_q").alias("sum_s"), F.count(F.lit(1)).alias("cnt_s")
+    )
+    sum_t = bq.groupBy("tid").agg(
+        F.sum("cos_q").alias("sum_t"), F.count(F.lit(1)).alias("cnt_t")
+    )
 
     scored = (
         cand.join(F.broadcast(sum_s), "sid")
@@ -105,13 +120,18 @@ def bitext_mine(
         # positive-operand restriction keeps integer `div` == floor
         # division in every engine (and a non-positive neighborhood
         # sum means the pair is junk anyway)
-        .filter((F.col("cos_q") > 0) & (F.col("sum_s") + F.col("sum_t") > 0))
+        .filter(
+            (F.col("cos_q") > 0)
+            & (F.col("sum_s") * F.col("cnt_t")
+               + F.col("sum_t") * F.col("cnt_s") > 0)
+        )
         .select(
             "sid",
             "tid",
             "cos_q",
             F.expr(
-                f"cos_q * {2 * k * MARGIN_SCALE} div (sum_s + sum_t)"
+                f"cos_q * {2 * MARGIN_SCALE} * cnt_s * cnt_t"
+                " div (sum_s * cnt_t + sum_t * cnt_s)"
             ).alias("margin_bp"),
         )
         .filter(F.col("margin_bp") >= margin_threshold_bp)
@@ -159,13 +179,16 @@ fq AS (SELECT qid AS sid, nid AS tid, cos_q FROM ({knn.format(d="f")})),
 bq AS (SELECT nid AS sid, qid AS tid, cos_q FROM ({knn.format(d="b")})),
 cand AS (SELECT DISTINCT sid, tid, cos_q FROM (
            SELECT * FROM fq UNION ALL SELECT * FROM bq)),
-sum_s AS (SELECT sid, CAST(sum(cos_q) AS BIGINT) AS sum_s FROM fq GROUP BY sid),
-sum_t AS (SELECT tid, CAST(sum(cos_q) AS BIGINT) AS sum_t FROM bq GROUP BY tid),
+sum_s AS (SELECT sid, CAST(sum(cos_q) AS BIGINT) AS sum_s,
+                 CAST(count(*) AS BIGINT) AS cnt_s FROM fq GROUP BY sid),
+sum_t AS (SELECT tid, CAST(sum(cos_q) AS BIGINT) AS sum_t,
+                 CAST(count(*) AS BIGINT) AS cnt_t FROM bq GROUP BY tid),
 scored AS (
   SELECT sid, tid, cos_q,
-         cos_q * {2 * k * MARGIN_SCALE} // (sum_s + sum_t) AS margin_bp
+         cos_q * {2 * MARGIN_SCALE} * cnt_s * cnt_t
+           // (sum_s * cnt_t + sum_t * cnt_s) AS margin_bp
   FROM cand JOIN sum_s USING (sid) JOIN sum_t USING (tid)
-  WHERE cos_q > 0 AND sum_s + sum_t > 0),
+  WHERE cos_q > 0 AND sum_s * cnt_t + sum_t * cnt_s > 0),
 kept AS (SELECT sid, tid, cos_q, CAST(margin_bp AS BIGINT) AS margin_bp,
                 row_number() OVER (PARTITION BY sid
                                    ORDER BY margin_bp DESC, tid ASC) AS rk

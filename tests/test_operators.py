@@ -871,6 +871,47 @@ def test_kanonymize_row_basis_and_dropped_catchall(spark):
     assert out == {"x": 5}  # y+z pool 2 rows < 3: catchall dropped
 
 
+def test_kanonymize_single_dim_protect_exact_catchall(spark):
+    """Single dim + protect: the catchall basis must be the exact
+    pooled distinct count, not a sum of per-group distincts. Sites b/c
+    each hold users {u1,u2}: summed bases say 4 >= 3 but the pooled
+    cell truly has 2 users and must be DROPPED (both engines)."""
+    import duckdb
+
+    from pond_spark.operators.kanon import (
+        OTHER, kanonymize_counts, kanonymize_counts_sql,
+    )
+
+    rows = (
+        [("a", f"u{i}") for i in range(3)]                 # keep: 3 users
+        + [("b", "u1"), ("b", "u2"), ("b", "u2")]          # suppressed
+        + [("c", "u1"), ("c", "u2")]                       # suppressed
+    )
+    df = spark.createDataFrame(rows, "site string, user string")
+    out = {r.site: r.n for r in kanonymize_counts(
+        df, ("site",), k=3, protect="user"
+    ).collect()}
+    assert out == {"a": 3}  # pooled b+c has 2 distinct users: dropped
+    assert OTHER not in out
+
+    values = ", ".join(f"('{s}', '{u}')" for s, u in rows)
+    sql = kanonymize_counts_sql(
+        f"(SELECT * FROM (VALUES {values}) AS t(site, \"user\"))",
+        ("site",), k=3, protect='"user"',
+    )
+    got = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == {"a": 3}
+
+    # and the publishable shape: add a 3-user site d to the pool so
+    # the exact pooled basis {u1,u2,u7} reaches k and IS published
+    rows2 = rows + [("d", "u7"), ("d", "u7")]
+    df2 = spark.createDataFrame(rows2, "site string, user string")
+    out2 = {r.site: r.n for r in kanonymize_counts(
+        df2, ("site",), k=3, protect="user"
+    ).collect()}
+    assert out2 == {"a": 3, OTHER: 7}
+
+
 def test_kanonymize_null_dims_suppress_correctly(spark):
     """NULL dim values are real groups; the suppressed-row join-back
     must be null-safe or their rows silently vanish from the pool."""

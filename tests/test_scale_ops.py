@@ -330,6 +330,54 @@ def test_bpe_train_matches_reference(spark):
     assert got == exp
 
 
+def test_bpe_train_sql_matches_reference():
+    """The DuckDB twin's unrolled merge replay must equal the
+    pure-Python reference exactly — merges AND the segmented top-word
+    sample (the delimiter-replace rewrite is the greedy leftmost
+    rule)."""
+    import duckdb
+
+    from pond_spark.functions.bpe import bpe_train_sql
+
+    values = ", ".join(
+        f"({i}, '{t}')" for i, t in _BPE_DOCS
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {values})"
+        " AS t(doc_id, text)"
+    )
+    got = con.sql(bpe_train_sql(8, n_sample=3)).fetchall()
+    exp_merges, ref_vocab = _ref_bpe(_bpe_word_counts(), 8)
+    merges = sorted(r for r in got if r[0] <= 100)
+    assert [tuple(m) for m in merges] == exp_merges
+    # sample rows: top-3 words by (cnt DESC, word), final pieces
+    wc = _bpe_word_counts()
+    top = sorted(wc.items(), key=lambda t: (-t[1], t[0]))[:3]
+    ref_pieces = {"".join(sym)[: -len("</w>")]: list(sym) for sym in ref_vocab}
+    exp_sample = [
+        (101 + i, w, " ".join(ref_pieces[w]), c)
+        for i, (w, c) in enumerate(top)
+    ]
+    sample = sorted(r for r in got if r[0] > 100)
+    assert [tuple(s) for s in sample] == exp_sample
+
+
+def test_bpe_corpus_has_no_delimiter_collision():
+    """bpe_train_sql wraps symbols in chr(1); the testdata corpus must
+    contain no control characters for the delimiter to be safe (the
+    equivalence argument in functions/bpe.py relies on this)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            r"WHERE regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs contain control chars"
+
+
 def test_bpe_segment_roundtrip_and_reference(spark):
     from pond_spark.functions.bpe import bpe_segment, bpe_train
 
