@@ -3469,6 +3469,51 @@ def _bitext_pairs_sql() -> str:
     )
 
 
+BITEXT_ANN_NBITS = 6
+BITEXT_ANN_PROBE = 3
+
+
+def q_bitext_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-vs-large bitext mining (similarity/bitext.py
+    bitext_mine_ann, VERDICT r5 ask #3): the exact miner's integer
+    margin arithmetic over LSH-bucketed candidates — shared
+    literal-plane signatures on both slices, 3-probe source-side
+    expansion, ids-only bucket join, neighborhood sums over
+    candidates only. The oracle replays the approximate operator
+    deterministically end-to-end (same planes, probes, candidate
+    join, margin tail), so this is a hash row, not a recall
+    envelope."""
+    from pond_spark.similarity.bitext import bitext_mine_ann
+
+    emb = _fan(_embeddings(spark, sf_dir))
+    return bitext_mine_ann(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        dim=64,
+        k=4,
+        margin_threshold_bp=9_000,
+        nbits=BITEXT_ANN_NBITS,
+        multiprobe=BITEXT_ANN_PROBE,
+    )
+
+
+def _bitext_pairs_ann_sql() -> str:
+    from pond_spark.similarity.bitext import bitext_mine_ann_sql
+    from pond_spark.similarity.lsh import hyperplanes
+
+    planes = hyperplanes(64, nbits=BITEXT_ANN_NBITS, seed=42)
+    return bitext_mine_ann_sql(
+        "label < 5",
+        "label >= 5",
+        _COS_SQL,
+        _sql_bucket(planes),
+        nbits=BITEXT_ANN_NBITS,
+        multiprobe=BITEXT_ANN_PROBE,
+        k=4,
+        margin_threshold_bp=9_000,
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via RHP-LSH buckets, oracle-
     checked end-to-end: the oracle recomputes the same literal-plane
@@ -3887,6 +3932,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
+    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
     "kanon_export": (q_kanon_export, None),  # lazy sql
     # new this round (2): CM sketch cube, bloom prefilter, pagerank
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
@@ -3994,6 +4040,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "dsir_topk": _dsir_topk_sql,
     "shuffle_shards": _shuffle_shards_sql,
     "bitext_pairs": _bitext_pairs_sql,
+    "bitext_pairs_ann": _bitext_pairs_ann_sql,
     "kanon_export": _kanon_export_sql,
     "cm_heavy_hitters": _cm_heavy_hitters_sql,
     "bloom_prefilter": _bloom_prefilter_sql,

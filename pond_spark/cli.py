@@ -410,7 +410,13 @@ def build(
 _COMMANDS = ("query", "stats", "inject", "clone", "cancel")
 
 
-def _run_follow(spark, store_dir: str, parsed, duration: float | None) -> int:
+def _run_follow(
+    spark,
+    store_dir: str,
+    parsed,
+    duration: float | None,
+    max_batch_rows: int | None = None,
+) -> int:
     """Q6/Q7 live tailing from the CLI — the reference client streams
     matches to stdout until interrupted (Main.cxx FOLLOW loop). Engine
     mapping: pond_spark.streaming.follow/continue on the store's
@@ -422,7 +428,15 @@ def _run_follow(spark, store_dir: str, parsed, duration: float | None) -> int:
     (availableNow) and exits — with --continue that prints history then
     returns, the non-interactive twin of the reference's history+tail.
     Without the flag the stream runs until interrupted, like the
-    reference."""
+    reference.
+
+    Each micro-batch is collected to the driver for stdout printing —
+    correct for a tailer (a micro-batch is bounded by the trigger
+    interval's arrivals), but an unfiltered ``--continue`` against a
+    huge store backfills ALL history into the first batch.
+    ``--max-batch-rows=N`` is the safety valve: batches are truncated
+    to the first N rows in (timestamp, id) order, with a stderr
+    warning so truncation is never silent."""
     from pyspark.sql import functions as F
 
     from pond_spark.functions.format import OneLineOptions, one_line
@@ -448,13 +462,20 @@ def _run_follow(spark, store_dir: str, parsed, duration: float | None) -> int:
     )
 
     def _emit(batch_df, _bid):
-        rows = (
-            batch_df.select(
-                F.col("timestamp").alias("_t"), F.col("id").alias("_i"), line
-            )
-            .orderBy(F.col("_t").asc_nulls_first(), F.col("_i").asc())
-            .collect()
-        )
+        ordered = batch_df.select(
+            F.col("timestamp").alias("_t"), F.col("id").alias("_i"), line
+        ).orderBy(F.col("_t").asc_nulls_first(), F.col("_i").asc())
+        if max_batch_rows is not None:
+            rows = ordered.limit(max_batch_rows + 1).collect()
+            if len(rows) > max_batch_rows:
+                print(
+                    f"warning: micro-batch truncated to "
+                    f"--max-batch-rows={max_batch_rows}",
+                    file=sys.stderr,
+                )
+                rows = rows[:max_batch_rows]
+        else:
+            rows = ordered.collect()
         for r in rows:
             print(r.line, flush=True)
 
@@ -479,6 +500,7 @@ def main(argv: list[str] | None = None) -> int:
     geoip_table = None
     hostnames_table = None
     follow_duration: float | None = None
+    max_batch_rows: int | None = None
     rest: list[str] = []
     for a in argv:
         if (v := _filter_value(a, "--store")) is not None:
@@ -498,6 +520,15 @@ def main(argv: list[str] | None = None) -> int:
                 follow_duration = float(v)
             except ValueError:
                 print(f"Bad --follow-duration: {v!r}", file=sys.stderr)
+                return 2
+        elif (v := _filter_value(a, "--max-batch-rows")) is not None:
+            # safety valve on the per-micro-batch driver collect: an
+            # unfiltered --continue against a huge store would pull
+            # the whole backfill through the stdout formatter
+            try:
+                max_batch_rows = int(v)
+            except ValueError:
+                print(f"Bad --max-batch-rows: {v!r}", file=sys.stderr)
                 return 2
         else:
             rest.append(a)
@@ -623,7 +654,9 @@ def main(argv: list[str] | None = None) -> int:
         _load_table(hostnames_table) if hostnames_table is not None else None
     )
     if parsed.options.follow or parsed.options.continue_:
-        return _run_follow(spark, store, parsed, follow_duration)
+        return _run_follow(
+            spark, store, parsed, follow_duration, max_batch_rows
+        )
 
     try:
         # build() raises for option combinations only detectable after

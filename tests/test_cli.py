@@ -309,6 +309,29 @@ def test_main_build_errors_exit_2_not_traceback(spark, store_dir, capsys):
     assert capsys.readouterr().out.strip() == ""
 
 
+def test_main_follow_max_batch_rows_caps_collect(spark, store_dir, capsys):
+    """--max-batch-rows=N truncates each micro-batch's driver collect
+    (the --continue backfill safety valve): only N lines print, with a
+    non-silent stderr warning; and a bad value exits 2."""
+    from pond_spark.cli import main
+
+    assert (
+        main([
+            f"--store={store_dir}", "--follow-duration=0",
+            "--max-batch-rows=3", "query", "--continue",
+        ])
+        == 0
+    )
+    out, err = capsys.readouterr()
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    assert len(lines) == 3
+    assert "truncated" in err
+
+    assert main([
+        f"--store={store_dir}", "--max-batch-rows=lots", "query",
+    ]) == 2
+
+
 def test_main_per_site_auto_group_site(spark, store_dir, tmp_path, capsys):
     """--per-site with no site filter auto-enables GROUP_SITE(max)
     (reference client Main.cxx:336-343): records without a site are

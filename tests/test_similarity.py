@@ -96,6 +96,35 @@ def test_knn_join_guards_large_right_side(vectors):
     assert knn_join(small, vectors, k=2, max_right_rows=10**6).count() == 6
 
 
+def test_cross_scores_guard_boundary_fuzz(spark, vectors):
+    """Property-fuzz the limit-probe guard (VERDICT r5 ask #6): for
+    120 randomized (right_rows, max_right_rows) pairs around the
+    boundary, cross_scores must refuse iff right_rows > max — an
+    off-by-one in the limit(max+1) probe would show up here. The
+    non-raising branch stays lazy, so each case costs one tiny count
+    job."""
+    import random
+
+    import pytest
+
+    from pond_spark.similarity.brute import cross_scores
+
+    rng = random.Random(0xC0FFEE)
+    left = vectors.filter("vec_id = 0")
+    total = vectors.count()
+    for _ in range(120):
+        n = rng.randint(1, min(20, total))
+        # max around the boundary: n-2 .. n+2, floor 1
+        m = max(1, n + rng.randint(-2, 2))
+        right = vectors.limit(n)
+        if n > m:
+            with pytest.raises(ValueError, match="scale-killer"):
+                cross_scores(left, right, max_right_rows=m)
+        else:
+            # must NOT raise; plan construction + guard probe only
+            cross_scores(left, right, max_right_rows=m)
+
+
 def test_ivf_topk_recall(vectors):
     """IVF with all lists probed == brute force; with nprobe=4/8 the
     planted near-dups of vector 0 must still be found when querying
@@ -416,6 +445,67 @@ def test_bitext_margin_suppresses_hub(spark):
         src, tgt, k=2, margin_threshold_bp=0, dim=8
     ).collect()}
     assert again == {s: r.tid for s, r in out.items()}
+
+
+def test_bitext_ann_full_probe_equals_exact(spark):
+    """With nbits=1 and multiprobe=1 every source row probes both
+    buckets, so the ANN candidate set is the full cross matrix and
+    bitext_mine_ann must EQUAL bitext_mine exactly — same margin
+    arithmetic over the same scores."""
+    from pond_spark.similarity.bitext import bitext_mine, bitext_mine_ann
+
+    emb = [
+        (i, [float((i * 13 + j * 5) % 9 - 4) for j in range(8)])
+        for i in range(24)
+    ]
+    src = spark.createDataFrame(
+        emb[:12], "vec_id long, embedding array<float>"
+    )
+    tgt = spark.createDataFrame(
+        emb[12:], "vec_id long, embedding array<float>"
+    )
+    exact = sorted(
+        (r.sid, r.tid, r.cos_q, r.margin_bp)
+        for r in bitext_mine(src, tgt, k=3, margin_threshold_bp=0).collect()
+    )
+    ann = sorted(
+        (r.sid, r.tid, r.cos_q, r.margin_bp)
+        for r in bitext_mine_ann(
+            src, tgt, dim=8, k=3, margin_threshold_bp=0,
+            nbits=1, multiprobe=1,
+        ).collect()
+    )
+    assert ann == exact
+    assert len(exact) > 0
+
+
+def test_bitext_margin_small_neighborhood_counts(spark):
+    """A side with fewer than k neighbors must be averaged over its
+    ACTUAL neighbor count (ADVICE r5): with one source and two
+    targets at k=4, sum_s covers 2 terms and each sum_t covers 1 —
+    the margin is cos/((avg_s+avg_t)/2), not the fixed-2k-deflated
+    value."""
+    from pond_spark.similarity.bitext import bitext_mine
+
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    tgt = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [0.8, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = bitext_mine(src, tgt, k=4, margin_threshold_bp=0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.sid, r.tid) == (1, 11)
+    # cosines: (1,11)=1.0, (1,12)=0.8 -> cos_q 1_000_000 / 800_000
+    # sum_s=1_800_000 cnt_s=2; sum_t(11)=1_000_000 cnt_t=1
+    # margin = 1e6 * 2e4 * 2 * 1 div (1.8e6*1 + 1e6*2) = 10526
+    assert r.cos_q == 1_000_000
+    assert r.margin_bp == (
+        1_000_000 * 2 * 10_000 * 2 * 1
+        // (1_800_000 * 1 + 1_000_000 * 2)
+    )
 
 
 def test_bitext_all_integer_projection(spark):
