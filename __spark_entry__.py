@@ -2929,6 +2929,67 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
 """
 
 
+def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental near-dedup against the persisted
+    MinHashCatalog (dedup/minhash.py, VERDICT r5 ask #8): register the
+    even-id half of the corpus as run 1, then probe the odd-id half as
+    run 2 — banding only the new batch, never re-banding the stored
+    corpus. Recall harness like q_minhash_pairs: output = the exact
+    cross-run 3-gram-Jaccard pairs (oriented new=odd, old=even)
+    semi-joined against the catalog's band-collision candidates; the
+    oracle computes the exact cross-run set, so one missed pair
+    hash-mismatches."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pond_spark.dedup import MinHashCatalog, ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    run1 = docs.filter(F.col("doc_id") % 2 == 0)
+    run2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_mh_cat_{tag}")
+    for p in (path, path + ".params.json", path + "._old"):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    cat = MinHashCatalog(spark, path, n=3)
+    cat.register(run1, "text", "doc_id")
+    cand = cat.near_candidates(run2, "text", "doc_id")
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+    )
+    odd_a = F.col("id_a") % 2 == 1
+    cross = exact.filter((F.col("id_a") % 2) != (F.col("id_b") % 2)).select(
+        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("old_id"),
+        "jaccard",
+    )
+    return cross.join(cand, ["new_id", "old_id"], "left_semi")
+
+
+MINHASH_CATALOG_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, lang,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents))
+SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id,
+       CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
+         AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 AND a.doc_id % 2 <> b.doc_id % 2
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+"""
+
+
 def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact 3-gram near-dup pairs —
     the keep-one-per-cluster step of a dedup pipeline. Oracle: DuckDB
@@ -3937,6 +3998,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # new this round (2): CM sketch cube, bloom prefilter, pagerank
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "bloom_prefilter": (q_bloom_prefilter, None),  # lazy sql
+    "minhash_catalog_incremental": (
+        q_minhash_catalog_incremental, MINHASH_CATALOG_SQL,
+    ),  # NEW r6
     "pagerank_top": (q_pagerank_top, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql

@@ -1,7 +1,12 @@
 from pond_spark.dedup.cluster import connected_components, dedup_near_keep_best
 from pond_spark.dedup.decontaminate import contamination_report, decontaminate
 from pond_spark.dedup.exact import DigestCatalog, dedup_exact, exact_duplicate_groups
-from pond_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
+from pond_spark.dedup.minhash import (
+    MinHashCatalog,
+    band_keys,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
 from pond_spark.dedup.ngram import ngram_jaccard_pairs
 from pond_spark.dedup.simhash import hamming_near_pairs, simhash64, simhash_near_pairs
 
@@ -11,6 +16,8 @@ __all__ = [
     "exact_duplicate_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "MinHashCatalog",
+    "band_keys",
     "ngram_jaccard_pairs",
     "simhash64",
     "simhash_near_pairs",

@@ -27,6 +27,8 @@ literature: P(candidate) = 1 - (1 - j^r)^b.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,6 +116,31 @@ def minhash_signatures(
     return sh.select(F.col(id_col), "_shingles", F.array(*sig_cols).alias("_sig"))
 
 
+def band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, _band_key) — one row per (doc, band): the signature is cut
+    into ``bands`` rows of ``k/bands`` values, each hashed to an int32
+    band key. Shared by the in-query LSH join and the persisted
+    :class:`MinHashCatalog`."""
+    assert k % bands == 0
+    r = k // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(
+                    F.lit("band"), i, F.slice(F.col("_sig"), i * r + 1, r)
+                ),
+            )
+        ).alias("_band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -157,7 +184,6 @@ def minhash_lsh_pairs(
     factor; ``None`` disables. Results are identical either way —
     salting only splits the hot key across tasks."""
     assert k % bands == 0
-    r = k // bands
     # persist: the signature/shingle relation feeds three plan branches
     # (band explode + both verify sides) — without it the scan and the
     # k-permutation work run once per branch. MEMORY_AND_DISK spills
@@ -168,15 +194,7 @@ def minhash_lsh_pairs(
     # up the shuffle and get duplicated per candidate pair. Candidates
     # are deduped on ids first, then the (small) pair set joins back to
     # the shingle arrays for exact verification.
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.lit("band"), i, F.slice(F.col("_sig"), i * r + 1, r)),
-            )
-        ).alias("_band_key"),
-    )
+    banded = band_keys(sigs, id_col, k, bands)
 
     bucket_counts = None
     if max_bucket_size is not None:
@@ -273,3 +291,186 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+class MinHashCatalog:
+    """Cross-run incremental NEAR-dedup: a persisted band-key table the
+    next batch joins against — the near-dup sibling of
+    ``exact.DigestCatalog`` (VERDICT r5 ask #8), mirroring the
+    IVF/postings "build once, serve cheap" pattern. Instead of
+    re-banding the full corpus every run, each run bands only its OWN
+    batch and probes the stored ``(doc_id, band_key)`` rows:
+
+    - :meth:`filter_new` — rows sharing NO band key with any
+      registered doc. Within the LSH banding model this is exactly the
+      "definitely not a near-dup of anything seen" set (a pair the
+      banded join would have caught must share at least one band key),
+      so the gate has no false negatives relative to the in-query
+      ``minhash_lsh_pairs`` candidate stage with the same parameters.
+    - :meth:`near_candidates` — (new_id, old_id) collision pairs for
+      downstream exact verification against the stored corpus.
+
+    Scale: the catalog holds ids and int32 keys only (bands rows per
+    doc — at 16 bands, ~200 B/doc); probes shuffle band keys, never
+    documents. For repeated big-big runs write it bucketed by band_key
+    (sources/bucketing.py) so probes co-locate without a shuffle.
+
+    Signature parameters (k, bands, shingle n, seed) are pinned in a
+    JSON sidecar at ``path + '.params.json'`` on first register and
+    validated on every open — band keys from different parameters are
+    incomparable, and a silent mismatch would turn the gate into
+    noise. Same single-writer assumption and crash-safe compaction
+    rules as ``DigestCatalog`` (exact.py): filter → register is
+    read-then-append with no commit protocol; compact() stages the
+    rewrite and double-renames, and a crash between the renames leaves
+    a ``._old`` remnant that the reader refuses to silently ignore."""
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = 64,
+        bands: int = 16,
+        n: int = 1,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.path = path
+        self.params = {"k": k, "bands": bands, "n": n, "seed": seed}
+        sidecar = self._sidecar()
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as f:
+                stored = json.load(f)
+            if stored != self.params:
+                raise ValueError(
+                    f"MinHashCatalog at {path} was built with "
+                    f"{stored}, opened with {self.params} — band keys "
+                    "from different signature parameters are "
+                    "incomparable"
+                )
+
+    def _sidecar(self) -> str:
+        return self.path + ".params.json"
+
+    def _banded(
+        self, df: DataFrame, text_col: str, id_col: str
+    ) -> DataFrame:
+        p = self.params
+        sigs = minhash_signatures(
+            df, text_col, id_col, p["k"], p["n"], p["seed"]
+        )
+        return band_keys(sigs, id_col, p["k"], p["bands"]).select(
+            F.col(id_col).alias("doc_id"),
+            F.col("_band_key").alias("band_key"),
+        )
+
+    def _read(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            # only a missing path means "first run" — mirror
+            # DigestCatalog._read's failure discipline (exact.py):
+            # any other read error must raise, and a ._old compaction
+            # remnant means the catalog EXISTS and needs recovery, not
+            # an empty bootstrap that re-admits everything shipped
+            get_cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if get_cond and get_cond() == "PATH_NOT_FOUND":
+                old = self.path + "._old"
+                if os.path.exists(old):
+                    raise RuntimeError(
+                        f"minhash catalog missing at {self.path} but a "
+                        f"compaction remnant exists at {old} — a "
+                        "compact() crashed mid-swap. Recover with: "
+                        f"mv {old} {self.path} (then re-run compact)"
+                    ) from e
+                return self.spark.createDataFrame(
+                    [], "doc_id long, band_key int"
+                )
+            raise
+
+    def filter_new(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """Rows sharing no band key with any registered doc."""
+        hits = (
+            self._banded(df, text_col, id_col)
+            .join(self._read().select("band_key"), "band_key", "left_semi")
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+        )
+        return df.join(hits, id_col, "left_anti")
+
+    def near_candidates(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """Distinct ``(new_id, old_id)`` band-collision pairs for
+        downstream exact verification. Self-collisions (a re-run of an
+        already-registered batch) are dropped, so re-runs are
+        idempotent. ``max_bucket_size`` mirrors minhash_lsh_pairs'
+        boilerplate guard: catalog band keys shared by more than that
+        many stored docs are skipped (broadcast anti-join on the hot
+        key set) — mega-clusters are exact-dup territory and would
+        multiply every colliding new doc by the cluster size."""
+        cat = self._read()
+        if max_bucket_size is not None:
+            hot = (
+                cat.groupBy("band_key")
+                .count()
+                .filter(F.col("count") > max_bucket_size)
+                .select("band_key")
+            )
+            cat = cat.join(F.broadcast(hot), "band_key", "left_anti")
+        new = self._banded(df, text_col, id_col).select(
+            F.col("doc_id").alias("new_id"), "band_key"
+        )
+        return (
+            new.join(cat.withColumnRenamed("doc_id", "old_id"), "band_key")
+            .filter(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+
+    def register(
+        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> None:
+        """Append the batch's band rows (and pin the parameter sidecar
+        on first use)."""
+        sidecar = self._sidecar()
+        if not os.path.exists(sidecar):
+            import json
+
+            with open(sidecar, "w") as f:
+                json.dump(self.params, f)
+        self._banded(df, text_col, id_col).write.mode("append").parquet(
+            self.path
+        )
+
+    def compact(self) -> None:
+        """Rewrite as one distinct (doc_id, band_key) set — repeated
+        registers accumulate small files that cost every future probe.
+        Crash-safe double-rename, same dance as DigestCatalog.compact
+        (exact.py): stage new, rename live aside, rename staged in,
+        delete old; ``_read`` refuses to bootstrap over a ``._old``
+        remnant."""
+        if not os.path.exists(self.path):
+            return
+        import shutil
+
+        staged = self.path + "._compact"
+        old = self.path + "._old"
+        self._read().distinct().write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(staged, self.path)
+        shutil.rmtree(old)

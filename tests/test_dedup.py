@@ -460,6 +460,94 @@ def test_digest_catalog_compact(spark, tmp_path):
     assert {r.doc_id for r in cat.filter_new(again).collect()} == {101}
 
 
+_CAT_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+_CAT_A2 = "alpha bravo charlie delta echo foxtrot golf hotel india kilo"
+_CAT_B = "one two three four five six seven eight nine ten eleven twelve"
+
+
+def test_minhash_catalog_incremental(spark, tmp_path):
+    """Cross-run near-dedup: run 2 probes run 1's band keys without
+    re-banding run 1; near-identical docs collide, unrelated docs pass
+    filter_new; re-probing a registered batch is idempotent
+    (self-pairs dropped)."""
+    from pond_spark.dedup.minhash import MinHashCatalog
+
+    cat = MinHashCatalog(spark, str(tmp_path / "mhcat"))
+    run1 = spark.createDataFrame(
+        [(1, _CAT_A), (2, _CAT_B)], ["doc_id", "text"]
+    )
+    cat.register(run1)
+    run2 = spark.createDataFrame(
+        [(11, _CAT_A2), (12, "totally different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    cand = {(r.new_id, r.old_id) for r in cat.near_candidates(run2).collect()}
+    assert (11, 1) in cand  # near-identical to run 1's doc 1
+    assert all(n != 12 for n, _ in cand)  # unrelated doc collides nowhere
+    fresh = {r.doc_id for r in cat.filter_new(run2).collect()}
+    assert 12 in fresh and 11 not in fresh
+    # idempotency: registered docs produce no self-pairs
+    assert cat.near_candidates(run1).filter(
+        F.col("new_id") == F.col("old_id")
+    ).count() == 0
+
+
+def test_minhash_catalog_gate_no_false_negatives(spark, tmp_path):
+    """filter_new must pass ONLY docs the in-query LSH join (same
+    params) would also find no partner for: every minhash_lsh_pairs
+    candidate pair between the batch and the registered corpus implies
+    a shared band key, hence a catalog collision."""
+    from pond_spark.dedup import minhash_lsh_pairs
+    from pond_spark.dedup.minhash import MinHashCatalog
+
+    olds = [(i, f"{_CAT_A} variant {i} {'x' * (i % 3)}") for i in range(10)]
+    news = [(100 + i, f"{_CAT_A} variant {i}") for i in range(5)] + [
+        (200, "entirely unrelated content with no overlap whatsoever")
+    ]
+    old_df = spark.createDataFrame(olds, ["doc_id", "text"])
+    new_df = spark.createDataFrame(news, ["doc_id", "text"])
+    cat = MinHashCatalog(spark, str(tmp_path / "mhcat2"))
+    cat.register(old_df)
+    fresh = {r.doc_id for r in cat.filter_new(new_df).collect()}
+    # in-query candidates over the union, restricted to cross pairs
+    pairs = minhash_lsh_pairs(
+        old_df.unionByName(new_df), threshold=0.0, skew_salt=None
+    )
+    crossed = {
+        max(r.id_a, r.id_b)
+        for r in pairs.collect()
+        if (r.id_a < 100) != (r.id_b < 100)
+    }
+    assert fresh.isdisjoint(crossed)
+    assert 200 in fresh
+
+
+def test_minhash_catalog_params_pinned_and_compact(spark, tmp_path):
+    """Opening with different signature params must refuse (band keys
+    are incomparable across params); compact() merges append files
+    without changing probe results."""
+    import glob
+
+    from pond_spark.dedup.minhash import MinHashCatalog
+
+    path = str(tmp_path / "mhcat3")
+    cat = MinHashCatalog(spark, path, k=64, bands=16)
+    for i in range(3):
+        cat.register(spark.createDataFrame(
+            [(i, f"{_CAT_A} batch {i}")], ["doc_id", "text"]
+        ))
+    with pytest.raises(ValueError, match="incomparable"):
+        MinHashCatalog(spark, path, k=64, bands=8)
+
+    probe = spark.createDataFrame([(50, _CAT_A2)], ["doc_id", "text"])
+    before = {(r.new_id, r.old_id) for r in cat.near_candidates(probe).collect()}
+    files_before = len(glob.glob(path + "/part-*"))
+    cat.compact()
+    assert len(glob.glob(path + "/part-*")) < files_before
+    after = {(r.new_id, r.old_id) for r in cat.near_candidates(probe).collect()}
+    assert before == after and before  # nonempty, unchanged
+
+
 def test_dedup_exact_non_unique_ids(spark):
     """Regression (r4 review): the semi-join keyed on id alone, so a
     reused id kept duplicate content. The (digest, id) key drops it."""
