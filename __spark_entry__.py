@@ -3973,38 +3973,77 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-5 policy
-    # (VERDICT r4 ask #1): the 7 round-4 stale-greens FIRST, then every
-    # query whose implementing file changes this round, then ALL
-    # remaining r2/r3 greens so no row's attestation is older than r4.
-    # The window invariant is machine-checked: tools/check_window.py
-    # verifies (at any commit) that every query whose implementing
-    # pond_spark module changed since the last round boundary sits
-    # inside the window; tests/test_window_invariant.py runs it in CI.
+    # FIRST 50 = the driver's per-round check window. Round-6 layout
+    # (VERDICT r5 ask #1 + the machine-checked invariant):
+    #   1-15  every query whose module closure changed this round
+    #         (dedup package + minhash catalog, bitext, bpe, kanon,
+    #         dsir, pagerank, codecs, cli) and the two NEW rows
+    #   16-23 the six round-5 stale-green similarity queries rotated
+    #         to the head (brute.py refactor attestation debt) with
+    #         their bitext siblings
+    #   24-35 remaining changed-module rows (bpe oracle, kanon fix,
+    #         dsir/pagerank unpersist, codecs multi-scan guard)
+    #   36-50 the oldest carries (r3/r4 greens) refreshed to r6
+    # tools/check_window.py verifies the invariant at any commit;
+    # tests/test_window_invariant.py runs it in CI and MUST be green
+    # at snapshot time (the round-5 lesson, twice learned).
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
-    # new this round: baseline-JPEG real decode, width-64 exact pairs,
-    # DSIR importance selection
-    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
-    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
-    "dsir_weights": (q_dsir_weights, None),  # lazy sql
-    "dsir_topk": (q_dsir_topk, None),  # lazy sql
-    "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
-    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
+    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
+    "curation": (q_curation, None),  # lazy sql (chained twin builders)
+    "stratified_sample": (q_stratified_sample, None),  # lazy sql
+    "mixture": (q_mixture, None),  # lazy sql
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "bloom_prefilter": (q_bloom_prefilter, None),  # lazy sql
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
+    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
+    "hard_negatives": (q_hard_negatives, None),  # lazy sql
+    "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "kanon_export": (q_kanon_export, None),  # lazy sql
-    # new this round (2): CM sketch cube, bloom prefilter, pagerank
-    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
-    "bloom_prefilter": (q_bloom_prefilter, None),  # lazy sql
-    "minhash_catalog_incremental": (
-        q_minhash_catalog_incremental, MINHASH_CATALOG_SQL,
-    ),  # NEW r6
+    "dsir_weights": (q_dsir_weights, None),  # lazy sql
+    "dsir_topk": (q_dsir_topk, None),  # lazy sql
     "pagerank_top": (q_pagerank_top, None),  # lazy sql
+    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
+    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
+    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql
+    "funnel": (q_funnel, None),  # lazy sql
+    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "retention": (q_retention, RETENTION_SQL),
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "corpus_profile": (q_corpus_profile, None),  # lazy sql
+    "range_join": (q_range_join, None),  # lazy sql
+    "geoip": (q_geoip, GEOIP_SQL),
+    # ---- window boundary (index 50): everything below is r5-green --
+    # ---- on files unchanged since that attestation (legit carry) ---
+    "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
+    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
-    "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
@@ -4016,13 +4055,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
     "pack_shards": (q_pack_shards, None),  # lazy sql
-    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "quality_rules": (q_quality_rules, None),  # lazy sql
     "text_stats": (q_text_stats, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
@@ -4037,42 +4070,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
-    # ---- window boundary (index 50): everything below is green -----
-    # ---- (r3/r4) on files unchanged since that attestation ---------
-    # (accumulate_top/more, anonymize, perplexity, hard_negatives,
-    # chunk_documents, funnel, event_transitions and retention rotated
-    # below in round 5 to make room for the six new operators — their
-    # files are unchanged since their last green row, a legitimate
-    # carry)
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
-    "hard_negatives": (q_hard_negatives, None),  # lazy sql
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql
-    "funnel": (q_funnel, None),  # lazy sql
-    "event_transitions": (q_event_transitions, None),  # lazy sql
-    "retention": (q_retention, RETENTION_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
-    "corpus_profile": (q_corpus_profile, None),  # lazy sql
-    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
-    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "range_join": (q_range_join, None),  # lazy sql
-    "geoip": (q_geoip, GEOIP_SQL),
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
     "stats": (q_stats, STATS_SQL),
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
-    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
-    "curation": (q_curation, None),  # lazy sql (chained twin builders)
-    "stratified_sample": (q_stratified_sample, None),  # lazy sql
-    "mixture": (q_mixture, None),  # lazy sql
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "site_delta": (q_site_delta, SITE_DELTA_SQL),
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
@@ -4081,8 +4081,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),
     "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
     "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
@@ -4091,9 +4089,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
     "pii_scrub": (q_pii_scrub, None),  # lazy sql
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
 }
@@ -4322,6 +4318,55 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         )
         return _median_batch_sec(sdf)
 
+    def stream_continue_first_live(spark: SparkSession, sf_dir: str) -> float:
+        """Q7 CONTINUE catch-up→tail switchover (VERDICT r5 ask #5):
+        the full sf events backfill drains as history, THEN a live
+        file lands in the store — the probe reports seconds from the
+        live write to the completion of the micro-batch that delivers
+        it (file discovery + plan + execution on the tail path, the
+        highest-state streaming transition: backfill history + live
+        union in one query)."""
+        import threading
+
+        from pond_spark.streaming.follow import continue_stream
+
+        src = _stream_src(spark, sf_dir)
+        ckpt = tempfile.mkdtemp(prefix="pond_bench_ckpt_")
+        history_done = threading.Event()
+        live_done = threading.Event()
+        t_live_seen: list[float] = []
+
+        def sink(df: DataFrame, _bid: int) -> None:
+            n_live = df.filter(df.site == "_liveprobe").count()
+            if n_live > 0:
+                t_live_seen.append(_time.perf_counter())
+                live_done.set()
+            history_done.set()
+
+        q = (
+            continue_stream(spark, src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            if not history_done.wait(timeout=300):
+                raise RuntimeError("CONTINUE backfill never drained")
+            logs = events_as_logs(spark, sf_dir)
+            live = (
+                logs.limit(64)
+                .withColumn("site", F.lit("_liveprobe"))
+            )
+            t0 = _time.perf_counter()
+            live.coalesce(1).write.mode("append").parquet(src)
+            if not live_done.wait(timeout=300):
+                raise RuntimeError("live record never delivered")
+            return round(t_live_seen[0] - t0, 3)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(src, ignore_errors=True)
+
     def store_retain_compact(spark: SparkSession, sf_dir: str) -> float:
         """LogStore ring-buffer eviction + hourly-compress analog on a
         store built from the sf events (two appends -> every date has
@@ -4352,6 +4397,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_follow_batch_p50": stream_follow_batch_p50,
         "stream_ratelimit_batch_p50": stream_ratelimit_batch_p50,
         "stream_trending_batch_p50": stream_trending_batch_p50,
+        "stream_continue_first_live": stream_continue_first_live,
         "store_retain_compact": store_retain_compact,
     }
 
