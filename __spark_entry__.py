@@ -3530,6 +3530,78 @@ def _bitext_pairs_sql() -> str:
     )
 
 
+def q_embedding_catalog_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-run incremental SEMANTIC near-dedup against the persisted
+    EmbeddingCatalog (similarity/catalog.py) — the vector sibling of
+    minhash_catalog_incremental, completing the catalog symmetry
+    (exact digests / lexical band keys / RHP bucket keys). Even
+    vec_ids register as run 1; odd vec_ids probe as run 2, bucketing
+    only themselves. Recall harness: output = the exact cross-run
+    cosine pairs (>= 0.35, oriented new=odd, old=even) semi-joined
+    against the catalog's bucket-collision candidates; the oracle
+    REPLAYS the approximate operator deterministically (same literal
+    planes for both tables, same cross-parity bucket joins, exact
+    cosine verify — the embedding_near_pairs / bitext_ann oracle
+    pattern), so the row is a hash row over the operator's actual
+    candidate model, misses included."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pond_spark.similarity.brute import cross_scores
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    emb = _fan(_embeddings(spark, sf_dir))
+    run1 = emb.filter(F.col("vec_id") % 2 == 0)
+    run2 = emb.filter(F.col("vec_id") % 2 == 1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_emb_cat_{tag}")
+    for p in (path, path + ".params.json", path + "._old"):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    cat = EmbeddingCatalog(spark, path, dim=64, nbits=4, n_tables=2)
+    cat.register(run1)
+    cand = cat.near_candidates(run2)
+    exact = (
+        cross_scores(run2, run1)
+        .filter(F.col("cosine") >= 0.35)
+        .select(
+            F.col("qid").alias("new_id"),
+            F.col("nid").alias("old_id"),
+            "cosine",
+        )
+    )
+    return exact.join(cand, ["new_id", "old_id"], "left_semi")
+
+
+def _embedding_catalog_sql() -> str:
+    from pond_spark.similarity.lsh import hyperplanes
+
+    b0 = _sql_bucket(hyperplanes(64, nbits=4, seed=42))
+    b1 = _sql_bucket(hyperplanes(64, nbits=4, seed=43))
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, embedding, {b0} AS b0, {b1} AS b1 FROM embeddings),
+s AS (SELECT * FROM sig WHERE vec_id % 2 = 1),
+t AS (SELECT * FROM sig WHERE vec_id % 2 = 0),
+cand AS (
+  SELECT s.vec_id AS new_id, t.vec_id AS old_id FROM s JOIN t ON s.b0 = t.b0
+  UNION
+  SELECT s.vec_id, t.vec_id FROM s JOIN t ON s.b1 = t.b1),
+sc AS (SELECT l.vec_id AS new_id, r.vec_id AS old_id, {_COS_SQL} AS cosine
+       FROM (SELECT vec_id, embedding AS qv FROM s) l
+       CROSS JOIN (SELECT vec_id, embedding AS nv FROM t) r
+       WHERE {_COS_SQL} IS NOT NULL)
+SELECT sc.new_id, sc.old_id, sc.cosine
+FROM sc JOIN cand ON sc.new_id = cand.new_id AND sc.old_id = cand.old_id
+WHERE sc.cosine >= 0.35
+"""
+
+
 BITEXT_ANN_NBITS = 6
 BITEXT_ANN_PROBE = 3
 
@@ -4026,17 +4098,19 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anonymize": (q_anonymize, ANONYMIZE_SQL),
     "perplexity": (q_perplexity, PERPLEXITY_SQL),
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
-    "funnel": (q_funnel, None),  # lazy sql
-    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "retention": (q_retention, RETENTION_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
-    "corpus_profile": (q_corpus_profile, None),  # lazy sql
-    "range_join": (q_range_join, None),  # lazy sql
-    "geoip": (q_geoip, GEOIP_SQL),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
+    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
+    "embedding_catalog_incremental": (
+        q_embedding_catalog_incremental, None,
+    ),  # lazy sql (NEW r6)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     # ---- window boundary (index 50): everything below is r5-green --
     # ---- on files unchanged since that attestation (legit carry) ---
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
@@ -4045,14 +4119,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
+    "range_join": (q_range_join, None),  # lazy sql
+    "geoip": (q_geoip, GEOIP_SQL),
+    "funnel": (q_funnel, None),  # lazy sql
+    "event_transitions": (q_event_transitions, None),  # lazy sql
+    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
-    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),  # lazy sql
@@ -4101,6 +4176,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "shuffle_shards": _shuffle_shards_sql,
     "bitext_pairs": _bitext_pairs_sql,
     "bitext_pairs_ann": _bitext_pairs_ann_sql,
+    "embedding_catalog_incremental": _embedding_catalog_sql,
     "kanon_export": _kanon_export_sql,
     "cm_heavy_hitters": _cm_heavy_hitters_sql,
     "bloom_prefilter": _bloom_prefilter_sql,

@@ -1,0 +1,207 @@
+"""Cross-run incremental near-dup gate for the VECTOR family — the
+third member of the catalog symmetry:
+
+- ``dedup.exact.DigestCatalog`` — exact content (32-byte digests)
+- ``dedup.minhash.MinHashCatalog`` — lexical near-dup (band keys)
+- ``EmbeddingCatalog`` (this module) — semantic near-dup (RHP-LSH
+  bucket keys over an embedding column)
+
+Continuous corpus building needs "is this vector semantically close
+to anything already shipped" to survive job restarts; re-running
+``lsh.embedding_near_pairs`` over old ∪ new re-buckets the whole
+store every time. This catalog persists ``(vec_id, table, bucket)``
+rows — ids and two ints, never vectors — over ``n_tables``
+independent random-hyperplane signatures (independent seeds, OR-ed:
+the standard LSH recall amplification). A new batch buckets only
+ITSELF with the same stored seeds and probes the table.
+
+Guarantee: within the RHP banding model, a vector sharing no
+(table, bucket) key with the catalog cannot be a bucket-join
+candidate of any registered vector under the same parameters —
+:meth:`filter_new` has no false negatives relative to
+``embedding_near_pairs``'s candidate stage at equal nbits/seed
+(table 0 reproduces it exactly; extra tables only ADD candidates).
+
+Scale: probes shuffle (table, bucket) int keys only; candidate pairs
+join vectors back for the exact cosine verify downstream, never
+through the catalog. Signature parameters (dim, nbits, n_tables,
+seed) are pinned in a JSON sidecar and validated on open — bucket
+keys from different hyperplanes are incomparable. Same single-writer
+assumption and crash-safe compaction discipline as the other two
+catalogs (see DigestCatalog, exact.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["EmbeddingCatalog"]
+
+
+class EmbeddingCatalog:
+    def __init__(
+        self,
+        spark,
+        path: str,
+        dim: int,
+        nbits: int = 8,
+        n_tables: int = 2,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.path = path
+        self.params = {
+            "dim": dim, "nbits": nbits, "n_tables": n_tables, "seed": seed,
+        }
+        sidecar = self._sidecar()
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as f:
+                stored = json.load(f)
+            if stored != self.params:
+                raise ValueError(
+                    f"EmbeddingCatalog at {path} was built with {stored}, "
+                    f"opened with {self.params} — bucket keys from "
+                    "different hyperplanes are incomparable"
+                )
+
+    def _sidecar(self) -> str:
+        return self.path + ".params.json"
+
+    def _bucketed(
+        self, df: DataFrame, vec_col: str, id_col: str
+    ) -> DataFrame:
+        """(vec_id, table, bucket): one row per (vector, table) —
+        n_tables independent signatures from per-table seeds."""
+        from pond_spark.similarity.lsh import rhp_bucket
+
+        p = self.params
+        parts = []
+        for t in range(p["n_tables"]):
+            parts.append(
+                rhp_bucket(
+                    df, p["dim"], p["nbits"], p["seed"] + t, vec_col
+                ).select(
+                    F.col(id_col).alias("vec_id"),
+                    F.lit(t).alias("table"),
+                    F.col("bucket"),
+                )
+            )
+        out = parts[0]
+        for b in parts[1:]:
+            out = out.unionByName(b)
+        return out
+
+    def _read(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            get_cond = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            if get_cond and get_cond() == "PATH_NOT_FOUND":
+                old = self.path + "._old"
+                if os.path.exists(old):
+                    raise RuntimeError(
+                        f"embedding catalog missing at {self.path} but a "
+                        f"compaction remnant exists at {old} — a "
+                        "compact() crashed mid-swap. Recover with: "
+                        f"mv {old} {self.path} (then re-run compact)"
+                    ) from e
+                return self.spark.createDataFrame(
+                    [], "vec_id long, table int, bucket long"
+                )
+            raise
+
+    def filter_new(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Rows sharing no (table, bucket) key with any registered
+        vector — definitely-new under the RHP banding model."""
+        hits = (
+            self._bucketed(df, vec_col, id_col)
+            .join(
+                self._read().select("table", "bucket"),
+                ["table", "bucket"],
+                "left_semi",
+            )
+            .select(F.col("vec_id").alias(id_col))
+            .distinct()
+        )
+        return df.join(hits, id_col, "left_anti")
+
+    def near_candidates(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
+        """Distinct ``(new_id, old_id)`` bucket-collision pairs for
+        downstream exact cosine verification. Self-collisions dropped
+        (idempotent re-probes of a registered batch).
+        ``max_bucket_size`` caps pathological hub buckets on the
+        stored side (broadcast anti-join on the hot key set), the
+        minhash_lsh_pairs boilerplate rule."""
+        cat = self._read()
+        if max_bucket_size is not None:
+            hot = (
+                cat.groupBy("table", "bucket")
+                .count()
+                .filter(F.col("count") > max_bucket_size)
+                .select("table", "bucket")
+            )
+            cat = cat.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
+        new = self._bucketed(df, vec_col, id_col).select(
+            F.col("vec_id").alias("new_id"), "table", "bucket"
+        )
+        return (
+            new.join(
+                cat.withColumnRenamed("vec_id", "old_id"),
+                ["table", "bucket"],
+            )
+            .filter(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id")
+            .dropDuplicates(["new_id", "old_id"])
+        )
+
+    def register(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        sidecar = self._sidecar()
+        if not os.path.exists(sidecar):
+            import json
+
+            with open(sidecar, "w") as f:
+                json.dump(self.params, f)
+        self._bucketed(df, vec_col, id_col).write.mode("append").parquet(
+            self.path
+        )
+
+    def compact(self) -> None:
+        """Distinct rewrite with the crash-safe double-rename (see
+        DigestCatalog.compact, exact.py)."""
+        if not os.path.exists(self.path):
+            return
+        import shutil
+
+        staged = self.path + "._compact"
+        old = self.path + "._old"
+        self._read().distinct().write.mode("overwrite").parquet(staged)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.path, old)
+        os.rename(staged, self.path)
+        shutil.rmtree(old)

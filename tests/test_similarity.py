@@ -447,6 +447,90 @@ def test_bitext_margin_suppresses_hub(spark):
     assert again == {s: r.tid for s, r in out.items()}
 
 
+def test_embedding_catalog_incremental(spark, tmp_path):
+    """Cross-run semantic near-dedup: run 2 probes run 1's bucket keys
+    without re-bucketing run 1; a near-identical vector collides, an
+    orthogonal one passes filter_new; re-probes are idempotent."""
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    from pyspark.sql import functions as F
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    run1 = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1))], "vec_id long, embedding array<float>"
+    )
+    run2 = spark.createDataFrame(
+        [(11, v(0.99, 0.01)), (12, v(-1, -1))],
+        "vec_id long, embedding array<float>",
+    )
+    cat = EmbeddingCatalog(spark, str(tmp_path / "ecat"), dim=8, nbits=6)
+    cat.register(run1)
+    cand = {(r.new_id, r.old_id) for r in cat.near_candidates(run2).collect()}
+    assert (11, 1) in cand  # near-parallel to run 1's vector 1
+    fresh = {r.vec_id for r in cat.filter_new(run2).collect()}
+    assert 11 not in fresh
+    # idempotency: registered vectors produce no self-pairs
+    assert cat.near_candidates(run1).filter(
+        F.col("new_id") == F.col("old_id")
+    ).count() == 0
+
+
+def test_embedding_catalog_gate_vs_near_pairs(spark, tmp_path, vectors):
+    """Table 0 reproduces embedding_near_pairs' candidate stage at
+    equal nbits/seed: any cross near-pair the in-query bucket join
+    finds implies a catalog collision, so filter_new survivors are
+    disjoint from the in-query pair set."""
+    from pond_spark.similarity import embedding_near_pairs
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    olds = vectors.filter("vec_id < 100")
+    news = vectors.filter("vec_id >= 100")
+    cat = EmbeddingCatalog(spark, str(tmp_path / "ecat2"), dim=16, nbits=4)
+    cat.register(olds)
+    fresh = {r.vec_id for r in cat.filter_new(news).collect()}
+    pairs = embedding_near_pairs(vectors, dim=16, threshold=0.0, nbits=4)
+    crossed = {
+        max(r.id_a, r.id_b)
+        for r in pairs.collect()
+        if (r.id_a < 100) != (r.id_b < 100)
+    }
+    assert fresh.isdisjoint(crossed)
+
+
+def test_embedding_catalog_params_pinned_and_compact(spark, tmp_path):
+    import glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    path = str(tmp_path / "ecat3")
+    rows = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cat = EmbeddingCatalog(spark, path, dim=8, nbits=4, n_tables=2)
+    for i in range(3):
+        cat.register(df.filter(F.col("vec_id") % 3 == i))
+    with _pytest.raises(ValueError, match="incomparable"):
+        EmbeddingCatalog(spark, path, dim=8, nbits=6, n_tables=2)
+
+    # near-copy of vec 0 ([(0*7+j)%5-2 ...]) so it shares its buckets
+    probe = spark.createDataFrame(
+        [(50, [x + 0.01 for x in rows[0][1]])],
+        "vec_id long, embedding array<float>",
+    )
+    before = {(r.new_id, r.old_id) for r in cat.near_candidates(probe).collect()}
+    files_before = len(glob.glob(path + "/part-*"))
+    cat.compact()
+    assert len(glob.glob(path + "/part-*")) < files_before
+    after = {(r.new_id, r.old_id) for r in cat.near_candidates(probe).collect()}
+    assert before == after and before
+
+
 def test_bitext_ann_full_probe_equals_exact(spark):
     """With nbits=1 and multiprobe=1 every source row probes both
     buckets, so the ANN candidate set is the full cross matrix and
