@@ -1,3 +1,4 @@
+from pond_spark.streaming.anomaly import cusum_stream
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
@@ -11,6 +12,7 @@ from pond_spark.streaming.groupsite import (
 )
 
 __all__ = [
+    "cusum_stream",
     "follow_stream",
     "continue_stream",
     "follow_visitors",

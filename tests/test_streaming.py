@@ -618,3 +618,72 @@ def test_rate_limit_stream_late_event_does_not_rewind_clock(spark, tmp_path):
     # with a rewound clock, batch 3 would refill 60 tokens and admit
     # these; with the monotonic clock they must still be discarded
     assert out[30] is True and out[31] is True
+
+
+def test_cusum_stream_matches_batch_closed_hours(spark, tmp_path):
+    """Streaming CUSUM: closed hours score IDENTICALLY to the batch
+    closed form over the same data (gap hours included), state
+    survives micro-batches, and the still-open tail hour is not yet
+    emitted."""
+    from pond_spark.operators.anomaly import cusum_scores
+    from pond_spark.streaming import cusum_stream
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 8)
+
+    def hr_rows(ids, site, hour, minute=5):
+        rows = _rows(ids, site, t0)
+        for j, r in enumerate(rows):
+            r["timestamp"] = t0 + dt.timedelta(hours=hour, minutes=minute + j)
+        return rows
+
+    # batch 1: hour 0 has 5 events, hour 1 has 2 (site a); site b hour 0: 1
+    _write_batch(
+        spark, store,
+        hr_rows(range(1, 6), "a", 0) + hr_rows(range(6, 8), "a", 1)
+        + hr_rows([8], "b", 0),
+    )
+    # batch 2: site a jumps to hour 4 (hours 1-3 close, 2..3 as gaps),
+    # 7 events; site b hour 1: 4 events
+    _write_batch(
+        spark, store,
+        hr_rows(range(10, 17), "a", 4) + hr_rows(range(17, 21), "b", 1),
+    )
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    _drain(cusum_stream(sdf, k=2), "cus", timeout=120)
+    got = {
+        (r.site, r.hour): (r.cnt, r.cusum)
+        for r in spark.sql("select * from cus").collect()
+    }
+
+    # the open tail hours (a@4, b@1) must NOT be emitted yet
+    assert ("a", t0 + dt.timedelta(hours=4)) not in got
+    assert ("b", t0 + dt.timedelta(hours=1)) not in got
+    # every closed hour equals the batch closed form on the same rows
+    batch_df = spark.read.parquet(store)
+    exp = {
+        (r.site, r.hour): (r.cnt, r.cusum)
+        for r in cusum_scores(batch_df, k=2).collect()
+    }
+    for key, val in got.items():
+        assert exp[key] == val, (key, val, exp[key])
+    # closed set: site a hours 0..3 (2,3 are zero-count gaps closed by
+    # the hour-4 event), site b hour 0
+    assert set(got) == {
+        ("a", t0), ("a", t0 + dt.timedelta(hours=1)),
+        ("a", t0 + dt.timedelta(hours=2)), ("a", t0 + dt.timedelta(hours=3)),
+        ("b", t0),
+    }
+    # spot-check the recursion: a@0 -> max(0, 5-2)=3; a@1 -> 3+2-2=3;
+    # gaps decay by k each: a@2 -> 1, a@3 -> 0
+    assert got[("a", t0)] == (5, 3)
+    assert got[("a", t0 + dt.timedelta(hours=1))] == (2, 3)
+    assert got[("a", t0 + dt.timedelta(hours=2))] == (0, 1)
+    assert got[("a", t0 + dt.timedelta(hours=3))] == (0, 0)
