@@ -4274,10 +4274,46 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return idx.search(BM25_TERMS, k=25)
 
+    def minhash_catalog_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the contract row times exact-twin + register + probe; this
+        # times the cross-run SERVING stage alone (band the new batch,
+        # probe the stored keys) against the catalog the contract row
+        # already registered — the cost a nightly incremental run pays
+        import hashlib
+        import tempfile
+
+        from pond_spark.dedup import MinHashCatalog
+
+        docs = _documents(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"pond_mh_cat_{tag}")
+        cat = MinHashCatalog(spark, path, n=3)
+        if not os.path.exists(path):
+            cat.register(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+        return cat.near_candidates(
+            docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id"
+        )
+
+    def embedding_catalog_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+        import tempfile
+
+        from pond_spark.similarity.catalog import EmbeddingCatalog
+
+        emb = _embeddings(spark, sf_dir)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(tempfile.gettempdir(), f"pond_emb_cat_{tag}")
+        cat = EmbeddingCatalog(spark, path, dim=64, nbits=4, n_tables=2)
+        if not os.path.exists(path):
+            cat.register(emb.filter(F.col("vec_id") % 2 == 0))
+        return cat.near_candidates(emb.filter(F.col("vec_id") % 2 == 1))
+
     return {
         "minhash_pairs_approx": minhash_pairs_approx,
         "simhash_pairs_approx": simhash_pairs_approx,
         "bm25_index_search_only": bm25_index_search_only,
+        "minhash_catalog_probe_only": minhash_catalog_probe_only,
+        "embedding_catalog_probe_only": embedding_catalog_probe_only,
     }
 
 
