@@ -45,11 +45,22 @@ def table_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
 def main() -> int:
     import duckdb
 
-    import __spark_entry__ as entrymod
-    from pond_spark.session import get_spark
-
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # The lazy oracle builders (IVF/PQ training samples, sampling
+    # thresholds) read SPARK_GRAFT_ORACLE_SF_DIR; if the caller forgot
+    # to export it for a non-default sf_dir the twin would derive its
+    # literals from sf0.01 while Spark runs at sf_dir — every
+    # sample-dependent query then "fails" as a harness artifact
+    # (happened twice: round-5 solo probes, round-6 background sweep).
+    # Default it to the positional arg so the two sides always agree.
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
+    import __spark_entry__ as entrymod
+    from pond_spark.session import get_spark
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
