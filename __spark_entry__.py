@@ -2895,6 +2895,81 @@ def _pack_shards_sql() -> str:
     )
 
 
+SEQPACK_CAP = 256
+SEQPACK_BUCKETS = 16
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing WITHOUT splitting
+    (operators/seqpack.py, NEW r6): whole documents into 256-token
+    training sequences, FFD per hash bucket (one exchange on the
+    bucket key; Ding et al. 2024 style truncation-free packing — the
+    complement of pack_shards' concat-and-chunk). Publishes the
+    per-bin rollup: docs per sequence, fill, waste, anchor doc. The
+    oracle replays the identical FFD fold as a recursive CTE."""
+    from pond_spark.functions.text import token_count
+    from pond_spark.operators.seqpack import pack_sequences
+
+    docs = _fan(_documents(spark, sf_dir)).filter(F.col("text").isNotNull())
+    counted = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(
+        counted, SEQPACK_CAP, n_buckets=SEQPACK_BUCKETS
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("fill_tokens"),
+        (F.lit(SEQPACK_CAP) - F.sum("n_tokens")).alias("waste"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _pack_sequences_sql() -> str:
+    from pond_spark.functions.text import token_count_sql
+    from pond_spark.operators.seqpack import pack_sequences_sql
+
+    return pack_sequences_sql(
+        SEQPACK_CAP, token_count_sql("text"), n_buckets=SEQPACK_BUCKETS
+    )
+
+
+def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression as ONE aggregation pass
+    (functions/linreg.py, NEW r6): fit n_chars ~ whitespace-tokens +
+    BPE-ish tokens on the doc_id%8 sample via exact-integer Cramer,
+    broadcast the four determinants, score the full corpus map-only,
+    rank by the scaled residual (an exact DECIMAL(38,0) integer — no
+    float anywhere). Top-25 structural outliers + the model rows at
+    rank 101..104. The oracle replays the identical arithmetic in
+    HUGEINT."""
+    from pond_spark.functions.linreg import linreg_outliers
+    from pond_spark.functions.text import bpe_token_count, token_count
+
+    docs = _fan(_documents(spark, sf_dir)).filter(F.col("text").isNotNull())
+    feats = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("t_ws"),
+        bpe_token_count(F.col("text")).alias("t_bpe"),
+        F.col("n_chars"),
+    )
+    return linreg_outliers(
+        feats, "t_ws", "t_bpe", "n_chars", "doc_id", k=25, sample_mod=8
+    )
+
+
+def _quality_outliers_sql() -> str:
+    from pond_spark.functions.linreg import linreg_outliers_sql
+    from pond_spark.functions.text import bpe_token_count_sql, token_count_sql
+
+    return linreg_outliers_sql(
+        token_count_sql("text"),
+        bpe_token_count_sql("text"),
+        "n_chars",
+        k=25,
+        sample_mod=8,
+        table="(SELECT * FROM documents WHERE text IS NOT NULL) d",
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs, lang-blocked, τ=0.8.
 
@@ -4083,6 +4158,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
     "hard_negatives": (q_hard_negatives, None),  # lazy sql
     "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
+    "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
+    "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
     "kanon_export": (q_kanon_export, None),  # lazy sql
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
@@ -4100,8 +4177,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "retention": (q_retention, RETENTION_SQL),
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
@@ -4114,6 +4189,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- window boundary (index 50): everything below is r5-green --
     # ---- on files unchanged since that attestation (legit carry) ---
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
+    "retention": (q_retention, RETENTION_SQL),  # rotated below r6 boundary for pack_sequences
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # rotated below r6 boundary for quality_outliers
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
@@ -4185,6 +4262,8 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "corpus_drift": _corpus_drift_sql,
     "unimax_mixture": _unimax_mixture_sql,
     "bpe_vocab": _bpe_vocab_sql,
+    "pack_sequences": _pack_sequences_sql,
+    "quality_outliers": _quality_outliers_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

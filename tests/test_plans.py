@@ -321,3 +321,37 @@ def test_dsir_broadcasts_ratio_table(spark, entry):
     assert has_broadcast_join(df), formatted_plan(df)
     assert not has_sort_merge_join(df), formatted_plan(df)
     assert has_partial_aggregate(df)
+
+
+def test_pack_sequences_single_bucket_exchange(spark, entry):
+    """FFD packing must shuffle ONCE on the bucket key (the
+    applyInPandas group exchange) and ship only (id, n_tokens) into
+    it — never the text, and never a global sort."""
+    from pond_spark.functions.text import token_count
+    from pond_spark.operators.seqpack import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    packed = pack_sequences(
+        docs.select("doc_id", token_count(F.col("text"))), 256, n_buckets=16
+    )
+    plan = formatted_plan(packed)
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
+    assert count_exchanges(packed) == 1, plan
+    assert "SinglePartition" not in plan, plan
+    # column pruning: the exchange carries no text column
+    assert "text" not in plan.split("Exchange", 1)[1].split("Scan", 1)[0], plan
+
+
+def test_quality_outliers_broadcast_model_scoring(spark, entry):
+    """The normal-equation sums are ONE map-side-combinable aggregate;
+    the four determinants broadcast back so scoring the corpus is
+    map-only — no sort-merge join, and the only global sort is the
+    bounded top-k (TakeOrdered), not a full Sort."""
+    df = entry.queries()["quality_outliers"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert not has_sort_merge_join(df), plan
+    assert has_partial_aggregate(df), plan
+    assert "TakeOrderedAndProject" in plan, plan

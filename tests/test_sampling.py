@@ -169,3 +169,112 @@ def test_reproducible_shuffle_no_global_window(spark):
     docs = spark.range(1000).withColumnRenamed("id", "doc_id")
     plan = formatted_plan(reproducible_shuffle(docs, n_shards=16))
     assert "SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (FFD, no splitting) — operators/seqpack.py
+
+
+def _ffd_reference(items, cap):
+    """Independent pure-python FFD: (id, sz) -> {id: bin}."""
+    fills, asg = [], {}
+    for i, sz in sorted(items, key=lambda x: (-x[1], x[0])):
+        for j, f in enumerate(fills):
+            if f + sz <= cap:
+                fills[j] += sz
+                asg[i] = j
+                break
+        else:
+            asg[i] = len(fills)
+            fills.append(sz)
+    return asg
+
+
+def test_pack_sequences_matches_ffd_reference(spark):
+    """Fuzz: the distributed operator equals per-bucket FFD exactly,
+    across random size distributions including oversize docs."""
+    import random
+
+    from pond_spark.operators.seqpack import pack_sequences
+
+    for seed, cap, n_buckets in [(1, 64, 4), (2, 128, 7), (3, 50, 1)]:
+        rng = random.Random(seed)
+        # sizes straddle the capacity so oversize singleton bins occur
+        items = [(i, rng.randint(0, int(cap * 1.3))) for i in range(400)]
+        df = spark.createDataFrame(items, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.bucket, r.bin, r.n_tokens)
+            for r in pack_sequences(df, cap, n_buckets=n_buckets).collect()
+        }
+        assert len(got) == len(items)  # every doc assigned exactly once
+        for b in range(n_buckets):
+            sub = [(i, sz) for i, sz in items if i % n_buckets == b]
+            asg = _ffd_reference(sub, cap)
+            for i, sz in sub:
+                assert got[i] == (b, asg[i], sz), (seed, i)
+
+
+def test_pack_sequences_capacity_invariant(spark):
+    """No bin exceeds capacity unless it is an oversize singleton, and
+    bucket-local bin ids are dense from 0."""
+    import random
+
+    from pond_spark.operators.seqpack import pack_sequences
+
+    rng = random.Random(11)
+    items = [(i, rng.randint(1, 90)) for i in range(500)]
+    df = spark.createDataFrame(items, "doc_id long, n_tokens long")
+    rows = pack_sequences(df, 64, n_buckets=8).collect()
+    per_bin: dict = {}
+    for r in rows:
+        per_bin.setdefault((r.bucket, r.bin), []).append(r.n_tokens)
+    for (_b, _j), szs in per_bin.items():
+        if sum(szs) > 64:
+            assert len(szs) == 1 and szs[0] > 64  # oversize singleton
+    bins_by_bucket: dict = {}
+    for b, j in per_bin:
+        bins_by_bucket.setdefault(b, set()).add(j)
+    for b, bins in bins_by_bucket.items():
+        assert bins == set(range(len(bins)))
+
+
+def test_pack_sequences_sql_twin_equivalence(spark):
+    """The DuckDB recursive-CTE replay produces the identical per-bin
+    rollup as the Spark operator on a random corpus."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.text import token_count, token_count_sql
+    from pond_spark.operators.seqpack import pack_sequences, pack_sequences_sql
+
+    rng = random.Random(23)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(300)
+    ]
+    cap, n_buckets = 64, 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(
+        df.select("doc_id", token_count(F.col("text"))), cap, n_buckets=n_buckets
+    )
+    got = sorted(
+        (r.bucket, r.bin, r.n_docs, r.fill_tokens, r.waste, r.first_doc)
+        for r in packed.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill_tokens"),
+            (F.lit(cap) - F.sum("n_tokens")).alias("waste"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    sql = pack_sequences_sql(cap, token_count_sql("text"), n_buckets=n_buckets)
+    exp = sorted(map(tuple, con.sql(sql).fetchall()))
+    assert got == exp

@@ -595,3 +595,63 @@ def test_dsir_topk_is_deterministic_and_ranked(spark):
     assert [r.rank for r in a] == [1, 2, 3, 4, 5]
     ws = [r.weight_q for r in a]
     assert ws == sorted(ws, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# closed-form linear regression (functions/linreg.py)
+
+
+def test_linreg_exact_fit_zero_residuals(spark):
+    """If y is exactly linear in (x1, x2), every scaled residual is
+    exactly zero — the integer Cramer identity det*(y - w.x) == 0."""
+    rows = [(i, i % 37, (i * 7) % 11, 5 + 2 * (i % 37) + 3 * ((i * 7) % 11))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, x1 long, x2 long, y long")
+    from pond_spark.functions.linreg import linreg_outliers
+
+    out = linreg_outliers(df, "x1", "x2", "y", "doc_id", k=10, sample_mod=4)
+    rows_out = out.collect()
+    top = [r for r in rows_out if r.rank <= 100]
+    assert len(top) == 10
+    assert all(r.resid == "0" for r in top)
+    model = {r.rank: r.resid for r in rows_out if r.rank > 100}
+    det = int(model[101])
+    assert det != 0
+    # recovered weights: det0/det=5, det1/det=2, det2/det=3 exactly
+    assert (int(model[102]), int(model[103]), int(model[104])) == (
+        5 * det, 2 * det, 3 * det)
+
+
+def test_linreg_sql_twin_equivalence(spark):
+    """Fuzz: identical output (ranking, exact residual strings, model
+    rows) from the Spark DECIMAL path and the DuckDB HUGEINT twin."""
+    import random
+
+    import duckdb
+
+    from pond_spark.functions.linreg import linreg_outliers, linreg_outliers_sql
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (i, rng.randint(1, 99), rng.randint(0, 30),
+             rng.randint(0, 2000))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, a long, b long, y long")
+        got = sorted(
+            (r.rank, r.doc, r.y, r.x1, r.x2, r.resid)
+            for r in linreg_outliers(
+                df, "a", "b", "y", "doc_id", k=15, sample_mod=5
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(map(str, rows))
+            + ") AS t(doc_id, a, b, y)"
+        )
+        exp = sorted(map(tuple, con.sql(
+            linreg_outliers_sql("a", "b", "y", k=15, sample_mod=5)
+        ).fetchall()))
+        assert got == exp, seed
