@@ -56,6 +56,7 @@ def linreg_outliers(
     id_col: str,
     k: int = 25,
     sample_mod: int = 8,
+    checkpoint_model: bool = True,
 ) -> DataFrame:
     """Fit ``y ~ 1 + x1 + x2`` on the ``id % sample_mod == 0`` sample,
     then return the ``k`` docs (over the FULL corpus) with the largest
@@ -102,12 +103,18 @@ def linreg_outliers(
     def repl(j: int) -> list[list[Column]]:
         return [[b[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
 
+    # the 1-row model feeds BOTH the scoring join and the rank-101+
+    # attestation rows; localCheckpoint pins the four determinants so
+    # the sample aggregation (a full-corpus scan) runs exactly once
+    # (checkpoint_model=False keeps the plan transparent for audits)
     model = sums.select(
         _det3(A).alias("det"),
         _det3(repl(0)).alias("det0"),
         _det3(repl(1)).alias("det1"),
         _det3(repl(2)).alias("det2"),
     )
+    if checkpoint_model:
+        model = model.localCheckpoint(eager=False)
 
     scored = rows.crossJoin(F.broadcast(model)).select(
         "doc",

@@ -348,10 +348,30 @@ def test_quality_outliers_broadcast_model_scoring(spark, entry):
     """The normal-equation sums are ONE map-side-combinable aggregate;
     the four determinants broadcast back so scoring the corpus is
     map-only — no sort-merge join, and the only global sort is the
-    bounded top-k (TakeOrdered), not a full Sort."""
-    df = entry.queries()["quality_outliers"](spark, SF)
+    bounded top-k (TakeOrdered), not a full Sort. Audited with the
+    model checkpoint off (the contract query checkpoints the 1-row
+    model so the sums scan runs once for its two consumers)."""
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.linreg import linreg_outliers
+    from pond_spark.functions.text import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("t_ws"),
+        bpe_token_count(F.col("text")).alias("t_bpe"),
+        F.col("n_chars"),
+    )
+    df = linreg_outliers(
+        feats, "t_ws", "t_bpe", "n_chars", "doc_id", checkpoint_model=False
+    )
     plan = formatted_plan(df)
     assert has_broadcast_join(df), plan
     assert not has_sort_merge_join(df), plan
     assert has_partial_aggregate(df), plan
     assert "TakeOrderedAndProject" in plan, plan
+    # the contract query's plan shows the checkpoint boundary instead
+    cdf = entry.queries()["quality_outliers"](spark, SF)
+    cplan = formatted_plan(cdf)
+    assert "ExistingRDD" in cplan or "LogicalRDD" in cplan, cplan
