@@ -2932,6 +2932,41 @@ def _pack_sequences_sql() -> str:
     )
 
 
+#: KMV churn date ranges: history week vs the SKETCH_RANGE week
+KMV_RANGE_A = ("2024-01-01", "2024-01-07")
+KMV_RANGE_B = ("2024-01-08", "2024-01-14")
+
+
+def q_kmv_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV/theta DISTINCT sketch with SET ALGEBRA
+    (operators/kmv.py, NEW r6): per-(day, site) bottom-k distinct
+    hash keys persisted once, then per-site estimated uniques for two
+    week ranges PLUS the intersection (returning visitors) and
+    B-minus-A (new visitors) — the queries HLL cubes cannot answer.
+    Sample membership, thetas, and the integer estimates are a pure
+    function of the portable hash, so this approximate sketch gets a
+    HARD hash oracle (the DuckDB twin replays the sketch exactly),
+    not an accuracy envelope."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.operators.kmv import build_kmv_sketches, kmv_churn
+
+    logs = events_as_logs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_kmv_{tag}")
+    build_kmv_sketches(logs, path, k=64)
+    (a_lo, a_hi), (b_lo, b_hi) = KMV_RANGE_A, KMV_RANGE_B
+    return kmv_churn(spark, path, a_lo, a_hi, b_lo, b_hi, k=64)
+
+
+def _kmv_churn_sql() -> str:
+    from pond_spark.operators.kmv import kmv_churn_sql
+
+    (a_lo, a_hi), (b_lo, b_hi) = KMV_RANGE_A, KMV_RANGE_B
+    return kmv_churn_sql(LOGS_CTE, a_lo, a_hi, b_lo, b_hi, k=64)
+
+
 def q_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form linear regression as ONE aggregation pass
     (functions/linreg.py, NEW r6): fit n_chars ~ whitespace-tokens +
@@ -4160,6 +4195,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
     "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
+    "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
     "kanon_export": (q_kanon_export, None),  # lazy sql
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
@@ -4177,7 +4213,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
@@ -4191,6 +4226,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "retention": (q_retention, RETENTION_SQL),  # rotated below r6 boundary for pack_sequences
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # rotated below r6 boundary for quality_outliers
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # rotated below r6 boundary for kmv_churn
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
@@ -4264,6 +4300,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "bpe_vocab": _bpe_vocab_sql,
     "pack_sequences": _pack_sequences_sql,
     "quality_outliers": _quality_outliers_sql,
+    "kmv_churn": _kmv_churn_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -928,3 +928,162 @@ def test_kanonymize_null_dims_suppress_correctly(spark):
     assert out[("a", "d1")] == 4
     # NULL site generalizes to (NULL, <other>): 3 users -> published
     assert out[(None, OTHER)] == 3
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta distinct sketches (operators/kmv.py)
+
+
+def _kmv_logs(spark, gen):
+    """Synthetic logs frame: gen(i) -> (day_offset, site, user)."""
+    import datetime as dt
+
+    rows = []
+    for i in range(8000):
+        d, site, user = gen(i)
+        rows.append(
+            (i, dt.datetime(2024, 1, 5) + dt.timedelta(days=d), site, str(user))
+        )
+    return spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, remote_host string"
+    )
+
+
+def test_kmv_churn_matches_duckdb_twin(spark, tmp_path):
+    """The Spark sketch-table path and the DuckDB raw replay produce
+    identical integer estimates — sketch determinism end to end,
+    across an overlapping and a disjoint visitor shape."""
+    import duckdb
+
+    from pond_spark.operators.kmv import build_kmv_sketches, kmv_churn, kmv_churn_sql
+
+    shapes = [
+        lambda i: ((i * 31 + i // 13) % 10, f"s{(i * 7 + 3) % 2}", (i * 131) % 700),
+        lambda i: (i % 10, f"s{i % 2}", (i * 17) % 500),
+    ]
+    for si, gen in enumerate(shapes):
+        logs = _kmv_logs(spark, gen)
+        path = str(tmp_path / f"kmv_{si}")
+        build_kmv_sketches(logs, path, k=64)
+        got = sorted(
+            map(
+                tuple,
+                kmv_churn(
+                    spark, path, "2024-01-05", "2024-01-09",
+                    "2024-01-10", "2024-01-14", k=64,
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(
+                f"(TIMESTAMP '{r[0]}', '{r[1]}', '{r[2]}')"
+                for r in (
+                    (
+                        __import__("datetime").datetime(2024, 1, 5)
+                        + __import__("datetime").timedelta(days=gen(i)[0]),
+                        gen(i)[1],
+                        gen(i)[2],
+                    )
+                    for i in range(8000)
+                )
+            )
+            + ') AS t(ts, site, "user")'
+        )
+        cte = (
+            'logs AS (SELECT ts AS "timestamp", site, '
+            '"user" AS remote_host FROM t)'
+        )
+        exp = sorted(
+            map(
+                tuple,
+                con.sql(
+                    kmv_churn_sql(
+                        cte, "2024-01-05", "2024-01-09",
+                        "2024-01-10", "2024-01-14", k=64,
+                    )
+                ).fetchall(),
+            )
+        )
+        assert got == exp, si
+
+
+def test_kmv_estimates_near_truth(spark, tmp_path):
+    """Accuracy envelope at k=64 (~12.5% expected relative error):
+    every estimate within 30% of the exact distinct counts, and the
+    returning/new split within the same band."""
+    from pond_spark.operators.kmv import build_kmv_sketches, kmv_churn
+
+    gen = lambda i: ((i * 31 + i // 13) % 10, f"s{(i * 7 + 3) % 2}", (i * 131) % 700)
+    logs = _kmv_logs(spark, gen)
+    path = str(tmp_path / "kmv_acc")
+    build_kmv_sketches(logs, path, k=64)
+    out = {
+        r.site: r
+        for r in kmv_churn(
+            spark, path, "2024-01-05", "2024-01-09",
+            "2024-01-10", "2024-01-14", k=64,
+        ).collect()
+    }
+    import datetime as dt
+
+    cut = dt.datetime(2024, 1, 10)
+    a: dict = {}
+    b: dict = {}
+    for i in range(8000):
+        d, site, user = gen(i)
+        ts = dt.datetime(2024, 1, 5) + dt.timedelta(days=d)
+        (a if ts < cut else b).setdefault(site, set()).add(user)
+    for site in out:
+        ta, tb = a.get(site, set()), b.get(site, set())
+        r = out[site]
+        assert abs(r.uniques_a - len(ta)) <= 0.3 * len(ta)
+        assert abs(r.uniques_b - len(tb)) <= 0.3 * len(tb)
+        assert abs(r.returning_est - len(ta & tb)) <= 0.3 * max(len(ta & tb), 20)
+        assert abs(r.new_est - len(tb - ta)) <= 0.3 * max(len(tb - ta), 20)
+
+
+def test_kmv_update_equals_rebuild(spark, tmp_path):
+    """Dynamic-partition day rebuild converges to the full build —
+    the incremental maintenance contract shared with the HLL/CM
+    tables."""
+    from pond_spark.operators.kmv import (
+        build_kmv_sketches,
+        kmv_churn,
+        update_kmv_sketches,
+    )
+
+    gen = lambda i: ((i * 31 + i // 13) % 10, f"s{(i * 7 + 3) % 2}", (i * 131) % 700)
+    logs = _kmv_logs(spark, gen)
+    full = str(tmp_path / "kmv_full")
+    inc = str(tmp_path / "kmv_inc")
+    build_kmv_sketches(logs, full, k=64)
+    # incremental: build without the last two days, then update them in
+    import pyspark.sql.functions as F
+
+    day = F.date_format("timestamp", "yyyy-MM-dd")
+    build_kmv_sketches(logs.filter(day < "2024-01-13"), inc, k=64)
+    update_kmv_sketches(logs, inc, ["2024-01-13", "2024-01-14"], k=64)
+    args = ("2024-01-05", "2024-01-09", "2024-01-10", "2024-01-14")
+    got = sorted(map(tuple, kmv_churn(spark, inc, *args, k=64).collect()))
+    exp = sorted(map(tuple, kmv_churn(spark, full, *args, k=64).collect()))
+    assert got == exp
+
+
+def test_kmv_serve_prunes_day_partitions(spark, tmp_path):
+    """The churn query reads only the two ranges' day partitions from
+    the sketch table (partition filter in the plan), and everything
+    after the scan is k-bounded."""
+    from pond_spark.operators.kmv import build_kmv_sketches, kmv_churn
+    from pond_spark.plans import formatted_plan
+
+    gen = lambda i: (i % 10, f"s{i % 2}", (i * 131) % 700)
+    logs = _kmv_logs(spark, gen)
+    path = str(tmp_path / "kmv_prune")
+    build_kmv_sketches(logs, path, k=64)
+    df = kmv_churn(
+        spark, path, "2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08", k=64
+    )
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "day" in plan, plan
