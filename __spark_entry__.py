@@ -4562,6 +4562,23 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         )
         return _median_batch_sec(sdf)
 
+    @_with_src
+    def stream_kmv_batch_p50(spark: SparkSession, src: str) -> float:
+        """Streaming KMV distinct-uniques (applyInPandasWithState,
+        k bottom keys per site) on the live path — the per-batch cost
+        of the bounded-state distinct estimator (streaming/kmv.py,
+        NEW r6)."""
+        from pond_spark.streaming.follow import continue_stream
+        from pond_spark.streaming.kmv import kmv_uniques_stream
+
+        sdf = kmv_uniques_stream(
+            continue_stream(
+                spark, src, watermark=None, max_files_per_trigger=1
+            ),
+            k=64,
+        )
+        return _median_batch_sec(sdf)
+
     def stream_continue_first_live(spark: SparkSession, sf_dir: str) -> float:
         """Q7 CONTINUE catch-up→tail switchover (VERDICT r5 ask #5):
         the full sf events backfill drains as history, THEN a live
@@ -4642,6 +4659,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_ratelimit_batch_p50": stream_ratelimit_batch_p50,
         "stream_trending_batch_p50": stream_trending_batch_p50,
         "stream_cusum_batch_p50": stream_cusum_batch_p50,
+        "stream_kmv_batch_p50": stream_kmv_batch_p50,
         "stream_continue_first_live": stream_continue_first_live,
         "store_retain_compact": store_retain_compact,
     }

@@ -46,6 +46,7 @@ __all__ = [
     "kmv_key",
     "build_kmv_sketches",
     "update_kmv_sketches",
+    "kmv_uniques_over_range",
     "kmv_churn",
 ]
 
@@ -170,6 +171,32 @@ def _merged_side(sk: DataFrame, lo: str, hi: str, k: int, name: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias(f"m_{name}"),
     )
     return bot.select("site", F.col("bk").alias(f"bk_{name}")), theta
+
+
+def kmv_uniques_over_range(
+    spark: SparkSession,
+    path: str,
+    lo: str,
+    hi: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-site estimated uniques over ``[lo, hi]`` from the sketch
+    table alone — the KMV analog of ``sketches.uniques_over_range``,
+    with the deterministic integer estimator instead of HLL. Returns
+    ``(site, uniques_est, n_keys, theta)``."""
+    sk = spark.read.parquet(path)
+    _bot, th = _merged_side(sk, lo, hi, k, "x")
+    return th.select(
+        "site",
+        F.when(F.col("m_x") < k, F.col("m_x"))
+        .otherwise(
+            F.expr(f"{k - 1} * CAST({BK_MOD} AS BIGINT) div theta_x")
+        )
+        .cast("long")
+        .alias("uniques_est"),
+        F.col("m_x").alias("n_keys"),
+        F.col("theta_x").alias("theta"),
+    )
 
 
 def kmv_churn(

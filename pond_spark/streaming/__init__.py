@@ -1,4 +1,5 @@
 from pond_spark.streaming.anomaly import cusum_stream
+from pond_spark.streaming.kmv import kmv_uniques_stream
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
@@ -13,6 +14,7 @@ from pond_spark.streaming.groupsite import (
 
 __all__ = [
     "cusum_stream",
+    "kmv_uniques_stream",
     "follow_stream",
     "continue_stream",
     "follow_visitors",

@@ -687,3 +687,63 @@ def test_cusum_stream_matches_batch_closed_hours(spark, tmp_path):
     assert got[("a", t0 + dt.timedelta(hours=1))] == (2, 3)
     assert got[("a", t0 + dt.timedelta(hours=2))] == (0, 1)
     assert got[("a", t0 + dt.timedelta(hours=3))] == (0, 0)
+
+
+def test_kmv_uniques_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV: after the stream drains, the LAST emitted
+    estimate per site equals the batch KMV estimate over the same
+    rows (identical bottom-k keys by the merge identity), with state
+    bounded at k keys; the exact-count regime (m < k) reports exact
+    distincts."""
+    from pond_spark.operators.kmv import build_kmv_sketches, kmv_uniques_over_range
+    from pond_spark.streaming import kmv_uniques_stream
+
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 3, 1, 8)
+
+    def visitors(ids, site, users):
+        rows = _rows(ids, site, t0)
+        for r, u in zip(rows, users):
+            r["remote_host"] = f"u{u}"
+        return rows
+
+    # site a: 120 distinct visitors across two batches (overlap 20);
+    # site b: 9 distinct (stays in the exact regime at k=64)
+    _write_batch(
+        spark, store,
+        visitors(range(0, 70), "a", range(0, 70))
+        + visitors(range(70, 75), "b", range(0, 5)),
+    )
+    _write_batch(
+        spark, store,
+        visitors(range(100, 170), "a", range(50, 120))
+        + visitors(range(170, 178), "b", range(1, 9)),
+    )
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    _drain(kmv_uniques_stream(sdf, k=64), "kmv_est", timeout=120)
+    rows = spark.sql("select * from kmv_est").collect()
+    # last emission per site (memory sink appends in batch order)
+    last = {}
+    for r in rows:
+        last[r.site] = (r.uniques_est, r.n_keys, r.theta)
+
+    batch_logs = spark.read.schema(LOG_SCHEMA).parquet(store)
+    path = str(tmp_path / "kmv_batch")
+    build_kmv_sketches(batch_logs, path, k=64)
+    exp = {
+        r.site: (r.uniques_est, r.n_keys, r.theta)
+        for r in kmv_uniques_over_range(
+            spark, path, "2024-03-01", "2024-03-01", k=64
+        ).collect()
+    }
+    assert last == exp
+    # exact regime: site b reports its true distinct count
+    assert last["b"][0] == 9
+    # bounded state: never more than k keys held
+    assert all(r.n_keys <= 64 for r in rows)
