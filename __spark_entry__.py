@@ -1391,6 +1391,50 @@ BPE_MERGES = 12
 BPE_SAMPLE = 20
 
 
+@functools.lru_cache(maxsize=4)
+def _bpe_merges_cached(sf_dir: str) -> tuple:
+    """Train once per sf_dir per process: q_bpe_vocab and
+    q_bpe_tokenize share the merge chain (the IVF shared-builder
+    pattern — duplicate training is pure recompute). Returns plain
+    (rank, left, right, pair_count) tuples, valid across sessions."""
+    from pond_spark.functions.bpe import bpe_train
+    from pyspark.sql import SparkSession as _S
+
+    spark = _S.getActiveSession()
+    docs = _fan(_documents(spark, sf_dir))
+    m = bpe_train(docs, n_merges=BPE_MERGES)
+    return tuple(
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in m.orderBy("rank").collect()
+    )
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with the learned BPE merges
+    (functions/bpe.py bpe_segment, NEW r6): the merge chain applies to
+    the DISTINCT word frame only (vocabulary-sized), then broadcast-
+    joins back onto the exploded token stream — per-symbol work never
+    touches corpus-scale rows. Publishes (doc, n_words, n_pieces) per
+    document; piece counts include the </w> marker. The oracle replays
+    the identical merge chain (the bpe_vocab CTEs) and joins word
+    piece counts back the same way."""
+    from pond_spark.functions.bpe import bpe_segment
+
+    docs = _fan(_documents(spark, sf_dir))
+    mrows = [(l, r) for (_rk, l, r, _pc) in _bpe_merges_cached(sf_dir)]
+    seg = bpe_segment(docs, mrows)
+    return seg.groupBy(F.col("doc_id").alias("doc")).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    from pond_spark.functions.bpe import bpe_tokenize_sql
+
+    return bpe_tokenize_sql(BPE_MERGES)
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (functions/bpe.py,
     Sennrich 2016): 12 merges learned on the vocabulary frame — the
@@ -1407,15 +1451,16 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled MATERIALIZED CTEs with the merge rewrite expressed as a
     delimiter-wrapped string replace. The 12-row merge collect here
     is the bounded per-iteration argmax the operator already does."""
-    from pond_spark.functions.bpe import bpe_apply, bpe_train
+    from pond_spark.functions.bpe import bpe_apply
     from pond_spark.functions.text import _words
     from pyspark.sql.window import Window
 
     docs = _fan(_documents(spark, sf_dir))
-    merges = bpe_train(docs, n_merges=BPE_MERGES)
-    mrows = [
-        (r.left, r.right) for r in merges.orderBy("rank").collect()
-    ]
+    cached = _bpe_merges_cached(sf_dir)
+    merges = spark.createDataFrame(
+        list(cached), "rank long, left string, right string, pair_count long"
+    )
+    mrows = [(l, r) for (_rk, l, r, _pc) in cached]
     words = (
         docs.select(F.explode(_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
@@ -4196,6 +4241,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
     "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
     "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
+    "bpe_tokenize": (q_bpe_tokenize, None),  # lazy sql (NEW r6, shared merge chain)
     "kanon_export": (q_kanon_export, None),  # lazy sql
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
@@ -4213,7 +4259,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
@@ -4227,6 +4272,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "retention": (q_retention, RETENTION_SQL),  # rotated below r6 boundary for pack_sequences
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # rotated below r6 boundary for quality_outliers
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # rotated below r6 boundary for kmv_churn
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # rotated below r6 boundary for bpe_tokenize
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
@@ -4301,6 +4347,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "pack_sequences": _pack_sequences_sql,
     "quality_outliers": _quality_outliers_sql,
     "kmv_churn": _kmv_churn_sql,
+    "bpe_tokenize": _bpe_tokenize_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -205,8 +205,79 @@ def bpe_train_sql(
     in the same 4-column schema."""
     D = "chr(1)"
     DD = f"{D}||{D}"
-    parts = [f"""
-WITH words AS MATERIALIZED (
+    parts = [
+        "\nWITH "
+        + _vocab_cte_chain(n_merges, min_pair_count, table, text_col)
+    ]
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right,"
+        f" pc AS pair_count FROM best_{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    if n_sample > 0:
+        parts.append(f""",
+top_words AS (
+  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+  FROM words ORDER BY cnt DESC, word LIMIT {n_sample}
+)""")
+        selects.append(f"""
+SELECT CAST(100 + t.rn AS BIGINT) AS rank, t.word AS left,
+       array_to_string(list_transform(string_split(v.seq, {DD}),
+                                      x -> trim(x, {D})), ' ') AS right,
+       t.cnt AS pair_count
+FROM top_words t JOIN vocab_{n_merges} v ON t.word = v.word""")
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+def bpe_tokenize_sql(
+    n_merges: int,
+    min_pair_count: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``bpe_segment`` rolled up per document: replay
+    the identical merge chain on the distinct-word frame (the same
+    CTE chain as ``bpe_train_sql``), derive each word's piece count
+    from its final symbol sequence, and join back onto the exploded
+    token stream — ``(doc, n_words, n_pieces)`` per document with at
+    least one token. Piece counts include the ``</w>`` end-of-word
+    marker, matching the engine's piece arrays."""
+    D = "chr(1)"
+    DD = f"{D}||{D}"
+    return f"""
+WITH {_vocab_cte_chain(n_merges, min_pair_count, table, text_col)},
+piece_counts AS (
+  SELECT word, CAST(len(string_split(seq, {DD})) AS BIGINT) AS np
+  FROM vocab_{n_merges}
+),
+toks AS (
+  SELECT CAST({id_col} AS BIGINT) AS doc,
+         unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS word
+  FROM {table}
+)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(np) AS BIGINT) AS n_pieces
+FROM toks JOIN piece_counts USING (word)
+WHERE word <> ''
+GROUP BY doc
+"""
+
+
+def _vocab_cte_chain(
+    n_merges: int,
+    min_pair_count: int,
+    table: str,
+    text_col: str,
+) -> str:
+    """The shared merge-replay CTE chain: ``words`` (distinct word
+    counts), ``vocab_0`` (char-split symbols), then ``best_i`` /
+    ``vocab_i`` pairs for each unrolled merge. Callers prefix
+    ``WITH `` and append their own final CTEs/selects."""
+    D = "chr(1)"
+    DD = f"{D}||{D}"
+    parts = [f"""words AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS word
     FROM {table}) WHERE word <> '' GROUP BY word
@@ -237,22 +308,4 @@ vocab_{i} AS MATERIALIZED (
                            {D}||b.l||b.r||{D}) END AS seq
   FROM vocab_{p} LEFT JOIN best_{i} b ON TRUE
 )""")
-    selects = [
-        f"SELECT CAST({i} AS BIGINT) AS rank, l AS left, r AS right,"
-        f" pc AS pair_count FROM best_{i}"
-        for i in range(1, n_merges + 1)
-    ]
-    if n_sample > 0:
-        parts.append(f""",
-top_words AS (
-  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rn
-  FROM words ORDER BY cnt DESC, word LIMIT {n_sample}
-)""")
-        selects.append(f"""
-SELECT CAST(100 + t.rn AS BIGINT) AS rank, t.word AS left,
-       array_to_string(list_transform(string_split(v.seq, {DD}),
-                                      x -> trim(x, {D})), ' ') AS right,
-       t.cnt AS pair_count
-FROM top_words t JOIN vocab_{n_merges} v ON t.word = v.word""")
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)

@@ -396,6 +396,50 @@ def test_bpe_segment_roundtrip_and_reference(spark):
         assert list(r.pieces) == ref_pieces[r.word]
 
 
+def test_bpe_tokenize_rollup_matches_reference(spark):
+    """Per-doc (n_words, n_pieces) from the segmentation equals the
+    independent pure-python reference, and the DuckDB twin
+    (bpe_tokenize_sql) agrees exactly."""
+    import duckdb
+
+    from pond_spark.functions.bpe import bpe_segment, bpe_tokenize_sql, bpe_train
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    merges = [
+        (r.left, r.right) for r in bpe_train(docs, 8).orderBy("rank").collect()
+    ]
+    got = {
+        r.doc: (r.n_words, r.n_pieces)
+        for r in bpe_segment(docs, merges)
+        .groupBy(F.col("doc_id").alias("doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
+        )
+        .collect()
+    }
+    _, ref_vocab = _ref_bpe(_bpe_word_counts(), 8)
+    np_by_word = {"".join(sym)[: -len("</w>")]: len(sym) for sym in ref_vocab}
+    exp = {}
+    for doc, text in _BPE_DOCS:
+        ws = [w for w in text.strip().lower().split() if w]
+        exp[doc] = (len(ws), sum(np_by_word[w] for w in ws))
+    assert got == exp
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in _BPE_DOCS)
+        + ") AS t(doc_id, text)"
+    )
+    sql_rows = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.sql(bpe_tokenize_sql(8)).fetchall()
+    }
+    assert sql_rows == exp
+
+
 # ---------------------------------------------------------------------------
 # UniMax budget allocation
 
