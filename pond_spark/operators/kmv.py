@@ -262,8 +262,13 @@ def kmv_churn(
             f" * CAST({BK_MOD} AS BIGINT) div theta"
         ).cast("long")
 
+    # the two FULL OUTER merges above stay sort-merge joins (Spark
+    # cannot broadcast a full-outer side) — harmless: every post-scan
+    # frame here is k-bounded (<= k keys per site), so the SMJs sort
+    # KB-sized inputs; the one legal broadcast (sets into theta) is
+    # hinted
     return (
-        theta.join(sets, "site", "left")
+        theta.join(F.broadcast(sets), "site", "left")
         .select(
             "site",
             est_side("m_a", "theta_a").alias("uniques_a"),
