@@ -1196,6 +1196,38 @@ FROM est ORDER BY est DESC, key ASC LIMIT 25
 """
 
 
+def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join SIZE estimation from the Count-Min day tables
+    (operators/cmjoin.py, NEW r6): the classic inner-product estimator
+    — per-row dot products of the two ranges' merged grids, min over
+    depth rows ≈ sum_key cntA*cntB, i.e. the join's output rows —
+    answered from KB-sized cells with day-partition pruning, no raw
+    scan. Reuses the CM table q_cm_heavy_hitters maintains (builds it
+    if absent, so the row is self-sufficient standalone). Hard hash
+    oracle: the estimate is a pure function of the portable hash."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.operators.cmjoin import cm_join_size
+    from pond_spark.operators.sketches import build_cm_sketches
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_cm_{tag}")
+    if not os.path.exists(path):
+        build_cm_sketches(
+            events_as_logs(spark, sf_dir), path, key_col="message"
+        )
+    (a_lo, a_hi), (b_lo, b_hi) = KMV_RANGE_A, KMV_RANGE_B
+    return cm_join_size(spark, path, a_lo, a_hi, b_lo, b_hi)
+
+
+def _cm_join_size_sql() -> str:
+    from pond_spark.operators.cmjoin import cm_join_size_sql
+
+    (a_lo, a_hi), (b_lo, b_hi) = KMV_RANGE_A, KMV_RANGE_B
+    return cm_join_size_sql(LOGS_CTE, a_lo, a_hi, b_lo, b_hi)
+
+
 #: bloom blocklist: every doc whose source is one of these is "seen"
 BLOOM_SOURCES = ("src0", "src3", "src7", "src11")
 BLOOM_M, BLOOM_K = 8192, 5
@@ -4242,6 +4274,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
     "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
     "bpe_tokenize": (q_bpe_tokenize, None),  # lazy sql (NEW r6, shared merge chain)
+    "cm_join_size": (q_cm_join_size, None),  # lazy sql (NEW r6, CM inner product)
     "kanon_export": (q_kanon_export, None),  # lazy sql
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
@@ -4259,7 +4292,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents": (q_chunk_documents, None),  # lazy sql
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "embedding_catalog_incremental": (
@@ -4273,6 +4305,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # rotated below r6 boundary for quality_outliers
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # rotated below r6 boundary for kmv_churn
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # rotated below r6 boundary for bpe_tokenize
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # rotated below r6 boundary for cm_join_size
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
@@ -4348,6 +4381,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "quality_outliers": _quality_outliers_sql,
     "kmv_churn": _kmv_churn_sql,
     "bpe_tokenize": _bpe_tokenize_sql,
+    "cm_join_size": _cm_join_size_sql,
     "text_stats": _text_stats_sql,
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,

@@ -1087,3 +1087,95 @@ def test_kmv_serve_prunes_day_partitions(spark, tmp_path):
     )
     plan = formatted_plan(df)
     assert "PartitionFilters" in plan and "day" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# CM join-size estimation (operators/cmjoin.py)
+
+
+def test_cm_join_size_exact_when_collision_free(spark, tmp_path):
+    """With far fewer distinct keys than the grid width, every row's
+    dot product equals the TRUE join size sum_key cntA*cntB, and the
+    estimate row carries their min."""
+    import datetime as dt
+
+    from pond_spark.operators.cmjoin import cm_join_size
+    from pond_spark.operators.sketches import build_cm_sketches
+
+    rows = []
+    for i in range(6000):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 3, 1) + dt.timedelta(days=i % 6),
+                "s",
+                f"k{(i * i) % 37}",
+            )
+        )
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, message string"
+    )
+    path = str(tmp_path / "cm")
+    build_cm_sketches(logs, path, key_col="message")
+    out = {
+        r.row: r.dot
+        for r in cm_join_size(
+            spark, path, "2024-03-01", "2024-03-03", "2024-03-04", "2024-03-06"
+        ).collect()
+    }
+    # truth
+    from collections import Counter
+
+    a: Counter = Counter()
+    b: Counter = Counter()
+    for i, ts, _s, k in rows:
+        (a if ts < dt.datetime(2024, 3, 4) else b)[k] += 1
+    truth = sum(a[k] * b[k] for k in a.keys() & b.keys())
+    assert out[-1] == truth
+    for r, dot in out.items():
+        if r >= 0:
+            assert dot == truth  # 37 keys in width-1024 rows: no collisions
+
+
+def test_cm_join_size_never_underestimates(spark, tmp_path):
+    """CM inner products only ADD collision cross terms: with many
+    keys (forced collisions) the estimate stays >= truth."""
+    import datetime as dt
+
+    from pond_spark.operators.cmjoin import cm_join_size
+    from pond_spark.operators.sketches import build_cm_sketches
+
+    rows = []
+    for i in range(8000):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 3, 1) + dt.timedelta(days=i % 4),
+                "s",
+                f"key{(i * 13 + i // 4) % 3000}",
+            )
+        )
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, message string"
+    )
+    path = str(tmp_path / "cm2")
+    build_cm_sketches(logs, path, key_col="message")
+    out = {
+        r.row: r.dot
+        for r in cm_join_size(
+            spark, path, "2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"
+        ).collect()
+    }
+    from collections import Counter
+
+    a: Counter = Counter()
+    b: Counter = Counter()
+    for i, ts, _s, k in rows:
+        (a if ts < dt.datetime(2024, 3, 3) else b)[k] += 1
+    truth = sum(a[k] * b[k] for k in a.keys() & b.keys())
+    assert truth > 0  # the shapes genuinely overlap
+    assert out[-1] >= truth
+    # inner-product CM bound: est <= truth + eps*Na*Nb with
+    # eps = e/width; allow 3x the expected slack
+    na, nb = sum(a.values()), sum(b.values())
+    assert out[-1] <= truth + 3 * int(2.72 / 1024 * na * nb) + 1
