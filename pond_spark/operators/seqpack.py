@@ -92,10 +92,16 @@ def pack_sequences(
             }
         )
 
-    rows = df.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(tokens_col).cast("long").alias(tokens_col),
-    ).withColumn("bucket", (F.col(id_col) % F.lit(n_buckets)).cast("int"))
+    rows = (
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+        )
+        # a NULL size would poison the numpy fold mid-task; rows
+        # without a measurable size cannot be packed at all
+        .filter(F.col(id_col).isNotNull() & F.col(tokens_col).isNotNull())
+        .withColumn("bucket", (F.col(id_col) % F.lit(n_buckets)).cast("int"))
+    )
     return rows.groupBy("bucket").applyInPandas(_ffd, out_schema)
 
 

@@ -655,3 +655,34 @@ def test_linreg_sql_twin_equivalence(spark):
             linreg_outliers_sql("a", "b", "y", k=15, sample_mod=5)
         ).fetchall()))
         assert got == exp, seed
+
+
+def test_linreg_singular_sample_still_deterministic(spark):
+    """Collinear features make the normal matrix singular (det = 0);
+    the output is then degenerate but DEFINED, and both engines must
+    still agree exactly — the determinism contract holds even off the
+    happy path."""
+    import duckdb
+
+    from pond_spark.functions.linreg import linreg_outliers, linreg_outliers_sql
+
+    rows = [(i, i % 50, 2 * (i % 50), 10 + 3 * (i % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, a long, b long, y long")
+    got = sorted(
+        (r.rank, r.doc, r.y, r.x1, r.x2, r.resid)
+        for r in linreg_outliers(
+            df, "a", "b", "y", "doc_id", k=10, sample_mod=3
+        ).collect()
+    )
+    model = {r[0]: r[5] for r in got if r[0] > 100}
+    assert model[101] == "0"  # singular: det is exactly zero
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(map(str, rows))
+        + ") AS t(doc_id, a, b, y)"
+    )
+    exp = sorted(map(tuple, con.sql(
+        linreg_outliers_sql("a", "b", "y", k=10, sample_mod=3)
+    ).fetchall()))
+    assert got == exp
