@@ -1202,9 +1202,11 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     — per-row dot products of the two ranges' merged grids, min over
     depth rows ≈ sum_key cntA*cntB, i.e. the join's output rows —
     answered from KB-sized cells with day-partition pruning, no raw
-    scan. Reuses the CM table q_cm_heavy_hitters maintains (builds it
-    if absent, so the row is self-sufficient standalone). Hard hash
-    oracle: the estimate is a pure function of the portable hash."""
+    scan. Rebuilds the shared CM table unconditionally like every
+    other sketch row (an exists-check would trust a stale table left
+    by a previous process over different data — the oracle-artifact
+    class the harness already fought once). Hard hash oracle: the
+    estimate is a pure function of the portable hash."""
     import hashlib
     import tempfile
 
@@ -1213,10 +1215,7 @@ def q_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_cm_{tag}")
-    if not os.path.exists(path):
-        build_cm_sketches(
-            events_as_logs(spark, sf_dir), path, key_col="message"
-        )
+    build_cm_sketches(events_as_logs(spark, sf_dir), path, key_col="message")
     (a_lo, a_hi), (b_lo, b_hi) = KMV_RANGE_A, KMV_RANGE_B
     return cm_join_size(spark, path, a_lo, a_hi, b_lo, b_hi)
 

@@ -528,6 +528,11 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 max_batch_rows = int(v)
             except ValueError:
+                max_batch_rows = None
+            if max_batch_rows is None or max_batch_rows < 1:
+                # 0 would silently print nothing; negative values
+                # raise inside the stream's limit() — both are bad
+                # options, not crashes (exit-2 discipline)
                 print(f"Bad --max-batch-rows: {v!r}", file=sys.stderr)
                 return 2
         else:

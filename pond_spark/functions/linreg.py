@@ -35,7 +35,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_D = "decimal(12,0)"  # normal-equation sums (budget: |sum| < 1e12)
+#: normal-equation sums. The 12-digit leaf cast IS the budget
+#: enforcement: under Spark 4's default ANSI mode a sum past 1e12
+#: fails LOUDLY at the cast (ARITHMETIC_OVERFLOW) — at exactly the
+#: documented boundary, before any det product could silently
+#: diverge from the HUGEINT oracle. (With ANSI disabled the cast
+#: NULLs instead; callers running legacy mode lose the loud wall and
+#: should check the model rows for NULL dets.) Widening the leaf
+#: would not buy range: det ~ sum^3 must stay under 1e38, so the
+#: true value budget is ~1e12 regardless of leaf precision.
+_D = "decimal(12,0)"
 
 
 def _det3(a: list[list[Column]]) -> Column:

@@ -25,9 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pond_spark.operators.sketches import CM_DEPTH
-
-__all__ = ["cm_join_size"]
+__all__ = ["cm_join_size", "cm_join_size_sql"]
 
 
 def cm_join_size(
@@ -37,14 +35,14 @@ def cm_join_size(
     a_hi: str,
     b_lo: str,
     b_hi: str,
-    depth: int = CM_DEPTH,
 ) -> DataFrame:
     """Estimate ``sum_key cntA(key)*cntB(key)`` (the equi-join output
     rows between the two ranges' key streams) from the CM table at
-    ``path`` alone. Returns ``depth`` attestation rows
-    ``(row, dot)`` — the per-row dot products — plus the estimate row
-    ``(-1, min-over-rows)``. Both reads are day-partition-pruned; the
-    join and aggregation run over fixed ``depth*width`` cell grids."""
+    ``path`` alone. Returns one attestation row ``(row, dot)`` per
+    depth row stored in the table — the per-row dot products — plus
+    the estimate row ``(-1, min-over-rows)``. Both reads are
+    day-partition-pruned; the join and aggregation run over fixed
+    depth*width cell grids."""
     sk = spark.read.parquet(path)
 
     def grid(lo: str, hi: str, name: str) -> DataFrame:

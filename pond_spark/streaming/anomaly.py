@@ -14,10 +14,13 @@ in ``applyInPandasWithState``:
   with count 0, exactly the batch operator's dense spine — and each
   close folds the textbook recursion ``s = max(0, s + cnt - k)`` and
   emits ``(site, hour, cnt, cusum)``;
-- late events (hour < open hour) are DROPPED — the watermark trade
-  every streaming aggregation makes; the batch twin re-sorts instead.
-  Within a micro-batch, frames are sorted by (timestamp, id) so
-  intra-batch order matches the store's scan order.
+- late events (hour earlier than the open hour CARRIED ACROSS
+  batches) are DROPPED — the watermark trade every streaming
+  aggregation makes; the batch twin re-sorts instead. WITHIN a
+  micro-batch, order cannot matter: per-hour counts accumulate
+  across all Arrow frames first (frames of one group arrive in no
+  guaranteed order) and the fold then walks the batch's distinct
+  hours sorted.
 
 An hour therefore emits exactly once, when the stream proves it over
 (first later-hour event) — identical scores to the batch closed form
@@ -108,19 +111,27 @@ def cusum_stream(
                 open_us += _HOUR_US
                 open_cnt = 0  # gap hours count zero (dense spine)
 
+        # accumulate per-hour counts across ALL frames BEFORE folding:
+        # Arrow splits a large group into multiple frames with no
+        # ordering guarantee between them, so walking hours as frames
+        # arrive would mis-drop an earlier hour delivered in a later
+        # frame as "late". Only hours late relative to the CROSS-BATCH
+        # state (the open hour carried in) are dropped.
+        batch_counts: dict[int, int] = {}
         for pdf in frames:
             if len(pdf) == 0:
                 continue
-            counts = pdf["hour"].value_counts().sort_index()
-            for ts, n in counts.items():
+            for ts, n in pdf["hour"].value_counts().items():
                 us = int(ts.value // 1000)
-                if open_us < 0:
-                    open_us = us
-                if us < open_us:
-                    continue  # late hour: dropped (watermark trade)
-                if us > open_us:
-                    close_through(us)
-                open_cnt += int(n)
+                batch_counts[us] = batch_counts.get(us, 0) + int(n)
+        for us in sorted(batch_counts):
+            if open_us < 0:
+                open_us = us
+            if us < open_us:
+                continue  # late vs carried state: dropped (watermark trade)
+            if us > open_us:
+                close_through(us)
+            open_cnt += batch_counts[us]
         state.update((int(open_us), int(open_cnt), int(s)))
         if out_hours:
             yield pd.DataFrame(

@@ -330,6 +330,12 @@ def test_main_follow_max_batch_rows_caps_collect(spark, store_dir, capsys):
     assert main([
         f"--store={store_dir}", "--max-batch-rows=lots", "query",
     ]) == 2
+    # 0 / negative: bad options (silent output or a mid-stream limit()
+    # crash), exit 2 without a traceback
+    for bad in ("0", "-1"):
+        assert main([
+            f"--store={store_dir}", f"--max-batch-rows={bad}", "query",
+        ]) == 2
 
 
 def test_main_per_site_auto_group_site(spark, store_dir, tmp_path, capsys):

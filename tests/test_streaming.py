@@ -747,3 +747,58 @@ def test_kmv_uniques_stream_matches_batch_sketch(spark, tmp_path):
     assert last["b"][0] == 9
     # bounded state: never more than k keys held
     assert all(r.n_keys <= 64 for r in rows)
+
+
+def test_cusum_stream_frame_order_independent(spark, tmp_path):
+    """One micro-batch whose group spans MANY Arrow frames delivered
+    in no helpful order (rows written hour-DESCENDING, Arrow batch
+    size forced tiny): per-hour counts must accumulate across frames
+    before the fold walks hours sorted — no hour may be dropped as
+    'late' by frame arrival order. Scores must equal the batch closed
+    form on the closed hours."""
+    from pond_spark.operators.anomaly import cusum_scores
+    from pond_spark.streaming import cusum_stream
+
+    store = str(tmp_path / "store")
+    # site a: hours 0..5 with 40 events each, written hour-DESC so the
+    # scan delivers later hours first; plus a terminal hour-6 event in
+    # a SECOND file so hours 0..5 all close
+    rows = []
+    rid = 0
+    t0 = dt.datetime(2024, 5, 1)
+    for hour in range(5, -1, -1):
+        for j in range(40):
+            rid += 1
+            r = _rows([rid], "a", t0)[0]
+            r["timestamp"] = t0 + dt.timedelta(hours=hour, minutes=j % 50)
+            rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1)
+    df.write.mode("append").parquet(store)
+    tail = _rows([9999], "a", t0)
+    tail[0]["timestamp"] = t0 + dt.timedelta(hours=6)
+    _write_batch(spark, store, tail)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        sdf = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(store)
+        )
+        _drain(cusum_stream(sdf, k=30), "cus_frames", timeout=120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r.site, r.hour): (r.cnt, r.cusum)
+        for r in spark.sql("select * from cus_frames").collect()
+    }
+    batch_logs = spark.read.schema(LOG_SCHEMA).parquet(store)
+    exp = {
+        (r.site, r.hour): (r.cnt, r.cusum)
+        for r in cusum_scores(batch_logs, k=30).collect()
+        if r.hour < t0 + dt.timedelta(hours=6)  # open tail not emitted
+    }
+    assert got == exp
+    assert len(got) == 6  # hours 0..5 all closed, none dropped
