@@ -9,7 +9,6 @@ single hash-partitioned shuffle with map-side partial aggregation.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,41 +73,18 @@ class DigestCatalog:
     """
 
     def __init__(self, spark, path: str):
+        from pond_spark.catalog import CatalogStore
+
         self.spark = spark
         self.path = path
+        # persistence discipline (bootstrap / remnant-refusal /
+        # crash-safe compact) lives once in pond_spark.catalog
+        self._store = CatalogStore(
+            spark, path, "content_sha string", "digest catalog"
+        )
 
     def _read(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            # ONLY a missing path means "first run". Any other read
-            # failure (permissions, corrupt footer, storage blip) on
-            # an existing catalog must raise — failing open would
-            # silently disable cross-run dedup and re-admit
-            # everything previously shipped. Match the stable error
-            # CONDITION, not the message text (which varies by Spark
-            # version/locale).
-            get_cond = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", None
-            )
-            if get_cond and get_cond() == "PATH_NOT_FOUND":
-                # a ._old sibling means a compact() died between its
-                # two renames: the catalog is NOT new, it is sitting at
-                # the ._old path. Refuse to bootstrap empty — that
-                # would silently re-admit everything previously
-                # shipped; make the operator finish the swap instead.
-                old = self.path + "._old"
-                if os.path.exists(old):
-                    raise RuntimeError(
-                        f"digest catalog missing at {self.path} but a "
-                        f"compaction remnant exists at {old} — a "
-                        "compact() crashed mid-swap. Recover with: "
-                        f"mv {old} {self.path} (then re-run compact)"
-                    ) from e
-                return self.spark.createDataFrame([], "content_sha string")
-            raise
+        return self._store.read()
 
     def filter_new(
         self, df: DataFrame, text_col: str = "text", id_col: str | None = None
@@ -134,11 +110,9 @@ class DigestCatalog:
 
     def register(self, df: DataFrame, text_col: str = "text") -> None:
         """Append the batch's distinct digests to the catalog."""
-        (
+        self._store.append(
             df.select(F.sha2(F.col(text_col), 256).alias("content_sha"))
             .distinct()
-            .write.mode("append")
-            .parquet(self.path)
         )
 
     def compact(self) -> None:
@@ -147,25 +121,7 @@ class DigestCatalog:
         races can leave duplicate digests — see class docstring), so a
         long-lived catalog accumulates small files and dup rows that
         cost every future anti-join. Same single-writer rule as
-        register: don't compact while another pipeline appends.
-
-        Crash-safety: the live catalog is never deleted before its
-        replacement is written — stage new, rename old ASIDE, rename
-        staged in, then delete the old copy. POSIX gives no two-path
-        atomic swap, so a crash exactly between the two renames leaves
-        ``path`` briefly absent with the data at ``path + '._old'``;
-        ``_read`` detects that remnant and REFUSES to bootstrap an
-        empty catalog (raising with the one-command recovery) instead
-        of silently re-admitting everything previously shipped."""
-        if not os.path.exists(self.path):
-            return  # nothing registered yet — nothing to compact
-        import shutil
-
-        staged = self.path + "._compact"
-        old = self.path + "._old"
-        self._read().distinct().write.mode("overwrite").parquet(staged)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staged, self.path)
-        shutil.rmtree(old)
+        register. Crash-safe double rename; a crash mid-swap leaves
+        the ``._old`` remnant ``_read`` refuses to bootstrap over
+        (see pond_spark.catalog)."""
+        self._store.compact()

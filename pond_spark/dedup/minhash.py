@@ -334,25 +334,24 @@ class MinHashCatalog:
         n: int = 1,
         seed: int = 42,
     ):
+        from pond_spark.catalog import CatalogStore
+
         self.spark = spark
         self.path = path
         self.params = {"k": k, "bands": bands, "n": n, "seed": seed}
-        sidecar = self._sidecar()
-        if os.path.exists(sidecar):
-            import json
-
-            with open(sidecar) as f:
-                stored = json.load(f)
-            if stored != self.params:
-                raise ValueError(
-                    f"MinHashCatalog at {path} was built with "
-                    f"{stored}, opened with {self.params} — band keys "
-                    "from different signature parameters are "
-                    "incomparable"
-                )
-
-    def _sidecar(self) -> str:
-        return self.path + ".params.json"
+        # persistence discipline (sidecar pinning / bootstrap /
+        # remnant-refusal / crash-safe compact): pond_spark.catalog
+        self._store = CatalogStore(
+            spark,
+            path,
+            "doc_id long, band_key int",
+            "minhash catalog",
+            params=self.params,
+            mismatch_hint=(
+                "band keys from different signature parameters are "
+                "incomparable"
+            ),
+        )
 
     def _banded(
         self, df: DataFrame, text_col: str, id_col: str
@@ -367,32 +366,7 @@ class MinHashCatalog:
         )
 
     def _read(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            # only a missing path means "first run" — mirror
-            # DigestCatalog._read's failure discipline (exact.py):
-            # any other read error must raise, and a ._old compaction
-            # remnant means the catalog EXISTS and needs recovery, not
-            # an empty bootstrap that re-admits everything shipped
-            get_cond = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", None
-            )
-            if get_cond and get_cond() == "PATH_NOT_FOUND":
-                old = self.path + "._old"
-                if os.path.exists(old):
-                    raise RuntimeError(
-                        f"minhash catalog missing at {self.path} but a "
-                        f"compaction remnant exists at {old} — a "
-                        "compact() crashed mid-swap. Recover with: "
-                        f"mv {old} {self.path} (then re-run compact)"
-                    ) from e
-                return self.spark.createDataFrame(
-                    [], "doc_id long, band_key int"
-                )
-            raise
+        return self._store.read()
 
     def filter_new(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -445,32 +419,11 @@ class MinHashCatalog:
     ) -> None:
         """Append the batch's band rows (and pin the parameter sidecar
         on first use)."""
-        sidecar = self._sidecar()
-        if not os.path.exists(sidecar):
-            import json
-
-            with open(sidecar, "w") as f:
-                json.dump(self.params, f)
-        self._banded(df, text_col, id_col).write.mode("append").parquet(
-            self.path
-        )
+        self._store.append(self._banded(df, text_col, id_col))
 
     def compact(self) -> None:
         """Rewrite as one distinct (doc_id, band_key) set — repeated
         registers accumulate small files that cost every future probe.
-        Crash-safe double-rename, same dance as DigestCatalog.compact
-        (exact.py): stage new, rename live aside, rename staged in,
-        delete old; ``_read`` refuses to bootstrap over a ``._old``
-        remnant."""
-        if not os.path.exists(self.path):
-            return
-        import shutil
-
-        staged = self.path + "._compact"
-        old = self.path + "._old"
-        self._read().distinct().write.mode("overwrite").parquet(staged)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staged, self.path)
-        shutil.rmtree(old)
+        Crash-safe double rename (pond_spark.catalog); ``_read``
+        refuses to bootstrap over a ``._old`` remnant."""
+        self._store.compact()

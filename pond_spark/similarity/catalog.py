@@ -33,7 +33,6 @@ catalogs (see DigestCatalog, exact.py).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,26 +50,25 @@ class EmbeddingCatalog:
         n_tables: int = 2,
         seed: int = 42,
     ):
+        from pond_spark.catalog import CatalogStore
+
         self.spark = spark
         self.path = path
         self.params = {
             "dim": dim, "nbits": nbits, "n_tables": n_tables, "seed": seed,
         }
-        sidecar = self._sidecar()
-        if os.path.exists(sidecar):
-            import json
-
-            with open(sidecar) as f:
-                stored = json.load(f)
-            if stored != self.params:
-                raise ValueError(
-                    f"EmbeddingCatalog at {path} was built with {stored}, "
-                    f"opened with {self.params} — bucket keys from "
-                    "different hyperplanes are incomparable"
-                )
-
-    def _sidecar(self) -> str:
-        return self.path + ".params.json"
+        # persistence discipline (sidecar pinning / bootstrap /
+        # remnant-refusal / crash-safe compact): pond_spark.catalog
+        self._store = CatalogStore(
+            spark,
+            path,
+            "vec_id long, table int, bucket long",
+            "embedding catalog",
+            params=self.params,
+            mismatch_hint=(
+                "bucket keys from different hyperplanes are incomparable"
+            ),
+        )
 
     def _bucketed(
         self, df: DataFrame, vec_col: str, id_col: str
@@ -97,27 +95,7 @@ class EmbeddingCatalog:
         return out
 
     def _read(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
-        try:
-            return self.spark.read.parquet(self.path)
-        except AnalysisException as e:
-            get_cond = getattr(e, "getCondition", None) or getattr(
-                e, "getErrorClass", None
-            )
-            if get_cond and get_cond() == "PATH_NOT_FOUND":
-                old = self.path + "._old"
-                if os.path.exists(old):
-                    raise RuntimeError(
-                        f"embedding catalog missing at {self.path} but a "
-                        f"compaction remnant exists at {old} — a "
-                        "compact() crashed mid-swap. Recover with: "
-                        f"mv {old} {self.path} (then re-run compact)"
-                    ) from e
-                return self.spark.createDataFrame(
-                    [], "vec_id long, table int, bucket long"
-                )
-            raise
+        return self._store.read()
 
     def filter_new(
         self,
@@ -180,28 +158,9 @@ class EmbeddingCatalog:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> None:
-        sidecar = self._sidecar()
-        if not os.path.exists(sidecar):
-            import json
-
-            with open(sidecar, "w") as f:
-                json.dump(self.params, f)
-        self._bucketed(df, vec_col, id_col).write.mode("append").parquet(
-            self.path
-        )
+        self._store.append(self._bucketed(df, vec_col, id_col))
 
     def compact(self) -> None:
-        """Distinct rewrite with the crash-safe double-rename (see
-        DigestCatalog.compact, exact.py)."""
-        if not os.path.exists(self.path):
-            return
-        import shutil
-
-        staged = self.path + "._compact"
-        old = self.path + "._old"
-        self._read().distinct().write.mode("overwrite").parquet(staged)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staged, self.path)
-        shutil.rmtree(old)
+        """Distinct rewrite with the crash-safe double rename
+        (pond_spark.catalog)."""
+        self._store.compact()
