@@ -4286,9 +4286,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql
+    "stats": (q_stats, STATS_SQL),  # rotated into the r6 window (ingest.py changed)
+    "time_sugar": (q_time_sugar, None),  # rotated into the r6 window (timeparse.py changed)
+    "time_today": (q_time_today, None),  # rotated into the r6 window (timeparse.py changed)
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
@@ -4337,7 +4337,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "stats": (q_stats, STATS_SQL),
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),  # rotated below r6 boundary
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "site_delta": (q_site_delta, SITE_DELTA_SQL),
@@ -4347,8 +4347,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "time_sugar": (q_time_sugar, None),  # lazy sql (F13 relative + partial)
-    "time_today": (q_time_today, None),  # lazy sql (F12 today/date)
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # rotated below r6 boundary
+    "chunk_documents": (q_chunk_documents, None),  # rotated below r6 boundary
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),

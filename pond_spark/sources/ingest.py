@@ -63,6 +63,8 @@ def rate_limit(
     site_col: str = "site",
     type_col: str = "type",
     message_type: str = "http_error",
+    ts_col: str = "timestamp",
+    id_col: str = "id",
 ) -> DataFrame:
     """Apply the per-site token bucket; appends ``_discarded``.
 
@@ -72,19 +74,24 @@ def rate_limit(
     """
     if rate <= 0:
         return df.withColumn("_discarded", F.lit(False))
+    for c in (site_col, type_col, ts_col, id_col):
+        if c not in df.columns:
+            # fail on the driver with the column named — a missing
+            # column would otherwise surface as an opaque KeyError
+            # inside the Arrow worker on an executor
+            raise ValueError(f"rate_limit: input has no column {c!r}")
     burst = burst if burst is not None else 10.0 * rate
 
     def bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # one pandas frame per site group, processed in (timestamp, id)
-        # order — the token bucket is sequential by construction
+        # one pandas frame per site group, processed in (ts, id) order
+        # — the token bucket is sequential by construction. Rows here
+        # are pre-filtered to charged ones (type == message_type with
+        # a site), so every row pays a token.
         tokens = burst
         prev_us: int | None = None
-        pdf = pdf.sort_values(["timestamp", "id"], na_position="first")
+        pdf = pdf.sort_values([ts_col, id_col], na_position="first")
         out_flags = []
-        for ts, typ in zip(pdf["timestamp"], pdf[type_col]):
-            if typ != message_type:
-                out_flags.append(False)
-                continue
+        for ts in pdf[ts_col]:
             now_us = (
                 int(ts.value // 1000) if ts is not None and not pd.isna(ts) else prev_us
             )
@@ -155,18 +162,20 @@ def ingest_batch(
     # this once per micro-batch, and never-unpersisted entries would
     # accumulate in executor storage for the life of the query. The
     # caller's consumption of `stored` re-runs the (cheap, projection-
-    # only) parse once; the counts never recompute.
+    # only) parse once when rate == 0; the rate-limited path instead
+    # pins the flagged frame with localCheckpoint so the token-bucket
+    # shuffle + pandas stage (the expensive part) runs exactly once —
+    # an unpersist-before-return would silently re-execute it when the
+    # caller writes `stored` (r6 review finding). The checkpoint blocks
+    # release via the ContextCleaner when `stored` is dropped.
     parsed = parse_datagrams(raw, payload_col).cache()
     try:
         n_received = parsed.count()
         n_malformed = parsed.filter("_malformed").count()
         good = parsed.filter(~F.col("_malformed")).select("_rec.*")
         if rate > 0:
-            flagged = rate_limit(good, rate).cache()
-            try:
-                n_discarded = flagged.filter("_discarded").count()
-            finally:
-                flagged.unpersist()
+            flagged = rate_limit(good, rate).localCheckpoint()
+            n_discarded = flagged.filter("_discarded").count()
             stored = flagged.filter(~F.col("_discarded")).drop("_discarded")
         else:
             n_discarded = 0

@@ -19,11 +19,37 @@ partitionBy(site) would cause at ~50k sites.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pond_spark.schema import LOG_SCHEMA
+
+
+@contextmanager
+def _micros_output(spark: SparkSession):
+    """Scope ``outputTimestampType=TIMESTAMP_MICROS`` to one write:
+    INT96 (Spark's legacy default) writes no footer min/max statistics,
+    which would silently kill both row-group time pruning and
+    footer-based retention — but mutating the session conf permanently
+    would leak the encoding into unrelated parquet writes elsewhere in
+    the same session (same save/restore discipline as
+    util.compact_partition_dirs)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 class LogStore:
@@ -43,12 +69,11 @@ class LogStore:
         self.path = path
         self.zorder = zorder
 
-    def _layout(self, df: DataFrame) -> DataFrame:
-        """Partition + sort discipline shared by append and clone.
-
-        Forces TIMESTAMP_MICROS output: INT96 (Spark's legacy default)
-        writes no footer min/max statistics, which would silently kill
-        both row-group time pruning and footer-based retention.
+    def _layout(self, df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+        """Partition + sort discipline shared by append, clone and
+        compact (``num_partitions`` pins the range-shuffle width for
+        compaction's file-size targeting; writers must run under
+        ``_micros_output`` so footer min/max statistics exist).
 
         ``repartitionByRange(p_date, site, timestamp)`` (not
         ``repartition("p_date")``) so a single day spreads over many
@@ -56,9 +81,7 @@ class LogStore:
         cluster scale — while keeping files within a date covering
         non-overlapping site ranges, which preserves row-group pruning
         for site-filtered scans."""
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
+        np = [num_partitions] if num_partitions else []
         dated = df.withColumn(
             "p_date",
             F.coalesce(
@@ -85,17 +108,20 @@ class LogStore:
             key = zorder_key([_rank(c) for c in self.zorder])
             return (
                 dated.withColumn("_zkey", key)
-                .repartitionByRange("p_date", "_zkey")
+                .repartitionByRange(*np, "p_date", "_zkey")
                 .sortWithinPartitions("p_date", "_zkey", "id")
                 .drop("_zkey")
             )
         return dated.repartitionByRange(
-            "p_date", "site", "timestamp"
+            *np, "p_date", "site", "timestamp"
         ).sortWithinPartitions("site", "timestamp", "id")
 
     def append(self, df: DataFrame) -> None:
         """S2 INJECT_LOG_RECORD / ingest append."""
-        self._layout(df).write.mode("append").partitionBy("p_date").parquet(self.path)
+        with _micros_output(self.spark):
+            self._layout(df).write.mode("append").partitionBy(
+                "p_date"
+            ).parquet(self.path)
 
     def read(self, since=None, until=None) -> DataFrame:
         """Read the store, optionally time-bounded.
@@ -133,12 +159,13 @@ class LogStore:
         """S3 CLONE (/root/reference/src/Clone.cxx:20-127): wholesale
         copy; clear-on-first-record → overwrite semantics."""
         df = other.read()
-        (
-            self._layout(df)
-            .write.mode("overwrite")
-            .partitionBy("p_date")
-            .parquet(self.path)
-        )
+        with _micros_output(self.spark):
+            (
+                self._layout(df)
+                .write.mode("overwrite")
+                .partitionBy("p_date")
+                .parquet(self.path)
+            )
 
     def retain(
         self,
@@ -161,25 +188,30 @@ class LogStore:
         (/root/reference/src/Instance.hxx:47, src/Database.cxx:76-89 —
         shrink-to-fit + GC of empty per-site lists): rewrite date
         partitions whose file count exceeds what their byte size needs,
-        restoring the (site, timestamp, id) sort in the process.
+        restoring the configured layout — the z-order clustering when
+        ``zorder`` is set, else the (site, timestamp, id) sort — in the
+        process (a plain-sort rewrite would silently degrade the
+        row-group pruning the zorder option was chosen for; r6 review
+        finding).
 
         Returns {p_date: files_removed}. Uses dynamic partition
         overwrite (compact_partition_dirs — the skeleton shared with
         the IVF index's list compaction) so only touched dates are
-        rewritten, restoring the in-file sort in the process.
+        rewritten.
         """
         from pond_spark.util import compact_partition_dirs
 
         def rewrite(pdate: str, pdir: str, want: int) -> None:
             df = self.spark.read.schema(LOG_SCHEMA).parquet(pdir)
-            (
-                df.repartitionByRange(want, "site", "timestamp")
-                .sortWithinPartitions("site", "timestamp", "id")
-                .withColumn("p_date", F.lit(pdate))
-                .write.mode("overwrite")
-                .partitionBy("p_date")
-                .parquet(self.path)
-            )
+            with _micros_output(self.spark):
+                # _layout re-derives p_date from the rows' timestamps,
+                # which equals this directory's pdate by construction
+                (
+                    self._layout(df, num_partitions=want)
+                    .write.mode("overwrite")
+                    .partitionBy("p_date")
+                    .parquet(self.path)
+                )
 
         return compact_partition_dirs(
             self.spark, self.path, "p_date=*", rewrite, target_file_bytes

@@ -41,6 +41,20 @@ def _source(
     reader = spark.readStream.schema(LOG_SCHEMA).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if modified_after is not None:
+        # the row-level mtime cut below is correct but happens AFTER
+        # the source lists and schedules every pre-existing file — a
+        # fresh FOLLOW on a store with years of history would churn
+        # through the whole backlog before the first live record.
+        # maxFileAge bounds the LISTING: files older than (latest file
+        # − age) are never scheduled. The age is derived from the cut
+        # itself (now − cut + 1h slack), so any file the row filter
+        # could admit (mtime > cut ≤ latest) is still listed — for the
+        # default cut of "now" the backlog shrinks to ~an hour, for an
+        # explicit past cut the window widens to cover it exactly.
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        age_s = int(max(0.0, (now - modified_after).total_seconds())) + 3600
+        reader = reader.option("maxFileAge", f"{age_s}s")
     df = reader.load(store_dir)
     if modified_after is not None:
         # `modifiedAfter` is a batch-only option; on streams the file

@@ -63,33 +63,41 @@ def rate_limit_stream(
             tokens, last_us = state.get
         else:
             tokens, last_us = float(cap), -1
-        for pdf in frames:
-            pdf = pdf.sort_values(["timestamp", "id"], na_position="first")
-            flags = []
-            for ts, typ in zip(pdf["timestamp"], pdf[type_col]):
-                if typ != message_type:
-                    flags.append(False)
-                    continue
-                if ts is not None and not pd.isna(ts):
-                    now_us = int(ts.value // 1000)
-                    if last_us >= 0 and now_us > last_us:
-                        tokens = min(cap, tokens + rate * (now_us - last_us) / 1e6)
-                    # only ADVANCE the clock: a late event from a
-                    # previous micro-batch must not rewind last_us, or
-                    # the next on-time event would re-credit refill
-                    # time that was already granted before the
-                    # checkpoint (per-batch sorting can't see across
-                    # batches)
-                    last_us = max(last_us, now_us)
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    flags.append(False)
-                else:
-                    flags.append(True)
-            pdf = pdf.copy()
-            pdf["_discarded"] = flags
-            yield pdf
+        # concatenate the group's frames BEFORE sorting: Arrow splits a
+        # large group into multiple frames in no guaranteed order, so a
+        # per-frame sort would process a later-frame-but-earlier-ts
+        # event against an already-advanced clock (the cusum_stream
+        # frame-order lesson). One concat = exact (ts, id) order
+        # within the micro-batch; rows are pre-filtered to charged
+        # ones, so every row pays a token.
+        parts = [p for p in frames if len(p)]
+        if not parts:
+            state.update((float(tokens), int(last_us)))
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["timestamp", "id"], na_position="first"
+        )
+        flags = []
+        for ts in pdf["timestamp"]:
+            if ts is not None and not pd.isna(ts):
+                now_us = int(ts.value // 1000)
+                if last_us >= 0 and now_us > last_us:
+                    tokens = min(cap, tokens + rate * (now_us - last_us) / 1e6)
+                # only ADVANCE the clock: a late event from a previous
+                # micro-batch must not rewind last_us, or the next
+                # on-time event would re-credit refill time that was
+                # already granted before the checkpoint (sorting can't
+                # see across batches)
+                last_us = max(last_us, now_us)
+            if tokens >= 1.0:
+                tokens -= 1.0
+                flags.append(False)
+            else:
+                flags.append(True)
+        pdf = pdf.copy()
+        pdf["_discarded"] = flags
         state.update((float(tokens), int(last_us)))
+        yield pdf
 
     # two-valued split (same fix as the batch twin, sources/ingest.py):
     # a NULL type makes both a plain filter and its ~negation reject

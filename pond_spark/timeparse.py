@@ -122,13 +122,23 @@ def since_until(
     exact boundary microsecond is the only row the two paths disagree
     on.
     """
+    # resolve "now" ONCE: with now=None, letting each parse_time_spec
+    # take its own clock reading would anchor since and until at two
+    # different instants (a record landing between the readings is
+    # inconsistently classified)
+    if now is None:
+        now = dt.datetime.now()
     if today:
         time = "today"
     if date is not None:
         time = date
     if time is not None:
         start, dur = parse_time_spec(time, now)
-        return start, start + dur - dt.timedelta(microseconds=1)
+        # zero-duration point specs (e.g. time="now", time="-1h") must
+        # return the inclusive point, not an inverted empty range —
+        # same guard as the until= path below
+        end = start + dur - dt.timedelta(microseconds=1) if dur else start
+        return start, end
     lo = hi = None
     if since is not None:
         lo = parse_time_spec(since, now)[0]

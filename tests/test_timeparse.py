@@ -134,3 +134,21 @@ def test_month_and_year_durations_are_calendar_exact(d):
         else dt.datetime(d.year, d.month + 1, 1)
     )
     assert m_start + m_dur == nxt
+
+
+def test_since_until_point_spec_not_inverted():
+    """Regression (r6 review): zero-duration time= specs ('now',
+    '-1h') must return the inclusive point, not an inverted empty
+    range; and both bounds resolve against ONE clock reading."""
+    import datetime as dt
+
+    from pond_spark.timeparse import since_until
+
+    now = dt.datetime(2024, 5, 1, 12, 0, 0)
+    lo, hi = since_until(time="now", now=now)
+    assert lo == hi == now
+    lo, hi = since_until(time="-1h", now=now)
+    assert lo == hi == now - dt.timedelta(hours=1)
+    # spans still cover their duration
+    lo, hi = since_until(time="12:00", now=now)
+    assert lo == now and hi == now + dt.timedelta(minutes=1, microseconds=-1)

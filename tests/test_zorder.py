@@ -171,3 +171,70 @@ def test_cluster_by_zorder_four_dims_default_bits(spark):
     )
     out = cluster_by_zorder(df, ["a", "b", "site", "c"])
     assert out.count() == 40
+
+
+def test_logstore_compact_preserves_zorder_and_conf(spark, tmp_path):
+    """Regression (r6 review): compact() must rewrite with the
+    CONFIGURED layout — a z-ordered store stays Morton-clustered after
+    compaction (files within a date cover disjoint _zkey ranges, like
+    a fresh append) — and store writes must not leak
+    outputTimestampType into the session."""
+    import datetime as dt
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sources.store import LogStore
+    from pond_spark.sources.zorder import rank16, rank16_time_of_day, zorder_key
+
+    key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "INT96")
+    try:
+        base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+        t0 = dt.datetime(2024, 1, 1)
+
+        def batch(lo, hi):
+            rows = []
+            for i in range(lo, hi):
+                r = dict(base)
+                r.update(
+                    id=i,
+                    timestamp=t0 + dt.timedelta(minutes=(i * 13) % 1440),
+                    site=f"s{i % 20}",
+                    type="http_access",
+                )
+                rows.append(tuple(r[f.name] for f in LOG_SCHEMA.fields))
+            return spark.createDataFrame(rows, LOG_SCHEMA)
+
+        store = LogStore(
+            spark, str(tmp_path / "zc"), zorder=("site", "timestamp")
+        )
+        for k in range(4):  # several appends -> several files per date
+            store.append(batch(k * 250, (k + 1) * 250))
+        assert spark.conf.get(key) == "INT96"  # append didn't leak
+
+        removed = store.compact(target_file_bytes=1 << 30)
+        assert sum(removed.values()) > 0  # something actually rewrote
+        assert spark.conf.get(key) == "INT96"  # compact didn't leak
+        assert store.read().count() == 1000
+
+        # clustering check: per file, rows occupy a contiguous zkey
+        # range disjoint from every other file's (range-partitioned
+        # write) — this fails if compact rewrote with the plain sort
+        zk = zorder_key(
+            [
+                rank16(F.col("site"), "string"),
+                rank16_time_of_day(F.col("timestamp")),
+            ]
+        )
+        per_file = (
+            store.read()
+            .withColumn("_f", F.col("_metadata.file_path"))
+            .withColumn("_zk", zk)
+            .groupBy("_f")
+            .agg(F.min("_zk").alias("lo"), F.max("_zk").alias("hi"))
+            .collect()
+        )
+        spans = sorted((r.lo, r.hi) for r in per_file)
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, spans  # disjoint zkey ranges per file
+    finally:
+        spark.conf.unset(key)
