@@ -802,3 +802,60 @@ def test_cusum_stream_frame_order_independent(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == 6  # hours 0..5 all closed, none dropped
+
+
+def test_rate_limit_stream_frame_order_independent(spark, tmp_path):
+    """Regression (r6 review): one micro-batch whose site group spans
+    many Arrow frames written timestamp-DESCENDING — the bucket must
+    charge tokens in exact (ts, id) order across frame splits, i.e.
+    the same rows pass as in the batch operator over the same data."""
+    from pond_spark.sources.ingest import rate_limit
+    from pond_spark.streaming import rate_limit_stream
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 4, 1, 9)
+
+    rows = []
+    # 120 messages over 2 minutes, written in REVERSE time order so a
+    # frame-by-frame fold would see late seconds first
+    for i in range(120, 0, -1):
+        r = _rows([i], "a", t0)[0]
+        r["type"] = "http_error"
+        r["timestamp"] = t0 + dt.timedelta(seconds=i)
+        rows.append(r)
+    df = spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1)
+    df.write.mode("append").parquet(store)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        sdf = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .format("parquet")
+            .load(store)
+        )
+        out = rate_limit_stream(sdf, rate=0.5)  # burst 5, refill 0.5/s
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rls_frames")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r.id: r._discarded
+        for r in spark.sql("select id, _discarded from rls_frames").collect()
+    }
+    batch_logs = spark.read.schema(LOG_SCHEMA).parquet(store)
+    exp = {
+        r.id: r._discarded
+        for r in rate_limit(batch_logs, rate=0.5).collect()
+    }
+    assert len(got) == 120
+    assert got == exp
