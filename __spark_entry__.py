@@ -1169,9 +1169,16 @@ def _cm_heavy_hitters_sql() -> str:
         CM_WIDTH,
     )
 
+    from pond_spark.operators.sketches import cm_row_mult
+
     lo, hi = SKETCH_RANGE
+    mults = ", ".join(
+        f"({r}, {cm_row_mult(r)})" for r in range(CM_DEPTH)
+    )
     # building cells from per-key range totals == building per-day and
-    # summing the covered days (cell merge is addition)
+    # summing the covered days (cell merge is addition); per-row
+    # MULTIPLIERS (not offsets) keep the depth rows pairwise
+    # independent — see sketches.cm_row_mult
     return f"""
 WITH {LOGS_CTE},
 occ AS (SELECT message AS key FROM logs
@@ -1180,13 +1187,13 @@ occ AS (SELECT message AS key FROM logs
           AND strftime("timestamp", '%Y-%m-%d') <= '{hi}'),
 cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS exact FROM occ GROUP BY 1),
 kh AS (SELECT key, exact, {fingerprint_sql("key")} AS kh FROM cnt),
-rows_ AS (SELECT unnest(range({CM_DEPTH})) AS r),
+rows_ AS (SELECT * FROM (VALUES {mults}) AS t(r, a)),
 cells AS (SELECT r,
-                 ((kh * {BK_A} + (r + 1) * {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col,
+                 ((kh * a + {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col,
                  CAST(sum(exact) AS BIGINT) AS cnt
           FROM kh CROSS JOIN rows_ GROUP BY 1, 2),
 probe AS (SELECT k.key, k.exact, r,
-                 ((k.kh * {BK_A} + (r + 1) * {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col
+                 ((k.kh * a + {BK_C}) % {BK_MOD}) % {CM_WIDTH} AS col
           FROM kh k CROSS JOIN rows_),
 est AS (SELECT p.key, p.exact, CAST(min(c.cnt) AS BIGINT) AS est
         FROM probe p JOIN cells c ON p.r = c.r AND p.col = c.col
@@ -4242,6 +4249,16 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #   24-35 remaining changed-module rows (bpe oracle, kanon fix,
     #         dsir/pagerank unpersist, codecs multi-scan guard)
     #   36-50 the oldest carries (r3/r4 greens) refreshed to r6
+    # Late-r6 review fixes grew the changed-module query set to 53 —
+    # past the 50-slot window for the first time. The 50 slots hold
+    # every query whose EXECUTED code changed; the 3 overflow rows
+    # (media_meta / media_dhash_pairs / media_audio_features) ride on
+    # FALSE module-granular edges (codecs diff touches decode_jpeg
+    # only; dedup/__init__ diff is re-export-only) and carry explicit
+    # per-(query, module) exemptions in tools/check_window.py EXEMPT —
+    # printed on every run, justified line-by-line, and gated by
+    # tests/test_window_invariant.py to exist ONLY when the changed
+    # set exceeds the window.
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
@@ -4280,12 +4297,12 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_top": (q_pagerank_top, None),  # lazy sql
     "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
-    "media_meta": (q_media_meta, MEDIA_META_SQL),
+    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # rotated into the r6 window (sketches.py + oracle changed)
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),
+    "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
+    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
+    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "stats": (q_stats, STATS_SQL),  # rotated into the r6 window (ingest.py changed)
     "time_sugar": (q_time_sugar, None),  # rotated into the r6 window (timeparse.py changed)
     "time_today": (q_time_today, None),  # rotated into the r6 window (timeparse.py changed)
@@ -4305,8 +4322,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # rotated below r6 boundary for kmv_churn
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # rotated below r6 boundary for bpe_tokenize
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # rotated below r6 boundary for cm_join_size
-    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),
-    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # lazy sql
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # rotated below r6 boundary
+    "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
@@ -4318,7 +4335,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
-    "bm25_index_search": (q_bm25_index_search, None),  # same twin as bm25
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),  # lazy sql
@@ -4334,7 +4351,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "repetition": (q_repetition, REPETITION_SQL),
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated below r6 boundary
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "anonymize": (q_anonymize, ANONYMIZE_SQL),  # rotated below r6 boundary

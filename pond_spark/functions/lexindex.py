@@ -128,7 +128,13 @@ def build_text_index(
     stats = _write_segment(
         df, os.path.join(path, seg), text_col, id_col, n_buckets
     )
-    meta = {"n_buckets": int(n_buckets), "segments": [{"name": seg, **stats}]}
+    meta = {
+        "n_buckets": int(n_buckets),
+        # the stored id type — the empty-index search fast path must
+        # emit the same doc_id type as a populated search (r6 review)
+        "id_type": dict(df.dtypes)[id_col],
+        "segments": [{"name": seg, **stats}],
+    }
     with open(os.path.join(path, _META), "w") as fh:
         json.dump(meta, fh)
     return TextIndex(df.sparkSession, path)
@@ -235,14 +241,23 @@ class TextIndex:
         old_segments = list(self.meta["segments"])
         n_docs, sum_dl = self.n_docs, self.sum_dl
         seg = _next_segment_name(old_segments)  # ids only grow: unused
-        (
-            self.postings()
-            .repartition("word_bucket")
-            .sortWithinPartitions("word")
-            .write.mode("overwrite")
-            .partitionBy("word_bucket")
-            .parquet(os.path.join(self.path, seg))
-        )
+        merged = self.postings()
+        if n_docs == 0:
+            # same guard as _write_segment: an EMPTY partitioned write
+            # emits no parquet files and poisons every later read with
+            # a schema-inference failure (r4 finding; compact missed
+            # the guard until the r6 review)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, seg)
+            )
+        else:
+            (
+                merged.repartition("word_bucket")
+                .sortWithinPartitions("word")
+                .write.mode("overwrite")
+                .partitionBy("word_bucket")
+                .parquet(os.path.join(self.path, seg))
+            )
         self.meta["segments"] = [
             {"name": seg, "n_docs": n_docs, "sum_dl": sum_dl}
         ]
@@ -267,9 +282,12 @@ class TextIndex:
         if self.n_docs == 0:
             # an empty index has no postings AND no avgdl (the ANSI
             # division would raise) — the correct result is simply
-            # empty, with the search's output schema
+            # empty, with the search's output schema (doc_id typed as
+            # the STORED id so both branches union cleanly; 'long'
+            # covers metas written before id_type existed)
+            id_t = self.meta.get("id_type", "long")
             return self.spark.createDataFrame(
-                [], "doc_id long, n_terms long, score_q long"
+                [], f"doc_id {id_t}, n_terms long, score_q long"
             )
         nb = int(self.meta["n_buckets"])
         hashes = _xxhash64_py(self.spark, terms)

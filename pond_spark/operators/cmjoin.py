@@ -79,10 +79,17 @@ def cm_join_size_sql(
     totals (cell merge is addition, so this equals summing the
     per-day grids), then the identical per-row dots and min."""
     from pond_spark.functions.text import fingerprint_sql
-    from pond_spark.operators.sketches import BK_A, BK_C, BK_MOD, CM_DEPTH, CM_WIDTH
+    from pond_spark.operators.sketches import (
+        BK_C,
+        BK_MOD,
+        CM_DEPTH,
+        CM_WIDTH,
+        cm_row_mult,
+    )
 
     d = CM_DEPTH if depth is None else depth
     w = CM_WIDTH if width is None else width
+    mults = ", ".join(f"({r}, {cm_row_mult(r)})" for r in range(d))
 
     def grid(nm: str, lo: str, hi: str) -> str:
         return f"""
@@ -95,7 +102,7 @@ cnt_{nm} AS (
 ),
 cells_{nm} AS (
   SELECT r,
-         ((kh * {BK_A} + (r + 1) * {BK_C}) % {BK_MOD}) % {w} AS col,
+         ((kh * a + {BK_C}) % {BK_MOD}) % {w} AS col,
          CAST(sum(c) AS BIGINT) AS cnt
   FROM (SELECT c, {fingerprint_sql('key')} AS kh FROM cnt_{nm})
   CROSS JOIN rows_ GROUP BY 1, 2
@@ -103,7 +110,7 @@ cells_{nm} AS (
 
     return f"""
 WITH {logs_cte},
-rows_ AS (SELECT unnest(range({d})) AS r),{grid('a', a_lo, a_hi)},{grid('b', b_lo, b_hi)},
+rows_ AS (SELECT * FROM (VALUES {mults}) AS t(r, a)),{grid('a', a_lo, a_hi)},{grid('b', b_lo, b_hi)},
 dots AS (
   SELECT a.r AS row, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
   FROM cells_a a JOIN cells_b b ON a.r = b.r AND a.col = b.col

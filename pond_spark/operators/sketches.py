@@ -32,10 +32,32 @@ __all__ = [
     "build_uniques_sketches",
     "update_uniques_sketches",
     "uniques_over_range",
+    "build_value_sketches",
+    "update_value_sketches",
+    "value_quantiles_over_range",
     "build_cm_sketches",
     "update_cm_sketches",
     "cm_estimate_over_range",
 ]
+
+
+def _overwrite_day_partitions(
+    spark: SparkSession, merged: DataFrame, path: str
+) -> None:
+    """Dynamic-partition-overwrite write shared by the three sketch
+    updaters (only the touched day directories are rewritten); the
+    conf toggle is scoped save/restore."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def build_uniques_sketches(
@@ -92,28 +114,26 @@ def update_uniques_sketches(
         )
         .agg(F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"))
     )
-    days = [r.day for r in batch.select("day").distinct().collect()]
-    if not days:
-        return
-    existing = spark.read.parquet(path).filter(F.col("day").isin(days))
-    merged = (
-        batch.unionByName(existing)
-        .groupBy("day", "site")
-        .agg(
-            F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
-        )
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # persist: the batch aggregation feeds BOTH the days collect and
+    # the merged write — without the pin the full groupBy over the new
+    # events runs twice (r6 review finding; same in the CM and
+    # bottom-k updaters)
+    batch = batch.persist()
     try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
+        days = [r.day for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        existing = spark.read.parquet(path).filter(F.col("day").isin(days))
+        merged = (
+            batch.unionByName(existing)
+            .groupBy("day", "site")
+            .agg(
+                F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch")
+            )
         )
+        _overwrite_day_partitions(spark, merged, path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        batch.unpersist()
 
 
 def uniques_over_range(
@@ -156,6 +176,52 @@ def _bk_key(id_col: str, seed: int) -> F.Column:
         F.col(id_col) * F.lit(BK_A) + F.lit(seed) * F.lit(BK_C),
         F.lit(BK_MOD),
     )
+
+
+def _check_bk_params(
+    path: str, k: int, seed: int | None, serve: bool = False
+) -> None:
+    """Validate bottom-k parameters against the table's sidecar. The
+    merge identity ``bottom_k(A∪B) = bottom_k(bottom_k(A)∪bottom_k(B))``
+    only holds when the merge k does not EXCEED the per-day k the
+    table was built with — a larger serve-time k silently returns a
+    non-uniform sample and biased quantiles (r6 review finding).
+    Updates must match exactly (mixed-k day partitions would poison
+    later merges). Tables written before the sidecar existed validate
+    against nothing (best-effort compatibility)."""
+    import json
+    import os
+
+    sidecar = path + ".params.json"
+    if not os.path.exists(sidecar):
+        return
+    with open(sidecar) as fh:
+        stored = json.load(fh)
+    if seed is not None and stored.get("seed") != seed:
+        raise ValueError(
+            f"value sketch table at {path} was built with seed="
+            f"{stored.get('seed')}, used with seed={seed} — sample "
+            "membership keys are incomparable"
+        )
+    if serve:
+        if k > stored.get("k", k):
+            raise ValueError(
+                f"value sketch table at {path} holds bottom-{stored['k']} "
+                f"per day; serving k={k} would exceed it and bias the "
+                "merged sample (merge identity needs k <= build k)"
+            )
+    elif stored.get("k") != k:
+        raise ValueError(
+            f"value sketch table at {path} was built with k={stored['k']}; "
+            f"updating with k={k} would mix sample sizes across days"
+        )
+
+
+def _write_bk_params(path: str, k: int, seed: int) -> None:
+    import json
+
+    with open(path + ".params.json", "w") as fh:
+        json.dump({"k": int(k), "seed": int(seed)}, fh)
 
 
 def build_value_sketches(
@@ -206,6 +272,7 @@ def build_value_sketches(
         .partitionBy("day")
         .parquet(path)
     )
+    _write_bk_params(path, k, seed)
 
 
 def value_quantiles_over_range(
@@ -223,9 +290,13 @@ def value_quantiles_over_range(
     by value): the output values are untouched input doubles — no
     interpolation arithmetic — so they hash identically everywhere
     (PERF_NOTES rule: raw pass-through floats are safe; computed ones
-    are not). Returns ``(site, n_sample, q50, q90, ...)``."""
+    are not). Returns ``(site, n_sample, q50, q90, ...)``.
+
+    ``k`` must not exceed the table's build-time k (validated against
+    the params sidecar) — the merge identity breaks upward."""
     from pyspark.sql.window import Window
 
+    _check_bk_params(path, k, seed=None, serve=True)
     sk = spark.read.parquet(path).filter(
         (F.col("day") >= start_day) & (F.col("day") <= end_day)
     )
@@ -243,7 +314,7 @@ def value_quantiles_over_range(
             F.when(
                 F.col("_vr") == F.ceil(F.lit(q) * F.col("_m")), F.col("value")
             )
-        ).alias(f"q{int(q * 100)}")
+        ).alias(f"q{round(q * 100)}")
         for q in quantiles
     ]
     return sized.groupBy("site").agg(
@@ -263,12 +334,25 @@ CM_DEPTH = 4
 CM_WIDTH = 1024
 
 
+def cm_row_mult(row: int) -> int:
+    """Row-``row`` MULTIPLIER: ``BK_A^(row+1) mod p``. The rows must
+    differ in the multiplier, not just an additive offset — with a
+    shared multiplier a key pair colliding in one row collides in
+    (nearly) every row (the hash differences are identical), so the
+    min-over-depth gives no protection and the documented
+    ``δ = e^-depth`` bound silently fails (r6 review finding).
+    Distinct multipliers make the per-row collision events
+    (pairwise) independent in the affine family."""
+    return pow(BK_A, row + 1, BK_MOD)
+
+
 def _cm_col(keyhash: Column, row: int, width: int) -> Column:
-    """Row-``row`` cell index for a (portable-hashed) long key — the
-    same affine family as ``_bk_key``, seeded by the row number."""
+    """Row-``row`` cell index for a (portable-hashed) long key —
+    ``((kh * A_row + C) mod p) mod width`` with a per-row multiplier
+    (see cm_row_mult)."""
     return F.pmod(
         F.pmod(
-            keyhash * F.lit(BK_A) + F.lit(row + 1) * F.lit(BK_C),
+            keyhash * F.lit(cm_row_mult(row)) + F.lit(BK_C),
             F.lit(BK_MOD),
         ),
         F.lit(width),
@@ -378,28 +462,22 @@ def update_cm_sketches(
         .groupBy("day", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.sum("cnt").alias("cnt"))
     )
-    days = [r.day for r in batch.select("day").distinct().collect()]
-    if not days:
-        return
-    existing = spark.read.parquet(path).filter(F.col("day").isin(days)).select(
-        "day", "row", "col", "cnt"
-    )
-    merged = (
-        batch.unionByName(existing)
-        .groupBy("day", "row", "col")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch = batch.persist()  # feeds the days collect AND the write
     try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
+        days = [r.day for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        existing = spark.read.parquet(path).filter(
+            F.col("day").isin(days)
+        ).select("day", "row", "col", "cnt")
+        merged = (
+            batch.unionByName(existing)
+            .groupBy("day", "row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
         )
+        _overwrite_day_partitions(spark, merged, path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        batch.unpersist()
 
 
 def cm_estimate_over_range(
@@ -472,27 +550,22 @@ def update_value_sketches(
             F.col(id_col).alias("rid"),
         )
     )
-    days = [r.day for r in batch.select("day").distinct().collect()]
-    if not days:
-        return
-    existing = spark.read.parquet(path).filter(F.col("day").isin(days)).select(
-        "day", "site", "value", "bk", "rid"
-    )
-    w = Window.partitionBy("day", "site").orderBy("bk", "rid")
-    merged = (
-        batch.unionByName(existing)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _check_bk_params(path, k, seed)
+    batch = batch.persist()  # feeds the days collect AND the write
     try:
-        (
-            merged.repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(path)
+        days = [r.day for r in batch.select("day").distinct().collect()]
+        if not days:
+            return
+        existing = spark.read.parquet(path).filter(
+            F.col("day").isin(days)
+        ).select("day", "site", "value", "bk", "rid")
+        w = Window.partitionBy("day", "site").orderBy("bk", "rid")
+        merged = (
+            batch.unionByName(existing)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
         )
+        _overwrite_day_partitions(spark, merged, path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        batch.unpersist()

@@ -171,6 +171,21 @@ class IVFIndex:
         )
         return {int(k): v for k, v in report.items()}
 
+    def _empty_result(self) -> DataFrame:
+        """Zero-row (id, cosine) frame with the STORED id type, so the
+        zero-query branch unions cleanly with real results."""
+        from pyspark.sql import types as T
+
+        id_field = next(
+            f for f in self.read().schema.fields if f.name == self.id_col
+        )
+        return self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [id_field, T.StructField("cosine", T.DoubleType())]
+            ),
+        )
+
     def search(
         self, query_vec: Sequence[float], k: int = 10, nprobe: int = 4
     ) -> DataFrame:
@@ -179,9 +194,15 @@ class IVFIndex:
         ``ivf_list`` is a partition column, so the IN-filter prunes
         directories before any file IO; the stored ``_vnorm`` turns
         per-candidate scoring into a single dot fold."""
+        qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5
+        if qnorm == 0.0:
+            # a zero query has no cosine to ANY vector; the in-query
+            # twin (ivf_topk) filters these to empty via the NULL-safe
+            # divide — coercing qnorm to 1.0 here would fabricate k
+            # arbitrary rows scored 0.0 (r6 review finding)
+            return self._empty_result()
         probes = probe_lists(self.centroids, query_vec, nprobe)
         qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-        qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
         return (
             self.read()
             .filter(F.col("ivf_list").isin(probes))
@@ -230,8 +251,10 @@ class IVFIndex:
             .orderBy(F.col("adc").desc(), F.col(self.id_col).asc())
             .limit(refine * k)
         )
+        qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5
+        if qnorm == 0.0:
+            return self._empty_result()  # same rule as search()
         qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-        qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5 or 1.0
         return (
             pruned.join(short.select(self.id_col), self.id_col)
             .select(

@@ -41,6 +41,13 @@ def lloyd_centroids(x, n_centroids: int = 16, iters: int = 5) -> list[list[float
     import numpy as np
 
     x = np.asarray(x, dtype=np.float64)
+    if x.ndim != 2 or len(x) == 0:
+        # an empty sample would die deep in numpy with an opaque
+        # AxisError; name the actual problem at the boundary
+        raise ValueError(
+            "lloyd_centroids: empty training sample — the input frame "
+            "has no vectors to train on"
+        )
     cent = x[:n_centroids].copy()
     for _ in range(iters):
         # cosine assignment: normalize then argmax dot

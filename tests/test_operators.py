@@ -1179,3 +1179,64 @@ def test_cm_join_size_never_underestimates(spark, tmp_path):
     # eps = e/width; allow 3x the expected slack
     na, nb = sum(a.values()), sum(b.values())
     assert out[-1] <= truth + 3 * int(2.72 / 1024 * na * nb) + 1
+
+
+def test_value_sketch_k_sidecar_guards_merge_identity(spark, tmp_path):
+    """Regression (r6 review): serving with k above the build-time k
+    (or updating with a different k) silently broke the bottom-k merge
+    identity — both now raise against the params sidecar."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pond_spark.operators.sketches import (
+        build_value_sketches,
+        update_value_sketches,
+        value_quantiles_over_range,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(hours=i % 48), "a", float(i))
+        for i in range(500)
+    ]
+    logs = spark.createDataFrame(
+        rows, "id long, timestamp timestamp, site string, value double"
+    )
+    path = str(tmp_path / "bk_guard")
+    build_value_sketches(logs, path, k=16)
+    # serve at k <= build k: fine
+    assert value_quantiles_over_range(
+        spark, path, "2024-03-01", "2024-03-02", k=16
+    ).count() == 1
+    with _pytest.raises(ValueError, match="exceed"):
+        value_quantiles_over_range(spark, path, "2024-03-01", "2024-03-02", k=64)
+    with _pytest.raises(ValueError, match="mix sample sizes"):
+        update_value_sketches(logs, path, k=64)
+    with _pytest.raises(ValueError, match="incomparable"):
+        update_value_sketches(logs, path, k=16, seed=99)
+
+
+def test_cm_rows_are_collision_decorrelated():
+    """Regression (r6 review): with a shared multiplier and per-row
+    additive offsets, a key pair colliding in row 0 collided in every
+    row, voiding the min-over-depth guarantee. With per-row
+    multipliers the row-1 collision rate among row-0 colliders must be
+    near 1/width, not near 1."""
+    from pond_spark.operators.sketches import BK_C, BK_MOD, CM_WIDTH, cm_row_mult
+
+    def col(kh, r):
+        return ((kh * cm_row_mult(r) + BK_C) % BK_MOD) % CM_WIDTH
+
+    # scan key pairs (kh, kh+d) for the d that collide in row 0
+    row0_colliders = []
+    for d in range(1, 400_000):
+        if col(0, 0) == col(d, 0):
+            row0_colliders.append(d)
+        if len(row0_colliders) >= 200:
+            break
+    assert len(row0_colliders) >= 100  # enough colliding pairs found
+    also_row1 = sum(1 for d in row0_colliders if col(0, 1) == col(d, 1))
+    # independent rows: expected ~len/WIDTH (<1); allow generous slack
+    assert also_row1 <= len(row0_colliders) * 0.05, (
+        also_row1, len(row0_colliders)
+    )

@@ -610,3 +610,32 @@ def test_bitext_all_integer_projection(spark):
     assert kinds == {"sid": "bigint", "tid": "bigint",
                      "cos_q": "bigint", "margin_bp": "bigint"}
     assert df.count() > 0
+
+
+def test_ivf_index_zero_query_returns_empty(spark, tmp_path):
+    """Regression (r6 review): a zero-norm query has no cosine to any
+    vector — the serving path must return empty like the in-query twin
+    (ivf_topk), not k arbitrary rows scored 0.0."""
+    from pond_spark.similarity.index import IVFIndex, build_ivf_index
+    from pond_spark.similarity.ivf import ivf_topk
+
+    rows = [
+        (i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_zero")
+    build_ivf_index(df, path, n_centroids=4, pq_m=4)
+    idx = IVFIndex(spark, path)
+    zero = [0.0] * 8
+    assert idx.search(zero, k=5).count() == 0
+    assert idx.search_adc(zero, k=5).count() == 0
+    assert ivf_topk(df, zero, k=5, n_centroids=4).count() == 0  # the twin
+
+
+def test_lloyd_centroids_empty_sample_raises_clearly():
+    import pytest as _pytest
+
+    from pond_spark.similarity.ivf import lloyd_centroids
+
+    with _pytest.raises(ValueError, match="empty training sample"):
+        lloyd_centroids([], n_centroids=4)

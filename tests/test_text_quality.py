@@ -686,3 +686,38 @@ def test_linreg_singular_sample_still_deterministic(spark):
         linreg_outliers_sql("a", "b", "y", k=10, sample_mod=3)
     ).fetchall()))
     assert got == exp
+
+
+def test_text_index_compact_on_empty_index_stays_readable(spark, tmp_path):
+    """Regression (r6 review): compacting a zero-doc index must write
+    a schema-bearing segment (the _write_segment guard) — the old
+    partitioned empty write left a fileless directory that poisoned
+    every later search after an append."""
+    from pond_spark.functions.lexindex import TextIndex, build_text_index
+
+    path = str(tmp_path / "tix_empty")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = build_text_index(empty, path, n_buckets=8)
+    idx.compact()  # must not poison the index
+    idx2 = TextIndex(spark, path)
+    idx2.append(
+        spark.createDataFrame(
+            [(1, "apple banana"), (2, "apple cherry")], "doc_id long, text string"
+        )
+    )
+    out = idx2.search(["apple"], k=5).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_text_index_empty_search_matches_stored_id_type(spark, tmp_path):
+    """Regression (r6 review): the empty-index search fast path must
+    type doc_id as the STORED id (string here), so both branches of
+    search() union cleanly."""
+    from pond_spark.functions.lexindex import build_text_index
+
+    path = str(tmp_path / "tix_str")
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    idx = build_text_index(empty, path, id_col="doc_id", n_buckets=8)
+    out = idx.search(["apple"], k=5)
+    assert out.schema["doc_id"].dataType.typeName() == "string"
+    assert out.count() == 0

@@ -54,8 +54,12 @@ def test_synthetic_change_rotates_into_window():
     for mod in sorted({m for ms in qm.values() for m in ms}):
         below = [q for i, q in enumerate(order) if i >= cw.WINDOW and mod in qm[q]]
         if below:
-            bad = cw.check({mod})
-            assert {b[0] for b in bad} == set(below)
+            bad, exempted = cw.check({mod})
+            flagged = {b[0] for b in bad} | {e[0] for e in exempted}
+            assert flagged == set(below)
+            # every exemption applied must be a declared (query, module)
+            for q, _i, _why in exempted:
+                assert (q, mod) in cw.EXEMPT
             return
     pytest.skip("no module backs a below-window query (fully rotated)")
 
@@ -88,8 +92,21 @@ def test_window_invariant_holds_now():
         pytest.skip("no round boundary commit in history")
     changed = cw.changed_modules(ref)
     entry_changed = cw.entry_changed_queries(ref)
-    bad = cw.check(changed, entry_changed)
+    bad, exempted = cw.check(changed, entry_changed)
     assert not bad, (
         "stale-green risk — rotate these into the first "
         f"{cw.WINDOW} of _QUERIES: {[(q, i, sorted(h)) for q, i, h in bad]}"
     )
+    # exemptions are a capacity valve, not a convenience: they may
+    # only exist when the changed-module query set exceeds the window
+    if exempted:
+        qm = cw.query_module_map()
+        n_changed_queries = sum(
+            1
+            for i, q in enumerate(cw.registered_order())
+            if (set(qm.get(q, set())) & set(changed)) or q in entry_changed
+        )
+        assert n_changed_queries > cw.WINDOW, (
+            f"{len(exempted)} exemption(s) applied but the changed set "
+            f"({n_changed_queries}) fits the window — rotate instead"
+        )
