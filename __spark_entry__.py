@@ -2270,9 +2270,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SQL = """
 WITH g AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 3, 1)),
-           i -> array_to_string(toks[i:i+3], ' '))) AS grams
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 4
+           THEN list_transform(generate_series(1, len(toks) - 3),
+                i -> array_to_string(toks[i:i+3], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
   FROM (SELECT doc_id,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
         FROM documents)),
@@ -2301,13 +2302,27 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     qs = F.when(rid % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(F.lit(""))
-    frag = F.when(rid % 11 == 0, F.lit("#Frag")).otherwise(F.lit(""))
+    # fragment variant with an embedded '?': the r6 fragment-first fix
+    # must NOT resurface it as the query string
+    frag = (
+        F.when(rid % 11 == 0, F.lit("#Frag"))
+        .when(rid % 13 == 0, F.lit("#Anchor?fake=9"))
+        .otherwise(F.lit(""))
+    )
+    # schemeless rows (r6 fix: no more ':///' collapse), userinfo rows
+    # (host, not 'user'), trailing-dot FQDN rows (group with the
+    # dotless host)
+    schemeless = rid % 17 == 0
+    userinfo = F.when(rid % 19 == 0, F.lit("User:pw@")).otherwise(F.lit(""))
+    dot = F.when(rid % 23 == 0, F.lit(".")).otherwise(F.lit(""))
     url = F.concat(
-        scheme,
+        F.when(schemeless, F.lit("")).otherwise(scheme),
+        F.when(schemeless, F.lit("")).otherwise(userinfo),
         F.lit("WWW."),
         F.upper(F.col("site")),
         F.lit(".EXAMPLE"),
         suffix,
+        dot,
         port,
         F.lit("/T/"),
         F.col("site"),
@@ -2327,39 +2342,66 @@ URL_NORMALIZE_SQL = """
 WITH {logs_cte},
 u AS (
   SELECT id,
-         (CASE WHEN id % 3 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+         (CASE WHEN id % 17 = 0 THEN ''
+               WHEN id % 3 = 0 THEN 'HTTPS://' ELSE 'HTTP://' END)
+         || (CASE WHEN id % 17 = 0 THEN ''
+                  WHEN id % 19 = 0 THEN 'User:pw@' ELSE '' END)
          || 'WWW.' || upper(site) || '.EXAMPLE'
          || (CASE WHEN id % 5 = 0 THEN '.CO.UK' ELSE '.COM' END)
+         || (CASE WHEN id % 23 = 0 THEN '.' ELSE '' END)
          || (CASE WHEN id % 4 = 0
                   THEN (CASE WHEN id % 3 = 0 THEN ':443' ELSE ':80' END)
                   WHEN id % 4 = 1 THEN ':8080' ELSE '' END)
          || '/T/' || site || '/' || CAST(id % 7 AS VARCHAR)
          || (CASE WHEN id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '' END)
-         || (CASE WHEN id % 11 = 0 THEN '#Frag' ELSE '' END) AS url
+         || (CASE WHEN id % 11 = 0 THEN '#Frag'
+                  WHEN id % 13 = 0 THEN '#Anchor?fake=9' ELSE '' END) AS url
   FROM logs),
+p0 AS (
+  SELECT id, regexp_replace(url, '#.*$', '') AS u0 FROM u),
+p1 AS (
+  SELECT id, u0,
+         regexp_matches(u0, '^[A-Za-z][A-Za-z0-9+.-]*://') AS schemed,
+         regexp_replace(u0, '^//', '') AS ub
+  FROM p0),
 p AS (
-  SELECT id, url,
-         lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
-         lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS auth,
-         coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '') AS path0,
-         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
-  FROM u),
-n AS (
   SELECT id,
-         scheme,
+         CASE WHEN schemed
+              THEN lower(coalesce(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))
+              ELSE '' END AS scheme,
+         regexp_replace(lower(CASE WHEN schemed
+              THEN coalesce(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')
+              ELSE coalesce(regexp_extract(ub, '^([^/?#]+)', 1), '') END),
+              '^.*@', '') AS auth,
+         CASE WHEN schemed
+              THEN coalesce(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '')
+              ELSE coalesce(regexp_extract(ub, '^[^/?#]+([^?#]*)', 1), '') END AS path0,
+         coalesce(regexp_extract(u0, '\\?([^#]*)', 1), '') AS q,
+         schemed
+  FROM p1),
+hp AS (
+  SELECT id, scheme, path0, q, schemed,
          (CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
                WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
-               ELSE auth END) AS host,
+               ELSE auth END) AS hport,
+         regexp_replace(split_part(auth, ':', 1), '\\.$', '') AS dhost
+  FROM p),
+n AS (
+  SELECT id,
+         (CASE WHEN schemed THEN scheme || '://' ELSE '' END) AS scheme,
+         regexp_replace(split_part(hport, ':', 1), '\\.$', '')
+           || (CASE WHEN contains(hport, ':')
+                    THEN ':' || regexp_extract(hport, ':([^:]*)$', 1)
+                    ELSE '' END) AS host,
          (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS path,
          array_to_string(list_sort(list_filter(string_split(q, '&'),
            x -> NOT (split_part(x, '=', 1) LIKE 'utm\\_%' ESCAPE '\\'
                      OR split_part(x, '=', 1) IN
                         ('gclid','fbclid','msclkid','igshid','mc_eid')
                      OR x = ''))), '&') AS params
-  FROM p),
+  FROM hp),
 d AS (
-  SELECT id, lower(split_part(host, ':', 1)) AS dhost
-  FROM n),
+  SELECT id, dhost FROM hp),
 dom AS (
   SELECT id, dhost, string_split(dhost, '.') AS labels,
          array_to_string(string_split(dhost, '.')[-2:], '.') AS last2
@@ -2372,7 +2414,7 @@ dom2 AS (
                ELSE least(len(labels), 2) END) AS take
   FROM dom)
 SELECT n.id,
-       n.scheme || '://' || n.host || n.path
+       n.scheme || n.host || n.path
          || (CASE WHEN n.params <> '' THEN '?' || n.params ELSE '' END)
          AS url_norm,
        (CASE WHEN regexp_matches(dom2.dhost, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
@@ -2398,8 +2440,22 @@ def _psl_host_expr(rid: F.Column, src: F.Column) -> F.Column:
         .otherwise(F.lit("localhost"))
     )
     return (
-        F.when(rid % 2 == 0, F.concat(F.lit("https://"), host, F.lit(":443/p")))
-        .otherwise(host)
+        F.when(
+            rid % 2 == 0,
+            F.concat(
+                F.lit("https://"),
+                # userinfo + trailing-dot noise (r6 host-strip fixes)
+                F.when(rid % 6 == 0, F.lit("u:p@")).otherwise(F.lit("")),
+                host,
+                F.when(rid % 10 == 0, F.lit(".")).otherwise(F.lit("")),
+                F.lit(":443/p"),
+            ),
+        ).otherwise(
+            # schemeless-with-path rows: the path must not pollute the
+            # extracted host (r6 fix)
+            F.when(rid % 9 == 0, F.concat(host, F.lit("/path?x=1")))
+            .otherwise(host)
+        )
     )
 
 
@@ -2439,15 +2495,24 @@ WITH docs0 AS (
           ELSE 'localhost' END) AS h0
   FROM documents),
 u AS (SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'https://' || h0 || ':443/p'
-                  ELSE h0 END AS url
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://'
+                       || (CASE WHEN doc_id % 6 = 0 THEN 'u:p@' ELSE '' END)
+                       || h0
+                       || (CASE WHEN doc_id % 10 = 0 THEN '.' ELSE '' END)
+                       || ':443/p'
+                  ELSE (CASE WHEN doc_id % 9 = 0 THEN h0 || '/path?x=1'
+                        ELSE h0 END) END AS url
       FROM docs0),
 h AS (SELECT doc_id,
-             lower(split_part(
+             regexp_replace(lower(split_part(regexp_replace(
                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
                     THEN regexp_extract(url,
                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
-                    ELSE url END, ':', 1)) AS host
+                    ELSE coalesce(regexp_extract(
+                           regexp_replace(url, '^//', ''),
+                           '^([^/?#]+)', 1), '') END,
+               '^.*@', ''), ':', 1)), '\\.$', '') AS host
       FROM u),
 l AS (SELECT doc_id, host, string_split(host, '.') AS labs,
              len(string_split(host, '.')) AS n
@@ -2532,10 +2597,14 @@ m AS (SELECT doc_id, nchars, len(ws) AS n_words,
              round(CASE WHEN len(ws) > 0
                    THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
                    ELSE 0.0 END, 6) AS dup_word_frac,
-             list_transform(generate_series(1, greatest(len(ws) - 2, 1)),
-                            i -> array_to_string(ws[i:i+2], ' ')) AS g3,
-             list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
-                            i -> array_to_string(ws[i:i+1], ' ')) AS g2
+             (CASE WHEN len(ws) >= 3 THEN
+                list_transform(generate_series(1, len(ws) - 2),
+                               i -> array_to_string(ws[i:i+2], ' '))
+              ELSE CAST([] AS VARCHAR[]) END) AS g3,
+             (CASE WHEN len(ws) >= 2 THEN
+                list_transform(generate_series(1, len(ws) - 1),
+                               i -> array_to_string(ws[i:i+1], ' '))
+              ELSE CAST([] AS VARCHAR[]) END) AS g2
       FROM w),
 m2 AS (SELECT doc_id, nchars, n_words, dup_word_frac,
               round(CASE WHEN len(g3) > 0
@@ -2831,8 +2900,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     placeholder tokens). The corpus carries no PII, so the query
     plants a deterministic contact line per doc before scrubbing —
     the regexes are exercised for real and the oracle applies the
-    byte-identical patterns to the byte-identical input."""
-    from pond_spark.functions.pii import pii_count, pii_scrub
+    byte-identical patterns to the byte-identical input. Uses the
+    staged pii_metrics (each rule's intermediate evaluated once)."""
+    from pond_spark.functions.pii import pii_metrics
 
     docs = _fan(_documents(spark, sf_dir))
     salted = docs.select(
@@ -2847,10 +2917,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("_t"),
     )
-    return salted.select(
-        "doc_id",
-        pii_count(F.col("_t")).alias("n_pii"),
-        pii_scrub(F.col("_t")).alias("scrubbed"),
+    return pii_metrics(salted, "_t", keep_cols=("doc_id",)).select(
+        "doc_id", "n_pii", "scrubbed"
     )
 
 
@@ -4269,14 +4337,14 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "psl_domains": (q_psl_domains, None),  # rotated into the r6 window (psl/urlnorm host fixes)
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),
+    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # rotated into the r6 window (urlnorm fixes)
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "bloom_prefilter": (q_bloom_prefilter, None),  # lazy sql
+    "pii_scrub": (q_pii_scrub, None),  # rotated into the r6 window (pii staging)
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
@@ -4296,9 +4364,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
     "pagerank_top": (q_pagerank_top, None),  # lazy sql
     "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
-    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),  # rotated into the r6 window (_word_ngrams fix)
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # rotated into the r6 window (sketches.py + oracle changed)
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),
+    "quality_rules": (q_quality_rules, None),  # rotated into the r6 window (_word_ngrams fix)
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
     "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
@@ -4331,7 +4399,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "geoip": (q_geoip, GEOIP_SQL),
     "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
-    "psl_domains": (q_psl_domains, None),  # lazy sql (shared rule VALUES)
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
     "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
@@ -4339,7 +4407,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),  # lazy sql
-    "quality_rules": (q_quality_rules, None),  # lazy sql
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated below r6 boundary (exempt: fake codec)
     "text_stats": (q_text_stats, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
     "method_filter": (q_method_filter, None),  # lazy sql (F8)
@@ -4348,7 +4416,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "repetition": (q_repetition, REPETITION_SQL),
+    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated below r6 boundary (exempt: hamming path)
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated below r6 boundary
@@ -4373,8 +4441,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "last": (q_last, LAST_SQL),
     "group_site": (q_group_site, GROUP_SITE_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
-    "pii_scrub": (q_pii_scrub, None),  # lazy sql
-    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),
+    "bloom_prefilter": (q_bloom_prefilter, None),  # rotated below r6 boundary (exempt: false edges)
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # rotated below r6 boundary (exempt: size>=n guard)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

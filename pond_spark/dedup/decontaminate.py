@@ -44,10 +44,16 @@ def _gram_strings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     if n == 1:
         grams = toks
     else:
-        grams = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+        # <n words -> zero n-grams (a floored sequence would fabricate
+        # one partial gram and make every short doc 'contaminated' by
+        # any eval doc sharing its words — the r6 _word_ngrams fix)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )

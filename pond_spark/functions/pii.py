@@ -41,13 +41,49 @@ def pii_count(col: Column) -> Column:
     """How many PII spans the scrub would replace (pre-replacement
     count over the same rule list, counted rule-by-rule on the
     progressively scrubbed text so overlapping rules don't double
-    count — mirrors ``pii_scrub``'s sequential application)."""
+    count — mirrors ``pii_scrub``'s sequential application).
+
+    NOTE: as a single Column expression each count term embeds the
+    prior replacements as an unshared subexpression (Spark's CSE does
+    not merge them), so the chain costs ~R²/2 regex passes per row —
+    fine for ad-hoc use; the hot path is :func:`pii_metrics`, which
+    stages each step once (the quality_metrics discipline)."""
     total = F.lit(0)
     cur = col
     for pattern, token in PII_RULES:
         total = total + F.size(F.regexp_extract_all(cur, F.lit(pattern), 0))
         cur = F.regexp_replace(cur, pattern, token)
     return total.alias("n_pii")
+
+
+def pii_metrics(
+    df,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    scrub_col: str = "scrubbed",
+    count_col: str = "n_pii",
+):
+    """DataFrame twin of ``pii_scrub`` + ``pii_count`` with each
+    rule's intermediate staged exactly once (one select per rule, so
+    whole-stage codegen evaluates R regex replaces + R counts instead
+    of the ~R²/2 the inline Column chain pays — the
+    normalize_urls/quality_metrics staging rule; r6 review finding)."""
+    kept = [F.col(c) for c in keep_cols]
+    out = df.select(*kept, F.col(text_col).alias("_cur"), F.lit(0).alias("_n"))
+    for pattern, token in PII_RULES:
+        out = out.select(
+            *kept,
+            F.regexp_replace(F.col("_cur"), pattern, token).alias("_cur"),
+            (
+                F.col("_n")
+                + F.size(F.regexp_extract_all(F.col("_cur"), F.lit(pattern), 0))
+            ).alias("_n"),
+        )
+    return out.select(
+        *kept,
+        F.col("_cur").alias(scrub_col),
+        F.col("_n").alias(count_col),
+    )
 
 
 def pii_scrub_sql(expr: str) -> str:

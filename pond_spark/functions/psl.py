@@ -160,11 +160,21 @@ def psl_domains(
         list(rules.wild) or [("\x00none", 0, 0)], "key string, prio int, ps int"
     )
 
-    u = F.col(url_col)
+    from pond_spark.functions.urlnorm import (
+        _BARE_AUTH_RE,
+        _defrag,
+        _host_of_auth,
+    )
+
+    u = _defrag(F.col(url_col))
     host = F.when(
         u.rlike(_SCHEME_RE), F.regexp_extract(u, _AUTHORITY_RE, 1)
-    ).otherwise(u)
-    host = F.lower(F.substring_index(host, ":", 1))  # strip port
+    ).otherwise(
+        # schemeless: leading authority run, not the whole string (a
+        # path would otherwise pollute the domain — r6 review finding)
+        F.regexp_extract(F.regexp_replace(u, r"^//", ""), _BARE_AUTH_RE, 1)
+    )
+    host = _host_of_auth(host)  # userinfo/port/trailing-dot strips
     out = df.select(
         F.col(id_col),
         host.alias("host"),

@@ -53,6 +53,15 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
 
 def _words(col: Column) -> Column:
+    """Lowercased whitespace split. KNOWN EDGE (r6 review, deferred):
+    an empty/whitespace-only string splits to ``['']`` — one empty
+    token — in BOTH engines (DuckDB's string_split_regex agrees), so
+    empty docs count n_words=1, '' enters LM vocabs, and BM25 assigns
+    them dl=1. token_count() special-cases it; the ~15 other consumers
+    and their ~25 SQL twins replicate the artifact consistently
+    (cross-engine identical, oracle-invisible). Fixing it is a
+    synchronized sweep across every twin — scheduled as its own
+    change, not a drive-by."""
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
@@ -100,10 +109,18 @@ def quality_score_sql(expr: str) -> str:
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    # a doc with fewer than n words has ZERO n-grams: the old
+    # greatest(size-n, 0) floor fabricated one partial gram, making
+    # every short doc "maximally repetitive" (top_ngram_char_frac 1.0
+    # on a 1-word doc) and feeding a phantom gram into dup_ngram_frac
+    # (r6 review finding)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def quality_metrics(
@@ -334,9 +351,12 @@ def quality_rules_sql(
         f"round(CASE WHEN {nw} > 0 THEN len(list_filter({w}, "
         f"x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / {nw} ELSE 0.0 END, 6)"
     )
+    # <2 words -> zero bigrams (mirror of _word_ngrams' r6 fix)
     bi = (
-        f"list_transform(generate_series(1, greatest({nw} - 1, 1)), "
-        f"i -> array_to_string({w}[i:i+1], ' '))"
+        f"(CASE WHEN {nw} >= 2 THEN "
+        f"list_transform(generate_series(1, {nw} - 1), "
+        f"i -> array_to_string({w}[i:i+1], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
     )
     dup2 = (
         f"round(CASE WHEN len({bi}) > 0 THEN 1.0 - "

@@ -45,7 +45,30 @@ SECOND_LEVEL_SUFFIXES = (
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+#: schemeless forms: authority is the leading run, path follows it
+_BARE_AUTH_RE = r"^([^/?#]+)"
+_BARE_PATH_RE = r"^[^/?#]+([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
+_FRAG_RE = r"#.*$"
+
+
+def _defrag(url: Column) -> Column:
+    """Drop the fragment BEFORE any other parsing: an unanchored query
+    regex would otherwise pick up a '?' INSIDE the fragment and
+    resurface fragment text as the query string (r6 review finding —
+    'page#a?x=1' normalized to 'page?x=1')."""
+    return F.regexp_replace(url, _FRAG_RE, "")
+
+
+def _host_of_auth(authority: Column) -> Column:
+    """Host from an authority component: strip userinfo ('user:pass@'
+    would otherwise be taken as the host via the port-strip
+    substring_index), strip the port, lowercase, and drop a trailing
+    FQDN dot ('example.com.' must group with 'example.com', not under
+    a bogus 'com.' bucket) — all r6 review findings."""
+    host = F.substring_index(authority, "@", -1)
+    host = F.lower(F.substring_index(host, ":", 1))
+    return F.regexp_replace(host, r"\.$", "")
 
 
 def _is_tracking(param: Column) -> Column:
@@ -57,19 +80,40 @@ def _is_tracking(param: Column) -> Column:
 
 
 def normalize_url(url: Column) -> Column:
-    """Canonical form: lowercased scheme/host, default port stripped,
-    fragment dropped, tracking params removed, query params sorted,
-    empty path → ``/``. Ports other than the scheme default survive."""
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    authority = F.lower(F.regexp_extract(url, _AUTHORITY_RE, 1))
-    host = (
-        F.when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
-        .when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
-        .otherwise(authority)
+    """Canonical form: lowercased scheme/host, userinfo dropped,
+    default port stripped, trailing host dot dropped, fragment
+    dropped, tracking params removed, query params sorted, empty path
+    → ``/``. Ports other than the scheme default survive. Schemeless
+    inputs ('example.com/x', '//host/p') normalize WITHOUT a scheme
+    prefix — the old scheme-anchored regexes collapsed every such URL
+    to ':///' (r6 review finding)."""
+    u = _defrag(url)
+    has_scheme = u.rlike(_SCHEME_RE)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    u_bare = F.regexp_replace(u, r"^//", "")  # protocol-relative
+    authority = F.lower(
+        F.when(has_scheme, F.regexp_extract(u, _AUTHORITY_RE, 1)).otherwise(
+            F.regexp_extract(u_bare, _BARE_AUTH_RE, 1)
+        )
     )
-    path = F.regexp_extract(url, _PATH_RE, 1)
+    hostport = F.substring_index(authority, "@", -1)
+    hostport = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    host = F.concat(
+        F.regexp_replace(F.substring_index(hostport, ":", 1), r"\.$", ""),
+        F.when(
+            hostport.contains(":"),
+            F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+        ).otherwise(F.lit("")),
+    )
+    path = F.when(has_scheme, F.regexp_extract(u, _PATH_RE, 1)).otherwise(
+        F.regexp_extract(u_bare, _BARE_PATH_RE, 1)
+    )
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    q = F.regexp_extract(url, _QUERY_RE, 1)
+    q = F.regexp_extract(u, _QUERY_RE, 1)
     params = F.array_join(
         F.array_sort(
             F.filter(
@@ -79,8 +123,7 @@ def normalize_url(url: Column) -> Column:
         "&",
     )
     return F.concat(
-        scheme,
-        F.lit("://"),
+        F.when(has_scheme, F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
         host,
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
@@ -105,28 +148,71 @@ def normalize_urls(
     """
     kept = [F.col(c) for c in keep_cols]
     u = F.col("_u")
-    s1 = df.select(*kept, F.col(url_col).alias("_u")).select(
+    ub = F.col("_ub")
+    s0 = df.select(
+        *kept, _defrag(F.col(url_col)).alias("_u")
+    ).select(
         *kept,
-        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("_scheme"),
-        F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1)).alias("_auth"),
-        F.regexp_extract(u, _PATH_RE, 1).alias("_path0"),
+        u,
+        u.rlike(_SCHEME_RE).alias("_schemed"),
+        F.regexp_replace(u, r"^//", "").alias("_ub"),
+    )
+    s1 = s0.select(
+        *kept,
+        F.when(
+            F.col("_schemed"),
+            F.concat(F.lower(F.regexp_extract(u, _SCHEME_RE, 1)), F.lit("://")),
+        )
+        .otherwise(F.lit(""))
+        .alias("_scheme"),
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("_rawscheme"),
+        F.substring_index(
+            F.lower(
+                F.when(
+                    F.col("_schemed"), F.regexp_extract(u, _AUTHORITY_RE, 1)
+                ).otherwise(F.regexp_extract(ub, _BARE_AUTH_RE, 1))
+            ),
+            "@",
+            -1,
+        ).alias("_auth"),
+        F.when(
+            F.col("_schemed"), F.regexp_extract(u, _PATH_RE, 1)
+        )
+        .otherwise(F.regexp_extract(ub, _BARE_PATH_RE, 1))
+        .alias("_path0"),
         F.regexp_extract(u, _QUERY_RE, 1).alias("_q"),
     )
-    host = (
+    hostport = (
         F.when(
-            F.col("_scheme") == "https",
+            F.col("_rawscheme") == "https",
             F.regexp_replace(F.col("_auth"), ":443$", ""),
         )
         .when(
-            F.col("_scheme") == "http",
+            F.col("_rawscheme") == "http",
             F.regexp_replace(F.col("_auth"), ":80$", ""),
         )
         .otherwise(F.col("_auth"))
     )
-    s2 = s1.select(
+    s1b = s1.select(
+        *kept,
+        "_scheme",
+        "_path0",
+        "_q",
+        hostport.alias("_hp"),
+        F.regexp_replace(
+            F.substring_index(F.col("_auth"), ":", 1), r"\.$", ""
+        ).alias("_dhost"),
+    )
+    s2 = s1b.select(
         *kept,
         F.col("_scheme"),
-        host.alias("_host"),
+        F.concat(
+            F.regexp_replace(F.substring_index(F.col("_hp"), ":", 1), r"\.$", ""),
+            F.when(
+                F.col("_hp").contains(":"),
+                F.concat(F.lit(":"), F.substring_index(F.col("_hp"), ":", -1)),
+            ).otherwise(F.lit("")),
+        ).alias("_host"),
         F.when(F.col("_path0") == "", F.lit("/"))
         .otherwise(F.col("_path0"))
         .alias("_path"),
@@ -136,10 +222,8 @@ def normalize_urls(
             ),
             "&",
         ).alias("_params"),
-        F.split(
-            F.lower(F.substring_index(F.col("_auth"), ":", 1)), r"\.", -1
-        ).alias("_labels"),
-        F.lower(F.substring_index(F.col("_auth"), ":", 1)).alias("_dhost"),
+        F.split(F.col("_dhost"), r"\.", -1).alias("_labels"),
+        F.col("_dhost"),
     )
     last2 = F.concat_ws(".", F.slice(F.col("_labels"), -2, 2))
     is_2l = F.lit(False)
@@ -165,7 +249,6 @@ def normalize_urls(
         *kept,
         F.concat(
             F.col("_scheme"),
-            F.lit("://"),
             F.col("_host"),
             F.col("_path"),
             F.when(
@@ -189,11 +272,17 @@ def registered_domain(url_or_host: Column) -> Column:
     ``sub.example.com`` → ``example.com``; IPs and single-label hosts
     pass through unchanged.
     """
+    u = _defrag(url_or_host)
     host = F.when(
-        url_or_host.rlike(_SCHEME_RE),
-        F.regexp_extract(url_or_host, _AUTHORITY_RE, 1),
-    ).otherwise(url_or_host)
-    host = F.lower(F.substring_index(host, ":", 1))  # strip port
+        u.rlike(_SCHEME_RE),
+        F.regexp_extract(u, _AUTHORITY_RE, 1),
+    ).otherwise(
+        # bare host or schemeless URL: the authority is the leading
+        # run — taking the WHOLE string as host let a schemeless
+        # URL's path pollute the domain ('other.org/path?a=1')
+        F.regexp_extract(F.regexp_replace(u, r"^//", ""), _BARE_AUTH_RE, 1)
+    )
+    host = _host_of_auth(host)  # userinfo/port/trailing-dot strips
     labels = F.split(host, r"\.", -1)
     n = F.size(labels)
     last2 = F.concat_ws(".", F.slice(labels, -2, 2))

@@ -721,3 +721,20 @@ def test_text_index_empty_search_matches_stored_id_type(spark, tmp_path):
     out = idx.search(["apple"], k=5)
     assert out.schema["doc_id"].dataType.typeName() == "string"
     assert out.count() == 0
+
+
+def test_short_docs_have_zero_ngrams(spark):
+    """Regression (r6 review): a doc with fewer than n words has ZERO
+    n-grams — the old floored sequence fabricated one partial gram,
+    scoring every 1-word doc as maximally repetitive."""
+    from pond_spark.functions.repetition import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "two words"), (3, "three little words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[1].top_2gram_char_frac == 0.0  # no bigram exists
+    assert out[1].dup_3gram_frac == 0.0
+    assert out[2].dup_3gram_frac == 0.0  # no trigram exists
+    assert out[3].top_2gram_char_frac > 0.0  # real bigrams scored
