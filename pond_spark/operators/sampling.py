@@ -65,12 +65,22 @@ def _bucket(id_col: Column, salt: str) -> Column:
     return F.pmod(h, F.lit(DENOM))
 
 
+def _sql_str(v: str) -> str:
+    """Single-quote-escaped SQL string literal (the funnel.py q()
+    rule): a stratum value like "it's" must not break — or inject
+    into — the generated oracle predicate (r6 review finding)."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _bucket_sql(id_expr: str, salt: str) -> str:
     a, b = _salt_params(salt)
-    return (
-        f"(({a} * (CAST({id_expr} AS BIGINT) % {MERSENNE_P}) + {b}) "
-        f"% {MERSENNE_P}) % {DENOM}"
-    )
+    # the inner/outer % must be PMOD like the Spark side: DuckDB's %
+    # is sign-preserving, so a negative id would get a negative bucket
+    # and pass `bucket < threshold` at ANY rate (r6 review finding —
+    # the bit-for-bit parity contract broke for negative ids)
+    inner = f"((CAST({id_expr} AS BIGINT) % {MERSENNE_P}) + {MERSENNE_P}) % {MERSENNE_P}"
+    mid = f"((({a} * ({inner}) + {b}) % {MERSENNE_P}) + {MERSENNE_P}) % {MERSENNE_P}"
+    return f"(({mid}) % {DENOM})"
 
 
 def sample(
@@ -118,7 +128,7 @@ def stratified_sample_sql(
     default_rate: float = 0.0,
 ) -> str:
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{v}' THEN {_threshold(r)}"
+        f"WHEN {stratum_expr} = {_sql_str(v)} THEN {_threshold(r)}"
         for v, r in sorted(rates.items())
     )
     case = f"(CASE {whens} ELSE {_threshold(default_rate)} END)"
@@ -166,11 +176,11 @@ def mixture_sql(
     """DuckDB twin: same copy-count arithmetic, replicas via a
     generate_series lateral join."""
     n_full = " ".join(
-        f"WHEN {source_expr} = '{v}' THEN {int(w)}"
+        f"WHEN {source_expr} = {_sql_str(v)} THEN {int(w)}"
         for v, w in sorted(weights.items())
     )
     frac = " ".join(
-        f"WHEN {source_expr} = '{v}' THEN {int(round((w - int(w)) * DENOM))}"
+        f"WHEN {source_expr} = {_sql_str(v)} THEN {int(round((w - int(w)) * DENOM))}"
         for v, w in sorted(weights.items())
     )
     n_copies = (

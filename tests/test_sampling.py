@@ -278,3 +278,47 @@ def test_pack_sequences_sql_twin_equivalence(spark):
     sql = pack_sequences_sql(cap, token_count_sql("text"), n_buckets=n_buckets)
     exp = sorted(map(tuple, con.sql(sql).fetchall()))
     assert got == exp
+
+
+def test_sample_sql_twin_handles_negative_ids(spark):
+    """Regression (r6 review): DuckDB's % is sign-preserving, so a
+    negative id got a negative bucket and passed `bucket < threshold`
+    at ANY rate — sample_sql now replays the Spark pmod exactly, and
+    quoted stratum values escape safely."""
+    import duckdb
+
+    from pond_spark.operators.sampling import (
+        sample,
+        sample_sql,
+        stratified_sample_sql,
+    )
+
+    ids = list(range(-500, 500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(range(-500, 500)) AS doc_id"
+    )
+    for rate in (0.0, 0.25, 1.0):
+        kept_spark = {r.doc_id for r in sample(df, rate).collect()}
+        kept_sql = {
+            r[0]
+            for r in con.sql(
+                f"SELECT doc_id FROM t WHERE {sample_sql(rate)}"
+            ).fetchall()
+        }
+        assert kept_spark == kept_sql, rate
+    assert not {
+        r[0]
+        for r in con.sql(
+            "SELECT doc_id FROM t WHERE " + sample_sql(0.0)
+        ).fetchall()
+    }  # rate 0 keeps NOTHING, negative ids included
+    # quote-safety: a stratum value with an apostrophe parses fine
+    con.execute("CREATE TABLE s AS SELECT unnest(range(100)) AS doc_id, "
+                "CASE WHEN doc_id % 2 = 0 THEN 'it''s' ELSE 'b' END AS lang")
+    n = con.sql(
+        "SELECT count(*) FROM s WHERE "
+        + stratified_sample_sql({"it's": 1.0, "b": 0.0})
+    ).fetchall()[0][0]
+    assert n == 50
