@@ -71,16 +71,41 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column names read by each Parquet scan (column-pruning check)."""
+    """Column names read by each Parquet scan (column-pruning check).
+
+    The struct body is extracted with a DEPTH SCAN, not a lazy regex:
+    ``struct<tags:array<string>,site:string>`` ends at the BALANCED
+    closing ``>``, and a ``(.*?)>`` capture would stop at array's
+    inner ``>`` — silently dropping every column after the first
+    nested type and making pruning assertions pass/fail vacuously
+    (r6 review finding, verified by repro)."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<(.*?)>(?:,|\s|$)", plan):
+    marker = "ReadSchema: struct<"
+    i = 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth, body = 1, []
+        while k < len(plan):
+            ch = plan[k]
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            body.append(ch)
+            k += 1
         cols = [
             c.split(":")[0].strip()
-            for c in _split_top_level(m.group(1))
+            for c in _split_top_level("".join(body))
             if c.strip()
         ]
         out.append(cols)
+        i = k
     return out
 
 

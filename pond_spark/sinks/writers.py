@@ -20,6 +20,14 @@ from pond_spark.functions.format import OneLineOptions, one_line, to_json_projec
 from pond_spark.functions.sanitize import sanitize_site
 from pond_spark.operators.sessionize import track_visitors
 
+#: µs-precision JSON timestamp format: Spark's DEFAULT to_json
+#: timestampFormat truncates to MILLISECONDS (the formats.py writer
+#: pins this for the same reason), silently losing the engine's
+#: µs-native precision and breaking the packet-socket round-trip —
+#: re-ingested rows differed in the sub-ms digits (r6 review finding).
+#: The ISO form round-trips exactly through from_json's default parse.
+_JSON_TS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 def write_text(
     df: DataFrame,
@@ -40,7 +48,7 @@ def write_jsonl(df: DataFrame, path: str, gzip: bool = False) -> None:
     w = to_json_projection(df).write.mode("overwrite")
     if gzip:
         w = w.option("compression", "gzip")
-    w.json(path, ignoreNullFields=True)
+    w.json(path, ignoreNullFields=True, timestampFormat=_JSON_TS)
 
 
 def write_per_site(
@@ -112,7 +120,9 @@ def write_per_site(
         w = proj.write.mode("overwrite")
         if gzip:
             w = w.option("compression", "gzip")
-        w.partitionBy(*part_cols).json(path, ignoreNullFields=True)
+        w.partitionBy(*part_cols).json(
+            path, ignoreNullFields=True, timestampFormat=_JSON_TS
+        )
     else:
         raise ValueError(f"unknown per-site format: {fmt}")
     if filename is not None:
@@ -149,7 +159,7 @@ def write_packet_socket(
     df: DataFrame,
     address: str,
     seqpacket: bool = False,
-    max_datagram_bytes: int = 200_000,
+    max_datagram_bytes: int | None = None,
     oversize: str = "error",
 ) -> None:
     """S8 packet-socket sink (ResultWriter.cxx:63-75,112-120,368-371):
@@ -166,9 +176,11 @@ def write_packet_socket(
 
     A record larger than the socket buffer would fail the whole task
     with EMSGSIZE deep in a Spark stage; ``max_datagram_bytes``
-    (default 200 000 B — just under the typical Linux ~208 KiB AF_UNIX
-    datagram limit, so anything the kernel would have accepted still
-    passes) bounds the encoded size up front. ``oversize`` chooses
+    (default: one byte under the receiver's MAX_DATAGRAM_SIZE
+    truncation guard, so every datagram sent is one the re-ingest
+    path accepts; raise it explicitly — up to the ~208 KiB Linux
+    AF_UNIX bound — when feeding a non-pond receiver) bounds the
+    encoded size up front. ``oversize`` chooses
     the policy: ``"error"`` raises with the row's size (run the
     records through a truncation projection first if dropping payload
     is acceptable), ``"skip"`` drops oversized records (counted and
@@ -176,9 +188,20 @@ def write_packet_socket(
     best-effort datagram semantics)."""
     if oversize not in ("error", "skip"):
         raise ValueError(f"oversize must be error|skip, got {oversize!r}")
+    if max_datagram_bytes is None:
+        # default to the RECEIVER's truncation guard, not the kernel's
+        # ~208 KiB AF_UNIX bound: a 5 KB record would pass a 200 KB cap
+        # and then be dropped as _malformed by parse_datagrams'
+        # MAX_DATAGRAM_SIZE check — silently violating the documented
+        # lossless round-trip (r6 review finding). Callers feeding a
+        # non-pond receiver may raise the cap explicitly.
+        from pond_spark.sources.ingest import MAX_DATAGRAM_SIZE
+
+        max_datagram_bytes = MAX_DATAGRAM_SIZE - 1
     lines = df.select(
         F.to_json(
-            F.struct(*df.columns), {"ignoreNullFields": "true"}
+            F.struct(*df.columns),
+            {"ignoreNullFields": "true", "timestampFormat": _JSON_TS},
         ).alias("dgram")
     )
 

@@ -85,7 +85,11 @@ def apply_retention(
             _, newest = stats[f]
             if newest is not None and newest < cutoff:
                 dropped_age.append(f)
-    live = [f for f in files if f not in dropped_age]
+    # SET membership for the per-file scans: list membership made the
+    # reaper O(files * dropped) — quadratic at the ~800k-file counts
+    # the module is dimensioned for (r6 review finding)
+    dropped_age_set = set(dropped_age)
+    live = [f for f in files if f not in dropped_age_set]
 
     dropped_size: list[str] = []
     if max_bytes is not None:
@@ -111,7 +115,6 @@ def apply_retention(
                     os.remove(os.path.join(d, leftover))
                 os.rmdir(d)
 
-    remaining = sum(
-        stats[f][0] for f in files if f not in dropped_age and f not in dropped_size
-    )
+    dropped_all = dropped_age_set | set(dropped_size)
+    remaining = sum(stats[f][0] for f in files if f not in dropped_all)
     return RetentionReport(dropped_age, dropped_size, remaining)

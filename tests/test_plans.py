@@ -375,3 +375,20 @@ def test_quality_outliers_broadcast_model_scoring(spark, entry):
     cdf = entry.queries()["quality_outliers"](spark, SF)
     cplan = formatted_plan(cdf)
     assert "ExistingRDD" in cplan or "LogicalRDD" in cplan, cplan
+
+
+def test_read_schema_columns_handles_nested_types(spark, tmp_path):
+    """Regression (r6 review): a lazy `(.*?)>` capture stopped at the
+    FIRST '>' of any nested type, silently dropping every column after
+    an array/struct column — pruning assertions then passed/failed
+    vacuously. The depth scan must return all top-level columns."""
+    from pond_spark.plans import read_schema_columns
+
+    p = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, ["a", "b"], "s0", 2.5)],
+        "id long, tags array<string>, site string, score double",
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p).select("id", "tags", "site", "score")
+    cols = read_schema_columns(df.filter("id > 0"))
+    assert cols and set(cols[0]) == {"id", "tags", "site", "score"}

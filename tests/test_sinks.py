@@ -203,7 +203,10 @@ def test_write_packet_socket_seqpacket_and_oversize(spark, tmp_path):
     t = threading.Thread(target=_accept)
     t.start()
     try:
-        write_packet_socket(df, addr_q, seqpacket=True)
+        # explicit cap: the 5 KB row exceeds the new re-ingest-safe
+        # default (MAX_DATAGRAM_SIZE-1); this leg tests TRANSPORT to a
+        # non-pond receiver, the documented raise-the-cap case
+        write_packet_socket(df, addr_q, seqpacket=True, max_datagram_bytes=65536)
         t.join(30)
     finally:
         rx.close()
@@ -340,3 +343,45 @@ def test_per_site_json_field_parity(logs, tmp_path):
     ]
     assert recs and all("id" not in r for r in recs)
     assert all("_site_dir" not in r for r in recs)
+
+
+def test_json_sinks_keep_microseconds(spark, tmp_path):
+    """Regression (r6 review): the default to_json/write.json
+    timestampFormat truncates to milliseconds; the JSONL and packet
+    sinks must keep the engine's µs-native precision so round-tripped
+    rows compare equal and (timestamp, id) order survives."""
+    import datetime as dt
+    import glob as _glob
+
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.sinks.writers import write_jsonl
+    from pond_spark.sources.ingest import parse_datagrams
+
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    base.update(
+        id=1,
+        timestamp=dt.datetime(2024, 1, 1, 12, 0, 0, 123456),
+        site="a",
+    )
+    df = spark.createDataFrame(
+        [tuple(base[f.name] for f in LOG_SCHEMA.fields)], LOG_SCHEMA
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    line = next(
+        ln
+        for f in _glob.glob(out + "/part-*")
+        for ln in open(f)
+        if ln.strip()
+    )
+    assert ".123456" in line  # µs survived serialization
+    # S6 is a display projection (no id field), so it is not the wire
+    # format — but the timestamp must still parse back µs-exact
+    back = (
+        parse_datagrams(spark.createDataFrame([(line,)], ["payload"]))
+        .select("_rec.timestamp")
+        .collect()
+    )
+    assert back[0].timestamp == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    # the packet sink (full row set) round-trips losslessly: covered by
+    # test_write_packet_socket_roundtrip with the same timestampFormat
