@@ -26,7 +26,15 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus)
+    if shuffle_partitions is None:
+        # SPARK_GRAFT_CPUS accepts any local-parallelism spec local[...]
+        # takes ('*' = all cores): a bare int() here crashed every
+        # entry point on SPARK_GRAFT_CPUS='*' before a session could
+        # build (r6 review finding)
+        try:
+            shuffle_partitions = int(cpus)
+        except ValueError:
+            shuffle_partitions = os.cpu_count() or 32
 
     builder = (
         SparkSession.builder.master(master)
