@@ -47,7 +47,8 @@ def test_every_registered_query_is_mapped():
 
 
 def test_synthetic_change_rotates_into_window():
-    """A change to a module must flag its below-window queries."""
+    """A whole-module taint must flag every below-window query of
+    that module (set input = module granularity, the sound fallback)."""
     qm = cw.query_module_map()
     order = cw.registered_order()
     # pick any module that backs a below-window query
@@ -55,13 +56,55 @@ def test_synthetic_change_rotates_into_window():
         below = [q for i, q in enumerate(order) if i >= cw.WINDOW and mod in qm[q]]
         if below:
             bad, exempted = cw.check({mod})
-            flagged = {b[0] for b in bad} | {e[0] for e in exempted}
-            assert flagged == set(below)
-            # every exemption applied must be a declared (query, module)
-            for q, _i, _why in exempted:
-                assert (q, mod) in cw.EXEMPT
+            assert not exempted  # whole-module taint: nothing exempts
+            assert {b[0] for b in bad} == set(below)
             return
     pytest.skip("no module backs a below-window query (fully rotated)")
+
+
+def test_symbol_level_exemption_is_computed_not_handwritten():
+    """r6 ask #2: a below-window query on a changed MODULE is
+    automatically exempt when none of its reachable SYMBOLS changed —
+    and still flags when a reachable symbol did change."""
+    order = cw.registered_order()
+    reach = cw.query_symbol_reach()
+    qm = cw.query_module_map()
+    # find a (module, symbol) reached by some below-window query and a
+    # sibling below-window query on the same module NOT reaching it
+    for mod in sorted({m for ms in qm.values() for m in ms}):
+        below = [q for i, q in enumerate(order) if i >= cw.WINDOW and mod in qm[q]]
+        if len(below) < 2:
+            continue
+        for sym_q in below:
+            syms = {s for m, s in reach[sym_q] if m == mod and s}
+            others = [
+                q for q in below
+                if q != sym_q and not (syms & {s for m, s in reach[q] if m == mod})
+            ]
+            if syms and others:
+                bad, exempted = cw.check({mod: set(syms)})
+                assert sym_q in {b[0] for b in bad}
+                assert set(others) <= {e[0] for e in exempted}
+                return
+    pytest.skip("no module with symbol-disjoint below-window queries")
+
+
+def test_docstring_edit_does_not_taint():
+    """A docstring-only change must produce an empty symbol diff."""
+    import ast as _ast
+
+    src = (
+        'CONST = 7\n'
+        'def f(x):\n    """old doc."""\n    return CONST + x\n'
+    )
+    new = src.replace("old doc.", "new doc, reworded.")
+    a = cw.ModuleInfo("pond_spark.fake", src)
+    b = cw.ModuleInfo("pond_spark.fake", new)
+    assert a.fingerprint("f") == b.fingerprint("f")
+    # a semantic edit DOES move it
+    c = cw.ModuleInfo("pond_spark.fake", src.replace("CONST + x", "CONST - x"))
+    assert a.fingerprint("f") != c.fingerprint("f")
+    del _ast
 
 
 def test_entry_fingerprint_ignores_cosmetics_catches_edits():
@@ -90,23 +133,15 @@ def test_window_invariant_holds_now():
         ref = cw.last_round_ref()
     except (RuntimeError, subprocess.CalledProcessError):
         pytest.skip("no round boundary commit in history")
-    changed = cw.changed_modules(ref)
+    mods = cw.changed_modules(ref)
     entry_changed = cw.entry_changed_queries(ref)
-    bad, exempted = cw.check(changed, entry_changed)
+    changed = cw.changed_symbols(ref, mods)
+    bad, _exempted = cw.check(changed, entry_changed)
     assert not bad, (
         "stale-green risk — rotate these into the first "
         f"{cw.WINDOW} of _QUERIES: {[(q, i, sorted(h)) for q, i, h in bad]}"
     )
-    # exemptions are a capacity valve, not a convenience: they may
-    # only exist when the changed-module query set exceeds the window
-    if exempted:
-        qm = cw.query_module_map()
-        n_changed_queries = sum(
-            1
-            for i, q in enumerate(cw.registered_order())
-            if (set(qm.get(q, set())) & set(changed)) or q in entry_changed
-        )
-        assert n_changed_queries > cw.WINDOW, (
-            f"{len(exempted)} exemption(s) applied but the changed set "
-            f"({n_changed_queries}) fits the window — rotate instead"
-        )
+    # exemptions are now COMPUTED from the symbol diff (r6 ask #2) —
+    # they need no capacity justification, and the hand-written EXEMPT
+    # table must stay gone
+    assert not hasattr(cw, "EXEMPT")

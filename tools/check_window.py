@@ -1,32 +1,38 @@
 #!/usr/bin/env python3
-"""Driver-window invariant checker (VERDICT r4 ask #1).
+"""Driver-window invariant checker (VERDICT r4 ask #1; symbol-level
+auto-exemption per VERDICT r6 ask #2).
 
 The driver attests only the FIRST ``WINDOW`` queries of
 ``__spark_entry__._QUERIES`` per round, so a query is "stale-green"
 whenever its implementing code changed after its last attestation.
-Round 4 broke that invariant by accident: late review-fix commits
-touched dedup/similarity modules whose queries sat below the window.
 
-This tool makes the invariant mechanical:
+Two granularities:
 
-1. ``git diff --name-only <last-round-ref>..HEAD -- pond_spark/``
-   gives the modules changed since the last driver attestation
-   (the ref defaults to the most recent ``round N: verdict...``
-   commit the driver writes; override with ``--ref``).
-2. Each registered query is mapped to the pond_spark modules that
-   implement it — derived automatically, no hand-kept table:
+1. **Module level** (the r4 original, kept as the over-approximation):
+   ``git diff --name-only <last-round-ref>..HEAD -- pond_spark/``
+   gives the changed modules; each query maps to the transitive
+   closure of pond_spark modules its entry function imports.
 
-   - parse ``__spark_entry__.py``; for every function collect the
-     pond_spark modules it imports (top-level or inline) and the other
-     entry-local functions it references, transitively (queries call
-     helpers like ``_media``/``events_as_logs`` which hold the real
-     imports);
-   - close over the pond_spark-internal import graph (a query on
-     ``dedup.minhash`` also depends on ``operators.skew`` which
-     minhash imports).
+2. **Symbol level** (r6 ask #2 — replaces the hand-written EXEMPT
+   table): a query on a changed module is AUTOMATICALLY exempt iff
+   every symbol in its reachable set is definition-identical between
+   the round boundary and the working tree. Reachability is a BFS
+   over a cross-module symbol reference graph (top-level
+   functions/classes/constants; names resolve through each module's
+   own import table, package ``__init__`` re-exports included).
+   A symbol's fingerprint is its AST dump plus the resolved origins
+   of every pond_spark name it references — so retargeting an import
+   moves the fingerprint even when the def body is unchanged.
 
-3. Any query whose module closure intersects the changed set must sit
-   at index < WINDOW. Violations → exit 1 with the offending rows.
+   Conservative fallbacks (soundness first): a module that is new,
+   unparseable at the boundary, or whose top-level NON-symbol body
+   changed (anything beyond defs/classes/assignments/imports,
+   e.g. a conditional block) taints ALL its symbols, reducing to
+   module-level behavior for that module.
+
+Violations (a below-window query whose reachable symbols changed)
+→ exit 1. Exemptions are computed, never hand-written, and printed
+with the symbol evidence so they cannot hide.
 
 Run in CI via tests/test_window_invariant.py (synthetic-change mode
 exercises the mapper without needing git history).
@@ -43,6 +49,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(REPO, "__spark_entry__.py")
 WINDOW = 50
+
+#: sentinel: every symbol of the module is considered changed
+ALL = "*"
 
 
 def _module_to_path(mod: str) -> str | None:
@@ -214,6 +223,291 @@ def query_module_map() -> dict[str, set[str]]:
     return qmap
 
 
+# ---------------------------------------------------------------------------
+# symbol-level granularity (r6 ask #2)
+
+
+def _import_table(tree: ast.Module, self_mod: str) -> dict[str, tuple[str, str | None]]:
+    """local name -> (origin module, origin symbol | None-for-module),
+    from the module's top-level pond_spark imports. Relative imports
+    resolve against ``self_mod`` (its package for modules, itself for
+    package __init__s)."""
+    pkg = self_mod if _is_package(self_mod) else (
+        self_mod.rsplit(".", 1)[0] if "." in self_mod else self_mod
+    )
+    table: dict[str, tuple[str, str | None]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg
+                for _ in range(node.level - 1):
+                    base = base.rsplit(".", 1)[0]
+                origin = f"{base}.{node.module}" if node.module else base
+            else:
+                origin = node.module or ""
+            if not origin.startswith("pond_spark"):
+                continue
+            for a in node.names:
+                local = a.asname or a.name
+                sub = f"{origin}.{a.name}"
+                if _module_to_path(sub):
+                    table[local] = (sub, None)  # submodule import
+                else:
+                    table[local] = (origin, a.name)
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith("pond_spark"):
+                    table[a.asname or a.name.split(".")[0]] = (a.name, None)
+    return table
+
+
+def _is_package(mod: str) -> bool:
+    p = _module_to_path(mod)
+    return bool(p and p.endswith("__init__.py"))
+
+
+def _inline_imports(node: ast.AST, self_mod: str) -> dict[str, tuple[str, str | None]]:
+    """Import table for ImportFrom/Import nodes NESTED inside a symbol
+    (the repo's inline-import convention)."""
+    fake = ast.Module(
+        body=[n for n in ast.walk(node) if isinstance(n, (ast.Import, ast.ImportFrom))],
+        type_ignores=[],
+    )
+    return _import_table(fake, self_mod)
+
+
+def _symbol_nodes(tree: ast.Module) -> tuple[dict[str, ast.AST], list[ast.AST]]:
+    """(top-level symbol name -> defining node, leftover body nodes).
+
+    Symbols: function/class defs and simple assignments (constants).
+    Imports are NOT body (re-export-only __init__ diffs must not
+    taint); everything else (conditionals, expression statements other
+    than docstrings) is leftover body — if it changes, the whole
+    module taints."""
+    syms: dict[str, ast.AST] = {}
+    rest: list[ast.AST] = []
+    for i, node in enumerate(tree.body):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            syms[node.name] = node
+        elif isinstance(node, ast.Assign):
+            named = [t for t in node.targets if isinstance(t, ast.Name)]
+            if named and len(named) == len(node.targets):
+                for t in named:
+                    syms[t.id] = node
+            else:
+                rest.append(node)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            syms[node.target.id] = node
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue
+        elif i == 0 and isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+            continue  # module docstring
+        else:
+            rest.append(node)
+    return syms, rest
+
+
+def _strip_docstrings(node: ast.AST) -> ast.AST:
+    """Copy of ``node`` with every leading docstring Expr removed from
+    function/class bodies (docstring edits are not semantic)."""
+    import copy
+
+    node = copy.deepcopy(node)
+    for n in ast.walk(node):
+        if isinstance(
+            n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef, ast.Module)
+        ) and n.body:
+            first = n.body[0]
+            if (
+                isinstance(first, ast.Expr)
+                and isinstance(first.value, ast.Constant)
+                and isinstance(first.value.value, str)
+            ):
+                n.body = n.body[1:] or [ast.Pass()]
+    return node
+
+
+class ModuleInfo:
+    """Parsed view of one pond_spark module at one version."""
+
+    def __init__(self, mod: str, src: str):
+        self.mod = mod
+        tree = ast.parse(src)
+        self.symbols, rest = _symbol_nodes(tree)
+        self.body_fp = "|".join(ast.dump(n) for n in rest)
+        self.imports = _import_table(tree, mod)
+
+    def refs(self, sym: str) -> tuple[set[str], dict[str, tuple[str, str | None]]]:
+        """(referenced names, inline import table) for one symbol."""
+        node = self.symbols[sym]
+        return _referenced_names(node), _inline_imports(node, self.mod)
+
+    def fingerprint(self, sym: str) -> str:
+        """Docstring-stripped AST dump + resolved pond origins of every
+        referenced name — retargeting an import moves the fingerprint
+        even when the def body is byte-identical; a docstring-only
+        edit moves nothing."""
+        node = _strip_docstrings(self.symbols[sym])
+        names, inline = self.refs(sym)
+        origins = sorted(
+            f"{n}={':'.join(str(p) for p in (inline.get(n) or self.imports[n]))}"
+            for n in names
+            if n in inline or n in self.imports
+        )
+        return ast.dump(node) + "||" + ";".join(origins)
+
+
+def _load_module(mod: str, ref: str | None) -> ModuleInfo | None:
+    """Working-tree (ref=None) or boundary-ref version; None when the
+    file is absent or unparseable at that version."""
+    path = _module_to_path(mod)
+    if path is None:
+        return None
+    try:
+        if ref is None:
+            with open(os.path.join(REPO, path)) as fh:
+                src = fh.read()
+        else:
+            src = subprocess.run(
+                ["git", "show", f"{ref}:{path}"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout
+        return ModuleInfo(mod, src)
+    except (OSError, SyntaxError, subprocess.CalledProcessError):
+        return None
+
+
+def changed_symbols(ref: str, mods: set[str]) -> dict[str, set[str] | str]:
+    """For each changed module: the set of symbols whose fingerprint
+    differs between ``ref`` and the working tree, or ``ALL`` when the
+    module is new/unparseable/has non-symbol body changes."""
+    out: dict[str, set[str] | str] = {}
+    for mod in mods:
+        new = _load_module(mod, None)
+        if new is None:  # deleted module: imports break loudly elsewhere
+            continue
+        old = _load_module(mod, ref)
+        if old is None:
+            out[mod] = ALL
+            continue
+        if old.body_fp != new.body_fp:
+            out[mod] = ALL
+            continue
+        names = set(old.symbols) | set(new.symbols)
+        diff = {
+            n
+            for n in names
+            if n not in old.symbols
+            or n not in new.symbols
+            or old.fingerprint(n) != new.fingerprint(n)
+        }
+        out[mod] = diff
+    return out
+
+
+def _resolve_symbol(
+    mod: str, name: str | None, cache: dict[str, ModuleInfo | None]
+) -> list[tuple[str, str | None]]:
+    """Resolve (module, symbol) through package re-export chains to
+    concrete (module, symbol | None) pairs. name=None = whole module."""
+    if mod not in cache:
+        cache[mod] = _load_module(mod, None)
+    info = cache[mod]
+    if info is None:
+        return []
+    if name is None:
+        return [(mod, None)]
+    if name in info.symbols:
+        return [(mod, name)]
+    if name in info.imports:
+        omod, osym = info.imports[name]
+        if (omod, osym) != (mod, name):
+            return _resolve_symbol(omod, osym, cache)
+    # unresolvable (getattr magic, star import): whole module, sound
+    return [(mod, None)]
+
+
+def query_symbol_reach() -> dict[str, set[tuple[str, str | None]]]:
+    """query name -> reachable (module, symbol) set. (mod, None) means
+    "the whole module" (a module-object import or an unresolvable
+    name — conservatively everything in it)."""
+    with open(ENTRY) as fh:
+        tree = ast.parse(fh.read())
+
+    fn_nodes: dict[str, ast.AST] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            fn_nodes[node.name] = node
+    fn_refs = {n: _referenced_names(f) for n, f in fn_nodes.items()}
+    entry_top = _import_table(tree, "pond_spark")  # pond top-imports
+
+    cache: dict[str, ModuleInfo | None] = {}
+
+    def entry_start(root: str) -> set[tuple[str, str | None]]:
+        """pond (module, symbol) pairs imported by the entry closure."""
+        start: set[tuple[str, str | None]] = set()
+        seen: set[str] = set()
+        todo = [root]
+        while todo:
+            f = todo.pop()
+            if f in seen or f not in fn_nodes:
+                continue
+            seen.add(f)
+            inline = _inline_imports(fn_nodes[f], "pond_spark")
+            for ref in fn_refs[f]:
+                if ref in fn_nodes and ref not in seen:
+                    todo.append(ref)
+                tab = inline if ref in inline else (
+                    entry_top if ref in entry_top else None
+                )
+                if tab is not None:
+                    omod, osym = tab[ref]
+                    start.update(_resolve_symbol(omod, osym, cache))
+            # imports bound but referenced only via nested helpers the
+            # walker can't see (e.g. exec'd strings) — take every
+            # inline import of the function, referenced or not
+            for local, (omod, osym) in inline.items():
+                start.update(_resolve_symbol(omod, osym, cache))
+        return start
+
+    def expand(start: set[tuple[str, str | None]]) -> set[tuple[str, str | None]]:
+        out: set[tuple[str, str | None]] = set()
+        todo = list(start)
+        while todo:
+            mod, sym = todo.pop()
+            if (mod, sym) in out:
+                continue
+            out.add((mod, sym))
+            if mod not in cache:
+                cache[mod] = _load_module(mod, None)
+            info = cache[mod]
+            if info is None:
+                continue
+            if sym is None:
+                todo.extend((mod, s) for s in info.symbols)
+                continue
+            if sym not in info.symbols:
+                continue
+            names, inline = info.refs(sym)
+            for n in names:
+                if n == sym:
+                    continue
+                if n in inline:
+                    todo.extend(_resolve_symbol(*inline[n], cache))
+                elif n in info.symbols:
+                    todo.append((mod, n))
+                elif n in info.imports:
+                    todo.extend(_resolve_symbol(*info.imports[n], cache))
+        return out
+
+    reach: dict[str, set[tuple[str, str | None]]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_QUERIES":
+            for k, v in zip(node.value.keys, node.value.values):
+                reach[k.value] = expand(entry_start(v.elts[0].id))
+    return reach
+
+
 def _entry_query_fingerprints(entry_src: str) -> dict[str, str]:
     """query name -> stable fingerprint of its ENTRY-LOCAL definition:
     the AST dump of its function closure (helpers included) plus its
@@ -316,121 +610,68 @@ def changed_modules(ref: str, include_worktree: bool = True) -> set[str]:
     return mods
 
 
-#: Explicit, justified exemptions for rounds where the changed-module
-#: query set exceeds the WINDOW capacity AND the over-approximation is
-#: a FALSE module-granular edge. Every entry names the query, the
-#: falsely-implicating module, and a judge-checkable justification
-#: (the specific functions the query executes must be diff-identical
-#: since its last driver-green attestation). Exemptions are PRINTED on
-#: every run — they cannot hide — and must be re-justified or removed
-#: each round (stale-round entries are errors).
-EXEMPT: dict[tuple[str, str], str] = {
-    ("media_meta", "pond_spark.multimodal.codecs"): (
-        "r6: codecs diff touches decode_jpeg only (multi-scan guard);"
-        " media_meta executes binaryops metadata paths that never call"
-        " into codecs — the module edge is binaryops' function-local"
-        " decode imports. Last green r5; executed functions"
-        " diff-identical since."
-    ),
-    ("media_dhash_pairs", "pond_spark.multimodal.codecs"): (
-        "r6: uses codecs.decode_raster/resize_nearest, both untouched"
-        " by the r6 codecs diff (decode_jpeg multi-scan guard only;"
-        " decode_jpeg's own rows media_decode_jpeg/media_decode_real"
-        " are in-window). Last green r5."
-    ),
-    ("media_audio_features", "pond_spark.multimodal.codecs"): (
-        "r6: uses codecs.decode_wav, untouched by the r6 codecs diff"
-        " (decode_jpeg multi-scan guard only). Last green r5."
-    ),
-    ("media_dhash_pairs", "pond_spark.dedup"): (
-        "r6: the dedup/__init__ diff is re-export-only (MinHashCatalog,"
-        " band_keys); media_dhash_pairs uses dedup.simhash"
-        " hamming_near_pairs, diff-identical since its r5 green."
-    ),
-}
-
-#: Shared justifications for the late-r6 text/urlnorm/pii review batch,
-#: which pushed the changed-module query set to ~70 (>> the 50-slot
-#: window). Each is a judge-checkable claim about which functions the
-#: r6 module diff touches vs which functions the exempted query
-#: executes.
-_TEXT_FALSE = (
-    "r6 text.py diff = the _word_ngrams short-doc fix, a _words"
-    " docstring, and the quality-twin bigram guard; this query's"
-    " executed text functions (word split / token counts / fingerprint"
-    " / lang-id / quality-score expressions) never call _word_ngrams"
-    " and are diff-identical since its last green. The _word_ngrams"
-    " CONSUMERS (ngram/simhash/minhash/substr families, quality_rules,"
-    " repetition, curation, decontaminate) are all in-window."
-)
-_DEDUP_INIT_FALSE = (
-    "r6 dedup/__init__ diff is re-export-only (MinHashCatalog,"
-    " band_keys); the executed dedup submodule is diff-identical."
-)
-_CODECS_FALSE = (
-    "r6 codecs diff touches decode_jpeg only (multi-scan guard); this"
-    " query's decode path (fake codec / raster / wav / metadata) is"
-    " diff-identical; decode_jpeg's own rows are in-window."
-)
-_SUBSTR_GUARDED = (
-    "r6 _word_ngrams fix is provably unreachable here: substr.py"
-    " guards F.size(words) >= n BEFORE calling _word_ngrams, so the"
-    " short-doc branch the fix changes cannot execute on this path."
-)
-for _q in (
-    "corpus_drift",
-    "corpus_profile",
-    "tfidf_keywords",
-    "bm25_search",
-    "bm25_index_search",
-    "media_dhash_pairs",
-    "nb_classify",
-    "nb_confusion",
-    "pack_shards",
-    "text_stats",
-    "lang_id",
-    "fingerprint",
-    "vocab_stats",
-    "perplexity",
-    "bloom_prefilter",
-    "media_decode",
-    "dhash_exact_pairs",
-    "line_dedup",
-):
-    EXEMPT.setdefault((_q, "pond_spark.functions.text"), _TEXT_FALSE)
-for _q in ("line_dedup", "bloom_prefilter", "dhash_exact_pairs",
-           "substring_strip"):
-    EXEMPT.setdefault((_q, "pond_spark.dedup"), _DEDUP_INIT_FALSE)
-for _q in ("media_decode", "dhash_exact_pairs"):
-    EXEMPT.setdefault((_q, "pond_spark.multimodal.codecs"), _CODECS_FALSE)
-EXEMPT.setdefault(
-    ("substring_strip", "pond_spark.functions.text"), _SUBSTR_GUARDED
-)
+def _hits(
+    q: str,
+    qmod: set[str],
+    qreach: set[tuple[str, str | None]],
+    changed: dict[str, set[str] | str],
+) -> set[str]:
+    """Evidence strings for the changed symbols query ``q`` reaches
+    (empty = automatically exempt despite module-level edges)."""
+    ev: set[str] = set()
+    reached_mods = {m for m, _s in qreach}
+    for mod, syms in changed.items():
+        if syms == ALL:
+            # whole-module taint falls back to module granularity
+            if mod in qmod or mod in reached_mods:
+                ev.add(f"{mod}:*")
+            continue
+        for m, s in qreach:
+            if m != mod:
+                continue
+            if s is None:
+                if syms:
+                    ev.add(f"{mod}:* (unresolved ref)")
+            elif s in syms:
+                ev.add(f"{mod}:{s}")
+    return ev
 
 
 def check(
-    changed: set[str], entry_changed: set[str] = frozenset()
+    changed: dict[str, set[str] | str] | set[str],
+    entry_changed: set[str] = frozenset(),
 ) -> tuple[list[tuple[str, int, set[str]]], list[tuple[str, int, str]]]:
-    """(violations, applied_exemptions): violations are (query, index,
-    touching modules) rows the window must absorb; an exemption only
-    applies when it removes EVERY touching module for the query (an
-    exempted query with any other changed-module edge still
-    violates)."""
+    """(violations, auto_exemptions).
+
+    ``changed`` is either a symbol map from :func:`changed_symbols`
+    or a bare module set (synthetic mode — treated as whole-module
+    taint). Violations are below-window queries that REACH a changed
+    symbol; auto-exemptions are below-window queries with module-level
+    edges whose reachable symbols are all unchanged (reported with the
+    module list for transparency)."""
+    if isinstance(changed, (set, frozenset)):
+        changed = {m: ALL for m in changed}
     order = registered_order()
     qmap = query_module_map()
-    bad = []
-    exempted = []
+    qreach = query_symbol_reach()
+    bad: list[tuple[str, int, set[str]]] = []
+    exempted: list[tuple[str, int, str]] = []
     for i, q in enumerate(order):
-        hit = set(qmap.get(q, set()) & changed)
+        if i < WINDOW:
+            continue
+        mod_hit = set(qmap.get(q, set()) & set(changed))
+        ev = _hits(q, qmap.get(q, set()), qreach.get(q, set()), changed)
         if q in entry_changed:
-            hit.add("__spark_entry__.py")
-        if hit and i >= WINDOW:
-            unexcused = {m for m in hit if (q, m) not in EXEMPT}
-            if unexcused:
-                bad.append((q, i, unexcused))
-            else:
-                for m in sorted(hit):
-                    exempted.append((q, i, EXEMPT[(q, m)]))
+            ev.add("__spark_entry__.py")
+        if ev:
+            bad.append((q, i, ev))
+        elif mod_hit:
+            exempted.append((
+                q, i,
+                "auto: module edge(s) "
+                + ", ".join(sorted(mod_hit))
+                + " but no reachable symbol changed",
+            ))
     return bad, exempted
 
 
@@ -440,25 +681,28 @@ def main() -> int:
     ap.add_argument("--committed-only", action="store_true", help="ignore uncommitted worktree changes")
     args = ap.parse_args()
     ref = args.ref or last_round_ref()
-    changed = changed_modules(ref, include_worktree=not args.committed_only)
+    mods = changed_modules(ref, include_worktree=not args.committed_only)
     entry_changed = entry_changed_queries(ref)
-    print(f"round boundary: {ref[:12]}  changed pond_spark modules: {len(changed)}")
+    changed = changed_symbols(ref, mods)
+    print(f"round boundary: {ref[:12]}  changed pond_spark modules: {len(mods)}")
     for m in sorted(changed):
-        print(f"  changed: {m}")
+        syms = changed[m]
+        detail = "WHOLE MODULE" if syms == ALL else ", ".join(sorted(syms)) or "(no symbol diff)"
+        print(f"  changed: {m} [{detail}]")
     if entry_changed:
         print(f"  entry-local changed queries: {', '.join(sorted(entry_changed))}")
     bad, exempted = check(changed, entry_changed)
     for q, i, why in exempted:
         print(f"  EXEMPT: {q} (index {i}) — {why}")
     if bad:
-        print(f"\nINVARIANT VIOLATED — {len(bad)} query(s) on changed modules sit "
+        print(f"\nINVARIANT VIOLATED — {len(bad)} query(s) reaching changed symbols sit "
               f"below the {WINDOW}-query driver window:")
         for q, i, hit in bad:
             print(f"  {q} (index {i}) <- {', '.join(sorted(hit))}")
         return 1
-    suffix = f" ({len(exempted)} documented exemption(s))" if exempted else ""
+    suffix = f" ({len(exempted)} computed exemption(s))" if exempted else ""
     print(
-        f"\nOK: every query on a changed module is inside the first "
+        f"\nOK: every query reaching changed code is inside the first "
         f"{WINDOW}{suffix}."
     )
     return 0
