@@ -1636,23 +1636,50 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator — Spark has no built-in): attach to
     every log record the latest "config change" at or before it, per
     site. The config dim is a deterministic slice of the log itself
-    (every 97th record). Oracle: DuckDB's native ASOF JOIN."""
+    (every 97th record) with TWO payload slots, one of which is NULL
+    on every odd config row — so the r6 stitching edge is exercised:
+    when the latest match has a NULL slot, the output must carry that
+    NULL, never an older row's non-NULL value. A duplicated-(site, ts)
+    shadow row (cfg_id + 1e6, NULL note) exercises the deterministic
+    greatest-payload-tuple tiebreak. Oracle: DuckDB's native ASOF JOIN
+    over the tiebreak-deduped dim."""
     from pond_spark.operators.asof import asof_join
 
     logs = events_as_logs(spark, sf_dir).select("id", "timestamp", "site")
-    cfg = logs.filter(F.col("id") % 97 == 0).select(
-        "site", "timestamp", F.col("id").alias("cfg_id")
+    base = logs.filter(F.col("id") % 97 == 0).select(
+        "site",
+        "timestamp",
+        F.col("id").alias("cfg_id"),
+        F.when(
+            F.expr("(id div 97) % 2 = 0"),
+            F.concat(F.lit("n"), F.col("id").cast("string")),
+        ).alias("cfg_note"),
     )
+    dup = base.filter(F.col("cfg_id") % 194 == 0).select(
+        "site",
+        "timestamp",
+        (F.col("cfg_id") + 1000000).alias("cfg_id"),
+        F.lit(None).cast("string").alias("cfg_note"),
+    )
+    cfg = base.unionByName(dup)
     out = asof_join(logs, cfg, key_cols=["site"], ts_col="timestamp")
-    return out.select("id", "cfg_id")
+    return out.select("id", "cfg_id", "cfg_note")
 
 
 ASOF_JOIN_SQL = f"""
 WITH {LOGS_CTE},
 l AS (SELECT id, "timestamp" AS ts, site FROM logs),
-cfg AS (SELECT site, "timestamp" AS cts, id AS cfg_id FROM logs WHERE id % 97 = 0)
-SELECT l.id, cfg.cfg_id
-FROM l ASOF LEFT JOIN cfg ON l.site = cfg.site AND l.ts >= cfg.cts
+base AS (SELECT site, "timestamp" AS cts, id AS cfg_id,
+                CASE WHEN (id // 97) % 2 = 0 THEN 'n' || CAST(id AS VARCHAR) END AS cfg_note
+         FROM logs WHERE id % 97 = 0),
+cfg AS (SELECT * FROM base
+        UNION ALL
+        SELECT site, cts, cfg_id + 1000000, NULL FROM base WHERE cfg_id % 194 = 0),
+cfg1 AS (SELECT site, cts, cfg_id, cfg_note FROM cfg
+         QUALIFY row_number() OVER (PARTITION BY site, cts
+                                    ORDER BY cfg_id DESC, cfg_note DESC NULLS LAST) = 1)
+SELECT l.id, cfg1.cfg_id, cfg1.cfg_note
+FROM l ASOF LEFT JOIN cfg1 ON l.site = cfg1.site AND l.ts >= cfg1.cts
 """
 
 
@@ -2128,12 +2155,18 @@ def _funnel_sql() -> str:
     )
 
 
-#: value-band interval dimension shared by Spark and the oracle
+#: value-band interval dimension shared by Spark and the oracle.
+#: The last two rows are deliberately DIRTY — an inverted interval
+#: (start > end) and a NULL bound — exercising the r6 range_join fix:
+#: both must silently match nothing (the between-predicate can never
+#: hold) instead of driving F.sequence into a negative-step explosion.
 VALUE_BANDS = [
     ("tiny", 0.0, 9.99),
     ("small", 10.0, 49.99),
     ("medium", 50.0, 199.99),
     ("large", 200.0, 10_000.0),
+    ("inverted", 10_000.0, 0.0),
+    ("nullband", None, 49.99),
 ]
 
 
@@ -2158,7 +2191,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _range_join_sql() -> str:
-    rows = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in VALUE_BANDS)
+    num = lambda v: "NULL" if v is None else repr(v)  # noqa: E731
+    rows = ", ".join(
+        f"('{b}', {num(lo)}, {num(hi)})" for b, lo, hi in VALUE_BANDS
+    )
     return f"""
 WITH {LOGS_CTE},
 bands(band, lo, hi) AS (VALUES {rows})
@@ -4337,14 +4373,14 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "psl_domains": (q_psl_domains, None),  # rotated into the r6 window (psl/urlnorm host fixes)
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # rotated into the r7 window (struct-carry fix)
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
-    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # rotated into the r6 window (urlnorm fixes)
+    "range_join": (q_range_join, None),  # rotated into the r7 window (inverted-interval fix)
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "pii_scrub": (q_pii_scrub, None),  # rotated into the r6 window (pii staging)
+    "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r7 window (range_join consumer)
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
@@ -4395,8 +4431,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "corpus_drift": (q_corpus_drift, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
-    "range_join": (q_range_join, None),  # lazy sql
-    "geoip": (q_geoip, GEOIP_SQL),
+    "psl_domains": (q_psl_domains, None),  # below-window carry (r6 green, unchanged r7)
+    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
+    "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
     "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
@@ -4434,7 +4471,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
     "perplexity": (q_perplexity, PERPLEXITY_SQL),  # rotated below r6 boundary
     "chunk_documents": (q_chunk_documents, None),  # rotated below r6 boundary
-    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),

@@ -6,13 +6,22 @@ every log record.
 Spark-first composition (no Pandas, one shuffle):
 
 1. tag and union both sides on (key, ts) — right rows carry their
-   payload, left rows carry NULL payload;
+   payload as ONE struct, left rows carry a NULL struct;
 2. one window per key ordered by (ts, side) with
-   ``last(payload, ignorenulls=True)`` over an unbounded-preceding
-   frame — the classic carry-forward;
+   ``max(struct(ts, payload...))`` over an unbounded-preceding frame —
+   the latest right row wins as a UNIT, so the output never stitches
+   columns from different right rows (the r6 review fix: the previous
+   per-slot ``last(ignorenulls)`` carry could combine an old non-NULL
+   slot with the newest row's other slots);
 3. keep the left rows: each now holds the payload of the nearest
    right row with ``r.ts <= l.ts`` (ties resolve to the right row:
-   right sorts before left at equal ts).
+   right sorts before left at equal ts, so it is inside the frame).
+
+Tiebreak: several right rows sharing (key, ts) resolve to the row
+with the greatest payload tuple under Spark struct ordering (fields
+left-to-right, NULL smallest) — deterministic on any input. SQL
+oracles mirror it with ``row_number() ... ORDER BY p1 DESC, p2 DESC
+NULLS LAST ... = 1`` per (key, ts).
 
 Scale notes: exactly one shuffle on the join key; per-key windows
 stream in ts order (no full materialization). Hot keys are bounded by
@@ -28,6 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: internal column names the operator claims on the unioned frame
+_RESERVED = ("_side", "_ats", "_carry")
+
 
 def asof_join(
     left: DataFrame,
@@ -40,17 +52,19 @@ def asof_join(
     latest right row with ``right.ts <= left.ts`` (NULLs when none).
 
     Right payload = every right column except the keys and timestamp.
-    A payload column whose name collides with a left column is emitted
-    as ``asof_<name>`` (left columns always win their own names) —
-    without the rename, left rows would carry their OWN value through
-    the ignorenulls carry-forward and the output would hold two
-    identically-named columns (r4 review finding).
+    The payload travels as one struct, so the emitted columns always
+    come from the SAME right row — including its NULL slots. A payload
+    column whose name collides with a left column is emitted as
+    ``asof_<name>`` (left columns always win their own names).
     """
     right_ts_col = right_ts_col or ts_col
     payload = [
         c for c in right.columns if c not in (*key_cols, right_ts_col)
     ]
     lcols = left.columns
+    for c in _RESERVED:
+        if c in lcols or c in right.columns:
+            raise ValueError(f"column {c!r} is reserved by asof_join")
 
     def out_name(c: str) -> str:
         if c not in lcols:
@@ -94,17 +108,19 @@ def asof_join(
         .orderBy(F.col("_ats").asc_nulls_first(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(slots[c]), ignorenulls=True)
-            .over(w)
-            .alias(f"_carry_{slots[c]}")
-            for c in payload
-        ],
+    # one struct per right row: (ts, payload...) — max() ignores the
+    # NULL struct on left rows and picks the latest right row whole;
+    # at equal ts the greatest payload tuple wins (NULL smallest)
+    pay = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ats").alias("_t"),
+            *[F.col(slots[c]).alias(slots[c]) for c in payload],
+        ),
     )
+    carried = unioned.select("*", F.max(pay).over(w).alias("_carry"))
     out = carried.filter(F.col("_side") == 1).select(
         *lcols,
-        *[F.col(f"_carry_{slots[c]}").alias(out_name(c)) for c in payload],
+        *[F.col(f"_carry.{slots[c]}").alias(out_name(c)) for c in payload],
     )
     return out

@@ -72,6 +72,16 @@ def range_join(
     probe = facts.withColumn(
         "_bkt", F.floor(facts[point_col] / F.lit(bucket_width)).cast("long")
     )
+    # empty/inverted intervals (start > end, dirty dims) match nothing
+    # — and MUST be dropped before bucketing: F.sequence would step -1
+    # from first_b down to last_b and can generate a multi-billion-
+    # element array (the span guard below only catches positive spans),
+    # an executor-OOM class at scale (r6 review fix). NULL bounds fail
+    # the comparison and drop too (they could never satisfy the
+    # between-predicate).
+    intervals = intervals.filter(
+        intervals[start_col] <= intervals[end_col]
+    )
     first_b = F.floor(intervals[start_col] / F.lit(bucket_width)).cast("long")
     last_b = F.floor(intervals[end_col] / F.lit(bucket_width)).cast("long")
     # lazy sanity guard: an interval spanning an absurd number of

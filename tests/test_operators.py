@@ -236,6 +236,64 @@ def test_asof_join_latest_at_or_before(spark):
     assert got[5] is None  # left without timestamp matches nothing
 
 
+def test_asof_join_no_cross_row_stitching(spark):
+    """r6 review fix: when the LATEST right match has NULL payload
+    slots, the output must carry that row's NULLs — never combine an
+    older row's non-NULL slot with the newest row's other slots."""
+    import datetime as dt
+
+    from pond_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(9), "a")], "id long, timestamp timestamp, site string"
+    )
+    right = spark.createDataFrame(
+        [("a", t(0), 100, "old-note"), ("a", t(5), 101, None)],
+        "site string, timestamp timestamp, cfg long, note string",
+    )
+    row = asof_join(left, right, ["site"]).collect()[0]
+    assert row.cfg == 101
+    assert row.note is None  # the stitch bug would resurrect 'old-note'
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    """Right rows sharing (key, ts) resolve to the greatest payload
+    tuple (struct ordering, NULL smallest) — deterministically."""
+    import datetime as dt
+
+    from pond_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    left = spark.createDataFrame(
+        [(1, t0, "a")], "id long, timestamp timestamp, site string"
+    )
+    right = spark.createDataFrame(
+        [("a", t0, 7, "x"), ("a", t0, 9, None), ("a", t0, 9, "y")],
+        "site string, timestamp timestamp, cfg long, note string",
+    )
+    row = asof_join(left, right, ["site"]).collect()[0]
+    assert (row.cfg, row.note) == (9, "y")  # (9,'y') > (9,NULL) > (7,'x')
+
+
+def test_asof_join_reserved_names_rejected(spark):
+    import datetime as dt
+
+    import pytest
+
+    from pond_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, "a", 0)], "id long, timestamp timestamp, site string, _side int"
+    )
+    right = spark.createDataFrame(
+        [("a", t0, 1)], "site string, timestamp timestamp, cfg long"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, ["site"])
+
+
 def test_rollup_by_time(spark):
     import datetime as dt
 
@@ -518,6 +576,32 @@ def test_range_join_inclusive_and_left(spark):
         facts.filter("id = 2"), overlap, "v", "lo", "hi", bucket_width=10.0
     ).collect()
     assert {r.band for r in both} == {"x", "y"}
+
+
+def test_range_join_inverted_and_null_intervals_dropped(spark):
+    """r6 review fix: start > end used to skip the span guard (negative
+    span) and drive F.sequence into a negative-step explosion — a
+    start=0/end=-1e12 interval at width 1.0 would build a trillion-
+    element array. Inverted and NULL-bounded intervals now drop before
+    bucketing; results are unchanged (the between-predicate could never
+    hold) and the plan stays alive."""
+    from pond_spark.operators.rangejoin import range_join
+
+    facts = spark.createDataFrame([(1, 5.0), (2, 50.0)], ["id", "v"])
+    bands = spark.createDataFrame(
+        [("ok", 0.0, 9.99),
+         ("inverted-huge", 0.0, -1.0e12),   # OOM-class without the fix
+         ("nulllo", None, 9.99),
+         ("nullhi", 0.0, None)],
+        "band string, lo double, hi double",
+    )
+    inner = range_join(facts, bands, "v", "lo", "hi", bucket_width=1.0)
+    assert {(r.id, r.band) for r in inner.collect()} == {(1, "ok")}
+    left = range_join(
+        facts, bands, "v", "lo", "hi", bucket_width=1.0, how="left"
+    )
+    got = {r.id: r.band for r in left.collect()}
+    assert got == {1: "ok", 2: None}  # left keeps pointless facts
 
 
 def test_range_join_plans_broadcast_hash_not_nested_loop(spark):
