@@ -2248,14 +2248,22 @@ def _nb_confusion_sql() -> str:
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) dataset-card profile (operators/profile.py).
     The corpus has no exact dups, so a shifted copy is unioned (the
-    dedup_exact fixture) to make the duplicate-mass columns non-zero."""
+    dedup_exact fixture) to make the duplicate-mass columns non-zero;
+    a NULL-text copy of every 50th doc exercises the r6 NULL-as-unique
+    rule — NULL docs must not count into dup_ppm."""
     from pond_spark.operators.profile import corpus_profile
 
     docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text", "source", "lang")
     dup = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source", "lang"
     )
-    return corpus_profile(docs.unionAll(dup))
+    nulls = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        "source",
+        "lang",
+    )
+    return corpus_profile(docs.unionAll(dup).unionAll(nulls))
 
 
 def _corpus_profile_sql() -> str:
@@ -2264,7 +2272,9 @@ def _corpus_profile_sql() -> str:
     return corpus_profile_sql(
         table="""(SELECT doc_id, text, source, lang FROM documents
  UNION ALL SELECT doc_id + 1000000, text, source, lang
- FROM documents WHERE doc_id % 10 = 0)"""
+ FROM documents WHERE doc_id % 10 = 0
+ UNION ALL SELECT doc_id + 2000000, CAST(NULL AS VARCHAR), source, lang
+ FROM documents WHERE doc_id % 50 = 0)"""
     )
 
 
@@ -4271,7 +4281,13 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal/binaryops.audio_features_batch). The oracle predicts
     the decoder's output analytically from the same sample formula —
     a defect in the WAV writer, the reader, or the feature math shows
-    as a hash mismatch."""
+    as a hash mismatch.
+
+    Docs with ``doc_id % 7 == 3`` are encoded as 24-BIT PCM instead:
+    the r6 review fixture — non-int16 widths must yield the documented
+    all-NULL feature row, never an int16 reinterpretation of the raw
+    bytes (the oracle hard-codes NULLs for those ids, so a garbage
+    decode hash-mismatches)."""
     import pandas as _pd
 
     from pond_spark.multimodal.binaryops import audio_features_batch
@@ -4284,22 +4300,27 @@ def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enc(it):
         import numpy as _np
 
-        for pdf in it:
-            payloads = [
-                encode_wav(
-                    _np.array(
-                        [
-                            ((int(d) * 31 + k * 17) % 65536) - 32768
-                            for k in range(64)
-                        ],
-                        dtype="<i2",
-                    ).tobytes(),
-                    n_channels=1,
-                    sample_rate=8000,
-                    width=2,
+        def one(d: int) -> bytes:
+            if d % 7 == 3:  # 24-bit PCM: 3 bytes/sample, same formula
+                raw = b"".join(
+                    (((d * 31 + k * 17) % 16777216)).to_bytes(3, "little")
+                    for k in range(64)
                 )
-                for d in pdf["media_id"]
-            ]
+                return encode_wav(
+                    raw, n_channels=1, sample_rate=8000, width=3
+                )
+            return encode_wav(
+                _np.array(
+                    [((d * 31 + k * 17) % 65536) - 32768 for k in range(64)],
+                    dtype="<i2",
+                ).tobytes(),
+                n_channels=1,
+                sample_rate=8000,
+                width=2,
+            )
+
+        for pdf in it:
+            payloads = [one(int(d)) for d in pdf["media_id"]]
             yield _pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
@@ -4312,7 +4333,8 @@ MEDIA_AUDIO_SQL = """
 WITH ks AS (SELECT unnest(generate_series(0, 63)) AS k),
 s AS (SELECT d.doc_id AS media_id, k,
              ((d.doc_id * 31 + k * 17) % 65536) - 32768 AS v
-      FROM documents d CROSS JOIN ks),
+      FROM documents d CROSS JOIN ks
+      WHERE d.doc_id % 7 <> 3),
 w AS (SELECT media_id, k, v,
              lag(v) OVER (PARTITION BY media_id ORDER BY k) AS pv
       FROM s)
@@ -4324,6 +4346,10 @@ SELECT media_id,
        CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
        CAST(max(abs(v)) AS INT) AS peak
 FROM w GROUP BY media_id
+UNION ALL
+SELECT doc_id AS media_id, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT)
+FROM documents WHERE doc_id % 7 = 3
 """
 
 
@@ -4383,11 +4409,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r7 window (range_join consumer)
     "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # lazy sql
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # lazy sql (literal planes)
-    "semantic_pairs": (q_semantic_pairs, None),  # lazy sql (shared centroids)
+    "corpus_profile": (q_corpus_profile, None),  # rotated into the r7 window (NULL-as-unique fix)
+    "corpus_drift": (q_corpus_drift, None),  # rotated into the r7 window (oracle hash reuse)
+    "funnel": (q_funnel, None),  # rotated into the r7 window (funnel_sql guard)
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated into the r7 window (decode_wav width)
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated into the r7 window (24-bit NULL rule)
     "hard_negatives": (q_hard_negatives, None),  # lazy sql
     "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
@@ -4429,22 +4455,23 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # rotated below r6 boundary
     "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
-    "corpus_drift": (q_corpus_drift, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # below-window carry (r6 green, unchanged r7)
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),  # below-window carry (r6 green, unchanged r7)
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # below-window carry (r6 green, unchanged r7)
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # below-window carry (r6 green, unchanged r7)
+    "semantic_pairs": (q_semantic_pairs, None),  # below-window carry (r6 green, unchanged r7)
     "psl_domains": (q_psl_domains, None),  # below-window carry (r6 green, unchanged r7)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
     "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
-    "funnel": (q_funnel, None),  # lazy sql
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
-    "corpus_profile": (q_corpus_profile, None),  # lazy sql
     "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
     "bm25_search": (q_bm25_search, None),  # lazy sql
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
     "nb_classify": (q_nb_classify, None),  # lazy sql
     "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),  # lazy sql
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated below r6 boundary (exempt: fake codec)
     "text_stats": (q_text_stats, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
     "method_filter": (q_method_filter, None),  # lazy sql (F8)
@@ -4456,7 +4483,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated below r6 boundary (exempt: hamming path)
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated below r6 boundary
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
     "anonymize": (q_anonymize, ANONYMIZE_SQL),  # rotated below r6 boundary

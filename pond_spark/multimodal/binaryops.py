@@ -299,9 +299,13 @@ def audio_features_batch(
     sign-boundary flips, (x>=0) changing between adjacent samples),
     ``sum_abs`` (Σ|x| — the un-normalized loudness numerator) and
     ``peak`` (max |x|). Undecodable / non-WAV rows yield NULLs instead
-    of failing the batch. 16-bit mono PCM; multi-channel frames are
-    treated as the interleaved stream (crossings count transitions in
-    interleaved order — document-level signal, not per-channel DSP).
+    of failing the batch — and so do 8/24/32-bit PCM rows: the
+    features are defined over int16 samples, and reinterpreting other
+    widths as ``<i2`` emits garbage, not features (r6 review fix; the
+    sample width now comes from codecs.decode_wav). Multi-channel
+    frames are treated as the interleaved stream (crossings count
+    transitions in interleaved order — document-level signal, not
+    per-channel DSP).
 
     Scale: map-only (no shuffle); numpy vectorized per Arrow batch;
     the binary column never leaves the scan stage.
@@ -316,7 +320,10 @@ def audio_features_batch(
             rows = []
             for mid, b in zip(pdf["media_id"], pdf[payload_col]):
                 try:
-                    n, _ch, rate, frames = decode_wav(bytes(b))
+                    n, _ch, rate, width, frames = decode_wav(bytes(b))
+                    if width != 2:  # non-int16 PCM: NULLs, not garbage
+                        rows.append((mid, None, None, None, None, None))
+                        continue
                     x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
                     nonneg = x >= 0
                     zc = int((nonneg[1:] != nonneg[:-1]).sum())

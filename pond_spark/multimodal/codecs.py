@@ -180,9 +180,12 @@ def encode_bmp(width: int, height: int, samples: bytes) -> bytes:
 # WAV (PCM)
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
-    """(n_frames, n_channels, sample_rate, raw frame bytes) via the
-    stdlib ``wave`` reader (PCM only)."""
+def decode_wav(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """(n_frames, n_channels, sample_rate, sample_width_bytes, raw
+    frame bytes) via the stdlib ``wave`` reader (PCM only). The sample
+    width is surfaced so callers can refuse widths they can't
+    interpret instead of reinterpreting 8/24/32-bit PCM as int16
+    (r6 review fix)."""
     import wave
 
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -190,6 +193,7 @@ def decode_wav(data: bytes) -> tuple[int, int, int, bytes]:
             w.getnframes(),
             w.getnchannels(),
             w.getframerate(),
+            w.getsampwidth(),
             w.readframes(w.getnframes()),
         )
 
@@ -744,7 +748,7 @@ def decode(data: bytes) -> tuple[str, int, bytes]:
         w, h, _ch, samples = decode_bmp(data)
         return "image", w * h, samples
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        n, _ch, _rate, frames = decode_wav(data)
+        n, _ch, _rate, _width, frames = decode_wav(data)
         return "audio", n, frames
     if data[:3] == b"\xff\xd8\xff":
         w, h, _ch, samples = decode_jpeg(data)

@@ -82,16 +82,16 @@ def corpus_drift_sql(
     table: str = "documents",
 ) -> str:
     """DuckDB twin — identical tokenization, bucket hash, ppm integer
-    division and movers ordering."""
-    from pond_spark.functions.text import HASH_BASE, HASH_MOD
+    division and movers ordering. The token hash is
+    :func:`pond_spark.functions.text.fingerprint_sql` — the SAME
+    builder the Spark side's ``fingerprint`` mirrors — instead of an
+    inline copy that could drift (r6 review fix)."""
+    from pond_spark.functions.text import fingerprint_sql
 
     return f"""
 WITH toks AS (
   SELECT a, b,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(word, ''),
-                          c -> CAST(ascii(c) AS BIGINT))),
-           (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) % {n_buckets}
+         {fingerprint_sql("word")} % {n_buckets}
            AS bucket
   FROM (SELECT ({slice_a_sql}) AS a, ({slice_b_sql}) AS b,
                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word

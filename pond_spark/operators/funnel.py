@@ -143,6 +143,8 @@ def funnel_sql(
 ) -> str:
     """DuckDB twin — the identical greedy frontier chain, with the
     per-user deadline carried through each CTE like the Spark side."""
+    if not steps:  # mirror the Spark twin's guard (was an IndexError)
+        raise ValueError("funnel needs at least one step")
     q = lambda s: "'" + s.replace("'", "''") + "'"  # noqa: E731
     # `is not None`, never truthiness: within_seconds=0 is a valid
     # (degenerate) horizon and must behave identically to the Spark

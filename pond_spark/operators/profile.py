@@ -29,7 +29,12 @@ def corpus_profile(
     text_col: str = "text",
     group_cols: Sequence[str] = ("source", "lang"),
 ) -> DataFrame:
-    """Per-group ``(n_docs, n_tokens, n_chars, n_unique, dup_ppm)``."""
+    """Per-group ``(n_docs, n_tokens, n_chars, n_unique, dup_ppm)``.
+
+    NULL-text docs count as UNIQUE, one each (r6 review fix): absent
+    content can't be compared, so it must not inflate the duplicate
+    mass — ``count_distinct`` excludes NULL digests, so the NULL-doc
+    count is added back explicitly in both engines."""
     t = F.col(text_col)
     return (
         docs.groupBy(*group_cols)
@@ -37,7 +42,10 @@ def corpus_profile(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(t)).alias("n_tokens"),
             F.sum(F.length(t)).alias("n_chars"),
-            F.count_distinct(F.sha2(t, 256)).alias("n_unique"),
+            (
+                F.count_distinct(F.sha2(t, 256))
+                + F.sum(F.when(t.isNull(), 1).otherwise(0))
+            ).alias("n_unique"),
         )
         .withColumn(
             "dup_ppm",
@@ -49,14 +57,19 @@ def corpus_profile(
 def corpus_profile_sql(
     table: str = "documents", group_cols: Sequence[str] = ("source", "lang")
 ) -> str:
-    """DuckDB twin — identical tokenization, digest and ppm division."""
+    """DuckDB twin — identical tokenization, digest, NULL-as-unique
+    rule and ppm division."""
     g = ", ".join(group_cols)
     tc = token_count_sql("text")
+    uniq = (
+        "(count(DISTINCT sha256(text))"
+        " + sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END))"
+    )
     return f"""
 SELECT {g}, count(*) AS n_docs,
        CAST(sum({tc}) AS BIGINT) AS n_tokens,
        CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       count(DISTINCT sha256(text)) AS n_unique,
-       (count(*) - count(DISTINCT sha256(text))) * 1000000 // count(*) AS dup_ppm
+       CAST({uniq} AS BIGINT) AS n_unique,
+       (count(*) - {uniq}) * 1000000 // count(*) AS dup_ppm
 FROM {table} GROUP BY {g}
 """

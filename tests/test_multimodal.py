@@ -169,9 +169,12 @@ def test_wav_roundtrip():
 
     frames = bytes(range(64)) * 2
     data = encode_wav(frames, n_channels=1, sample_rate=8000, width=2)
-    n, ch, rate, out = decode_wav(data)
-    assert (n, ch, rate) == (64, 1, 8000)
+    n, ch, rate, width, out = decode_wav(data)
+    assert (n, ch, rate, width) == (64, 1, 8000, 2)
     assert out == frames
+    # non-16-bit widths surface, they don't silently reinterpret
+    data24 = encode_wav(bytes(range(96)), n_channels=1, sample_rate=8000, width=3)
+    assert decode_wav(data24)[3] == 3
 
 
 def test_resize_nearest_known():

@@ -496,6 +496,17 @@ def test_chunk_documents_property_full_coverage(spark):
     check()
 
 
+def test_funnel_empty_steps_same_error_both_twins():
+    """r6 review fix: funnel_sql([]) raised IndexError while the Spark
+    twin raised ValueError — twins must fail identically."""
+    import pytest
+
+    from pond_spark.operators.funnel import funnel_sql
+
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_sql([])
+
+
 def test_funnel_greedy_frontier(spark):
     from pond_spark.operators.funnel import funnel
 

@@ -210,6 +210,15 @@ def query_module_map() -> dict[str, set[str]]:
                     mods |= top_imports[ref]
         return mods
 
+    # lazy oracle builders also implement the query (their pond twin
+    # builders are part of the compared surface)
+    lazy: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_LAZY_SQL":
+            for k, v in zip(node.value.keys, node.value.values):
+                if isinstance(v, ast.Name):
+                    lazy[k.value] = v.id
+
     # registered queries: parse the _QUERIES dict literal
     qmap: dict[str, set[str]] = {}
     graph = _pond_import_graph()
@@ -219,7 +228,10 @@ def query_module_map() -> dict[str, set[str]]:
             for k, v in zip(d.keys, d.values):
                 qname = k.value
                 fn_name = v.elts[0].id  # (q_xxx, SQL) tuple
-                qmap[qname] = _close(fn_closure(fn_name), graph)
+                mods = fn_closure(fn_name)
+                if qname in lazy:
+                    mods |= fn_closure(lazy[qname])
+                qmap[qname] = _close(mods, graph)
     return qmap
 
 
@@ -500,11 +512,23 @@ def query_symbol_reach() -> dict[str, set[tuple[str, str | None]]]:
                     todo.extend(_resolve_symbol(*info.imports[n], cache))
         return out
 
+    lazy: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_LAZY_SQL":
+            for k, v in zip(node.value.keys, node.value.values):
+                if isinstance(v, ast.Name):
+                    lazy[k.value] = v.id
+
     reach: dict[str, set[tuple[str, str | None]]] = {}
     for node in tree.body:
         if isinstance(node, ast.AnnAssign) and getattr(node.target, "id", "") == "_QUERIES":
             for k, v in zip(node.value.keys, node.value.values):
-                reach[k.value] = expand(entry_start(v.elts[0].id))
+                qname = k.value
+                start = entry_start(v.elts[0].id)
+                if qname in lazy:
+                    # the oracle side's pond twin builders count too
+                    start |= entry_start(lazy[qname])
+                reach[qname] = expand(start)
     return reach
 
 
