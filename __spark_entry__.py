@@ -1874,6 +1874,63 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+#: r7 `_words('')` sweep fixture rows — empty, whitespace-only and
+#: sub-n-word docs that exercise the zero-tokens-for-empty rule in
+#: every consumer: they must yield n_words=0 (not 1), keep '' out of
+#: vocabularies, and produce ZERO shingles (the pre-fix DuckDB twins
+#: fabricated one partial gram per short doc, so the two identical
+#: 'tiny dup' docs and the two empty docs would have paired at
+#: jaccard 1.0 — with the fix, neither engine pairs them).
+_TEXT_EDGE_ROWS = [
+    (9000001, ""),
+    (9000002, "  \t  "),
+    (9000003, "solo"),
+]
+_TEXT_EDGE_VALUES = (
+    "(VALUES (9000001, ''), (9000002, '  \t  '), (9000003, 'solo')) "
+    "v(doc_id, text)"
+)
+
+
+def _text_edge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    edge = spark.createDataFrame(_TEXT_EDGE_ROWS, "doc_id long, text string")
+    return docs.unionByName(edge)
+
+
+_TEXT_EDGE_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT * FROM {_TEXT_EDGE_VALUES})"
+)
+
+_DEDUP_EDGE_ROWS = [
+    (9000001, "", "en"),
+    (9000002, "  \t  ", "en"),
+    (9000003, "solo", "en"),
+    (9000004, "tiny dup", "en"),
+    (9000005, "tiny dup", "en"),
+    (9000006, "", "en"),
+]
+
+
+def _dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents (doc_id, text, lang) + the short-doc edge rows for the
+    shingle-family fixtures (see _TEXT_EDGE_ROWS note)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    edge = spark.createDataFrame(
+        _DEDUP_EDGE_ROWS, "doc_id long, text string, lang string"
+    )
+    return docs.unionByName(edge)
+
+
+_DEDUP_DOCS_SQL = (
+    "(SELECT doc_id, text, lang FROM documents UNION ALL "
+    "SELECT * FROM (VALUES (9000001, '', 'en'), (9000002, '  \t  ', 'en'), "
+    "(9000003, 'solo', 'en'), (9000004, 'tiny dup', 'en'), "
+    "(9000005, 'tiny dup', 'en'), (9000006, '', 'en')) v(doc_id, text, lang))"
+)
+
+
 #: fixed BM25 query shared by Spark and the oracle
 BM25_TERMS = ("vector", "hash", "stream", "window")
 
@@ -2321,7 +2378,7 @@ WITH g AS (
                 i -> array_to_string(toks[i:i+3], ' '))
            ELSE CAST([] AS VARCHAR[]) END) AS grams
   FROM (SELECT doc_id,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS toks
         FROM documents)),
 eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
 dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
@@ -2631,14 +2688,14 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed groupBys — linear in doc length, never O(words²))."""
     from pond_spark.functions.repetition import repetition_metrics
 
-    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    docs = _text_edge_docs(spark, sf_dir)
     return repetition_metrics(docs, "text", "doc_id", top_ngram=2, dup_ngram=3)
 
 
-REPETITION_SQL = """
+REPETITION_SQL = f"""
 WITH w AS (SELECT doc_id, length(text) * 1.0 AS nchars,
-                  regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
-           FROM documents),
+                  (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS ws
+           FROM {_TEXT_EDGE_DOCS_SQL}),
 m AS (SELECT doc_id, nchars, len(ws) AS n_words,
              round(CASE WHEN len(ws) > 0
                    THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
@@ -2661,7 +2718,7 @@ m2 AS (SELECT doc_id, nchars, n_words, dup_word_frac,
 e AS (SELECT doc_id, unnest(g2) AS gram FROM m2),
 c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram),
 ts AS (SELECT doc_id,
-              max({'cnt': cnt, 'len': length(gram), 'gram': gram}) AS s
+              max({{'cnt': cnt, 'len': length(gram), 'gram': gram}}) AS s
        FROM c GROUP BY doc_id),
 t AS (SELECT doc_id, (s).cnt * (s).len AS covered FROM ts)
 SELECT m2.doc_id, n_words, dup_word_frac, dup_3gram_frac,
@@ -2698,7 +2755,7 @@ def _curation_sql() -> str:
 
     return f"""
 WITH w AS (SELECT doc_id, text,
-                  regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+                  (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS words
            FROM documents),
 q AS (SELECT doc_id, text
       FROM (SELECT __w.doc_id, __w.text, {quality_rules_sql("text")}
@@ -2726,7 +2783,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTRING_DUP_SQL = """
 WITH base AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                     (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS ws
               FROM documents),
 sh AS (SELECT doc_id,
               unnest(CASE WHEN len(ws) >= 8
@@ -2762,7 +2819,7 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUBSTRING_STRIP_SQL = """
 WITH base AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ws,
+                     (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS ws,
                      regexp_split_to_array(trim(text), '\\s+') AS wo
               FROM documents),
 shl AS (SELECT doc_id, ws,
@@ -2817,7 +2874,7 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_STATS_SQL = """
 WITH w AS (SELECT doc_id,
-                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                  unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
            FROM documents)
 SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
 FROM w GROUP BY word
@@ -2840,7 +2897,7 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PERPLEXITY_SQL = """
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+WITH w AS (SELECT doc_id, (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS ws
            FROM documents),
 p AS (SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ws) - 1),
@@ -2848,7 +2905,7 @@ p AS (SELECT doc_id,
       FROM w WHERE len(ws) >= 2),
 p2 AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
 b AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY w1, w2),
-u AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w1
+u AS (SELECT unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS w1
       FROM documents),
 uc AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
 s AS (SELECT doc_id, coalesce(c2, 0) AS c2n, coalesce(c1, 0) AS c1n
@@ -2867,7 +2924,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and quality scoring."""
     from pond_spark.functions.text import bpe_token_count, quality_score, token_count
 
-    docs = _fan(_documents(spark, sf_dir))
+    docs = _text_edge_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -2887,7 +2944,7 @@ def _text_stats_sql() -> str:
 SELECT doc_id, {token_count_sql('text')} AS n_tokens,
        {bpe_token_count_sql('text')} AS n_bpe_tokens,
        {quality_score_sql('text')} AS quality
-FROM documents
+FROM {_TEXT_EDGE_DOCS_SQL}
 """
 
 
@@ -2895,14 +2952,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language id heuristic."""
     from pond_spark.functions.text import lang_id
 
-    docs = _fan(_documents(spark, sf_dir))
+    docs = _text_edge_docs(spark, sf_dir)
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
 def _lang_id_sql() -> str:
     from pond_spark.functions.text import lang_id_sql
 
-    return f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+    return (
+        f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred "
+        f"FROM {_TEXT_EDGE_DOCS_SQL}"
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2926,7 +2986,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (Rae et al. 2021 appendix A1)."""
     from pond_spark.functions.text import quality_metrics
 
-    docs = _fan(_documents(spark, sf_dir))
+    docs = _text_edge_docs(spark, sf_dir)
     return quality_metrics(docs, "text", keep_cols=("doc_id",))
 
 
@@ -2936,8 +2996,8 @@ def _quality_rules_sql() -> str:
     return f"""
 SELECT doc_id, {quality_rules_sql('text')}
 FROM (SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS words
-      FROM documents) __w
+             (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS words
+      FROM {_TEXT_EDGE_DOCS_SQL}) __w
 """
 
 
@@ -3212,20 +3272,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     background."""
     from pond_spark.dedup import ngram_jaccard_pairs
 
-    docs = _documents(spark, sf_dir)
+    docs = _dedup_docs(spark, sf_dir)
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
 
 
-NGRAM_JACCARD_SQL = """
+NGRAM_JACCARD_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 2, 1)),
-           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i:i+2], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
   FROM (SELECT doc_id, lang,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-        FROM documents))
+               (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS toks
+        FROM {_DEDUP_DOCS_SQL}))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.grams, b.grams)) * 1.0 /
              (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6)
@@ -3252,7 +3313,7 @@ def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from pond_spark.dedup import MinHashCatalog, ngram_jaccard_pairs
 
-    docs = _documents(spark, sf_dir)
+    docs = _dedup_docs(spark, sf_dir)
     run1 = docs.filter(F.col("doc_id") % 2 == 0)
     run2 = docs.filter(F.col("doc_id") % 2 == 1)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -3277,14 +3338,15 @@ def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return cross.join(cand, ["new_id", "old_id"], "left_semi")
 
 
-MINHASH_CATALOG_SQL = """
+MINHASH_CATALOG_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, list_distinct(list_transform(
-           generate_series(1, greatest(len(toks) - 2, 1)),
-           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i:i+2], ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS grams
   FROM (SELECT doc_id, lang,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-        FROM documents))
+               (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS toks
+        FROM {_DEDUP_DOCS_SQL}))
 SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id,
        CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id,
        round(len(list_intersect(a.grams, b.grams)) * 1.0 /
@@ -3303,7 +3365,7 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive closure over the same edge set."""
     from pond_spark.dedup import connected_components, ngram_jaccard_pairs
 
-    docs = _documents(spark, sf_dir)
+    docs = _dedup_docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
@@ -3333,7 +3395,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle = the exact set; a single missed pair hash-mismatches)."""
     from pond_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    docs = _documents(spark, sf_dir)
+    docs = _dedup_docs(spark, sf_dir)
     exact = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
@@ -3358,7 +3420,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_bucket_size to cap boilerplate buckets."""
     from pond_spark.dedup import ngram_jaccard_pairs, simhash_near_pairs
 
-    docs = _documents(spark, sf_dir)
+    docs = _dedup_docs(spark, sf_dir)
     exact = ngram_jaccard_pairs(
         docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
     )
@@ -4399,6 +4461,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "tfidf_keywords": (q_tfidf_keywords, None),  # rotated into the r7 window (_words sweep)
+    "bm25_search": (q_bm25_search, None),  # rotated into the r7 window (_words sweep)
+    "nb_classify": (q_nb_classify, None),  # rotated into the r7 window (_words sweep)
+    "nb_confusion": (q_nb_confusion, None),  # rotated into the r7 window (_words sweep)
+    "text_stats": (q_text_stats, None),  # rotated into the r7 window (_words sweep + edge fixture)
+    "lang_id": (q_lang_id, None),  # rotated into the r7 window (_words sweep + edge fixture)
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # rotated into the r7 window (_words sweep)
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # rotated into the r7 window (_words sweep)
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # rotated into the r7 window (_words sweep)
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # rotated into the r7 window (struct-carry fix)
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
@@ -4407,36 +4478,27 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "range_join": (q_range_join, None),  # rotated into the r7 window (inverted-interval fix)
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r7 window (range_join consumer)
-    "bitext_pairs": (q_bitext_pairs, None),  # lazy sql (shared _COS_SQL)
-    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # lazy sql (NEW r6)
     "corpus_profile": (q_corpus_profile, None),  # rotated into the r7 window (NULL-as-unique fix)
     "corpus_drift": (q_corpus_drift, None),  # rotated into the r7 window (oracle hash reuse)
     "funnel": (q_funnel, None),  # rotated into the r7 window (funnel_sql guard)
     "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated into the r7 window (decode_wav width)
     "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated into the r7 window (24-bit NULL rule)
-    "hard_negatives": (q_hard_negatives, None),  # lazy sql
+    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # r7 window (decode_wav signature)
     "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
     "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
     "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
     "bpe_tokenize": (q_bpe_tokenize, None),  # lazy sql (NEW r6, shared merge chain)
     "cm_join_size": (q_cm_join_size, None),  # lazy sql (NEW r6, CM inner product)
-    "kanon_export": (q_kanon_export, None),  # lazy sql
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
-    "pagerank_top": (q_pagerank_top, None),  # lazy sql
-    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),
     "repetition": (q_repetition, REPETITION_SQL),  # rotated into the r6 window (_word_ngrams fix)
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # rotated into the r6 window (sketches.py + oracle changed)
     "quality_rules": (q_quality_rules, None),  # rotated into the r6 window (_word_ngrams fix)
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),
     "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
-    "stats": (q_stats, STATS_SQL),  # rotated into the r6 window (ingest.py changed)
-    "time_sugar": (q_time_sugar, None),  # rotated into the r6 window (timeparse.py changed)
-    "time_today": (q_time_today, None),  # rotated into the r6 window (timeparse.py changed)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # same twin as ann_ivf
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r7 window (decode_wav signature)
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
@@ -4456,6 +4518,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
+    "hard_negatives": (q_hard_negatives, None),  # below-window carry (r6 green, unchanged r7)
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # below-window carry (r6 green, unchanged r7)
+    "bitext_pairs": (q_bitext_pairs, None),  # below-window carry (r6 green, unchanged r7)
+    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # below-window carry (r6 green, unchanged r7)
+    "kanon_export": (q_kanon_export, None),  # below-window carry (r6 green, unchanged r7)
+    "pagerank_top": (q_pagerank_top, None),  # below-window carry (r6 green, unchanged r7)
+    "stats": (q_stats, STATS_SQL),  # below-window carry (r6 green, unchanged r7)
+    "time_sugar": (q_time_sugar, None),  # below-window carry (r6 green, unchanged r7)
+    "time_today": (q_time_today, None),  # below-window carry (r6 green, unchanged r7)
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # below-window carry (r6 green, unchanged r7)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),  # below-window carry (r6 green, unchanged r7)
     "embedding_near_pairs": (q_embedding_near_pairs, None),  # below-window carry (r6 green, unchanged r7)
@@ -4466,18 +4537,11 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
     "event_transitions": (q_event_transitions, None),  # lazy sql
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
-    "tfidf_keywords": (q_tfidf_keywords, None),  # lazy sql
-    "bm25_search": (q_bm25_search, None),  # lazy sql
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
-    "nb_classify": (q_nb_classify, None),  # lazy sql
-    "nb_confusion": (q_nb_confusion, None),  # lazy sql
     "pack_shards": (q_pack_shards, None),  # lazy sql
-    "text_stats": (q_text_stats, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
     "method_filter": (q_method_filter, None),  # lazy sql (F8)
-    "lang_id": (q_lang_id, None),  # lazy sql
     "fingerprint": (q_fingerprint, None),  # lazy sql
-    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated below r6 boundary (exempt: hamming path)
@@ -4495,7 +4559,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # rotated below r6 boundary
     "chunk_documents": (q_chunk_documents, None),  # rotated below r6 boundary
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
@@ -4504,7 +4567,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "group_site": (q_group_site, GROUP_SITE_SQL),
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
     "bloom_prefilter": (q_bloom_prefilter, None),  # rotated below r6 boundary (exempt: false edges)
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # rotated below r6 boundary (exempt: size>=n guard)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

@@ -126,7 +126,7 @@ def bm25_search_sql(
     s = float(BM25_SCALE)
     return f"""
 WITH w AS (SELECT doc_id,
-                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                  unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
            FROM {table}),
 dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
 stats AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),

@@ -169,7 +169,7 @@ WITH w AS (
            (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) % {n_buckets}
            AS bucket
   FROM (SELECT doc_id, ({target_sql}) AS t,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
         FROM {table})),
 raw AS (SELECT bucket, count(*) AS n_r FROM w GROUP BY bucket),
 tgt AS (SELECT bucket, count(*) AS n_t FROM w WHERE t GROUP BY bucket),

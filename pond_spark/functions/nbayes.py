@@ -155,7 +155,7 @@ WITH train AS (SELECT * FROM {table}
 test AS (SELECT * FROM {table}
          WHERE ((doc_id % {train_mod}) + {train_mod}) % {train_mod} = {holdout_rem}),
 tw AS (SELECT {label_col} AS cls,
-              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
        FROM train),
 counts AS (SELECT cls, word, count(*) AS cnt FROM tw GROUP BY cls, word),
 totals AS (SELECT cls, count(*) AS total_c FROM tw GROUP BY cls),
@@ -169,7 +169,7 @@ classes AS (SELECT cd.cls AS cls,
             FROM cls_docs cd CROSS JOIN n_train nt
             JOIN totals t ON t.cls = cd.cls CROSS JOIN vocab vb),
 sw AS (SELECT doc_id, {label_col} AS label,
-              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+              unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
        FROM test),
 scored AS (SELECT sw.doc_id AS doc_id, sw.label AS label, c.cls AS cls,
                   c.prior_q AS prior_q,

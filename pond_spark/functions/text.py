@@ -53,16 +53,27 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
 
 def _words(col: Column) -> Column:
-    """Lowercased whitespace split. KNOWN EDGE (r6 review, deferred):
-    an empty/whitespace-only string splits to ``['']`` — one empty
-    token — in BOTH engines (DuckDB's string_split_regex agrees), so
-    empty docs count n_words=1, '' enters LM vocabs, and BM25 assigns
-    them dl=1. token_count() special-cases it; the ~15 other consumers
-    and their ~25 SQL twins replicate the artifact consistently
-    (cross-engine identical, oracle-invisible). Fixing it is a
-    synchronized sweep across every twin — scheduled as its own
-    change, not a drive-by."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Lowercased whitespace split; an empty/whitespace-only string
+    yields ZERO tokens (r7 sweep of the r6 review edge: the bare split
+    returned ``['']`` in both engines, so empty docs counted
+    n_words=1, ``''`` entered LM vocabs, and BM25 assigned them dl=1).
+    NULL text still yields NULL. Every SQL twin mirrors the rule via
+    :func:`words_sql`."""
+    t = F.trim(F.lower(col))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def words_sql(expr: str) -> str:
+    """DuckDB twin of :func:`_words` — the one place the tokenizer's
+    SQL shape lives, so the empty-string rule can never drift
+    per-consumer."""
+    t = f"trim(lower({expr}))"
+    return (
+        f"(CASE WHEN {t} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array({t}, '\\s+') END)"
+    )
 
 
 def quality_score(col: Column) -> Column:
@@ -87,13 +98,14 @@ def quality_score(col: Column) -> Column:
 
 def quality_score_sql(expr: str) -> str:
     stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    w = words_sql(expr)
     return f"""round(
       0.4 * least(len({expr}) / 500.0, 1.0)
       + 0.4 * (CASE WHEN len({expr}) > 0
                THEN len(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) * 1.0 / len({expr})
                ELSE 0.0 END)
-      + 0.2 * (CASE WHEN len(regexp_split_to_array(trim(lower({expr})), '\\s+')) > 0
-               THEN least(len(list_intersect(regexp_split_to_array(trim(lower({expr})), '\\s+'),
+      + 0.2 * (CASE WHEN len({w}) > 0
+               THEN least(len(list_intersect({w},
                                              [{stop}])) * 1.0, 3.0) / 3.0
                ELSE 0.0 END), 6)"""
 
@@ -408,7 +420,7 @@ def lang_id(col: Column) -> Column:
 
 
 def lang_id_sql(expr: str) -> str:
-    w = f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+    w = words_sql(expr)
     score = {
         code: f"len(list_intersect({w}, [{', '.join(chr(39) + m + chr(39) for m in markers)}]))"
         for code, markers in sorted(LANG_MARKERS.items())

@@ -90,7 +90,7 @@ def tfidf_keywords_sql(k: int = 5, min_df: int = 1, table: str = "documents") ->
     """DuckDB twin — identical tokenization, quantization and ordering."""
     return f"""
 WITH w AS (SELECT doc_id,
-                  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                  unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
            FROM {table}),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
 dfc AS (SELECT word, count(DISTINCT doc_id) AS df FROM w

@@ -94,7 +94,7 @@ WITH toks AS (
          {fingerprint_sql("word")} % {n_buckets}
            AS bucket
   FROM (SELECT ({slice_a_sql}) AS a, ({slice_b_sql}) AS b,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               unnest((CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)) AS word
         FROM {table})),
 per_bucket AS (
   SELECT bucket,
