@@ -41,6 +41,90 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+class _LocalFS:
+    """Sidecar/rename/cleanup primitives for plain local paths."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path)
+
+
+class _HadoopFS:
+    """The same primitives through the Hadoop FileSystem API, so a
+    catalog on hdfs:// (or any scheme the session can reach) gets the
+    SAME sidecar validation, ``._old`` remnant detection and compact
+    discipline instead of silently no-opping through os.path (ADVICE
+    r6). Caveat, documented: compact()'s crash-safety story assumes
+    atomic directory rename — true on HDFS, NOT on object stores
+    (s3a:// rename is copy+delete); single-writer pipelines on object
+    stores should compact during quiet windows."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
+
+
+def _is_local_path(path: str) -> bool:
+    return "://" not in path
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """Scheme-less paths use the fast os-based primitives; anything
+    with a scheme — including file:// (os.path can't address URIs) —
+    routes through the Hadoop FileSystem API (fails fast at
+    construction when the filesystem is unreachable — better than a
+    silent no-op)."""
+    if _is_local_path(path):
+        return _LocalFS()
+    return _HadoopFS(spark, path)
+
+
 class CatalogStore:
     """Persistence backend for one catalog path. ``empty_schema`` is
     the DDL string an empty bootstrap returns; ``kind`` names the
@@ -63,11 +147,11 @@ class CatalogStore:
         self.kind = kind
         self.params = params
         self.mismatch_hint = mismatch_hint
+        self.fs = _fs_for(spark, path)
         if params is not None:
             sidecar = self._sidecar()
-            if os.path.exists(sidecar):
-                with open(sidecar) as f:
-                    stored = json.load(f)
+            if self.fs.exists(sidecar):
+                stored = json.loads(self.fs.read_text(sidecar))
                 if stored != params:
                     raise ValueError(
                         f"{kind} at {path} was built with {stored}, "
@@ -88,7 +172,7 @@ class CatalogStore:
             )
             if get_cond and get_cond() == "PATH_NOT_FOUND":
                 old = self.path + "._old"
-                if os.path.exists(old):
+                if self.fs.exists(old):
                     raise RuntimeError(
                         f"{self.kind} missing at {self.path} but a "
                         f"compaction remnant exists at {old} — a "
@@ -103,21 +187,18 @@ class CatalogStore:
         on first use."""
         if self.params is not None:
             sidecar = self._sidecar()
-            if not os.path.exists(sidecar):
-                with open(sidecar, "w") as f:
-                    json.dump(self.params, f)
+            if not self.fs.exists(sidecar):
+                self.fs.write_text(sidecar, json.dumps(self.params))
         df.write.mode("append").parquet(self.path)
 
     def compact(self) -> None:
-        if not os.path.exists(self.path):
+        if not self.fs.exists(self.path):
             return  # nothing registered yet — nothing to compact
-        import shutil
-
         staged = self.path + "._compact"
         old = self.path + "._old"
         self.read().distinct().write.mode("overwrite").parquet(staged)
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self.path, old)
-        os.rename(staged, self.path)
-        shutil.rmtree(old)
+        if self.fs.exists(old):
+            self.fs.rmtree(old)
+        self.fs.rename(self.path, old)
+        self.fs.rename(staged, self.path)
+        self.fs.rmtree(old)

@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pond_spark.functions.text import fingerprint, fingerprint_sql
-from pond_spark.operators.sketches import BK_A, BK_C, BK_MOD
+from pond_spark.operators.sketches import (
+    BK_A,
+    BK_C,
+    BK_MOD,
+    _check_bk_params,
+    _write_bk_params,
+)
 
 __all__ = [
     "kmv_key",
@@ -106,7 +112,10 @@ def build_kmv_sketches(
     seed: int = 1,
 ) -> None:
     """One pass over the events: per (day, site) bottom-k distinct
-    hash keys, written ``partitionBy(day)``."""
+    hash keys, written ``partitionBy(day)`` with a (k, seed) params
+    sidecar (ADVICE r6: serving with a larger k or a different seed
+    than the build silently biases estimates — the sidecar makes the
+    mismatch loud, reusing the value-sketch discipline)."""
     (
         _daily_bottom_k(logs, k, value_col, site_col, ts_col, seed)
         .repartition("day")
@@ -114,6 +123,7 @@ def build_kmv_sketches(
         .partitionBy("day")
         .parquet(path)
     )
+    _write_bk_params(path, k, seed)
 
 
 def update_kmv_sketches(
@@ -128,7 +138,10 @@ def update_kmv_sketches(
 ) -> None:
     """Incremental maintenance: rebuild only ``days`` (dynamic
     partition overwrite — untouched day directories stay as-is), the
-    same discipline as the HLL/CM sketch updaters."""
+    same discipline as the HLL/CM sketch updaters. (k, seed) must
+    match the build sidecar exactly — mixed-parameter day partitions
+    would poison later merges."""
+    _check_bk_params(path, k, seed, kind="KMV sketch")
     daily = _daily_bottom_k(
         logs.filter(
             F.date_format(F.col(ts_col), "yyyy-MM-dd").isin(days)
@@ -183,7 +196,10 @@ def kmv_uniques_over_range(
     """Per-site estimated uniques over ``[lo, hi]`` from the sketch
     table alone — the KMV analog of ``sketches.uniques_over_range``,
     with the deterministic integer estimator instead of HLL. Returns
-    ``(site, uniques_est, n_keys, theta)``."""
+    ``(site, uniques_est, n_keys, theta)``. Serve-time k must not
+    exceed the build k (sidecar-validated: a larger k would read a
+    non-uniform merged sample and overshoot)."""
+    _check_bk_params(path, k, None, serve=True, kind="KMV sketch")
     sk = spark.read.parquet(path)
     _bot, th = _merged_side(sk, lo, hi, k, "x")
     return th.select(
@@ -215,7 +231,9 @@ def kmv_churn(
     ``(k-1) * MOD div theta`` for full sketches (exact counts when a
     side holds fewer than k keys), ``|sample| * MOD div theta`` for
     the set-algebra terms below ``theta = min(theta_a, theta_b)``.
-    Everything after the partition-pruned sketch read is k-bounded."""
+    Everything after the partition-pruned sketch read is k-bounded.
+    Serve-time k is sidecar-validated like kmv_uniques_over_range."""
+    _check_bk_params(path, k, None, serve=True, kind="KMV sketch")
     sk = spark.read.parquet(path)
     bot_a, th_a = _merged_side(sk, a_lo, a_hi, k, "a")
     bot_b, th_b = _merged_side(sk, b_lo, b_hi, k, "b")

@@ -179,7 +179,11 @@ def _bk_key(id_col: str, seed: int) -> F.Column:
 
 
 def _check_bk_params(
-    path: str, k: int, seed: int | None, serve: bool = False
+    path: str,
+    k: int,
+    seed: int | None,
+    serve: bool = False,
+    kind: str = "value sketch",
 ) -> None:
     """Validate bottom-k parameters against the table's sidecar. The
     merge identity ``bottom_k(A∪B) = bottom_k(bottom_k(A)∪bottom_k(B))``
@@ -188,7 +192,9 @@ def _check_bk_params(
     non-uniform sample and biased quantiles (r6 review finding).
     Updates must match exactly (mixed-k day partitions would poison
     later merges). Tables written before the sidecar existed validate
-    against nothing (best-effort compatibility)."""
+    against nothing (best-effort compatibility). Shared by the value
+    sketches here and the KMV/theta sketches (operators/kmv.py) —
+    ``kind`` labels the error."""
     import json
     import os
 
@@ -199,20 +205,20 @@ def _check_bk_params(
         stored = json.load(fh)
     if seed is not None and stored.get("seed") != seed:
         raise ValueError(
-            f"value sketch table at {path} was built with seed="
+            f"{kind} table at {path} was built with seed="
             f"{stored.get('seed')}, used with seed={seed} — sample "
             "membership keys are incomparable"
         )
     if serve:
         if k > stored.get("k", k):
             raise ValueError(
-                f"value sketch table at {path} holds bottom-{stored['k']} "
+                f"{kind} table at {path} holds bottom-{stored['k']} "
                 f"per day; serving k={k} would exceed it and bias the "
                 "merged sample (merge identity needs k <= build k)"
             )
     elif stored.get("k") != k:
         raise ValueError(
-            f"value sketch table at {path} was built with k={stored['k']}; "
+            f"{kind} table at {path} was built with k={stored['k']}; "
             f"updating with k={k} would mix sample sizes across days"
         )
 
@@ -222,6 +228,62 @@ def _write_bk_params(path: str, k: int, seed: int) -> None:
 
     with open(path + ".params.json", "w") as fh:
         json.dump({"k": int(k), "seed": int(seed)}, fh)
+
+
+#: CM hash-family version: 2 = per-row MULTIPLIERS (cm_row_mult, the
+#: r6 fix); 1 = the pre-r6 per-row additive offsets. Cells from the
+#: two families land in different columns, so merging them corrupts
+#: counts and can break CM's never-underestimate guarantee — tables
+#: are stamped and update/serve refuse on mismatch (ADVICE r6).
+CM_HASH_VERSION = 2
+
+
+def _write_cm_params(path: str, depth: int, width: int) -> None:
+    import json
+
+    with open(path + ".params.json", "w") as fh:
+        json.dump(
+            {
+                "hash_version": CM_HASH_VERSION,
+                "depth": int(depth),
+                "width": int(width),
+            },
+            fh,
+        )
+
+
+def _check_cm_params(
+    path: str, depth: int | None = None, width: int | None = None
+) -> None:
+    """Refuse to update or serve a CM table whose sidecar disagrees on
+    hash family, depth or width — cell indices are a function of all
+    three, so a mismatch silently mixes incompatible grids (merged
+    cells land in wrong columns; the min-over-rows estimate can fall
+    BELOW the true count). Tables written before the sidecar existed
+    (both hash families, indistinguishable) validate against nothing —
+    best-effort, like the bottom-k sidecar."""
+    import json
+    import os
+
+    sidecar = path + ".params.json"
+    if not os.path.exists(sidecar):
+        return
+    with open(sidecar) as fh:
+        stored = json.load(fh)
+    if stored.get("hash_version", CM_HASH_VERSION) != CM_HASH_VERSION:
+        raise ValueError(
+            f"CM table at {path} was built with hash_version="
+            f"{stored.get('hash_version')} (this build is "
+            f"{CM_HASH_VERSION}) — rebuild the table; mixing families "
+            "corrupts cells"
+        )
+    for name, got in (("depth", depth), ("width", width)):
+        if got is not None and stored.get(name, got) != got:
+            raise ValueError(
+                f"CM table at {path} was built with {name}="
+                f"{stored.get(name)}, used with {name}={got} — cell "
+                "indices are incompatible"
+            )
 
 
 def build_value_sketches(
@@ -415,6 +477,7 @@ def build_cm_sketches(
         .partitionBy("day")
         .parquet(path)
     )
+    _write_cm_params(path, depth, width)
 
 
 def update_cm_sketches(
@@ -433,6 +496,7 @@ def update_cm_sketches(
     layout here."""
     from pond_spark.functions.text import fingerprint
 
+    _check_cm_params(path, depth, width)
     spark = logs.sparkSession
     keyed = (
         logs.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
@@ -499,6 +563,7 @@ def cm_estimate_over_range(
     Returns ``(key, est)``; est ≥ the true range count, always."""
     from pond_spark.functions.text import fingerprint
 
+    _check_cm_params(path, depth, width)
     cells = (
         spark.read.parquet(path)
         .filter((F.col("day") >= start_day) & (F.col("day") <= end_day))

@@ -32,6 +32,30 @@ from pond_spark.operators.sessionize import SESSION_TIMEOUT_S
 from pond_spark.schema import LOG_SCHEMA
 
 
+def _max_store_mtime(spark: SparkSession, store_dir: str) -> dt.datetime | None:
+    """Best-effort max file mtime of the store via the Hadoop
+    FileSystem API (works for any scheme the session can read); None
+    when the path is missing or unlistable."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = p.getFileSystem(conf)
+        it = fs.listFiles(p, True)
+        m: int | None = None
+        while it.hasNext():
+            t = it.next().getModificationTime()
+            if m is None or t > m:
+                m = t
+        if m is None:
+            return None
+        return dt.datetime.fromtimestamp(m / 1000.0, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+    except Exception:
+        return None
+
+
 def _source(
     spark: SparkSession,
     store_dir: str,
@@ -48,12 +72,23 @@ def _source(
         # through the whole backlog before the first live record.
         # maxFileAge bounds the LISTING: files older than (latest file
         # − age) are never scheduled. The age is derived from the cut
-        # itself (now − cut + 1h slack), so any file the row filter
+        # itself (now − cut + slack), so any file the row filter
         # could admit (mtime > cut ≤ latest) is still listed — for the
         # default cut of "now" the backlog shrinks to ~an hour, for an
         # explicit past cut the window widens to cover it exactly.
+        # Spark measures age relative to the LATEST listed file's
+        # mtime, not the driver clock, so a writer whose clock runs
+        # ahead inflates "latest" and could push normal files out of
+        # the window (ADVICE r6): the slack absorbs the skew observed
+        # in the store at subscription time (+1h margin). Residual
+        # assumption, documented: writers must not drift more than
+        # ~1h FURTHER ahead of the store's subscription-time skew.
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        age_s = int(max(0.0, (now - modified_after).total_seconds())) + 3600
+        slack = 3600.0
+        latest = _max_store_mtime(spark, store_dir)
+        if latest is not None and latest > now:
+            slack += (latest - now).total_seconds()
+        age_s = int(max(0.0, (now - modified_after).total_seconds()) + slack)
         reader = reader.option("maxFileAge", f"{age_s}s")
     df = reader.load(store_dir)
     if modified_after is not None:

@@ -1166,6 +1166,84 @@ def test_kmv_update_equals_rebuild(spark, tmp_path):
     assert got == exp
 
 
+def test_kmv_params_sidecar_guards(spark, tmp_path):
+    """ADVICE r6: the KMV table carries a (k, seed) sidecar — serving
+    with k above the build k or updating with a different seed/k must
+    raise instead of silently returning biased estimates."""
+    import os
+
+    import pytest
+
+    from pond_spark.operators.kmv import (
+        build_kmv_sketches,
+        kmv_churn,
+        kmv_uniques_over_range,
+        update_kmv_sketches,
+    )
+
+    gen = lambda i: ((i * 31) % 10, f"s{i % 2}", (i * 131) % 700)  # noqa: E731
+    logs = _kmv_logs(spark, gen)
+    path = str(tmp_path / "kmv_side")
+    build_kmv_sketches(logs, path, k=32, seed=5)
+    assert os.path.exists(path + ".params.json")
+    args = ("2024-01-05", "2024-01-09", "2024-01-10", "2024-01-14")
+    # matching k serves fine; smaller serve k is legal (still uniform)
+    kmv_churn(spark, path, *args, k=32).collect()
+    kmv_churn(spark, path, *args, k=16).collect()
+    kmv_uniques_over_range(spark, path, "2024-01-05", "2024-01-14", k=16).collect()
+    with pytest.raises(ValueError, match="would exceed"):
+        kmv_churn(spark, path, *args, k=64)
+    with pytest.raises(ValueError, match="would exceed"):
+        kmv_uniques_over_range(spark, path, "2024-01-05", "2024-01-14", k=64)
+    with pytest.raises(ValueError, match="seed"):
+        update_kmv_sketches(logs, path, ["2024-01-14"], k=32, seed=6)
+    with pytest.raises(ValueError, match="mix sample sizes"):
+        update_kmv_sketches(logs, path, ["2024-01-14"], k=16, seed=5)
+
+
+def test_cm_hash_version_sidecar_guards(spark, tmp_path):
+    """ADVICE r6: CM tables are stamped with the hash-family version
+    plus depth/width; update/serve refuse on mismatch instead of
+    silently mixing incompatible grids."""
+    import json
+    import os
+
+    import pytest
+
+    from pond_spark.operators.cmjoin import cm_join_size
+    from pond_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimate_over_range,
+        update_cm_sketches,
+    )
+
+    logs = _kmv_logs(spark, lambda i: ((i * 31) % 10, f"s{i % 2}", (i * 131) % 700))
+    logs = logs.withColumnRenamed("remote_host", "message")
+    path = str(tmp_path / "cm_side")
+    build_cm_sketches(logs, path, key_col="message")
+    assert os.path.exists(path + ".params.json")
+    keys = spark.createDataFrame([("k1",)], ["key"])
+    cm_estimate_over_range(spark, path, keys, "2024-01-05", "2024-01-14").collect()
+    with pytest.raises(ValueError, match="incompatible"):
+        cm_estimate_over_range(
+            spark, path, keys, "2024-01-05", "2024-01-14", width=2048
+        )
+    with pytest.raises(ValueError, match="incompatible"):
+        update_cm_sketches(logs, path, key_col="message", depth=8)
+    # a table stamped with the OLD hash family refuses everywhere
+    side = json.load(open(path + ".params.json"))
+    side["hash_version"] = 1
+    json.dump(side, open(path + ".params.json", "w"))
+    with pytest.raises(ValueError, match="hash_version"):
+        cm_estimate_over_range(spark, path, keys, "2024-01-05", "2024-01-14")
+    with pytest.raises(ValueError, match="hash_version"):
+        update_cm_sketches(logs, path, key_col="message")
+    with pytest.raises(ValueError, match="hash_version"):
+        cm_join_size(
+            spark, path, "2024-01-05", "2024-01-09", "2024-01-10", "2024-01-14"
+        )
+
+
 def test_kmv_serve_prunes_day_partitions(spark, tmp_path):
     """The churn query reads only the two ranges' day partitions from
     the sketch table (partition filter in the plan), and everything

@@ -523,6 +523,53 @@ def test_digest_catalog_refuses_bootstrap_on_compact_remnant(spark, tmp_path):
     )
 
 
+def test_catalog_store_routes_schemes_and_hadoop_fs_primitives(spark, tmp_path):
+    """ADVICE r6: a catalog on a non-local scheme must NOT silently
+    no-op its sidecar/remnant/compact IO through os.path. _fs_for
+    routes schemed paths to the Hadoop FileSystem adapter; the adapter
+    itself is exercised end-to-end against file:// (RawLocalFileSystem
+    implements the same API the hdfs:// client does)."""
+    import os
+
+    from pond_spark.catalog import CatalogStore, _fs_for, _HadoopFS, _LocalFS
+
+    from pond_spark.catalog import _is_local_path
+
+    assert isinstance(_fs_for(spark, str(tmp_path / "x")), _LocalFS)
+    assert isinstance(_fs_for(spark, f"file://{tmp_path}/x"), _HadoopFS)
+    # schemed paths route to the Hadoop adapter (constructing an
+    # hdfs:// client here would need a reachable namenode — the
+    # routing decision is what's under test)
+    assert not _is_local_path("hdfs://nn/x")
+    assert not _is_local_path("s3a://bucket/x")
+
+    # primitives through the Hadoop API on the local FS
+    fs = _HadoopFS(spark, f"file://{tmp_path}")
+    side = f"file://{tmp_path}/cat.params.json"
+    assert not fs.exists(side)
+    fs.write_text(side, '{"n": 3}')
+    assert fs.exists(side)
+    assert fs.read_text(side) == '{"n": 3}'
+    d1, d2 = f"file://{tmp_path}/d1", f"file://{tmp_path}/d2"
+    os.makedirs(tmp_path / "d1")
+    (tmp_path / "d1" / "f").write_text("x")
+    fs.rename(d1, d2)
+    assert not fs.exists(d1) and fs.exists(d2)
+    fs.rmtree(d2)
+    assert not fs.exists(d2)
+
+    # a CatalogStore on file:// uses the full discipline end-to-end
+    path = f"file://{tmp_path}/store_cat"
+    cs = CatalogStore(spark, path, "k long", "test catalog", params={"p": 1})
+    cs.append(spark.createDataFrame([(1,), (2,), (2,)], "k long"))
+    cs.compact()
+    assert sorted(r.k for r in cs.read().collect()) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incomparable"):
+        CatalogStore(spark, path, "k long", "test catalog", params={"p": 9})
+
+
 def test_text_index_empty_batches_are_harmless(spark, tmp_path):
     """Regression (r4 review): an empty build/append wrote a segment
     directory with no parquet files, and every later search died on
