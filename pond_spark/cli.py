@@ -407,7 +407,198 @@ def build(
     return out.select(line.alias("line"))
 
 
-_COMMANDS = ("query", "stats", "inject", "clone", "cancel")
+_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack")
+
+_SKETCH_USAGE = (
+    "usage: ... sketch SUBCOMMAND ARGS\n"
+    "  build-kmv PATH [--k=64] [--seed=1] [--value-col=remote_host]\n"
+    "  update-kmv PATH DAY... [--k=64] [--seed=1] [--value-col=remote_host]\n"
+    "  kmv-uniques PATH LO HI [--k=64]\n"
+    "  kmv-churn PATH A_LO A_HI B_LO B_HI [--k=64]\n"
+    "  build-cm PATH [--key-col=message]\n"
+    "  update-cm PATH [--key-col=message]\n"
+    "  cm-estimate PATH LO HI KEY... \n"
+    "  cm-join-size PATH A_LO A_HI B_LO B_HI"
+)
+
+
+def _run_sketch(spark, log_store, rest: list[str]) -> int:
+    """``sketch`` command group — the operator-facing surface for the
+    KMV/theta and Count-Min cubes (operators/kmv.py, sketches.py,
+    cmjoin.py): build/update maintain the day-partitioned sketch
+    tables from the store; the serve subcommands answer from the
+    sketch tables ALONE (no raw-store scan). Output is one stable
+    ``key=value`` line per row, like ``stats``."""
+    k = 64
+    seed = 1
+    value_col = "remote_host"
+    key_col = "message"
+    args: list[str] = []
+    for a in rest:
+        if (v := _filter_value(a, "--k")) is not None:
+            k = int(v)
+        elif (v := _filter_value(a, "--seed")) is not None:
+            seed = int(v)
+        elif (v := _filter_value(a, "--value-col")) is not None:
+            value_col = v
+        elif (v := _filter_value(a, "--key-col")) is not None:
+            key_col = v
+        else:
+            args.append(a)
+    if not args:
+        print(_SKETCH_USAGE, file=sys.stderr)
+        return 2
+    sub, args = args[0], args[1:]
+    try:
+        if sub == "build-kmv":
+            from pond_spark.operators.kmv import build_kmv_sketches
+
+            (path,) = args
+            build_kmv_sketches(
+                log_store.read(), path, k=k, value_col=value_col, seed=seed
+            )
+            print(f"built kmv path={path} k={k} seed={seed}")
+            return 0
+        if sub == "update-kmv":
+            from pond_spark.operators.kmv import update_kmv_sketches
+
+            path, days = args[0], args[1:]
+            if not days:
+                raise ValueError("update-kmv needs at least one DAY")
+            update_kmv_sketches(
+                log_store.read(), path, days, k=k, value_col=value_col, seed=seed
+            )
+            print(f"updated kmv path={path} days={','.join(days)}")
+            return 0
+        if sub == "kmv-uniques":
+            from pond_spark.operators.kmv import kmv_uniques_over_range
+
+            path, lo, hi = args
+            for r in sorted(
+                kmv_uniques_over_range(spark, path, lo, hi, k=k).collect(),
+                key=lambda r: r.site or "",
+            ):
+                print(
+                    f"site={r.site} uniques_est={r.uniques_est} "
+                    f"n_keys={r.n_keys} theta={r.theta}"
+                )
+            return 0
+        if sub == "kmv-churn":
+            from pond_spark.operators.kmv import kmv_churn
+
+            path, a_lo, a_hi, b_lo, b_hi = args
+            for r in sorted(
+                kmv_churn(spark, path, a_lo, a_hi, b_lo, b_hi, k=k).collect(),
+                key=lambda r: r.site or "",
+            ):
+                print(
+                    f"site={r.site} uniques_a={r.uniques_a} "
+                    f"uniques_b={r.uniques_b} returning_est={r.returning_est} "
+                    f"new_est={r.new_est}"
+                )
+            return 0
+        if sub == "build-cm":
+            from pond_spark.operators.sketches import build_cm_sketches
+
+            (path,) = args
+            build_cm_sketches(log_store.read(), path, key_col=key_col)
+            print(f"built cm path={path} key_col={key_col}")
+            return 0
+        if sub == "update-cm":
+            from pond_spark.operators.sketches import update_cm_sketches
+
+            (path,) = args
+            update_cm_sketches(log_store.read(), path, key_col=key_col)
+            print(f"updated cm path={path} key_col={key_col}")
+            return 0
+        if sub == "cm-estimate":
+            from pond_spark.operators.sketches import cm_estimate_over_range
+
+            path, lo, hi, keys = args[0], args[1], args[2], args[3:]
+            if not keys:
+                raise ValueError("cm-estimate needs at least one KEY")
+            kdf = spark.createDataFrame([(x,) for x in keys], "key string")
+            for r in sorted(
+                cm_estimate_over_range(spark, path, kdf, lo, hi).collect(),
+                key=lambda r: r.key,
+            ):
+                print(f"key={r.key} est={r.est}")
+            return 0
+        if sub == "cm-join-size":
+            from pond_spark.operators.cmjoin import cm_join_size
+
+            path, a_lo, a_hi, b_lo, b_hi = args
+            for r in sorted(
+                cm_join_size(spark, path, a_lo, a_hi, b_lo, b_hi).collect(),
+                key=lambda r: r.row,
+            ):
+                label = "est" if r.row == -1 else f"row{r.row}"
+                print(f"{label}={r.dot}")
+            return 0
+    except (ValueError, TypeError) as e:
+        # wrong arity / bad params (incl. sidecar refusals): user
+        # error contract — message to stderr, exit 2, no traceback
+        print(str(e) or _SKETCH_USAGE, file=sys.stderr)
+        return 2
+    print(_SKETCH_USAGE, file=sys.stderr)
+    return 2
+
+
+def _run_pack(spark, rest: list[str]) -> int:
+    """``pack PARQUET --capacity=N [--out=PATH]`` — FFD sequence
+    packing (operators/seqpack.py) over a (id, n_tokens) parquet;
+    writes assignments to --out or prints the bin summary."""
+    capacity = None
+    out_path = None
+    tokens_col = "n_tokens"
+    id_col = "doc_id"
+    n_buckets = 16
+    args: list[str] = []
+    for a in rest:
+        if (v := _filter_value(a, "--capacity")) is not None:
+            capacity = int(v)
+        elif (v := _filter_value(a, "--out")) is not None:
+            out_path = v
+        elif (v := _filter_value(a, "--tokens-col")) is not None:
+            tokens_col = v
+        elif (v := _filter_value(a, "--id-col")) is not None:
+            id_col = v
+        elif (v := _filter_value(a, "--n-buckets")) is not None:
+            n_buckets = int(v)
+        else:
+            args.append(a)
+    if capacity is None or capacity < 1 or len(args) != 1:
+        print(
+            "usage: ... pack PARQUET --capacity=N [--out=PATH] "
+            "[--tokens-col=n_tokens] [--id-col=doc_id] [--n-buckets=16]",
+            file=sys.stderr,
+        )
+        return 2
+    from pyspark.sql import functions as F
+
+    from pond_spark.operators.seqpack import pack_sequences
+
+    packed = pack_sequences(
+        spark.read.parquet(args[0]),
+        capacity,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    if out_path:
+        packed.write.mode("overwrite").parquet(out_path)
+        print(f"packed to {out_path}")
+        return 0
+    agg = packed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("bucket", "bin").alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).collect()[0]
+    print(
+        f"n_docs={agg.n_docs} n_bins={agg.n_bins} n_tokens={agg.n_tokens} "
+        f"capacity={capacity}"
+    )
+    return 0
 
 
 def _run_follow(
@@ -540,7 +731,8 @@ def main(argv: list[str] | None = None) -> int:
     if store is None:
         print(
             "usage: python -m pond_spark.cli --store=DIR "
-            "[query|stats|inject FILE|clone SRC|cancel] [QUERY ARGS]",
+            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack] "
+            "[ARGS]",
             file=sys.stderr,
         )
         return 2
@@ -591,6 +783,10 @@ def main(argv: list[str] | None = None) -> int:
         log_store.clone_from(LogStore(spark, rest[0]))
         print(f"cloned from {rest[0]}")
         return 0
+    if command == "sketch":
+        return _run_sketch(spark, log_store, rest)
+    if command == "pack":
+        return _run_pack(spark, rest)
 
     try:
         parsed = parse_query_args(rest)

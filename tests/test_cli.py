@@ -568,3 +568,72 @@ def test_cli_continue_streams_history_to_stdout(tmp_path, spark):
         for l in lines
     ]
     assert stamps == sorted(stamps)
+
+
+def test_cli_sketch_group_kmv_roundtrip(spark, store_dir, tmp_path, capsys):
+    """r6 ask #7: the sketch subcommand group — build a KMV table from
+    the store, serve uniques and churn from the table alone, and hit
+    the sidecar guard through the CLI error contract (exit 2)."""
+    from pond_spark.cli import main
+
+    path = str(tmp_path / "kmv")
+    assert main([f"--store={store_dir}", "sketch", "build-kmv", path,
+                 "--k=8"]) == 0
+    out = capsys.readouterr().out
+    assert f"built kmv path={path} k=8" in out
+    assert main([f"--store={store_dir}", "sketch", "kmv-uniques", path,
+                 "2020-01-01", "2030-01-01", "--k=8"]) == 0
+    out = capsys.readouterr().out
+    assert "uniques_est=" in out and "site=" in out
+    assert main([f"--store={store_dir}", "sketch", "kmv-churn", path,
+                 "2020-01-01", "2024-01-01", "2024-01-02", "2030-01-01",
+                 "--k=8"]) == 0
+    out = capsys.readouterr().out
+    assert "returning_est=" in out and "new_est=" in out
+    # serving k above the build k refuses via the sidecar (exit 2)
+    assert main([f"--store={store_dir}", "sketch", "kmv-uniques", path,
+                 "2020-01-01", "2030-01-01", "--k=64"]) == 2
+    assert "exceed" in capsys.readouterr().err
+    # bad arity is a usage error, not a traceback
+    assert main([f"--store={store_dir}", "sketch", "kmv-uniques", path]) == 2
+    assert main([f"--store={store_dir}", "sketch"]) == 2
+    assert main([f"--store={store_dir}", "sketch", "no-such"]) == 2
+
+
+def test_cli_sketch_group_cm_estimate_and_join_size(
+    spark, store_dir, tmp_path, capsys
+):
+    from pond_spark.cli import main
+
+    path = str(tmp_path / "cm")
+    assert main([f"--store={store_dir}", "sketch", "build-cm", path,
+                 "--key-col=site"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "sketch", "cm-estimate", path,
+                 "2020-01-01", "2030-01-01", "a", "zzz-absent"]) == 0
+    out = capsys.readouterr().out
+    assert "key=a est=" in out and "key=zzz-absent est=" in out
+    assert main([f"--store={store_dir}", "sketch", "cm-join-size", path,
+                 "2020-01-01", "2024-01-01", "2024-01-02", "2030-01-01"]) == 0
+    out = capsys.readouterr().out
+    assert "est=" in out
+
+
+def test_cli_pack_summary_and_out(spark, store_dir, tmp_path, capsys):
+    from pond_spark.cli import main
+
+    src = str(tmp_path / "toks")
+    spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(40)], "doc_id long, n_tokens long"
+    ).write.parquet(src)
+    assert main([f"--store={store_dir}", "pack", src, "--capacity=64"]) == 0
+    out = capsys.readouterr().out
+    assert "n_docs=40" in out and "n_bins=" in out
+    dst = str(tmp_path / "packed")
+    assert main([f"--store={store_dir}", "pack", src, "--capacity=64",
+                 f"--out={dst}"]) == 0
+    packed = spark.read.parquet(dst)
+    assert packed.count() == 40
+    assert set(packed.columns) == {"doc_id", "bucket", "bin", "n_tokens"}
+    # missing capacity is a usage error
+    assert main([f"--store={store_dir}", "pack", src]) == 2

@@ -322,3 +322,96 @@ def test_sample_sql_twin_handles_negative_ids(spark):
         + stratified_sample_sql({"it's": 1.0, "b": 0.0})
     ).fetchall()[0][0]
     assert n == 50
+
+
+def test_pack_sequences_twin_fuzz_randomized(spark):
+    """r6 ask #6: fuzz the FFD twin equivalence the way the filters
+    are fuzzed — randomized (sizes, capacity, n_buckets) across 100+
+    cases. Every case checks the DuckDB recursive-CTE replay against
+    a pure-Python first-fit-decreasing reference (the ground truth for
+    the fold), and a stratified subset re-checks the Spark operator
+    three-way (the Spark side is one applyInPandas job per case, so
+    running all 100 through Spark would dominate suite time without
+    adding coverage — the Python reference IS the numpy loop's
+    semantics)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pond_spark.functions.text import token_count, token_count_sql
+    from pond_spark.operators.seqpack import pack_sequences, pack_sequences_sql
+
+    rng = random.Random(712)
+
+    def python_ffd(rows, cap, n_buckets):
+        """(bucket, bin, n_docs, fill_tokens, waste, first_doc) rows."""
+        out = []
+        for b in range(n_buckets):
+            items = sorted(
+                ((sz, i) for i, sz in rows if i % n_buckets == b),
+                key=lambda t: (-t[0], t[1]),
+            )
+            fills: list[int] = []
+            asg: list[tuple[int, int, int]] = []
+            for sz, i in items:
+                for j, f in enumerate(fills):
+                    if f + sz <= cap:
+                        fills[j] += sz
+                        asg.append((i, j, sz))
+                        break
+                else:
+                    fills.append(sz)
+                    asg.append((i, len(fills) - 1, sz))
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for i, j, sz in asg:
+                bins.setdefault(j, []).append((i, sz))
+            for j, members in bins.items():
+                tot = sum(sz for _i, sz in members)
+                out.append(
+                    (b, j, len(members), tot, cap - tot, min(i for i, _ in members))
+                )
+        return sorted(out)
+
+    con = duckdb.connect()
+    n_spark_checked = 0
+    for case in range(110):
+        n_docs = rng.randint(1, 60)
+        max_sz = rng.randint(1, 50)
+        cap = rng.randint(max_sz, 4 * max_sz)  # every doc must fit
+        n_buckets = rng.choice([1, 2, 3, 4, 8])
+        rows = [(i, rng.randint(1, max_sz)) for i in range(n_docs)]
+        texts = [(i, " ".join("w" for _ in range(sz))) for i, sz in rows]
+        exp = python_ffd(rows, cap, n_buckets)
+
+        con.execute("DROP TABLE IF EXISTS documents")
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, '{t}')" for i, t in texts)
+            + ") AS t(doc_id, text)"
+        )
+        sql = pack_sequences_sql(cap, token_count_sql("text"), n_buckets=n_buckets)
+        got_sql = sorted(map(tuple, con.sql(sql).fetchall()))
+        assert got_sql == exp, (case, cap, n_buckets, rows)
+
+        if case % 8 == 0:  # three-way: Spark operator on every 8th case
+            df = spark.createDataFrame(texts, "doc_id long, text string")
+            packed = pack_sequences(
+                df.select("doc_id", token_count(F.col("text"))),
+                cap,
+                n_buckets=n_buckets,
+            )
+            got_spark = sorted(
+                (r.bucket, r.bin, r.n_docs, r.fill_tokens, r.waste, r.first_doc)
+                for r in packed.groupBy("bucket", "bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("fill_tokens"),
+                    (F.lit(cap) - F.sum("n_tokens")).alias("waste"),
+                    F.min("doc_id").alias("first_doc"),
+                )
+                .collect()
+            )
+            assert got_spark == exp, (case, cap, n_buckets, rows)
+            n_spark_checked += 1
+    assert n_spark_checked >= 14
