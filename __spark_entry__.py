@@ -4868,6 +4868,98 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         )
         return _median_batch_sec(sdf)
 
+    def _live_close_lag(make_stream, hit_filter):
+        """Close-delivery LATENCY for the live monitoring twins
+        (VERDICT r6 ask #4): the ``*_batch_p50`` rows time micro-batch
+        THROUGHPUT on a drained backlog; this probe times the lag a
+        monitoring consumer actually feels — wall seconds from the
+        WRITE of the record that triggers an emission (for CUSUM, the
+        first later-hour event that closes the open hour) to the
+        completion of the micro-batch that delivers the triggered row
+        (file discovery + planning + the stateful fold + emission).
+        One seeded history file opens the state; after the backfill
+        batch drains, the closing file lands and the sink watches for
+        the row it provokes."""
+
+        def run(spark: SparkSession, sf_dir: str) -> float:
+            import threading
+
+            from pond_spark.streaming.follow import continue_stream
+
+            src = tempfile.mkdtemp(prefix="pond_bench_lag_")
+            ckpt = tempfile.mkdtemp(prefix="pond_bench_ckpt_")
+            base = events_as_logs(spark, sf_dir).limit(256).withColumn(
+                "site", F.lit("_lagprobe")
+            )
+            h_open = dt.datetime(2024, 1, 1, 0, 30, 0)
+            h_close = dt.datetime(2024, 1, 1, 1, 0, 5)
+            base.withColumn("timestamp", F.lit(h_open)).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            history_done = threading.Event()
+            hit = threading.Event()
+            t_hit: list[float] = []
+            t0_box: list[float] = [float("inf")]
+
+            def sink(df: DataFrame, _bid: int) -> None:
+                # evaluate the count UNCONDITIONALLY: Spark 4 validates
+                # that foreachBatch processes every partition of a
+                # stateful query's batch (state-store commit tracking);
+                # short-circuiting behind the time guard would leave
+                # batch 0's state uncommitted and kill the stream.
+                n_hit = df.filter(hit_filter(df)).count()
+                if n_hit > 0 and _time.perf_counter() > t0_box[0]:
+                    t_hit.append(_time.perf_counter())
+                    hit.set()
+                history_done.set()
+
+            q = (
+                make_stream(continue_stream(spark, src, watermark=None))
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                if not history_done.wait(timeout=300):
+                    raise RuntimeError("lag-probe backfill never drained")
+                t0_box[0] = _time.perf_counter()
+                base.withColumn("timestamp", F.lit(h_close)).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+                if not hit.wait(timeout=300):
+                    raise RuntimeError("closing row never delivered")
+                return round(t_hit[0] - t0_box[0], 3)
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+                shutil.rmtree(src, ignore_errors=True)
+
+        return run
+
+    def stream_cusum_close_lag(spark: SparkSession, sf_dir: str) -> float:
+        """Hour-close lag of the streaming CUSUM: event closing hour H
+        lands → wall time the (site, H, cnt, cusum) row is emitted."""
+        from pond_spark.streaming.anomaly import cusum_stream
+
+        return _live_close_lag(
+            lambda s: cusum_stream(s, k=5),
+            lambda df: (df.site == "_lagprobe")
+            & (df.hour == dt.datetime(2024, 1, 1, 0, 0, 0)),
+        )(spark, sf_dir)
+
+    def stream_kmv_close_lag(spark: SparkSession, sf_dir: str) -> float:
+        """Update-delivery lag of the streaming KMV estimator: the
+        live batch lands → wall time its refreshed per-site
+        (uniques_est, n_keys, theta) row is emitted. KMV has no hour
+        close — every batch that touches a site re-emits — so the
+        triggered row is simply the first post-write emission."""
+        from pond_spark.streaming.kmv import kmv_uniques_stream
+
+        return _live_close_lag(
+            lambda s: kmv_uniques_stream(s, k=64),
+            lambda df: df.site == "_lagprobe",
+        )(spark, sf_dir)
+
     def stream_continue_first_live(spark: SparkSession, sf_dir: str) -> float:
         """Q7 CONTINUE catch-up→tail switchover (VERDICT r5 ask #5):
         the full sf events backfill drains as history, THEN a live
@@ -4949,6 +5041,8 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_trending_batch_p50": stream_trending_batch_p50,
         "stream_cusum_batch_p50": stream_cusum_batch_p50,
         "stream_kmv_batch_p50": stream_kmv_batch_p50,
+        "stream_cusum_close_lag": stream_cusum_close_lag,
+        "stream_kmv_close_lag": stream_kmv_close_lag,
         "stream_continue_first_live": stream_continue_first_live,
         "store_retain_compact": store_retain_compact,
     }
