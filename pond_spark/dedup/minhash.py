@@ -123,9 +123,18 @@ def band_keys(
     bands: int = 16,
 ) -> DataFrame:
     """(id, _band_key) — one row per (doc, band): the signature is cut
-    into ``bands`` rows of ``k/bands`` values, each hashed to an int32
+    into ``bands`` rows of ``k/bands`` values, each hashed to an int64
     band key. Shared by the in-query LSH join and the persisted
-    :class:`MinHashCatalog`."""
+    :class:`MinHashCatalog`.
+
+    64-bit, not 32 (r7 stress finding, tools/catalog_stress.py): a
+    10M-doc catalog holds 160M band keys — in a 2^32 space that is
+    ~3.7% occupancy, so an unrelated probe doc's 16 keys hit a stored
+    key by RANDOM collision with p ~= 45%, collapsing ``filter_new``
+    precision (recall is unaffected either way: equal slices hash
+    equal under any hash). In 2^64 the same corpus sits at ~1e-11
+    occupancy. The in-query LSH join only paid extra verify work;
+    the catalog gate has no verify leg, so key width is the guard."""
     assert k % bands == 0
     r = k // bands
     return sigs.select(
@@ -133,7 +142,7 @@ def band_keys(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(
+                lambda i: F.xxhash64(
                     F.lit("band"), i, F.slice(F.col("_sig"), i * r + 1, r)
                 ),
             )
@@ -310,7 +319,7 @@ class MinHashCatalog:
     - :meth:`near_candidates` — (new_id, old_id) collision pairs for
       downstream exact verification against the stored corpus.
 
-    Scale: the catalog holds ids and int32 keys only (bands rows per
+    Scale: the catalog holds ids and int64 keys only (bands rows per
     doc — at 16 bands, ~200 B/doc); probes shuffle band keys, never
     documents. For repeated big-big runs write it bucketed by band_key
     (sources/bucketing.py) so probes co-locate without a shuffle.
@@ -338,13 +347,19 @@ class MinHashCatalog:
 
         self.spark = spark
         self.path = path
-        self.params = {"k": k, "bands": bands, "n": n, "seed": seed}
+        # key_hash joins the pinned parameters: catalogs banded with
+        # the pre-r7 32-bit murmur3 keys are incomparable with the
+        # 64-bit keys and must refuse to mix, not silently gate noise
+        self.params = {
+            "k": k, "bands": bands, "n": n, "seed": seed,
+            "key_hash": "xxhash64",
+        }
         # persistence discipline (sidecar pinning / bootstrap /
         # remnant-refusal / crash-safe compact): pond_spark.catalog
         self._store = CatalogStore(
             spark,
             path,
-            "doc_id long, band_key int",
+            "doc_id long, band_key long",
             "minhash catalog",
             params=self.params,
             mismatch_hint=(

@@ -1,4 +1,5 @@
 from pond_spark.streaming.anomaly import cusum_stream
+from pond_spark.streaming.asof import asof_join_stream
 from pond_spark.streaming.kmv import kmv_uniques_stream
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
@@ -13,6 +14,7 @@ from pond_spark.streaming.groupsite import (
 )
 
 __all__ = [
+    "asof_join_stream",
     "cusum_stream",
     "kmv_uniques_stream",
     "follow_stream",

@@ -1,0 +1,161 @@
+"""Streaming as-of join — the live twin of ``operators.asof.asof_join``
+(VERDICT r6 ask #8): attach the latest right row at or before each
+left row's timestamp, per key, from two live streams.
+
+A true unbounded as-of cannot stream — "the latest right row so far"
+is only final once no earlier-stamped right row can still arrive, and
+unbounded lookback means unbounded buffered state. The streaming twin
+therefore takes the same trade every stream-stream join takes
+(streaming/attribution.py): matches are bounded to a HORIZON —
+``right.ts in (left.ts - horizon, left.ts]`` — which is exactly what
+lets the engine evict state (``watermark + horizon`` of history per
+key, the bound VERDICT r6 asked for).
+
+Spark-first composition, no Python in the path — two chained stateful
+operators (supported since Spark 3.5, SPARK-42376):
+
+1. watermarked LEFT-OUTER time-interval join: every candidate right
+   row within the horizon pairs up; a left row with no candidate
+   emits NULL-padded once the watermark proves no match can arrive;
+2. windowed aggregation ``max(struct(right_ts, payload...))`` grouped
+   by ``(window(left_ts), left row)`` — the SAME single-struct carry
+   as the batch twin, so the emitted payload always comes from ONE
+   right row, ties at equal right ts resolve to the greatest payload
+   tuple (batch parity), and the all-NULL struct of an unmatched row
+   loses to any real match (NULL sorts smallest).
+
+The window is an EMISSION cadence, not a semantic bucket: rows group
+by the left row's full identity; the window only gives the
+aggregation a watermark-driven close. Output latency is therefore up
+to ``emit_window + watermark`` behind the left stream's event time.
+
+Two implementation notes that cost a debugging session each:
+
+- a stateful aggregation admits at most ONE event-time column, and
+  ``window()`` claims it — so the left timestamp enters the group key
+  as ``unix_micros`` (a plain long, losslessly re-derived in the
+  output projection) instead of its watermarked self;
+- when validating streaming output by console, strip carriage
+  returns first: the stage-progress meter overwrites the first
+  printed row and fabricates a phantom "dropped row" (we chased this
+  as a chained-stateful watermark race for an afternoon; per-batch
+  ``numRowsDroppedByWatermark`` said 0 because nothing was dropped).
+
+Scale: both streams shuffle once on the join key; join state is
+bounded by watermark + horizon per side, aggregation state is one
+struct per in-flight left row. Everything runs in the JVM — the
+Python layer only declares the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join_stream"]
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    horizon_seconds: int,
+    ts_col: str = "timestamp",
+    right_ts_col: str | None = None,
+    watermark: str = "10 seconds",
+    emit_window: str = "1 minute",
+) -> DataFrame:
+    """Append-mode stream: every left row + the payload columns of the
+    latest right row with ``left.ts - horizon < right.ts <= left.ts``
+    (NULLs when none within the horizon).
+
+    Right payload = every right column except the keys and timestamp,
+    emitted under the batch twin's naming rule (``asof_<name>`` on
+    collision with a left column). Both inputs must be streaming
+    DataFrames with event-time ``ts_col`` (``right_ts_col`` if the
+    right side names it differently); watermarks are applied here —
+    pass raw streams, not pre-watermarked ones.
+
+    Known divergence from the batch twin, by append-mode aggregation
+    semantics: EXACT-duplicate left rows landing in the same emit
+    window collapse to one output row (the batch window emits one row
+    per input row). Give left rows a unique id column when duplicate
+    rows must survive.
+    """
+    if not key_cols:
+        raise ValueError(
+            "asof_join_stream needs at least one key column — a global "
+            "stream-stream as-of cannot bound or distribute its state"
+        )
+    right_ts_col = right_ts_col or ts_col
+    payload = [
+        c for c in right.columns if c not in (*key_cols, right_ts_col)
+    ]
+    lcols = left.columns
+    for c in ("_rts", "_win", "_lts"):
+        if c in lcols or c in right.columns:
+            raise ValueError(f"column {c!r} is reserved by asof_join_stream")
+
+    def out_name(c: str) -> str:
+        if c not in lcols:
+            return c
+        renamed = f"asof_{c}"
+        if renamed in lcols or renamed in payload:
+            raise ValueError(
+                f"asof_join_stream: right payload column {c!r} collides "
+                f"with a left column and the fallback name {renamed!r} is "
+                "also taken — rename one side"
+            )
+        return renamed
+
+    # internal payload slots are positional so a left column sharing a
+    # payload name can never leak into the carry (batch-twin rule)
+    slots = {c: f"_p{i}" for i, c in enumerate(payload)}
+    keys = [f"_k{i}" for i in range(len(key_cols))]
+
+    l_wm = left.withWatermark(ts_col, watermark)
+    # a right row without a timestamp can never be "the latest at or
+    # before" anything (batch-twin rule)
+    r_wm = (
+        right.filter(F.col(right_ts_col).isNotNull())
+        .select(
+            *[F.col(c).alias(k) for c, k in zip(key_cols, keys)],
+            F.col(right_ts_col).alias("_rts"),
+            *[F.col(c).alias(slots[c]) for c in payload],
+        )
+        .withWatermark("_rts", watermark)
+    )
+    cond = F.lit(True)
+    for c, k in zip(key_cols, keys):
+        cond = cond & (F.col(c) == F.col(k))
+    cond = (
+        cond
+        & (F.col("_rts") <= F.col(ts_col))
+        & (
+            F.col("_rts")
+            > F.col(ts_col) - F.expr(f"INTERVAL {int(horizon_seconds)} SECOND")
+        )
+    )
+    joined = l_wm.join(r_wm, cond, "leftOuter")
+
+    carry = F.max(
+        F.struct(
+            F.col("_rts").alias("_t"),
+            *[F.col(slots[c]).alias(slots[c]) for c in payload],
+        )
+    ).alias("_carry")
+    grouped = joined.groupBy(
+        F.window(F.col(ts_col), emit_window).alias("_win"),
+        F.unix_micros(F.col(ts_col)).alias("_lts"),
+        *[F.col(c) for c in lcols if c != ts_col],
+    ).agg(carry)
+    return grouped.select(
+        *[
+            F.timestamp_micros(F.col("_lts")).alias(c) if c == ts_col
+            else F.col(c)
+            for c in lcols
+        ],
+        *[F.col(f"_carry.{slots[c]}").alias(out_name(c)) for c in payload],
+    )

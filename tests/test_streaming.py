@@ -859,3 +859,103 @@ def test_rate_limit_stream_frame_order_independent(spark, tmp_path):
     }
     assert len(got) == 120
     assert got == exp
+
+
+def test_asof_join_stream_matches_batch_within_horizon(spark, tmp_path):
+    """Streaming as-of (VERDICT r6 ask #8): emitted rows equal the
+    batch twin's output with matches outside the horizon NULLed —
+    including the single-struct carry (a latest right row with NULL
+    slots wins WHOLE, never stitched), the equal-ts inclusive bound,
+    the equal-ts payload-tuple tiebreak, and NULL padding for a key
+    with no right rows."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from pond_spark.operators.asof import asof_join
+    from pond_spark.streaming import asof_join_stream
+
+    lsch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    rsch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("weight", T.LongType()),
+            T.StructField("marker_ts", T.TimestampType()),
+        ]
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    t0 = dt.datetime(2024, 3, 1, 8)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rrows = [
+        ("k1", at(0), "A", 1, at(0)),
+        ("k1", at(20), "B", 2, at(20)),
+        ("k1", at(20), "B2", None, at(20)),  # tie: greater tuple wins
+        ("k1", at(180), None, 9, at(180)),  # NULL-slot latest: carried whole
+    ]
+    lrows = [
+        ("k1", at(10), 1),  # -> A
+        ("k1", at(25), 2),  # -> B2 (tie winner at :20)
+        ("k1", at(120), 3),  # batch -> B2, but 120-60 >= 20: horizon NULLs
+        ("k1", at(20), 5),  # equal ts: inclusive -> B2
+        ("k1", at(210), 6),  # -> the NULL-tag row WHOLE (None, 9, at(180))
+        ("k2", at(60), 4),  # no rights at all -> NULLs
+    ]
+    spark.createDataFrame(lrows, lsch).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame(rrows, rsch).coalesce(1).write.mode("append").parquet(rdir)
+    # sentinel batches push the watermark so every data window closes
+    # (their own windows never close; excluded from the comparison)
+    for hh in (1, 2):
+        spark.createDataFrame(
+            [("kz", t0 + dt.timedelta(hours=hh), 999)], lsch
+        ).coalesce(1).write.mode("append").parquet(ldir)
+        spark.createDataFrame(
+            [("kz", t0 + dt.timedelta(hours=hh), "Z", 0, None)], rsch
+        ).coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = spark.readStream.schema(lsch).option("maxFilesPerTrigger", "1").parquet(ldir)
+    rs = spark.readStream.schema(rsch).option("maxFilesPerTrigger", "1").parquet(rdir)
+    _drain(
+        asof_join_stream(ls, rs, ["key"], horizon_seconds=60),
+        "asof_live",
+        timeout=180,
+    )
+    got = {
+        (r.key, r.timestamp, r.event_id): (r.tag, r.weight, r.marker_ts)
+        for r in spark.sql(
+            "select * from asof_live where key != 'kz'"
+        ).collect()
+    }
+
+    # expected = batch twin with out-of-horizon matches NULLed (the
+    # marker_ts payload column carries the matched right row's ts)
+    batch = asof_join(
+        spark.read.parquet(ldir).filter(F.col("key") != "kz"),
+        spark.read.parquet(rdir).filter(F.col("key") != "kz"),
+        ["key"],
+    )
+    exp = {}
+    for r in batch.collect():
+        hit = r.marker_ts is not None and (
+            r.timestamp - r.marker_ts
+        ) < dt.timedelta(seconds=60)
+        exp[(r.key, r.timestamp, r.event_id)] = (
+            (r.tag, r.weight, r.marker_ts) if hit else (None, None, None)
+        )
+    assert got == exp
+    # and the fixture actually exercised every edge it claims to
+    assert exp[("k1", at(10), 1)] == ("A", 1, at(0))
+    assert exp[("k1", at(25), 2)] == ("B2", None, at(20))
+    assert exp[("k1", at(120), 3)] == (None, None, None)
+    assert exp[("k1", at(20), 5)] == ("B2", None, at(20))
+    assert exp[("k1", at(210), 6)] == (None, 9, at(180))
+    assert exp[("k2", at(60), 4)] == (None, None, None)
