@@ -959,3 +959,98 @@ def test_asof_join_stream_matches_batch_within_horizon(spark, tmp_path):
     assert exp[("k1", at(20), 5)] == ("B2", None, at(20))
     assert exp[("k1", at(210), 6)] == (None, 9, at(180))
     assert exp[("k2", at(60), 4)] == (None, None, None)
+
+
+def test_asof_join_stream_fuzz_parity_with_batch(spark, tmp_path):
+    """Randomized large-fixture parity: 30 keys x ~300 rows of left
+    events and right markers with clustered timestamps (forcing
+    in-horizon, out-of-horizon, equal-ts-tie, and no-match cases by
+    volume), one stream run, every emitted row checked against the
+    batch twin + horizon NULLing. One seeded draw per test run keeps
+    it deterministic to debug while the fixture stays adversarial."""
+    import random
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from pond_spark.operators.asof import asof_join
+    from pond_spark.streaming import asof_join_stream
+
+    rng = random.Random(0xA50F)
+    lsch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    rsch = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("marker_ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 8)
+    horizon = 45
+    lrows, rrows = [], []
+    eid = 0
+    for k in range(30):
+        key = f"k{k}"
+        # clustered seconds: many collisions at the same instant and
+        # gaps larger than the horizon
+        for _ in range(rng.randint(0, 8)):
+            eid += 1
+            sec = rng.choice([0, 5, 10, 40, 44, 45, 46, 120, 240])
+            lrows.append((key, t0 + dt.timedelta(seconds=sec), eid))
+        for _ in range(rng.randint(0, 8)):
+            sec = rng.choice([0, 5, 10, 40, 120, 240])
+            tag = rng.choice(["A", "B", "C", None])
+            rrows.append(
+                (key, t0 + dt.timedelta(seconds=sec), tag,
+                 t0 + dt.timedelta(seconds=sec))
+            )
+    ldir, rdir = str(tmp_path / "fl"), str(tmp_path / "fr")
+    spark.createDataFrame(lrows, lsch).coalesce(2).write.mode("append").parquet(ldir)
+    spark.createDataFrame(rrows, rsch).coalesce(2).write.mode("append").parquet(rdir)
+    for hh in (1, 2):  # watermark-advancing sentinels
+        spark.createDataFrame(
+            [("kz", t0 + dt.timedelta(hours=hh), 0)], lsch
+        ).coalesce(1).write.mode("append").parquet(ldir)
+        spark.createDataFrame(
+            [("kz", t0 + dt.timedelta(hours=hh), "Z", None)], rsch
+        ).coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = spark.readStream.schema(lsch).option("maxFilesPerTrigger", "1").parquet(ldir)
+    rs = spark.readStream.schema(rsch).option("maxFilesPerTrigger", "1").parquet(rdir)
+    _drain(
+        asof_join_stream(ls, rs, ["key"], horizon_seconds=horizon),
+        "asof_fuzz",
+        timeout=240,
+    )
+    got = {
+        (r.key, r.timestamp, r.event_id): (r.tag, r.marker_ts)
+        for r in spark.sql(
+            "select * from asof_fuzz where key != 'kz'"
+        ).collect()
+    }
+    batch = asof_join(
+        spark.read.parquet(ldir).filter(F.col("key") != "kz"),
+        spark.read.parquet(rdir).filter(F.col("key") != "kz"),
+        ["key"],
+    )
+    exp = {}
+    for r in batch.collect():
+        hit = r.marker_ts is not None and (
+            r.timestamp - r.marker_ts
+        ) < dt.timedelta(seconds=horizon)
+        exp[(r.key, r.timestamp, r.event_id)] = (
+            (r.tag, r.marker_ts) if hit else (None, None)
+        )
+    assert got == exp
+    assert len(exp) >= 50  # the draw actually produced volume
+    # every regime is present in the expectation set
+    outcomes = set(exp.values())
+    assert (None, None) in outcomes
+    assert any(v[0] is not None for v in outcomes)
