@@ -407,7 +407,7 @@ def build(
     return out.select(line.alias("line"))
 
 
-_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack")
+_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack", "catalog")
 
 _SKETCH_USAGE = (
     "usage: ... sketch SUBCOMMAND ARGS\n"
@@ -601,6 +601,163 @@ def _run_pack(spark, rest: list[str]) -> int:
     return 0
 
 
+_CATALOG_USAGE = (
+    "usage: ... catalog SUBCOMMAND ARGS\n"
+    "  digest-register  CAT DOCS_PARQUET [--text-col=text]\n"
+    "  digest-filter    CAT DOCS_PARQUET [--text-col=] [--id-col=] [--out=]\n"
+    "  minhash-register CAT DOCS_PARQUET [--text-col=] [--id-col=]\n"
+    "                   [--k=64 --bands=16 --n=1 --seed=42]\n"
+    "  minhash-filter   CAT DOCS_PARQUET [same flags] [--out=]\n"
+    "  minhash-candidates CAT DOCS_PARQUET [same flags]\n"
+    "                   [--max-bucket-size=N] [--out=]\n"
+    "  emb-register     CAT VECS_PARQUET --dim=D [--vec-col=embedding]\n"
+    "                   [--id-col=vec_id] [--nbits=8 --tables=2 --seed=42]\n"
+    "  emb-filter       CAT VECS_PARQUET --dim=D [same flags] [--out=]\n"
+    "  emb-candidates   CAT VECS_PARQUET --dim=D [same flags]\n"
+    "                   [--max-bucket-size=N] [--out=]\n"
+    "  compact          digest|minhash|emb CAT [open flags, --dim for emb]"
+)
+
+
+def _run_catalog(spark, rest: list[str]) -> int:
+    """``catalog`` command group — the operator-facing surface for the
+    three incremental dedup catalogs (dedup/exact.py DigestCatalog,
+    dedup/minhash.py MinHashCatalog, similarity/catalog.py
+    EmbeddingCatalog), so the scheduled register->probe->compact cycle
+    is scriptable without writing PySpark. Inputs are parquet paths
+    (catalogs gate DOCUMENT/EMBEDDING tables, not the log store).
+    ``*-filter``/``*-candidates`` print ``rows=N`` and write the full
+    result to ``--out`` when given; parameter-sidecar refusals follow
+    the user-error contract (stderr + exit 2, no traceback)."""
+    text_col, id_col, vec_col = "text", None, "embedding"
+    k, bands, n, seed = 64, 16, 1, 42
+    dim, nbits, tables = None, 8, 2
+    max_bucket, out_path = None, None
+    args: list[str] = []
+    for a in rest:
+        if (v := _filter_value(a, "--text-col")) is not None:
+            text_col = v
+        elif (v := _filter_value(a, "--id-col")) is not None:
+            id_col = v
+        elif (v := _filter_value(a, "--vec-col")) is not None:
+            vec_col = v
+        elif (v := _filter_value(a, "--k")) is not None:
+            k = int(v)
+        elif (v := _filter_value(a, "--bands")) is not None:
+            bands = int(v)
+        elif (v := _filter_value(a, "--n")) is not None:
+            n = int(v)
+        elif (v := _filter_value(a, "--seed")) is not None:
+            seed = int(v)
+        elif (v := _filter_value(a, "--dim")) is not None:
+            dim = int(v)
+        elif (v := _filter_value(a, "--nbits")) is not None:
+            nbits = int(v)
+        elif (v := _filter_value(a, "--tables")) is not None:
+            tables = int(v)
+        elif (v := _filter_value(a, "--max-bucket-size")) is not None:
+            max_bucket = int(v)
+        elif (v := _filter_value(a, "--out")) is not None:
+            out_path = v
+        else:
+            args.append(a)
+    if not args:
+        print(_CATALOG_USAGE, file=sys.stderr)
+        return 2
+    sub, args = args[0], args[1:]
+
+    def open_digest(path):
+        from pond_spark.dedup.exact import DigestCatalog
+
+        return DigestCatalog(spark, path)
+
+    def open_minhash(path):
+        from pond_spark.dedup.minhash import MinHashCatalog
+
+        return MinHashCatalog(spark, path, k=k, bands=bands, n=n, seed=seed)
+
+    def open_emb(path):
+        from pond_spark.similarity.catalog import EmbeddingCatalog
+
+        if dim is None:
+            raise ValueError("emb catalogs need --dim=D (hyperplane shape)")
+        return EmbeddingCatalog(
+            spark, path, dim=dim, nbits=nbits, n_tables=tables, seed=seed
+        )
+
+    def emit(df) -> int:
+        if out_path:
+            df.write.mode("overwrite").parquet(out_path)
+            written = spark.read.parquet(out_path).count()
+            print(f"rows={written} out={out_path}")
+        else:
+            print(f"rows={df.count()}")
+        return 0
+
+    known = (
+        "compact", "digest-register", "digest-filter", "minhash-register",
+        "minhash-filter", "minhash-candidates", "emb-register",
+        "emb-filter", "emb-candidates",
+    )
+    if sub not in known:
+        print(_CATALOG_USAGE, file=sys.stderr)
+        return 2
+    try:
+        if sub == "compact":
+            kind, path = args
+            {"digest": open_digest, "minhash": open_minhash, "emb": open_emb}[
+                kind
+            ](path).compact()
+            print(f"compacted kind={kind} path={path}")
+            return 0
+        path, data = args
+        docs = spark.read.parquet(data)
+        if sub == "digest-register":
+            open_digest(path).register(docs, text_col)
+            print(f"registered path={path}")
+            return 0
+        if sub == "digest-filter":
+            return emit(
+                open_digest(path).filter_new(
+                    docs, text_col, id_col or docs.columns[0]
+                )
+            )
+        mh_id = id_col or "doc_id"
+        if sub == "minhash-register":
+            open_minhash(path).register(docs, text_col, mh_id)
+            print(f"registered path={path}")
+            return 0
+        if sub == "minhash-filter":
+            return emit(open_minhash(path).filter_new(docs, text_col, mh_id))
+        if sub == "minhash-candidates":
+            return emit(
+                open_minhash(path).near_candidates(
+                    docs, text_col, mh_id, max_bucket_size=max_bucket
+                )
+            )
+        emb_id = id_col or "vec_id"
+        if sub == "emb-register":
+            open_emb(path).register(docs, vec_col, emb_id)
+            print(f"registered path={path}")
+            return 0
+        if sub == "emb-filter":
+            return emit(open_emb(path).filter_new(docs, vec_col, emb_id))
+        if sub == "emb-candidates":
+            return emit(
+                open_emb(path).near_candidates(
+                    docs, vec_col, emb_id, max_bucket_size=max_bucket
+                )
+            )
+    except KeyError:
+        print(_CATALOG_USAGE, file=sys.stderr)
+        return 2
+    except (ValueError, TypeError) as e:
+        print(str(e) or _CATALOG_USAGE, file=sys.stderr)
+        return 2
+    print(_CATALOG_USAGE, file=sys.stderr)
+    return 2
+
+
 def _run_follow(
     spark,
     store_dir: str,
@@ -731,7 +888,7 @@ def main(argv: list[str] | None = None) -> int:
     if store is None:
         print(
             "usage: python -m pond_spark.cli --store=DIR "
-            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack] "
+            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack|catalog SUB] "
             "[ARGS]",
             file=sys.stderr,
         )
@@ -787,6 +944,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_sketch(spark, log_store, rest)
     if command == "pack":
         return _run_pack(spark, rest)
+    if command == "catalog":
+        return _run_catalog(spark, rest)
 
     try:
         parsed = parse_query_args(rest)

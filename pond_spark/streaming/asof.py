@@ -78,16 +78,24 @@ def asof_join_stream(
     right side names it differently); watermarks are applied here —
     pass raw streams, not pre-watermarked ones.
 
-    Known divergence from the batch twin, by append-mode aggregation
-    semantics: EXACT-duplicate left rows landing in the same emit
-    window collapse to one output row (the batch window emits one row
-    per input row). Give left rows a unique id column when duplicate
-    rows must survive.
+    Known divergences from the batch twin, both inherent to
+    append-mode streaming: (1) EXACT-duplicate left rows landing in
+    the same emit window collapse to one output row (the batch window
+    emits one row per input row) — give left rows a unique id column
+    when duplicate rows must survive; (2) a left row with a NULL
+    timestamp never emits (no event time = no close signal), where
+    the batch twin emits it with NULL payload.
     """
     if not key_cols:
         raise ValueError(
             "asof_join_stream needs at least one key column — a global "
             "stream-stream as-of cannot bound or distribute its state"
+        )
+    if int(horizon_seconds) <= 0:
+        raise ValueError(
+            "asof_join_stream needs a positive horizon — zero matches "
+            "nothing (the bound is right.ts > left.ts - horizon) and "
+            "the horizon is what lets join state evict"
         )
     right_ts_col = right_ts_col or ts_col
     payload = [

@@ -637,3 +637,82 @@ def test_cli_pack_summary_and_out(spark, store_dir, tmp_path, capsys):
     assert set(packed.columns) == {"doc_id", "bucket", "bin", "n_tokens"}
     # missing capacity is a usage error
     assert main([f"--store={store_dir}", "pack", src]) == 2
+
+
+def test_cli_catalog_group_minhash_and_digest(spark, store_dir, tmp_path, capsys):
+    """r7: the catalog subcommand group — register/filter/candidates/
+    compact over parquet doc tables, the sidecar guard through the CLI
+    error contract, and --out writing the full result."""
+    from pond_spark.cli import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    probe = str(tmp_path / "probe")
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "totally fresh words here")],
+        "doc_id long, text string",
+    ).write.parquet(probe)
+
+    dcat = str(tmp_path / "dcat")
+    assert main([f"--store={store_dir}", "catalog", "digest-register",
+                 dcat, docs]) == 0
+    assert "registered" in capsys.readouterr().out
+    out_dir = str(tmp_path / "new_docs")
+    assert main([f"--store={store_dir}", "catalog", "digest-filter",
+                 dcat, probe, f"--out={out_dir}"]) == 0
+    assert "rows=1" in capsys.readouterr().out  # only doc 11 is new
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} == {11}
+
+    mcat = str(tmp_path / "mcat")
+    assert main([f"--store={store_dir}", "catalog", "minhash-register",
+                 mcat, docs, "--k=16", "--bands=4"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "catalog", "minhash-candidates",
+                 mcat, probe, "--k=16", "--bands=4"]) == 0
+    assert "rows=2" in capsys.readouterr().out  # 10 collides with 1 and 2
+    assert main([f"--store={store_dir}", "catalog", "minhash-filter",
+                 mcat, probe, "--k=16", "--bands=4"]) == 0
+    assert "rows=1" in capsys.readouterr().out
+    assert main([f"--store={store_dir}", "catalog", "compact", "minhash",
+                 mcat, "--k=16", "--bands=4"]) == 0
+    assert "compacted" in capsys.readouterr().out
+    # sidecar refusal via the CLI error contract: different bands
+    assert main([f"--store={store_dir}", "catalog", "minhash-filter",
+                 mcat, probe, "--k=16", "--bands=8"]) == 2
+    assert capsys.readouterr().err  # message, no traceback
+    # usage errors
+    assert main([f"--store={store_dir}", "catalog"]) == 2
+    assert main([f"--store={store_dir}", "catalog", "no-such", "a", "b"]) == 2
+    assert main([f"--store={store_dir}", "catalog", "compact", "bogus",
+                 mcat]) == 2
+
+
+def test_cli_catalog_group_embedding(spark, store_dir, tmp_path, capsys):
+    from pond_spark.cli import main
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(vecs)
+    probe = str(tmp_path / "vprobe")
+    spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(probe)
+    ecat = str(tmp_path / "ecat")
+    assert main([f"--store={store_dir}", "catalog", "emb-register",
+                 ecat, vecs, "--dim=3", "--nbits=4"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "catalog", "emb-candidates",
+                 ecat, probe, "--dim=3", "--nbits=4"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("rows=")
+    # --dim is required for the emb kind (hyperplane shape)
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 ecat, probe]) == 2
+    assert "--dim" in capsys.readouterr().err
