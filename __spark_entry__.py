@@ -2768,6 +2768,73 @@ SELECT doc_id, text FROM d WHERE {sample_sql(0.5, "doc_id", "curate")}
 """
 
 
+def q_curation_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain with the NEAR-dedup stage (pipeline.py r7):
+    quality gate → one min-id representative per connected
+    near-duplicate cluster → 50% hash sample, composed as one plan.
+    The pair source here is the exact lang-blocked 3-gram Jaccard
+    path (near_method="ngram") because it is cross-engine replayable;
+    the minhash source shares the stage code and is recall-harnessed
+    by q:minhash_pairs. Stage-order semantics under test: the pair
+    set is computed over the QUALITY SURVIVORS (a near-dup of a
+    rejected doc must not be dropped), and sampling runs last."""
+    from pond_spark.pipeline import CurationConfig, curate
+
+    docs = _dedup_docs(spark, sf_dir)
+    out = curate(
+        docs,
+        CurationConfig(
+            stages=("quality", "near_dedup", "sample"),
+            sample_rate=0.5,
+            sample_salt="curate_near",
+            extra={
+                "near_method": "ngram",
+                "near_block_col": "lang",
+                "near_threshold": 0.8,
+                "near_n": 3,
+            },
+        ),
+    )
+    return out.select("doc_id", "lang", "text")
+
+
+def _curation_near_sql() -> str:
+    from pond_spark.functions.text import quality_rules_sql
+    from pond_spark.operators.sampling import sample_sql
+
+    return f"""
+WITH RECURSIVE w AS (SELECT doc_id, lang, text,
+                  (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS words
+           FROM {_DEDUP_DOCS_SQL}),
+q AS (SELECT doc_id, lang, text
+      FROM (SELECT __w.doc_id, __w.lang, __w.text, {quality_rules_sql("text")}
+            FROM w AS __w) qq
+      WHERE keep),
+t AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+              i -> array_to_string(toks[i:i+2], ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, lang,
+                   (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS toks
+            FROM q)),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+drops AS (SELECT n AS node FROM reach GROUP BY n
+          HAVING n <> least(n, min(m)))
+SELECT doc_id, lang, text FROM q
+WHERE doc_id NOT IN (SELECT node FROM drops)
+  AND {sample_sql(0.5, "doc_id", "curate_near")}
+"""
+
+
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr (Lee et al. 2022) repeated-span profile: 8-token
     windows at stride 1 (the paper's unit is token sequences; stride-1
@@ -4473,6 +4540,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # rotated into the r7 window (struct-carry fix)
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
+    "curation_near": (q_curation_near, None),  # lazy sql (chained twins)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
     "range_join": (q_range_join, None),  # rotated into the r7 window (inverted-interval fix)
@@ -4594,6 +4662,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "lang_id": _lang_id_sql,
     "fingerprint": _fingerprint_sql,
     "curation": _curation_sql,
+    "curation_near": _curation_near_sql,
     "quality_rules": _quality_rules_sql,
     "pii_scrub": _pii_scrub_sql,
     "stratified_sample": _stratified_sample_sql,

@@ -9,11 +9,16 @@ deterministic):
 
 1. quality gate      — Gopher rules keep-flag (functions/text.py)
 2. exact dedup       — digest keep-min-id (dedup/exact.py)
-3. line dedup        — strip corpus boilerplate lines (dedup/lines.py)
-4. PII scrub         — redact emails/IPs/phones (functions/pii.py)
-5. decontaminate     — drop docs sharing n-grams with an eval set
+3. near dedup        — opt-in: min-id representative per connected
+                       near-duplicate cluster; MinHash-LSH candidates
+                       at scale or exact n-gram Jaccard for the
+                       replayable path (dedup/minhash.py, ngram.py,
+                       cluster.py)
+4. line dedup        — strip corpus boilerplate lines (dedup/lines.py)
+5. PII scrub         — redact emails/IPs/phones (functions/pii.py)
+6. decontaminate     — drop docs sharing n-grams with an eval set
                        (dedup/decontaminate.py)
-6. sample            — deterministic hash sample (operators/sampling.py)
+7. sample            — deterministic hash sample (operators/sampling.py)
 
 Every stage is declarative, so Catalyst sees ONE plan: the quality
 predicate and the sampling bucket filter push into the scan; the
@@ -95,6 +100,52 @@ def curate(
             from pond_spark.dedup.exact import dedup_exact
 
             out = dedup_exact(out, text_col, id_col)
+        elif stage == "near_dedup":
+            # keep ONE representative (min id) per near-duplicate
+            # cluster — connected components over candidate pairs.
+            # Pair source via config.extra["near_method"]:
+            #   "minhash" (default): banded LSH + exact verify — the
+            #     100 TB path (key-local equi-joins, skew-guarded);
+            #   "ngram": exact n-gram Jaccard with prefix filtering —
+            #     output-bound, cross-engine replayable (the oracle
+            #     path; block with extra["near_block_col"] at scale).
+            from pond_spark.dedup.cluster import connected_components
+
+            method = config.extra.get("near_method", "minhash")
+            thr = float(config.extra.get("near_threshold", 0.8))
+            n = int(config.extra.get("near_n", 3))
+            if method == "minhash":
+                from pond_spark.dedup.minhash import minhash_lsh_pairs
+
+                pairs = minhash_lsh_pairs(
+                    out,
+                    text_col,
+                    id_col,
+                    threshold=thr,
+                    n=n,
+                    max_bucket_size=config.extra.get("near_max_bucket"),
+                )
+            elif method == "ngram":
+                from pond_spark.dedup.ngram import ngram_jaccard_pairs
+
+                pairs = ngram_jaccard_pairs(
+                    out,
+                    text_col,
+                    id_col,
+                    block_col=config.extra.get("near_block_col"),
+                    threshold=thr,
+                    n=n,
+                )
+            else:
+                raise ValueError(
+                    f"unknown near_method: {method!r} "
+                    "(expected 'minhash' or 'ngram')"
+                )
+            comp = connected_components(pairs)
+            drop = comp.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias(id_col)
+            )
+            out = out.join(drop, on=id_col, how="left_anti")
         elif stage == "line_dedup":
             from pond_spark.dedup.lines import strip_duplicate_lines
 
@@ -222,7 +273,7 @@ def curate_stream(
     run them inside ``foreachBatch`` with the batch ``curate`` if
     needed; this builder raises on them so the limitation is explicit.
     """
-    for s in ("line_dedup", "decontaminate"):
+    for s in ("line_dedup", "decontaminate", "near_dedup"):
         if s in config.stages:
             raise ValueError(
                 f"{s} is corpus-level: batch-only (use foreachBatch)"
