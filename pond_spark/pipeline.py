@@ -42,6 +42,7 @@ __all__ = [
     "curate",
     "curate_stream",
     "curate_foreach_batch",
+    "report",
 ]
 
 
@@ -319,3 +320,45 @@ def curate_stream(
         else:
             raise ValueError(f"unknown curation stage: {stage}")
     return out
+
+
+def report(
+    docs: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    eval_set: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[dict]:
+    """Funnel audit: ``[{stage, rows_in, rows_out}, ...]`` — how many
+    documents each configured stage admitted and passed on.
+
+    Runs the stages one at a time (each via :func:`curate` with a
+    single-stage config, so the audited code path IS the production
+    path) with a persist/count per boundary — counts are jobs, so this
+    belongs in tests and scheduled audits, not the hot path. The
+    returned list is driver-side and bounded by the stage count.
+    """
+    from dataclasses import replace
+
+    rows: list[dict] = []
+    cur = docs
+    n_in = cur.count()
+    prev = None
+    try:
+        for stage in config.stages:
+            cur = curate(
+                cur, replace(config, stages=(stage,)), eval_set,
+                text_col, id_col,
+            ).persist()
+            n_out = cur.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+            rows.append(
+                {"stage": stage, "rows_in": n_in, "rows_out": n_out}
+            )
+            n_in = n_out
+    finally:
+        if prev is not None:
+            prev.unpersist()
+    return rows

@@ -294,3 +294,31 @@ def test_curate_stream_rejects_near_dedup(spark, tmp_path):
     ).parquet(str(tmp_path))
     with _pytest.raises(ValueError):
         curate_stream(stream, CurationConfig(stages=("near_dedup",)))
+
+
+def test_report_funnel_counts(spark, corpus):
+    from pond_spark.pipeline import report
+
+    eval_set = spark.createDataFrame(
+        [(100, "leaked eval content that matches the benchmark set")],
+        ["doc_id", "text"],
+    )
+    rows = report(
+        corpus,
+        CurationConfig(
+            min_words=10,
+            decontaminate_n=6,
+            stages=("quality", "exact_dedup", "decontaminate"),
+        ),
+        eval_set=eval_set,
+    )
+    assert [r["stage"] for r in rows] == [
+        "quality", "exact_dedup", "decontaminate",
+    ]
+    # corpus: 6 docs; quality drops doc 4; exact dedup drops doc 2;
+    # decontaminate drops doc 6
+    assert rows[0] == {"stage": "quality", "rows_in": 6, "rows_out": 5}
+    assert rows[1] == {"stage": "exact_dedup", "rows_in": 5, "rows_out": 4}
+    assert rows[2] == {
+        "stage": "decontaminate", "rows_in": 4, "rows_out": 3,
+    }
