@@ -4937,6 +4937,46 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         )
         return _median_batch_sec(sdf)
 
+    @_with_src
+    def stream_asof_batch_p50(spark: SparkSession, src: str) -> float:
+        """Streaming as-of join (streaming/asof.py, NEW r7): per-batch
+        cost of the two chained stateful operators — watermarked
+        left-outer time-interval join + windowed struct carry — with
+        the log stream as the left side and a small per-site config
+        stream as the right."""
+        from pond_spark.streaming.asof import asof_join_stream
+        from pond_spark.streaming.follow import continue_stream
+
+        rdir = tempfile.mkdtemp(prefix="pond_bench_asof_r_")
+        try:
+            logs = spark.read.parquet(src)  # _stream_src: µs LOG_SCHEMA
+            marks = (
+                logs.groupBy("site")
+                .agg(F.min("timestamp").alias("timestamp"))
+                .withColumn("cfg", F.concat(F.lit("v-"), F.col("site")))
+            )
+            for i in range(3):
+                marks.withColumn(
+                    "timestamp",
+                    F.col("timestamp") + F.expr(f"INTERVAL {i * 600} SECOND"),
+                ).coalesce(1).write.mode("append").parquet(rdir)
+            right = (
+                spark.readStream.schema("site string, timestamp timestamp, cfg string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(rdir)
+            )
+            sdf = asof_join_stream(
+                continue_stream(
+                    spark, src, watermark=None, max_files_per_trigger=1
+                ),
+                right,
+                ["site"],
+                horizon_seconds=3600,
+            )
+            return _median_batch_sec(sdf)
+        finally:
+            shutil.rmtree(rdir, ignore_errors=True)
+
     def _live_close_lag(make_stream, hit_filter):
         """Close-delivery LATENCY for the live monitoring twins
         (VERDICT r6 ask #4): the ``*_batch_p50`` rows time micro-batch
@@ -5110,6 +5150,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_trending_batch_p50": stream_trending_batch_p50,
         "stream_cusum_batch_p50": stream_cusum_batch_p50,
         "stream_kmv_batch_p50": stream_kmv_batch_p50,
+        "stream_asof_batch_p50": stream_asof_batch_p50,
         "stream_cusum_close_lag": stream_cusum_close_lag,
         "stream_kmv_close_lag": stream_kmv_close_lag,
         "stream_continue_first_live": stream_continue_first_live,
