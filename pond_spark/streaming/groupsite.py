@@ -60,8 +60,13 @@ def site_key_counts_stream(
     rule (F1: NULL site → "") applies before grouping, matching the
     batch GROUP_SITE surface."""
     win = F.window(F.col(ts_col), every)
+    # NULL keys drop, matching the batch accumulate surface (records
+    # missing the attribute are skipped, ResultWriter.cxx:217-230) —
+    # only the SITE gets the F1 NULL→"" mapping, never the key (r7
+    # review: counting NULL keys as "" surfaced a bogus top entry the
+    # batch engine would never show)
     return (
-        sdf.filter(F.col(ts_col).isNotNull())
+        sdf.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .withWatermark(ts_col, watermark)
         .select(
             F.col(ts_col),
@@ -145,7 +150,7 @@ def group_site_topk_stream(
             sketch, batch = {}, 0
         for pdf in frames:
             for kk in pdf["key"]:
-                kk = "" if kk is None else str(kk)
+                kk = str(kk)  # NULL keys filtered in the plan below
                 if kk in sketch:
                     sketch[kk][0] += 1
                 elif len(sketch) < m:
@@ -180,7 +185,9 @@ def group_site_topk_stream(
             )
         )
 
-    keyed = sdf.select(
+    # NULL keys drop (batch accumulate parity, see
+    # site_key_counts_stream); NULL site maps to "" (F1)
+    keyed = sdf.filter(F.col(key_col).isNotNull()).select(
         F.coalesce(F.col(site_col), F.lit("")).alias("site"),
         F.col(key_col).cast("string").alias("key"),
     )

@@ -1054,3 +1054,54 @@ def test_asof_join_stream_fuzz_parity_with_batch(spark, tmp_path):
     outcomes = set(exp.values())
     assert (None, None) in outcomes
     assert any(v[0] is not None for v in outcomes)
+
+
+def test_group_site_streams_drop_null_keys(spark, tmp_path):
+    """r7 review fix: NULL keys are SKIPPED (batch accumulate parity —
+    the reference skips records missing the attribute), not counted
+    as an empty-string top entry; NULL site still maps to '' (F1)."""
+    from pond_spark.streaming import (
+        group_site_topk_stream,
+        site_key_counts_stream,
+    )
+
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 3, 1, 8)
+    rows = _rows(range(1, 7), "a", t0)
+    for i, r in enumerate(rows):
+        r["http_uri"] = None if i < 4 else "/real"
+    rows += _rows([7, 8], None, t0)  # NULL site, real key
+    for r in rows[-2:]:
+        r["http_uri"] = "/nullsite"
+    _write_batch(spark, store, rows)
+    # sentinel to close the windowed variant's bucket
+    late = _rows([9], "a", t0 + dt.timedelta(hours=2))
+    late[0]["http_uri"] = "/late"
+    _write_batch(spark, store, late)
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    _drain(site_key_counts_stream(sdf, key_col="http_uri", every="1 hour"), "gs_nullw")
+    got = {
+        (r.site, r.key): r.n
+        for r in spark.sql("select * from gs_nullw").collect()
+    }
+    assert got == {("a", "/real"): 2, ("", "/nullsite"): 2}
+
+    sdf2 = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "2")
+        .load(store)
+    )
+    _drain(group_site_topk_stream(sdf2, key_col="http_uri", k=5, m=8), "gs_nullt")
+    keys = {
+        (r.site, r.key)
+        for r in spark.sql("select * from gs_nullt").collect()
+    }
+    assert ("a", "") not in keys and ("a", "None") not in keys
+    assert ("a", "/real") in keys and ("", "/nullsite") in keys
