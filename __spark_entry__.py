@@ -2337,21 +2337,31 @@ def _corpus_profile_sql() -> str:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest. The corpus has no exact dups, so
-    union a shifted copy to exercise the keep-min-id semantics."""
+    union a shifted copy to exercise the keep-min-id semantics; two
+    planted NULL-text rows exercise the r7 rule that absent content is
+    never a duplicate (excluded from groups, kept by dedup_exact)."""
     from pond_spark.dedup import exact_duplicate_groups
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(8_000_001, None), (8_000_002, None)], "doc_id long, text string"
+    )
+    docs = docs.unionByName(edge)
     dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return exact_duplicate_groups(docs.unionAll(dup), "text", "doc_id")
 
 
 DEDUP_EXACT_SQL = """
-WITH allrows AS (
+WITH base AS (
   SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+  UNION ALL SELECT * FROM (VALUES (8000001, CAST(NULL AS VARCHAR)),
+                                  (8000002, CAST(NULL AS VARCHAR))) v(doc_id, text)),
+allrows AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 1000000, text FROM base)
 SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id,
        count(*) AS n_dups
-FROM allrows GROUP BY sha256(text)
+FROM allrows WHERE text IS NOT NULL GROUP BY sha256(text)
 """
 
 
@@ -2762,8 +2772,13 @@ q AS (SELECT doc_id, text
             FROM w AS __w) qq
       WHERE keep),
 d AS (SELECT q.doc_id, q.text
-      FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q GROUP BY text) k
-        ON q.doc_id = k.doc_id)
+      FROM q JOIN (SELECT min(doc_id) AS doc_id FROM q
+                   WHERE text IS NOT NULL GROUP BY text) k
+        ON q.doc_id = k.doc_id
+      UNION ALL
+      -- NULL-text rows are unique by the r7 rule (dedup_exact keeps
+      -- them); unreachable after the quality gate, synced for parity
+      SELECT doc_id, text FROM q WHERE text IS NULL)
 SELECT doc_id, text FROM d WHERE {sample_sql(0.5, "doc_id", "curate")}
 """
 

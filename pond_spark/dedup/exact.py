@@ -18,9 +18,16 @@ def exact_duplicate_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """One row per distinct content value: ``(keep_id, n_dups)`` with
-    keep_id = min id. Groups with n_dups == 1 are unique documents."""
-    return df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha")).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    keep_id = min id. Groups with n_dups == 1 are unique documents.
+    NULL-text rows are excluded — absent content proves no duplication
+    (the corpus_profile rule; grouping them would fabricate one
+    pseudo-dup group out of unrelated rows)."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+        )
     )
 
 
@@ -32,19 +39,28 @@ def dedup_exact(
     (digest, id) — no full-row shuffle of the corpus. The digest is
     part of the join key on purpose: with non-unique ids, an id-only
     semi-join would keep EVERY row sharing a keeper's id — including
-    duplicate content under a reused id (r4 review finding)."""
+    duplicate content under a reused id (r4 review finding).
+
+    NULL-text rows pass through untouched — absent content proves no
+    duplication, so each such row is unique (the corpus_profile rule).
+    Before the r7 review fix they were silently DELETED: sha2(NULL) is
+    NULL, the groupBy pooled them into one keeper group, and the
+    null-UNsafe semi-join equality then matched none of them."""
+    nulls = df.filter(F.col(text_col).isNull())
+    nn = df.filter(F.col(text_col).isNotNull())
     keepers = (
-        df.select(
+        nn.select(
             F.sha2(F.col(text_col), 256).alias("_dedup_sha"), F.col(id_col)
         )
         .groupBy("_dedup_sha")
         .agg(F.min(id_col).alias(id_col))
     )
-    return (
-        df.withColumn("_dedup_sha", F.sha2(F.col(text_col), 256))
+    deduped = (
+        nn.withColumn("_dedup_sha", F.sha2(F.col(text_col), 256))
         .join(keepers, on=["_dedup_sha", id_col], how="leftsemi")
         .drop("_dedup_sha")
     )
+    return deduped.unionByName(nulls)
 
 
 class DigestCatalog:
@@ -109,9 +125,13 @@ class DigestCatalog:
         )
 
     def register(self, df: DataFrame, text_col: str = "text") -> None:
-        """Append the batch's distinct digests to the catalog."""
+        """Append the batch's distinct digests to the catalog.
+        NULL-text rows contribute nothing — a NULL digest matches no
+        future probe (filter_new's anti-join is null-unsafe), so
+        storing it would only pad the catalog."""
         self._store.append(
-            df.select(F.sha2(F.col(text_col), 256).alias("content_sha"))
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.sha2(F.col(text_col), 256).alias("content_sha"))
             .distinct()
         )
 

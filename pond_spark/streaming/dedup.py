@@ -52,11 +52,18 @@ def dedup_stream(
     state never expires — exact over the whole stream but unbounded;
     only for short-lived backfills.
     """
-    keyed = stream.withColumn("_dedup_key", dedup_key(text_col)).withWatermark(
-        ts_col, watermark
+    # NULL-text rows pass through untouched — absent content proves no
+    # duplication (batch dedup_exact parity, r7 review fix: both
+    # dropDuplicates variants treat NULL keys as EQUAL, so they used
+    # to swallow every NULL-text row after the first)
+    nulls = stream.filter(F.col(text_col).isNull())
+    keyed = (
+        stream.filter(F.col(text_col).isNotNull())
+        .withColumn("_dedup_key", dedup_key(text_col))
+        .withWatermark(ts_col, watermark)
     )
     if exact_window:
         out = keyed.dropDuplicatesWithinWatermark(["_dedup_key"])
     else:
         out = keyed.dropDuplicates(["_dedup_key"])
-    return out.drop("_dedup_key")
+    return out.drop("_dedup_key").unionByName(nulls)

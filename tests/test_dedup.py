@@ -601,3 +601,30 @@ def test_strip_duplicate_spans_preserves_case(spark):
     assert "Disclaimer" not in out[1].text_clean
     assert out[1].text_clean.startswith("Unique Opening Words Here One.")
     assert out[2].text_clean.endswith("Different Closing Words Here Two!")
+
+
+def test_dedup_exact_null_text_rows_are_unique(spark, tmp_path):
+    """r7 review fix: NULL-text rows pass through dedup_exact (absent
+    content is never a duplicate — before the fix the null-unsafe
+    semi-join silently DELETED all of them), are excluded from
+    exact_duplicate_groups, and neither register into nor gate against
+    a DigestCatalog."""
+    from pond_spark.dedup.exact import DigestCatalog
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_exact(df, "text", "doc_id").collect()}
+    assert kept == {1, 3, 4, 5}
+    groups = exact_duplicate_groups(df, "text", "doc_id").collect()
+    assert {(r.keep_id, r.n_dups) for r in groups} == {(1, 2), (5, 1)}
+
+    cat = DigestCatalog(spark, str(tmp_path / "cat"))
+    cat.register(df, "text")
+    assert cat._read().filter(F.col("content_sha").isNull()).count() == 0
+    probe = spark.createDataFrame(
+        [(10, "same"), (11, None), (12, "fresh")], "doc_id long, text string"
+    )
+    new = {r.doc_id for r in cat.filter_new(probe, "text", "doc_id").collect()}
+    assert new == {11, 12}  # NULL text is always new; "same" is gated

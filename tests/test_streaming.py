@@ -1105,3 +1105,38 @@ def test_group_site_streams_drop_null_keys(spark, tmp_path):
     }
     assert ("a", "") not in keys and ("a", "None") not in keys
     assert ("a", "/real") in keys and ("", "/nullsite") in keys
+
+
+def test_dedup_stream_null_text_passes_through(spark, tmp_path):
+    """r7 review fix: NULL-text rows are never 'duplicates of each
+    other' — dropDuplicates* treats NULL keys as equal and used to
+    swallow all but the first; they now bypass the state entirely."""
+    from pond_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs")
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, t0, None),
+        (2, t0 + dt.timedelta(seconds=1), "alpha"),
+        (3, t0 + dt.timedelta(seconds=2), None),
+        (4, t0 + dt.timedelta(seconds=3), "alpha"),
+        (5, t0 + dt.timedelta(seconds=4), None),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, timestamp timestamp, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, timestamp timestamp, text string"
+    ).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream, "text", "timestamp", watermark="10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 2, 3, 5}  # all NULLs kept; one "alpha" kept
