@@ -101,6 +101,19 @@ def asof_join_stream(
     payload = [
         c for c in right.columns if c not in (*key_cols, right_ts_col)
     ]
+    if not payload:
+        # a payload-less as-of attaches nothing — and worse than
+        # useless here: with no output column referencing the right
+        # side, Catalyst eliminates the outer join AND the right
+        # source, while the right's watermark node keeps pinning the
+        # global watermark at epoch, so the stream silently never
+        # emits (measured). Refuse loudly instead.
+        raise ValueError(
+            "asof_join_stream: the right side has no payload columns "
+            "(only keys and the timestamp) — an as-of join that "
+            "attaches nothing is a no-op; select at least one payload "
+            "column"
+        )
     lcols = left.columns
     for c in ("_rts", "_win", "_lts"):
         if c in lcols or c in right.columns:
@@ -148,9 +161,17 @@ def asof_join_stream(
     )
     joined = l_wm.join(r_wm, cond, "leftOuter")
 
+    # the carry's ordering field is unix_micros(_rts), NOT _rts itself:
+    # _rts carries the right stream's watermark tag through the join,
+    # and a tagged column inside the carried struct leaves the
+    # aggregation output with a SECOND event-time column besides the
+    # window — with payload slots present this merely risks confusion,
+    # but with an EMPTY payload the struct is all-event-time and the
+    # agg silently never emits a closed window (measured; micros order
+    # identically and NULL maps to NULL, so semantics are unchanged)
     carry = F.max(
         F.struct(
-            F.col("_rts").alias("_t"),
+            F.unix_micros(F.col("_rts")).alias("_t"),
             *[F.col(slots[c]).alias(slots[c]) for c in payload],
         )
     ).alias("_carry")

@@ -1140,3 +1140,74 @@ def test_dedup_stream_null_text_passes_through(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert got == {1, 2, 3, 5}  # all NULLs kept; one "alpha" kept
+
+
+def test_asof_join_stream_multikey_and_empty_payload(spark, tmp_path):
+    """Composite join keys resolve per (key pair); a right side with
+    NO payload columns (keys + ts only) still drives the carry struct
+    (degenerate single-field struct) — the output is then just the
+    left rows, emitted once their window closes."""
+    import pyspark.sql.types as T
+
+    from pond_spark.streaming import asof_join_stream
+
+    lsch = T.StructType(
+        [
+            T.StructField("k1", T.StringType()),
+            T.StructField("k2", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    rsch = T.StructType(
+        [
+            T.StructField("k1", T.StringType()),
+            T.StructField("k2", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    ldir, rdir = str(tmp_path / "ml"), str(tmp_path / "mr")
+    t0 = dt.datetime(2024, 3, 1, 8)
+    spark.createDataFrame(
+        [("a", 1, t0 + dt.timedelta(seconds=30), 1),
+         ("a", 2, t0 + dt.timedelta(seconds=30), 2)],
+        lsch,
+    ).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame(
+        [("a", 1, t0, "one"), ("a", 2, t0, "two")], rsch
+    ).coalesce(1).write.mode("append").parquet(rdir)
+    for hh in (1, 2):
+        spark.createDataFrame(
+            [("z", 0, t0 + dt.timedelta(hours=hh), 9)], lsch
+        ).coalesce(1).write.mode("append").parquet(ldir)
+        spark.createDataFrame(
+            [("z", 0, t0 + dt.timedelta(hours=hh), "zz")], rsch
+        ).coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = spark.readStream.schema(lsch).option("maxFilesPerTrigger", "1").parquet(ldir)
+    rs = spark.readStream.schema(rsch).option("maxFilesPerTrigger", "1").parquet(rdir)
+    _drain(
+        asof_join_stream(ls, rs, ["k1", "k2"], horizon_seconds=60),
+        "asof_mk",
+        timeout=180,
+    )
+    got = {
+        (r.k1, r.k2, r.event_id): r.tag
+        for r in spark.sql("select * from asof_mk where k1 != 'z'").collect()
+    }
+    # composite keys must not cross: (a,1) gets "one", (a,2) gets "two"
+    assert got == {("a", 1, 1): "one", ("a", 2, 2): "two"}
+
+    # empty payload (right = keys + ts only) REFUSES: with nothing
+    # referencing the right side, Catalyst eliminates the join and the
+    # right source while its watermark node pins the global watermark
+    # at epoch — the stream would silently never emit
+    rs2 = (
+        spark.readStream.schema(rsch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rdir)
+        .drop("tag")
+    )
+    with pytest.raises(ValueError, match="no payload columns"):
+        asof_join_stream(ls, rs2, ["k1", "k2"], horizon_seconds=60)
