@@ -1413,3 +1413,90 @@ def test_cm_rows_are_collision_decorrelated():
     assert also_row1 <= len(row0_colliders) * 0.05, (
         also_row1, len(row0_colliders)
     )
+
+
+def test_asof_join_fuzz_matches_duckdb_asof(spark):
+    """Randomized cross-engine fuzz for the r7 struct-carry rewrite:
+    random (key, ts, payload-with-NULLs) draws, Spark asof_join vs
+    DuckDB's native ASOF LEFT JOIN over the per-(key,ts) greatest-
+    payload-tuple dedupe (the exact tiebreak the operator documents).
+    Covers NULL left ts, NULL right ts (never matches), NULL payload
+    slots on the latest row, equal-ts ties, and keys with no rights."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pond_spark.operators.asof import asof_join
+
+    rng = random.Random(0xA50F7)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts_or_null(p_null=0.1):
+        if rng.random() < p_null:
+            return None
+        return t0 + dt.timedelta(seconds=rng.randint(0, 40))
+
+    for trial in range(3):
+        keys = [f"k{i}" for i in range(6)]
+        lrows = [
+            (rng.choice(keys), ts_or_null(), i) for i in range(200)
+        ]
+        rrows = [
+            (
+                rng.choice(keys + ["k_no_left"]),
+                ts_or_null(),
+                rng.choice([None, "A", "B", "C"]),
+                rng.choice([None] + [f"n{d}" for d in range(4)]),
+            )
+            for _ in range(120)
+        ]
+        left = spark.createDataFrame(
+            lrows, "key string, timestamp timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            rrows, "key string, timestamp timestamp, tag string, note string"
+        )
+        got = {
+            (r.key, r.timestamp, r.event_id): (r.tag, r.note)
+            for r in asof_join(left, right, ["key"]).collect()
+        }
+
+        con = duckdb.connect()
+        con.register(
+            "l",
+            pd.DataFrame(lrows, columns=["key", "ts", "event_id"]).astype(
+                {"ts": "datetime64[us]"}
+            ),
+        )
+        con.register(
+            "r",
+            pd.DataFrame(
+                rrows, columns=["key", "ts", "tag", "note"]
+            ).astype({"ts": "datetime64[us]"}),
+        )
+        exp_rows = con.execute(
+            """
+            WITH r1 AS (
+              SELECT key, ts, tag, note FROM r WHERE ts IS NOT NULL
+              QUALIFY row_number() OVER (
+                PARTITION BY key, ts
+                ORDER BY tag DESC NULLS LAST, note DESC NULLS LAST) = 1)
+            SELECT l.key, l.ts, l.event_id, r1.tag, r1.note
+            FROM l ASOF LEFT JOIN r1
+              ON l.key = r1.key AND l.ts >= r1.ts
+            WHERE l.ts IS NOT NULL
+            UNION ALL
+            -- a left row without a timestamp has nothing "at or
+            -- before" it (SQL comparison semantics, the operator's
+            -- documented rule); DuckDB's ASOF quirkily MATCHES a NULL
+            -- probe, so encode the rule explicitly
+            SELECT key, ts, event_id, NULL, NULL FROM l WHERE ts IS NULL
+            """
+        ).fetchall()
+        con.close()
+        exp = {
+            (k, None if pd.isna(ts) else ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts, i): (tag, note)
+            for k, ts, i, tag, note in exp_rows
+        }
+        assert got == exp, f"trial {trial}"
