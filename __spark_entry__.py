@@ -4953,6 +4953,22 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         return _median_batch_sec(sdf)
 
     @_with_src
+    def stream_quantiles_batch_p50(spark: SparkSession, src: str) -> float:
+        """Streaming bottom-k value quantiles (streaming/quantiles.py,
+        NEW r7): per-batch cost of the k-row-per-site sample fold."""
+        from pond_spark.streaming.follow import continue_stream
+        from pond_spark.streaming.quantiles import value_quantiles_stream
+
+        sdf = value_quantiles_stream(
+            continue_stream(
+                spark, src, watermark=None, max_files_per_trigger=1
+            ),
+            k=64,
+            value_col="duration_us",
+        )
+        return _median_batch_sec(sdf)
+
+    @_with_src
     def stream_asof_batch_p50(spark: SparkSession, src: str) -> float:
         """Streaming as-of join (streaming/asof.py, NEW r7): per-batch
         cost of the two chained stateful operators — watermarked
@@ -5166,6 +5182,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_cusum_batch_p50": stream_cusum_batch_p50,
         "stream_kmv_batch_p50": stream_kmv_batch_p50,
         "stream_asof_batch_p50": stream_asof_batch_p50,
+        "stream_quantiles_batch_p50": stream_quantiles_batch_p50,
         "stream_cusum_close_lag": stream_cusum_close_lag,
         "stream_kmv_close_lag": stream_kmv_close_lag,
         "stream_continue_first_live": stream_continue_first_live,

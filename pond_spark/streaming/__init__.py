@@ -1,6 +1,7 @@
 from pond_spark.streaming.anomaly import cusum_stream
 from pond_spark.streaming.asof import asof_join_stream
 from pond_spark.streaming.kmv import kmv_uniques_stream
+from pond_spark.streaming.quantiles import value_quantiles_stream
 from pond_spark.streaming.follow import continue_stream, follow_stream, follow_visitors
 from pond_spark.streaming.ingest import ingest_stream, read_metrics
 from pond_spark.streaming.ratelimit import rate_limit_stream
@@ -17,6 +18,7 @@ __all__ = [
     "asof_join_stream",
     "cusum_stream",
     "kmv_uniques_stream",
+    "value_quantiles_stream",
     "follow_stream",
     "continue_stream",
     "follow_visitors",

@@ -1211,3 +1211,65 @@ def test_asof_join_stream_multikey_and_empty_payload(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no payload columns"):
         asof_join_stream(ls, rs2, ["k1", "k2"], horizon_seconds=60)
+
+
+def test_value_quantiles_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming bottom-k value quantiles: after the stream drains,
+    each site's LAST emitted row equals the batch sketch serve path
+    (build_value_sketches + value_quantiles_over_range) on the same
+    rows — the merge identity across micro-batches — and a re-
+    delivered row does not skew the sample (dedupe on (bk, rid))."""
+    from pond_spark.operators.sketches import (
+        build_value_sketches,
+        value_quantiles_over_range,
+    )
+    from pond_spark.streaming import value_quantiles_stream
+
+    store = str(tmp_path / "store")
+    t0 = dt.datetime(2024, 3, 1, 8)
+
+    def vrows(ids, site):
+        rows = _rows(ids, site, t0)
+        for r in rows:
+            r["duration_us"] = (r["id"] * 37) % 1000
+        return rows
+
+    _write_batch(spark, store, vrows(range(1, 40), "a") + vrows([100], "b"))
+    _write_batch(spark, store, vrows(range(40, 80), "a") + vrows([101], "b"))
+    _write_batch(spark, store, vrows(range(40, 50), "a"))  # re-delivery
+
+    sdf = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(store)
+    )
+    _drain(
+        value_quantiles_stream(
+            sdf, k=16, quantiles=(0.5, 0.9), value_col="duration_us"
+        ),
+        "vq_live",
+        timeout=120,
+    )
+    rows = spark.sql("select * from vq_live").collect()
+    # last emission per site (rows append in batch order)
+    last = {}
+    for r in rows:
+        last[r.site] = (r.n_sample, r.q50, r.q90)
+
+    path = str(tmp_path / "sk")
+    build_value_sketches(
+        spark.read.parquet(store).dropDuplicates(["id"]),
+        path,
+        k=16,
+        value_col="duration_us",
+    )
+    exp = {
+        r.site: (r.n_sample, r.q50, r.q90)
+        for r in value_quantiles_over_range(
+            spark, path, "2020-01-01", "2030-01-01", k=16
+        ).collect()
+    }
+    assert last == exp
+    assert last["a"][0] == 16  # site a saturated the sample
+    assert last["b"][0] == 2  # site b exact while under k
