@@ -1273,3 +1273,64 @@ def test_value_quantiles_stream_matches_batch_sketch(spark, tmp_path):
     assert last == exp
     assert last["a"][0] == 16  # site a saturated the sample
     assert last["b"][0] == 2  # site b exact while under k
+
+
+def test_cusum_stream_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stateful-twin recovery: stop the CUSUM query after a partial
+    run, land more data, restart a NEW query object on the SAME
+    checkpoint — the open hour's count must resume from the restored
+    state (an hour spanning the restart closes with the CROSS-RESTART
+    total), with no duplicate or lost emissions in the sink."""
+    from pond_spark.streaming import cusum_stream
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 3, 1, 8)
+
+    def hr_rows(ids, hour, minute=5):
+        rows = _rows(ids, "a", t0)
+        for j, r in enumerate(rows):
+            r["timestamp"] = t0 + dt.timedelta(hours=hour, minutes=minute + j)
+        return rows
+
+    def run_available_now():
+        sdf = (
+            spark.readStream.schema(LOG_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(store)
+        )
+        q = (
+            cusum_stream(sdf, k=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: hour 0 (3 events) closes when hour 1 opens (2 events)
+    _write_batch(spark, store, hr_rows(range(1, 4), 0))
+    _write_batch(spark, store, hr_rows(range(4, 6), 1))
+    run_available_now()
+    got1 = {
+        (r.hour, r.cnt, r.cusum)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got1 == {(t0, 3, 1)}  # s = max(0, 3-2) = 1
+
+    # phase 2 (restart): 2 MORE hour-1 events, then hour 2 closes it —
+    # cnt must be the cross-restart total 4, cusum folds from s=1
+    _write_batch(spark, store, hr_rows(range(6, 8), 1, minute=40))
+    _write_batch(spark, store, hr_rows([9], 2))
+    run_available_now()
+    got2 = {
+        (r.hour, r.cnt, r.cusum)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got2 == {
+        (t0, 3, 1),
+        (t0 + dt.timedelta(hours=1), 4, 3),  # s = max(0, 1+4-2) = 3
+    }
