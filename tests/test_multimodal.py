@@ -507,3 +507,42 @@ def test_jpeg_decoder_fuzz_fails_fast():
         except Exception:
             pass
     assert time.time() - t0 < 20.0
+
+
+def test_media_ops_compose_with_structured_streaming(spark, tmp_path):
+    """The multimodal plumbing works on the LIVE path too: JVM-side
+    magic sniffing and the Arrow-batched mapInPandas decode both
+    compose with a streaming source (mapInPandas is streaming-safe —
+    stateless, per-partition), so a media-bearing ingest stream can
+    extract features without a batch detour."""
+    src = str(tmp_path / "media")
+    rows = [
+        (1, "image", bytes.fromhex("89504e47") + b"streampng",
+         "image/png", 10, 10, None),
+        (2, "image", bytes.fromhex("ffd8ffe0") + b"streamjpg",
+         None, None, None, None),
+        (3, "image", None, None, None, None, None),
+    ]
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+    q = (
+        decode_media_batch(extract_media_meta(stream).drop(
+            "payload_bytes", "sniffed_mime"
+        ))
+        .writeStream.format("memory")
+        .queryName("media_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.media_id: r for r in spark.sql("select * from media_live").collect()}
+    batch = {r.media_id: r for r in decode_media_batch(
+        spark.read.parquet(src)).collect()}
+    assert set(got) == set(batch) == {1, 2, 3}
+    for mid in got:
+        assert got[mid].n_pixels == batch[mid].n_pixels
+        assert list(got[mid].feat or []) == list(batch[mid].feat or [])
