@@ -1607,7 +1607,11 @@ def q_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalize day -> '<other>' per site and re-test; a still-under-k
     remainder would drop entirely. The distinct-count basis uses the
     exact join-back (summing per-group distincts would overstate the
-    merged population and publish under-k cells)."""
+    merged population and publish under-k cells). The fixture plants a
+    NULL-site under-k group whose generalization STAYS under k — it
+    must flow into the catchall basis through a null-safe join-back
+    (the r7 review fix: the plain semi-join dropped NULL-lead rows
+    where the SQL twin's IS NOT DISTINCT FROM kept them)."""
     from pond_spark.operators.kanon import kanonymize_counts
 
     logs = events_as_logs(spark, sf_dir).select(
@@ -1615,8 +1619,31 @@ def q_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
         "remote_host",
     )
+    # 40 NULL-site rows over 10 distinct hosts (under k at both
+    # levels), plus 6 pool sites x 9 hosts (each under k at both
+    # levels): pooled distinct = 64 >= k, so the catchall ALWAYS
+    # publishes and its count provably includes the NULL-lead rows —
+    # the pre-fix join-back would omit them (fewer rows or a smaller
+    # n, either way a hash mismatch)
+    edge_null = spark.range(40).select(
+        F.lit(None).cast("string").alias("site"),
+        F.lit("2031-01-01").alias("day"),
+        F.format_string("nullsite-h%d", F.pmod(F.col("id"), F.lit(10))).alias(
+            "remote_host"
+        ),
+    )
+    edge_pool = spark.range(108).select(
+        F.format_string("zz-pool-%d", F.col("id") % 6).alias("site"),
+        F.lit("2031-01-01").alias("day"),
+        F.format_string(
+            "pool-%d-h%d", F.col("id") % 6, (F.col("id") / 6).cast("long") % 9
+        ).alias("remote_host"),
+    )
     return kanonymize_counts(
-        logs, ("site", "day"), k=60, protect="remote_host"
+        logs.unionByName(edge_null).unionByName(edge_pool),
+        ("site", "day"),
+        k=60,
+        protect="remote_host",
     )
 
 
@@ -1625,7 +1652,14 @@ def _kanon_export_sql() -> str:
 
     inner = (
         f"(WITH {LOGS_CTE} SELECT site, "
-        "strftime(\"timestamp\", '%Y-%m-%d') AS day, remote_host FROM logs)"
+        "strftime(\"timestamp\", '%Y-%m-%d') AS day, remote_host FROM logs "
+        "UNION ALL SELECT CAST(NULL AS VARCHAR), '2031-01-01', "
+        "'nullsite-h' || CAST(i % 10 AS VARCHAR) "
+        "FROM generate_series(0, 39) t(i) "
+        "UNION ALL SELECT 'zz-pool-' || CAST(i % 6 AS VARCHAR), "
+        "'2031-01-01', 'pool-' || CAST(i % 6 AS VARCHAR) || '-h' || "
+        "CAST((i // 6) % 9 AS VARCHAR) "
+        "FROM generate_series(0, 107) t(i))"
     )
     return kanonymize_counts_sql(
         inner, ("site", "day"), k=60, protect="remote_host"
@@ -4582,7 +4616,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r7 window (decode_wav signature)
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
+    "kanon_export": (q_kanon_export, None),  # below-window carry (r6 green, unchanged r7)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "embedding_catalog_incremental": (
@@ -4605,7 +4639,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # below-window carry (r6 green, unchanged r7)
     "bitext_pairs": (q_bitext_pairs, None),  # below-window carry (r6 green, unchanged r7)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # below-window carry (r6 green, unchanged r7)
-    "kanon_export": (q_kanon_export, None),  # below-window carry (r6 green, unchanged r7)
+    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "pagerank_top": (q_pagerank_top, None),  # below-window carry (r6 green, unchanged r7)
     "stats": (q_stats, STATS_SQL),  # below-window carry (r6 green, unchanged r7)
     "time_sugar": (q_time_sugar, None),  # below-window carry (r6 green, unchanged r7)

@@ -109,8 +109,17 @@ def kanonymize_counts(
         # distinct count is under k — this holds with or without
         # trailing dims, so the join-back runs in both shapes.
         if trail:
-            rest_rows = suppressed_rows().join(
-                F.broadcast(rest.select(lead)), [lead], "left_semi"
+            # null-SAFE join-back (r7 review fix): a plain [lead]
+            # semi-join silently dropped NULL-lead suppressed rows
+            # from the final bucket's basis, while the SQL twin's
+            # IS NOT DISTINCT FROM counted them — cross-engine
+            # divergence AND an understated catchall
+            sr = suppressed_rows()
+            rest_leads = rest.select(lead)
+            rest_rows = sr.join(
+                F.broadcast(rest_leads),
+                sr[lead].eqNullSafe(rest_leads[lead]),
+                "left_semi",
             )
         else:
             rest_rows = suppressed_rows()

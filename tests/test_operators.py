@@ -1500,3 +1500,30 @@ def test_asof_join_fuzz_matches_duckdb_asof(spark):
             for k, ts, i, tag, note in exp_rows
         }
         assert got == exp, f"trial {trial}"
+
+
+def test_kanonymize_null_lead_rows_reach_the_catchall(spark):
+    """r7 review fix: a NULL-lead group that stays suppressed after
+    generalization must contribute its rows AND its distinct basis to
+    the final all-<other> bucket (the null-unsafe join-back silently
+    dropped them, understating — or entirely suppressing — the
+    catchall while the SQL twin counted them)."""
+    from pond_spark.operators.kanon import OTHER, kanonymize_counts
+
+    rows = (
+        # NULL-lead group: 2 distinct users, under k at both levels
+        [(None, "d1", f"nu{i % 2}") for i in range(6)]
+        # two pool sites x 2 users: under k per level, pooled = 4
+        + [(f"s{i % 2}", "d1", f"p{i % 2}-u{i % 4 // 2}") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "site string, day string, user string")
+    out = {
+        (r.site, r.day): r.n
+        for r in kanonymize_counts(
+            df, ("site", "day"), k=5, protect="user"
+        ).collect()
+    }
+    # pooled distinct = 2 (null) + 4 (pools) = 6 >= 5 -> catchall
+    # publishes with ALL 14 rows; without the null-safe join-back it
+    # would pool only 4 distinct users and publish nothing
+    assert out == {(OTHER, OTHER): 14}
