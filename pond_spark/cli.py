@@ -407,7 +407,7 @@ def build(
     return out.select(line.alias("line"))
 
 
-_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack", "catalog")
+_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack", "catalog", "index")
 
 _SKETCH_USAGE = (
     "usage: ... sketch SUBCOMMAND ARGS\n"
@@ -758,6 +758,150 @@ def _run_catalog(spark, rest: list[str]) -> int:
     return 2
 
 
+_INDEX_USAGE = (
+    "usage: ... index SUBCOMMAND ARGS\n"
+    "  build-text   IX DOCS_PARQUET [--text-col=text] [--id-col=doc_id]\n"
+    "               [--n-buckets=64]\n"
+    "  append-text  IX DOCS_PARQUET [--text-col=] [--id-col=]\n"
+    "  compact-text IX\n"
+    "  search-text  IX TERM... [--topk=10]\n"
+    "  build-ivf    IX VECS_PARQUET [--n-centroids=16] [--pq-m=N]\n"
+    "               [--vec-col=embedding] [--id-col=vec_id]\n"
+    "  append-ivf   IX VECS_PARQUET\n"
+    "  compact-ivf  IX\n"
+    "  search-ivf   IX V1,V2,... [--topk=10] [--nprobe=4] [--adc]"
+)
+
+
+def _run_index(spark, rest: list[str]) -> int:
+    """``index`` command group — the operator-facing surface for the
+    two persisted serving indexes (functions/lexindex.py TextIndex,
+    similarity/index.py IVFIndex): build/append/compact maintain the
+    segment/list directories; the search subcommands answer from the
+    index alone. Output is one stable ``key=value`` line per hit."""
+    text_col, id_col, vec_col = "text", None, "embedding"
+    n_buckets, n_centroids, pq_m = 64, 16, None
+    topk, nprobe, adc = 10, 4, False
+    args: list[str] = []
+    for a in rest:
+        if (v := _filter_value(a, "--text-col")) is not None:
+            text_col = v
+        elif (v := _filter_value(a, "--id-col")) is not None:
+            id_col = v
+        elif (v := _filter_value(a, "--vec-col")) is not None:
+            vec_col = v
+        elif (v := _filter_value(a, "--n-buckets")) is not None:
+            n_buckets = int(v)
+        elif (v := _filter_value(a, "--n-centroids")) is not None:
+            n_centroids = int(v)
+        elif (v := _filter_value(a, "--pq-m")) is not None:
+            pq_m = int(v)
+        elif (v := _filter_value(a, "--topk")) is not None:
+            topk = int(v)
+        elif (v := _filter_value(a, "--nprobe")) is not None:
+            nprobe = int(v)
+        elif a == "--adc":
+            adc = True
+        else:
+            args.append(a)
+    if not args:
+        print(_INDEX_USAGE, file=sys.stderr)
+        return 2
+    sub, args = args[0], args[1:]
+    known = (
+        "build-text", "append-text", "compact-text", "search-text",
+        "build-ivf", "append-ivf", "compact-ivf", "search-ivf",
+    )
+    if sub not in known:
+        print(_INDEX_USAGE, file=sys.stderr)
+        return 2
+    try:
+        if sub == "build-text":
+            from pond_spark.functions.lexindex import build_text_index
+
+            path, data = args
+            ix = build_text_index(
+                spark.read.parquet(data), path,
+                text_col, id_col or "doc_id", n_buckets,
+            )
+            print(f"built text index path={path} n_docs={ix.n_docs}")
+            return 0
+        if sub == "append-text":
+            from pond_spark.functions.lexindex import TextIndex
+
+            path, data = args
+            ix = TextIndex(spark, path).append(
+                spark.read.parquet(data), text_col, id_col or "doc_id"
+            )
+            print(f"appended path={path} n_docs={ix.n_docs}")
+            return 0
+        if sub == "compact-text":
+            from pond_spark.functions.lexindex import TextIndex
+
+            (path,) = args
+            TextIndex(spark, path).compact()
+            print(f"compacted path={path}")
+            return 0
+        if sub == "search-text":
+            from pond_spark.functions.lexindex import TextIndex
+
+            path, terms = args[0], args[1:]
+            if not terms:
+                raise ValueError("search-text needs at least one TERM")
+            for r in TextIndex(spark, path).search(terms, k=topk).collect():
+                print(
+                    f"doc_id={r[0]} n_terms={r[1]} score_q={r[2]}"
+                )
+            return 0
+        if sub == "build-ivf":
+            from pond_spark.similarity.index import build_ivf_index
+
+            path, data = args
+            build_ivf_index(
+                spark.read.parquet(data), path,
+                n_centroids=n_centroids, vec_col=vec_col,
+                id_col=id_col or "vec_id", pq_m=pq_m,
+            )
+            print(f"built ivf index path={path} n_centroids={n_centroids}")
+            return 0
+        if sub == "append-ivf":
+            from pond_spark.similarity.index import IVFIndex
+
+            path, data = args
+            IVFIndex(spark, path).append(spark.read.parquet(data))
+            print(f"appended path={path}")
+            return 0
+        if sub == "compact-ivf":
+            from pond_spark.similarity.index import IVFIndex
+
+            (path,) = args
+            stats = IVFIndex(spark, path).compact()
+            print(f"compacted path={path} {stats}")
+            return 0
+        if sub == "search-ivf":
+            from pond_spark.similarity.index import IVFIndex
+
+            path, qcsv = args
+            qvec = [float(x) for x in qcsv.split(",")]
+            ix = IVFIndex(spark, path)
+            hits = (
+                ix.search_adc(qvec, k=topk, nprobe=nprobe)
+                if adc
+                else ix.search(qvec, k=topk, nprobe=nprobe)
+            )
+            for r in hits.collect():
+                print(f"{ix.id_col}={r[0]} cosine={r[1]}")
+            return 0
+    except (ValueError, TypeError) as e:
+        print(str(e) or _INDEX_USAGE, file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"no index at that path: {e}", file=sys.stderr)
+        return 2
+    print(_INDEX_USAGE, file=sys.stderr)
+    return 2
+
+
 def _run_follow(
     spark,
     store_dir: str,
@@ -888,7 +1032,7 @@ def main(argv: list[str] | None = None) -> int:
     if store is None:
         print(
             "usage: python -m pond_spark.cli --store=DIR "
-            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack|catalog SUB] "
+            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack|catalog SUB|index SUB] "
             "[ARGS]",
             file=sys.stderr,
         )
@@ -946,6 +1090,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_pack(spark, rest)
     if command == "catalog":
         return _run_catalog(spark, rest)
+    if command == "index":
+        return _run_index(spark, rest)
 
     try:
         parsed = parse_query_args(rest)

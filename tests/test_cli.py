@@ -716,3 +716,55 @@ def test_cli_catalog_group_embedding(spark, store_dir, tmp_path, capsys):
     assert main([f"--store={store_dir}", "catalog", "emb-filter",
                  ecat, probe]) == 2
     assert "--dim" in capsys.readouterr().err
+
+
+def test_cli_index_group_text_and_ivf(spark, store_dir, tmp_path, capsys):
+    """r7: the index subcommand group — build/append/search/compact
+    the persisted BM25 and IVF indexes from parquet tables."""
+    from pond_spark.cli import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "spark streams and windows"), (2, "vector hash windows"),
+         (3, "totally unrelated prose")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    tix = str(tmp_path / "tix")
+    assert main([f"--store={store_dir}", "index", "build-text", tix,
+                 docs]) == 0
+    assert "n_docs=3" in capsys.readouterr().out
+    assert main([f"--store={store_dir}", "index", "search-text", tix,
+                 "windows", "--topk=2"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_id=" in out and "score_q=" in out
+    more = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [(4, "windows again")], "doc_id long, text string"
+    ).write.parquet(more)
+    assert main([f"--store={store_dir}", "index", "append-text", tix,
+                 more]) == 0
+    assert "n_docs=4" in capsys.readouterr().out
+    assert main([f"--store={store_dir}", "index", "compact-text", tix]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "index", "search-text", tix,
+                 "windows"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 3
+
+    vecs = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(vecs)
+    vix = str(tmp_path / "vix")
+    assert main([f"--store={store_dir}", "index", "build-ivf", vix, vecs,
+                 "--n-centroids=3"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "index", "search-ivf", vix,
+                 "1.0,0.0,0.0", "--topk=3", "--nprobe=2"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("cosine=1.0") == 3  # the exact-match third
+    # usage errors
+    assert main([f"--store={store_dir}", "index"]) == 2
+    assert main([f"--store={store_dir}", "index", "no-such", "a"]) == 2
+    assert main([f"--store={store_dir}", "index", "search-text", tix]) == 2
