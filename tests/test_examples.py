@@ -50,3 +50,10 @@ def test_example_search_serving(tmp_path, capsys):
 def test_example_tokenize_and_pack(tmp_path, capsys):
     out = _run("tokenize_and_pack", [SF, str(tmp_path / "pk")], capsys)
     assert out.strip()
+
+
+@pytest.mark.usefixtures("spark")
+def test_example_stream_curation(tmp_path, capsys):
+    out = _run("stream_curation", [SF, str(tmp_path / "sc")], capsys)
+    assert "batch=2 curated_rows=0" in out  # catalog gated re-delivery
+    assert "catalog-gated" in out
