@@ -41,26 +41,32 @@ def dedup_exact(
     semi-join would keep EVERY row sharing a keeper's id — including
     duplicate content under a reused id (r4 review finding).
 
-    NULL-text rows pass through untouched — absent content proves no
-    duplication, so each such row is unique (the corpus_profile rule).
-    Before the r7 review fix they were silently DELETED: sha2(NULL) is
-    NULL, the groupBy pooled them into one keeper group, and the
-    null-UNsafe semi-join equality then matched none of them."""
-    nulls = df.filter(F.col(text_col).isNull())
-    nn = df.filter(F.col(text_col).isNotNull())
+    NULL-text rows are each UNIQUE — absent content proves no
+    duplication (the corpus_profile rule). Before the r7 review fix
+    they were silently DELETED: sha2(NULL) is NULL, the groupBy pooled
+    them into one keeper group, and the null-UNsafe semi-join equality
+    then matched none of them. The rule is implemented branch-free by
+    giving each NULL-text row a fabricated per-row digest in a
+    namespace no real sha can collide with (non-hex ' null:' prefix +
+    the id) — a filter/union split would instead DUPLICATE the
+    upstream subtree in composed plans (measured +6 exchanges on the
+    curation chain for a provably-empty branch). Rows where the id is
+    ALSO NULL share one fabricated digest and collapse — ids are
+    non-null by contract everywhere this runs."""
+    digest = F.coalesce(
+        F.sha2(F.col(text_col), 256),
+        F.concat_ws("", F.lit(" null:"), F.col(id_col).cast("string")),
+    )
     keepers = (
-        nn.select(
-            F.sha2(F.col(text_col), 256).alias("_dedup_sha"), F.col(id_col)
-        )
+        df.select(digest.alias("_dedup_sha"), F.col(id_col))
         .groupBy("_dedup_sha")
         .agg(F.min(id_col).alias(id_col))
     )
-    deduped = (
-        nn.withColumn("_dedup_sha", F.sha2(F.col(text_col), 256))
+    return (
+        df.withColumn("_dedup_sha", digest)
         .join(keepers, on=["_dedup_sha", id_col], how="leftsemi")
         .drop("_dedup_sha")
     )
-    return deduped.unionByName(nulls)
 
 
 class DigestCatalog:
