@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -110,8 +111,16 @@ class _HadoopFS:
         self._fs.delete(self._p(path), True)
 
 
+#: URI scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":".
+#: Matching the scheme itself (not "://") covers the single-slash forms
+#: Hadoop accepts and Spark emits ("file:/tmp/x") — os.path.exists on
+#: those is False, so treating them as local silently no-ops every
+#: sidecar validation (ADVICE r7).
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def _is_local_path(path: str) -> bool:
-    return "://" not in path
+    return _SCHEME_RE.match(path) is None
 
 
 def _fs_for(spark: SparkSession, path: str):

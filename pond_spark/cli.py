@@ -717,10 +717,11 @@ def _run_catalog(spark, rest: list[str]) -> int:
             print(f"registered path={path}")
             return 0
         if sub == "digest-filter":
+            # default to the conventional id name like the minhash/emb
+            # subcommands — docs.columns[0] was a positional guess that
+            # could silently pick the text column as the id (ADVICE r7)
             return emit(
-                open_digest(path).filter_new(
-                    docs, text_col, id_col or docs.columns[0]
-                )
+                open_digest(path).filter_new(docs, text_col, id_col or "doc_id")
             )
         mh_id = id_col or "doc_id"
         if sub == "minhash-register":

@@ -48,7 +48,7 @@ def cm_join_size(
     # dot products are cell-wise (no re-hashing), but a table stamped
     # with a different hash family than this build means its cells
     # were written by incompatible writers — refuse (ADVICE r6)
-    _check_cm_params(path)
+    _check_cm_params(spark, path)
     sk = spark.read.parquet(path)
 
     def grid(lo: str, hi: str, name: str) -> DataFrame:

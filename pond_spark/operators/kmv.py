@@ -123,7 +123,7 @@ def build_kmv_sketches(
         .partitionBy("day")
         .parquet(path)
     )
-    _write_bk_params(path, k, seed)
+    _write_bk_params(logs.sparkSession, path, k, seed)
 
 
 def update_kmv_sketches(
@@ -141,7 +141,7 @@ def update_kmv_sketches(
     same discipline as the HLL/CM sketch updaters. (k, seed) must
     match the build sidecar exactly — mixed-parameter day partitions
     would poison later merges."""
-    _check_bk_params(path, k, seed, kind="KMV sketch")
+    _check_bk_params(logs.sparkSession, path, k, seed, kind="KMV sketch")
     daily = _daily_bottom_k(
         logs.filter(
             F.date_format(F.col(ts_col), "yyyy-MM-dd").isin(days)
@@ -199,7 +199,7 @@ def kmv_uniques_over_range(
     ``(site, uniques_est, n_keys, theta)``. Serve-time k must not
     exceed the build k (sidecar-validated: a larger k would read a
     non-uniform merged sample and overshoot)."""
-    _check_bk_params(path, k, None, serve=True, kind="KMV sketch")
+    _check_bk_params(spark, path, k, None, serve=True, kind="KMV sketch")
     sk = spark.read.parquet(path)
     _bot, th = _merged_side(sk, lo, hi, k, "x")
     return th.select(
@@ -233,7 +233,7 @@ def kmv_churn(
     the set-algebra terms below ``theta = min(theta_a, theta_b)``.
     Everything after the partition-pruned sketch read is k-bounded.
     Serve-time k is sidecar-validated like kmv_uniques_over_range."""
-    _check_bk_params(path, k, None, serve=True, kind="KMV sketch")
+    _check_bk_params(spark, path, k, None, serve=True, kind="KMV sketch")
     sk = spark.read.parquet(path)
     bot_a, th_a = _merged_side(sk, a_lo, a_hi, k, "a")
     bot_b, th_b = _merged_side(sk, b_lo, b_hi, k, "b")

@@ -70,6 +70,6 @@ SELECT {g}, count(*) AS n_docs,
        CAST(sum({tc}) AS BIGINT) AS n_tokens,
        CAST(sum(length(text)) AS BIGINT) AS n_chars,
        CAST({uniq} AS BIGINT) AS n_unique,
-       (count(*) - {uniq}) * 1000000 // count(*) AS dup_ppm
+       CAST((count(*) - {uniq}) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM {table} GROUP BY {g}
 """

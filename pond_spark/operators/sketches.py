@@ -178,7 +178,33 @@ def _bk_key(id_col: str, seed: int) -> F.Column:
     )
 
 
+def quantile_col_names(quantiles) -> list[str]:
+    """Stable, collision-free output names for quantile columns: the
+    quantile's decimal digits verbatim — q50 for 0.5, q90 for 0.9,
+    q999 for 0.999, q05 for 0.05, q100 for 1.0. The previous
+    ``round(q*100)`` rule mapped (0.999, 1.0) both to 'q100'
+    (duplicate StructFields in the stream's state schema) and
+    banker's-rounded 0.125 to 'q12' (ADVICE r7). Shared by the batch
+    serve (value_quantiles_over_range) and the live twin
+    (streaming/quantiles.py) so their output schemas stay EQUAL."""
+    names = []
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of range (0, 1]: {q}")
+        if q == 1.0:
+            names.append("q100")
+            continue
+        frac = f"{q:.10g}".split(".")[1]
+        if len(frac) == 1:
+            frac += "0"  # back-compat: 0.5 stays q50, not q5
+        names.append(f"q{frac}")
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile column names collide: {names}")
+    return names
+
+
 def _check_bk_params(
+    spark: SparkSession,
     path: str,
     k: int,
     seed: int | None,
@@ -194,15 +220,21 @@ def _check_bk_params(
     later merges). Tables written before the sidecar existed validate
     against nothing (best-effort compatibility). Shared by the value
     sketches here and the KMV/theta sketches (operators/kmv.py) —
-    ``kind`` labels the error."""
-    import json
-    import os
+    ``kind`` labels the error.
 
+    Sidecar I/O goes through catalog._fs_for, never builtin open():
+    the parquet table itself supports hdfs://-style paths, so the
+    sidecar must too, or remote tables silently skip validation
+    (ADVICE r7)."""
+    import json
+
+    from pond_spark.catalog import _fs_for
+
+    fs = _fs_for(spark, path)
     sidecar = path + ".params.json"
-    if not os.path.exists(sidecar):
+    if not fs.exists(sidecar):
         return
-    with open(sidecar) as fh:
-        stored = json.load(fh)
+    stored = json.loads(fs.read_text(sidecar))
     if seed is not None and stored.get("seed") != seed:
         raise ValueError(
             f"{kind} table at {path} was built with seed="
@@ -223,11 +255,14 @@ def _check_bk_params(
         )
 
 
-def _write_bk_params(path: str, k: int, seed: int) -> None:
+def _write_bk_params(spark: SparkSession, path: str, k: int, seed: int) -> None:
     import json
 
-    with open(path + ".params.json", "w") as fh:
-        json.dump({"k": int(k), "seed": int(seed)}, fh)
+    from pond_spark.catalog import _fs_for
+
+    _fs_for(spark, path).write_text(
+        path + ".params.json", json.dumps({"k": int(k), "seed": int(seed)})
+    )
 
 
 #: CM hash-family version: 2 = per-row MULTIPLIERS (cm_row_mult, the
@@ -238,22 +273,30 @@ def _write_bk_params(path: str, k: int, seed: int) -> None:
 CM_HASH_VERSION = 2
 
 
-def _write_cm_params(path: str, depth: int, width: int) -> None:
+def _write_cm_params(
+    spark: SparkSession, path: str, depth: int, width: int
+) -> None:
     import json
 
-    with open(path + ".params.json", "w") as fh:
-        json.dump(
+    from pond_spark.catalog import _fs_for
+
+    _fs_for(spark, path).write_text(
+        path + ".params.json",
+        json.dumps(
             {
                 "hash_version": CM_HASH_VERSION,
                 "depth": int(depth),
                 "width": int(width),
-            },
-            fh,
-        )
+            }
+        ),
+    )
 
 
 def _check_cm_params(
-    path: str, depth: int | None = None, width: int | None = None
+    spark: SparkSession,
+    path: str,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> None:
     """Refuse to update or serve a CM table whose sidecar disagrees on
     hash family, depth or width — cell indices are a function of all
@@ -261,15 +304,17 @@ def _check_cm_params(
     cells land in wrong columns; the min-over-rows estimate can fall
     BELOW the true count). Tables written before the sidecar existed
     (both hash families, indistinguishable) validate against nothing —
-    best-effort, like the bottom-k sidecar."""
+    best-effort, like the bottom-k sidecar. Sidecar I/O through
+    catalog._fs_for so hdfs://-style tables validate too (ADVICE r7)."""
     import json
-    import os
 
+    from pond_spark.catalog import _fs_for
+
+    fs = _fs_for(spark, path)
     sidecar = path + ".params.json"
-    if not os.path.exists(sidecar):
+    if not fs.exists(sidecar):
         return
-    with open(sidecar) as fh:
-        stored = json.load(fh)
+    stored = json.loads(fs.read_text(sidecar))
     if stored.get("hash_version", CM_HASH_VERSION) != CM_HASH_VERSION:
         raise ValueError(
             f"CM table at {path} was built with hash_version="
@@ -334,7 +379,7 @@ def build_value_sketches(
         .partitionBy("day")
         .parquet(path)
     )
-    _write_bk_params(path, k, seed)
+    _write_bk_params(logs.sparkSession, path, k, seed)
 
 
 def value_quantiles_over_range(
@@ -358,7 +403,7 @@ def value_quantiles_over_range(
     the params sidecar) — the merge identity breaks upward."""
     from pyspark.sql.window import Window
 
-    _check_bk_params(path, k, seed=None, serve=True)
+    _check_bk_params(spark, path, k, seed=None, serve=True)
     sk = spark.read.parquet(path).filter(
         (F.col("day") >= start_day) & (F.col("day") <= end_day)
     )
@@ -376,8 +421,8 @@ def value_quantiles_over_range(
             F.when(
                 F.col("_vr") == F.ceil(F.lit(q) * F.col("_m")), F.col("value")
             )
-        ).alias(f"q{round(q * 100)}")
-        for q in quantiles
+        ).alias(name)
+        for q, name in zip(quantiles, quantile_col_names(quantiles))
     ]
     return sized.groupBy("site").agg(
         F.max("_m").cast("long").alias("n_sample"), *picks
@@ -477,7 +522,7 @@ def build_cm_sketches(
         .partitionBy("day")
         .parquet(path)
     )
-    _write_cm_params(path, depth, width)
+    _write_cm_params(logs.sparkSession, path, depth, width)
 
 
 def update_cm_sketches(
@@ -496,8 +541,8 @@ def update_cm_sketches(
     layout here."""
     from pond_spark.functions.text import fingerprint
 
-    _check_cm_params(path, depth, width)
     spark = logs.sparkSession
+    _check_cm_params(spark, path, depth, width)
     keyed = (
         logs.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .groupBy(
@@ -563,7 +608,7 @@ def cm_estimate_over_range(
     Returns ``(key, est)``; est ≥ the true range count, always."""
     from pond_spark.functions.text import fingerprint
 
-    _check_cm_params(path, depth, width)
+    _check_cm_params(spark, path, depth, width)
     cells = (
         spark.read.parquet(path)
         .filter((F.col("day") >= start_day) & (F.col("day") <= end_day))
@@ -615,7 +660,7 @@ def update_value_sketches(
             F.col(id_col).alias("rid"),
         )
     )
-    _check_bk_params(path, k, seed)
+    _check_bk_params(spark, path, k, seed)
     batch = batch.persist()  # feeds the days collect AND the write
     try:
         days = [r.day for r in batch.select("day").distinct().collect()]

@@ -85,6 +85,10 @@ def asof_join_stream(
     when duplicate rows must survive; (2) a left row with a NULL
     timestamp never emits (no event time = no close signal), where
     the batch twin emits it with NULL payload.
+
+    NULL keys are NOT a divergence: the join keys compare with
+    ``eqNullSafe``, matching the batch twin's ``Window.partitionBy``
+    which groups NULL keys together (ADVICE r7).
     """
     if not key_cols:
         raise ValueError(
@@ -148,9 +152,15 @@ def asof_join_stream(
         )
         .withWatermark("_rts", watermark)
     )
+    # eqNullSafe, not ==: the batch twin's Window.partitionBy groups
+    # NULL keys together, so a NULL-key left row CAN carry a NULL-key
+    # right row — a null-unsafe join key here silently NULL-padded
+    # those rows instead (ADVICE r7). <=> is still an equi-join key
+    # (ExtractEquiJoinKeys handles EqualNullSafe), so the streaming
+    # symmetric hash join and its state eviction are unchanged.
     cond = F.lit(True)
     for c, k in zip(key_cols, keys):
-        cond = cond & (F.col(c) == F.col(k))
+        cond = cond & F.col(c).eqNullSafe(F.col(k))
     cond = (
         cond
         & (F.col("_rts") <= F.col(ts_col))

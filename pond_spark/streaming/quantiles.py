@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pond_spark.operators.sketches import _bk_key
+from pond_spark.operators.sketches import _bk_key, quantile_col_names
 
 __all__ = ["value_quantiles_stream"]
 
@@ -57,7 +57,9 @@ def value_quantiles_stream(
     then the bottom-k uniform-sample estimate (rank error
     ~O(1/sqrt(k)))."""
     qs = list(quantiles)
-    qnames = [f"q{round(q * 100)}" for q in qs]
+    # shared with the batch serve so both surfaces name columns
+    # identically; raises on (0.999, 1.0)-style collisions (ADVICE r7)
+    qnames = quantile_col_names(qs)
     keyed = sdf.filter(
         F.col(site_col).isNotNull()
         & F.col(value_col).isNotNull()

@@ -1389,6 +1389,72 @@ def test_value_sketch_k_sidecar_guards_merge_identity(spark, tmp_path):
         update_value_sketches(logs, path, k=16, seed=99)
 
 
+def test_sketch_sidecars_work_on_schemed_paths(spark, tmp_path):
+    """ADVICE r7 (medium): the sketch params sidecars went through
+    builtin open()/os.path while the parquet table itself supports
+    hdfs://-style paths — on a schemed path the table wrote fine, the
+    sidecar write raised FileNotFoundError, and the checks silently
+    no-opped (defeating the mismatch guard). Sidecar I/O now routes
+    through catalog._fs_for; exercised end-to-end on file:// (the
+    RawLocalFileSystem implements the same API as the hdfs:// client)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pond_spark.catalog import _HadoopFS
+    from pond_spark.operators.kmv import (
+        build_kmv_sketches,
+        kmv_uniques_over_range,
+    )
+    from pond_spark.operators.sketches import (
+        build_cm_sketches,
+        cm_estimate_over_range,
+        update_cm_sketches,
+    )
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 3, 1) + dt.timedelta(hours=i % 24),
+            "a",
+            f"h{i % 7}",
+            f"m{i % 5}",
+        )
+        for i in range(200)
+    ]
+    logs = spark.createDataFrame(
+        rows,
+        "id long, timestamp timestamp, site string, remote_host string,"
+        " message string",
+    )
+    kpath = f"file://{tmp_path}/kmv_schemed"
+    build_kmv_sketches(logs, kpath, k=16)
+    fs = _HadoopFS(spark, kpath)
+    assert fs.exists(kpath + ".params.json")  # sidecar landed remotely
+    # and the guard actually fires on a schemed path (no silent no-op)
+    with _pytest.raises(ValueError, match="exceed"):
+        kmv_uniques_over_range(spark, kpath, "2024-03-01", "2024-03-01", k=64)
+    assert (
+        kmv_uniques_over_range(
+            spark, kpath, "2024-03-01", "2024-03-01", k=16
+        ).count()
+        == 1
+    )
+
+    cpath = f"file://{tmp_path}/cm_schemed"
+    build_cm_sketches(logs, cpath, depth=2, width=64)
+    assert fs.exists(cpath + ".params.json")
+    with _pytest.raises(ValueError, match="incompatible"):
+        update_cm_sketches(logs, cpath, depth=2, width=32)
+    keys = spark.createDataFrame([("m1",)], "key string")
+    assert (
+        cm_estimate_over_range(
+            spark, cpath, keys, "2024-03-01", "2024-03-01", depth=2, width=64
+        ).count()
+        == 1
+    )
+
+
 def test_cm_rows_are_collision_decorrelated():
     """Regression (r6 review): with a shared multiplier and per-row
     additive offsets, a key pair colliding in row 0 collided in every
@@ -1527,3 +1593,22 @@ def test_kanonymize_null_lead_rows_reach_the_catchall(spark):
     # publishes with ALL 14 rows; without the null-safe join-back it
     # would pool only 4 distinct users and publish nothing
     assert out == {(OTHER, OTHER): 14}
+
+
+def test_quantile_col_names_unique_and_full_precision():
+    """ADVICE r7: round(q*100) mapped (0.999, 1.0) both to 'q100'
+    (duplicate StructFields in the stream state schema) and
+    banker's-rounded 0.125 to 'q12'. Names now carry the decimal
+    digits verbatim and collisions raise."""
+    import pytest as _pytest
+
+    from pond_spark.operators.sketches import quantile_col_names
+
+    assert quantile_col_names((0.5, 0.9)) == ["q50", "q90"]
+    assert quantile_col_names((0.999, 1.0)) == ["q999", "q100"]
+    assert quantile_col_names((0.125, 0.135)) == ["q125", "q135"]
+    assert quantile_col_names((0.05, 0.5)) == ["q05", "q50"]
+    with _pytest.raises(ValueError, match="collide"):
+        quantile_col_names((0.5, 0.50))
+    with _pytest.raises(ValueError, match="out of range"):
+        quantile_col_names((0.0,))

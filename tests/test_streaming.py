@@ -997,7 +997,10 @@ def test_asof_join_stream_fuzz_parity_with_batch(spark, tmp_path):
     lrows, rrows = [], []
     eid = 0
     for k in range(30):
-        key = f"k{k}"
+        # one NULL-key group: the stream joins with eqNullSafe so a
+        # NULL-key left row carries a NULL-key right row exactly like
+        # the batch twin's Window.partitionBy (ADVICE r7)
+        key = None if k == 7 else f"k{k}"
         # clustered seconds: many collisions at the same instant and
         # gaps larger than the horizon
         for _ in range(rng.randint(0, 8)):
@@ -1032,12 +1035,12 @@ def test_asof_join_stream_fuzz_parity_with_batch(spark, tmp_path):
     got = {
         (r.key, r.timestamp, r.event_id): (r.tag, r.marker_ts)
         for r in spark.sql(
-            "select * from asof_fuzz where key != 'kz'"
+            "select * from asof_fuzz where key IS DISTINCT FROM 'kz'"
         ).collect()
     }
     batch = asof_join(
-        spark.read.parquet(ldir).filter(F.col("key") != "kz"),
-        spark.read.parquet(rdir).filter(F.col("key") != "kz"),
+        spark.read.parquet(ldir).filter(~F.col("key").eqNullSafe(F.lit("kz"))),
+        spark.read.parquet(rdir).filter(~F.col("key").eqNullSafe(F.lit("kz"))),
         ["key"],
     )
     exp = {}
@@ -1050,6 +1053,9 @@ def test_asof_join_stream_fuzz_parity_with_batch(spark, tmp_path):
         )
     assert got == exp
     assert len(exp) >= 50  # the draw actually produced volume
+    # the NULL-key group exists AND carried at least one real match —
+    # proves the eqNullSafe key, not just NULL-padding symmetry
+    assert any(k[0] is None and v[0] is not None for k, v in exp.items())
     # every regime is present in the expectation set
     outcomes = set(exp.values())
     assert (None, None) in outcomes

@@ -542,6 +542,14 @@ def test_catalog_store_routes_schemes_and_hadoop_fs_primitives(spark, tmp_path):
     # routing decision is what's under test)
     assert not _is_local_path("hdfs://nn/x")
     assert not _is_local_path("s3a://bucket/x")
+    # single-slash URI forms Hadoop accepts and Spark emits are NOT
+    # local — os.path.exists('file:/tmp/x') is False, so treating them
+    # as local silently no-ops sidecar validation (ADVICE r7)
+    assert not _is_local_path("file:/tmp/x")
+    assert not _is_local_path("hdfs:/nn/x")
+    assert isinstance(_fs_for(spark, f"file:{tmp_path}/x"), _HadoopFS)
+    assert _is_local_path("/plain/abs/path")
+    assert _is_local_path("relative/path")
 
     # primitives through the Hadoop API on the local FS
     fs = _HadoopFS(spark, f"file://{tmp_path}")

@@ -33,6 +33,75 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+#: DuckDB types that pandas materializes as float64 even when every
+#: value is integral — the r3/r7 driver-mismatch class (VERDICT r7 #1):
+#: the driver fetches the oracle through pandas, so a HUGEINT 0 reaches
+#: its hasher as "0.0" while Spark emits "0". These must never appear
+#: in a twin's output schema; CAST(... AS BIGINT) at the SQL level.
+_DRIFT_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_INTEGRAL_DUCK = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                  "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT")
+
+
+def oracle_dtype_drift(native_types: list[tuple[str, str]],
+                       odf) -> list[str]:
+    """Columns where the driver's pandas materialization diverges from
+    the declared integral type: HUGEINT/DECIMAL always, plus any
+    integral column that came back float64 WITHOUT a NULL to explain it
+    (a NULL-caused float64 is symmetric — Spark's toPandas does the
+    same — and has always passed the driver, e.g. asof_join's
+    horizon-miss payloads)."""
+    drift = []
+    for col, typ in native_types:
+        if any(d in typ for d in _DRIFT_TYPES):
+            drift.append(f"{col}:{typ}")
+            continue
+        if typ in _INTEGRAL_DUCK and str(odf[col].dtype) == "float64" \
+                and not odf[col].isna().any():
+            drift.append(f"{col}:{typ}->float64")
+    return drift
+
+
+def fetch_oracle_df(con, sql: str):
+    """Driver-faithful oracle fetch: through pandas (``.df()``), not
+    ``fetchall()`` — the driver's correctness gate materializes the
+    oracle via pandas, so this replica must see the same dtypes
+    (VERDICT r7 ask #1a). Returns (cols, rows-as-python-scalars,
+    drift-column list)."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    native = [(r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()]
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    odf = res.df()
+    drift = oracle_dtype_drift(native, odf)
+    types = dict(native)
+
+    def conv(v, col):
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, float) and math.isnan(v):
+            return None  # pandas NULL materialization, not a value
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        if types.get(col) == "DATE" and isinstance(v, dt.datetime):
+            return v.date()
+        return v
+
+    orows = [
+        tuple(conv(v, c) for v, c in zip(t, ocols))
+        for t in odf.itertuples(index=False, name=None)
+    ]
+    return ocols, orows, drift
+
+
 def table_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -100,9 +169,7 @@ def main() -> int:
                 print(f"      WARNING: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows, drift = fetch_oracle_df(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -110,6 +177,8 @@ def main() -> int:
         sh, slines = table_digest(scols, srows)
         oh, olines = table_digest(ocols, orows)
         status = []
+        if drift:
+            status.append(f"oracle dtype drift (driver-visible): {drift}")
         if len(srows) != len(orows):
             status.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
