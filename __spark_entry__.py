@@ -4546,34 +4546,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-6 layout
-    # (VERDICT r5 ask #1 + the machine-checked invariant):
-    #   1-15  every query whose module closure changed this round
-    #         (dedup package + minhash catalog, bitext, bpe, kanon,
-    #         dsir, pagerank, codecs, cli) and the two NEW rows
-    #   16-23 the six round-5 stale-green similarity queries rotated
-    #         to the head (brute.py refactor attestation debt) with
-    #         their bitext siblings
-    #   24-35 remaining changed-module rows (bpe oracle, kanon fix,
-    #         dsir/pagerank unpersist, codecs multi-scan guard)
-    #   36-50 the oldest carries (r3/r4 greens) refreshed to r6
-    # Late-r6 review fixes grew the changed-module query set to 53 —
-    # past the 50-slot window for the first time. The 50 slots hold
-    # every query whose EXECUTED code changed; the 3 overflow rows
-    # (media_meta / media_dhash_pairs / media_audio_features) ride on
-    # FALSE module-granular edges (codecs diff touches decode_jpeg
-    # only; dedup/__init__ diff is re-export-only) and carry explicit
-    # per-(query, module) exemptions in tools/check_window.py EXEMPT —
-    # printed on every run, justified line-by-line, and gated by
-    # tests/test_window_invariant.py to exist ONLY when the changed
-    # set exceeds the window.
+    # FIRST 50 = the driver's per-round check window. Round-8 layout
+    # (VERDICT r7 asks #1-2):
+    #   1-9   the nine r3-era attestations rotated back in (retention,
+    #         sessionize, sanitize_site, resolve_forwarded,
+    #         format_one_line, accumulate_more, anonymize,
+    #         event_transitions, chunk_documents) — 4-round-old greens
+    #         were drift risk against driver-harness evolution even
+    #         with provably-unchanged code (the corpus_profile episode
+    #         showed twin-vs-driver divergence is real)
+    #   10-50 the r7 window minus nine demotions (ngram/simhash/minhash
+    #         pairs, range_join, geoip, the four media rows — all
+    #         r7-green on modules untouched in r8), keeping every query
+    #         whose module closure changed this round: corpus_profile
+    #         (dup_ppm BIGINT cast), the sketch family (sidecar fs
+    #         routing + quantile naming: kmv_churn, cm_join_size,
+    #         cm_heavy_hitters, uniques/value sketch rollups), asof
+    #         (streaming eqNullSafe shares no batch module but stays),
+    #         and the curation/pipeline rows.
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
-    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
+    "retention": (q_retention, RETENTION_SQL),  # rotated into the r8 window (r3-era attestation refresh, VERDICT r7 ask #2)
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r8 window (r3-era refresh)
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r8 window (r3-era refresh)
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # r8 window (r3-era refresh)
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # r8 window (r3-era refresh)
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # r8 window (r3-era refresh)
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),  # r8 window (r3-era refresh)
+    "event_transitions": (q_event_transitions, None),  # lazy sql; r8 window (r3-era refresh)
+    "chunk_documents": (q_chunk_documents, None),  # lazy sql; r8 window (r3-era refresh)
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
-    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
@@ -4592,15 +4595,10 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "curation_near": (q_curation_near, None),  # lazy sql (chained twins)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
-    "range_join": (q_range_join, None),  # rotated into the r7 window (inverted-interval fix)
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r7 window (range_join consumer)
     "corpus_profile": (q_corpus_profile, None),  # rotated into the r7 window (NULL-as-unique fix)
     "corpus_drift": (q_corpus_drift, None),  # rotated into the r7 window (oracle hash reuse)
     "funnel": (q_funnel, None),  # rotated into the r7 window (funnel_sql guard)
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated into the r7 window (decode_wav width)
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated into the r7 window (24-bit NULL rule)
-    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # r7 window (decode_wav signature)
     "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
     "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
@@ -4615,7 +4613,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r7 window (decode_wav signature)
     "kanon_export": (q_kanon_export, None),  # below-window carry (r6 green, unchanged r7)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
@@ -4626,12 +4623,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- window boundary (index 50): everything below is r5-green --
     # ---- on files unchanged since that attestation (legit carry) ---
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
-    "retention": (q_retention, RETENTION_SQL),  # rotated below r6 boundary for pack_sequences
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # rotated below r6 boundary for quality_outliers
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # rotated below r6 boundary for kmv_churn
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # rotated below r6 boundary for bpe_tokenize
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # rotated below r6 boundary for cm_join_size
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # rotated below r6 boundary
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
+    "range_join": (q_range_join, None),  # lazy sql; r7-green carry
+    "geoip": (q_geoip, GEOIP_SQL),  # r7-green carry
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # r7-green carry
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # r7-green carry
+    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # r7-green carry
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r7-green carry
     "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
@@ -4652,7 +4652,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "psl_domains": (q_psl_domains, None),  # below-window carry (r6 green, unchanged r7)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
     "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
-    "event_transitions": (q_event_transitions, None),  # lazy sql
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
     "pack_shards": (q_pack_shards, None),  # lazy sql
@@ -4666,7 +4665,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),  # rotated below r6 boundary
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
     "site_delta": (q_site_delta, SITE_DELTA_SQL),
@@ -4676,7 +4674,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
     "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
     "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "chunk_documents": (q_chunk_documents, None),  # rotated below r6 boundary
     "duration_longer": (q_duration_longer, DURATION_SQL),
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
