@@ -5039,6 +5039,53 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         finally:
             shutil.rmtree(rdir, ignore_errors=True)
 
+    @_with_src
+    def stream_asof_batch_p50_sized(spark: SparkSession, src: str) -> float:
+        """stream_asof_batch_p50 at the DEPLOYED state-partition sizing
+        (state_partitions=4 via streaming/conf.py — VERDICT r7 ask #3):
+        the PERF_NOTES r7 addendum measured the chained as-of's
+        micro-batch cost as pure state-store fixed cost x shuffle
+        partitions (3.32 s @32 -> 0.87 s @4); this row keeps the sized
+        configuration measured every round next to the
+        shared-batch-session row above. The session conf is restored
+        after the stream captures it (bench probes share the session)."""
+        from pond_spark.streaming.asof import asof_join_stream
+        from pond_spark.streaming.conf import SHUFFLE_PARTITIONS_CONF
+        from pond_spark.streaming.follow import continue_stream
+
+        rdir = tempfile.mkdtemp(prefix="pond_bench_asof_rs_")
+        prev = spark.conf.get(SHUFFLE_PARTITIONS_CONF)
+        try:
+            logs = spark.read.parquet(src)
+            marks = (
+                logs.groupBy("site")
+                .agg(F.min("timestamp").alias("timestamp"))
+                .withColumn("cfg", F.concat(F.lit("v-"), F.col("site")))
+            )
+            for i in range(3):
+                marks.withColumn(
+                    "timestamp",
+                    F.col("timestamp") + F.expr(f"INTERVAL {i * 600} SECOND"),
+                ).coalesce(1).write.mode("append").parquet(rdir)
+            right = (
+                spark.readStream.schema("site string, timestamp timestamp, cfg string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(rdir)
+            )
+            sdf = asof_join_stream(
+                continue_stream(
+                    spark, src, watermark=None, max_files_per_trigger=1
+                ),
+                right,
+                ["site"],
+                horizon_seconds=3600,
+                state_partitions=4,
+            )
+            return _median_batch_sec(sdf)
+        finally:
+            spark.conf.set(SHUFFLE_PARTITIONS_CONF, prev)
+            shutil.rmtree(rdir, ignore_errors=True)
+
     def _live_close_lag(make_stream, hit_filter):
         """Close-delivery LATENCY for the live monitoring twins
         (VERDICT r6 ask #4): the ``*_batch_p50`` rows time micro-batch
@@ -5213,6 +5260,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_cusum_batch_p50": stream_cusum_batch_p50,
         "stream_kmv_batch_p50": stream_kmv_batch_p50,
         "stream_asof_batch_p50": stream_asof_batch_p50,
+        "stream_asof_batch_p50_sized": stream_asof_batch_p50_sized,
         "stream_quantiles_batch_p50": stream_quantiles_batch_p50,
         "stream_cusum_close_lag": stream_cusum_close_lag,
         "stream_kmv_close_lag": stream_kmv_close_lag,

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pond_spark.streaming.conf import set_state_partitions
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["cusum_stream"]
@@ -56,11 +57,15 @@ def cusum_stream(
     h: int | None = None,
     site_col: str = "site",
     ts_col: str = "timestamp",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Per-(site, hour) one-sided CUSUM scores from a stream:
     ``(site, hour, cnt, cusum)`` rows for every CLOSED hour, in
     close order. ``h`` filters to alert rows (cusum > h) like
-    ``cusum_anomalies``."""
+    ``cusum_anomalies``. ``state_partitions`` sizes the state-store partition count for
+    this stream (sets the session's shuffle partitions, captured at
+    query start and pinned by the checkpoint — streaming/conf.py)."""
+    set_state_partitions(sdf.sparkSession, state_partitions)
     hourly = (
         sdf.filter(F.col(ts_col).isNotNull() & F.col(site_col).isNotNull())
         .select(

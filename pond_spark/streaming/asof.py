@@ -53,6 +53,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pond_spark.streaming.conf import set_state_partitions
 
 __all__ = ["asof_join_stream"]
 
@@ -66,6 +67,7 @@ def asof_join_stream(
     right_ts_col: str | None = None,
     watermark: str = "10 seconds",
     emit_window: str = "1 minute",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Append-mode stream: every left row + the payload columns of the
     latest right row with ``left.ts - horizon < right.ts <= left.ts``
@@ -89,6 +91,10 @@ def asof_join_stream(
     NULL keys are NOT a divergence: the join keys compare with
     ``eqNullSafe``, matching the batch twin's ``Window.partitionBy``
     which groups NULL keys together (ADVICE r7).
+
+    ``state_partitions`` sizes the state-store partition count for
+    this stream (sets the session's shuffle partitions, captured at
+    query start and pinned by the checkpoint — streaming/conf.py).
     """
     if not key_cols:
         raise ValueError(
@@ -101,6 +107,7 @@ def asof_join_stream(
             "nothing (the bound is right.ts > left.ts - horizon) and "
             "the horizon is what lets join state evict"
         )
+    set_state_partitions(left.sparkSession, state_partitions)
     right_ts_col = right_ts_col or ts_col
     payload = [
         c for c in right.columns if c not in (*key_cols, right_ts_col)

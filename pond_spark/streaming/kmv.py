@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pond_spark.streaming.conf import set_state_partitions
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pond_spark.operators.kmv import kmv_key
@@ -43,12 +44,16 @@ def kmv_uniques_stream(
     site_col: str = "site",
     value_col: str = "remote_host",
     seed: int = 1,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Per-site cumulative distinct estimate from a stream: one
     ``(site, uniques_est, n_keys, theta)`` row per site per
     micro-batch that touched it. ``uniques_est`` is the exact distinct
     count while fewer than k keys have been seen, then the KMV
-    order-statistic estimate ``(k-1)*MOD div theta``."""
+    order-statistic estimate ``(k-1)*MOD div theta``. ``state_partitions`` sizes the state-store partition count for
+    this stream (sets the session's shuffle partitions, captured at
+    query start and pinned by the checkpoint — streaming/conf.py)."""
+    set_state_partitions(sdf.sparkSession, state_partitions)
     keyed = sdf.filter(
         F.col(site_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(

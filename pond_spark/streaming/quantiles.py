@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pond_spark.streaming.conf import set_state_partitions
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pond_spark.operators.sketches import _bk_key, quantile_col_names
@@ -50,12 +51,16 @@ def value_quantiles_stream(
     value_col: str = "value",
     id_col: str = "id",
     seed: int = 1,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Per-site cumulative quantile estimates from a stream: one
     ``(site, n_sample, q50, q90, ...)`` row per site per micro-batch
     that touched it. Exact over a site until k rows have been sampled,
     then the bottom-k uniform-sample estimate (rank error
-    ~O(1/sqrt(k)))."""
+    ~O(1/sqrt(k))). ``state_partitions`` sizes the state-store partition count for
+    this stream (sets the session's shuffle partitions, captured at
+    query start and pinned by the checkpoint — streaming/conf.py)."""
+    set_state_partitions(sdf.sparkSession, state_partitions)
     qs = list(quantiles)
     # shared with the batch serve so both surfaces name columns
     # identically; raises on (0.999, 1.0)-style collisions (ADVICE r7)

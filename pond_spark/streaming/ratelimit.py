@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pond_spark.streaming.conf import set_state_partitions
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -38,10 +39,17 @@ def rate_limit_stream(
     site_col: str = "site",
     type_col: str = "type",
     message_type: str = "http_error",
+    state_partitions: int | None = None,
 ) -> DataFrame:
-    """Apply the per-site token bucket to a streaming DataFrame."""
+    """Apply the per-site token bucket to a streaming DataFrame.
+    ``state_partitions`` sizes the state-store partition count for
+    this stream (sets the session's shuffle partitions, captured at
+    query start and pinned by the checkpoint — streaming/conf.py)."""
     if rate <= 0:
         return sdf.withColumn("_discarded", F.lit(False))
+    # only the stateful path sizes state partitions (rate<=0 builds
+    # a stateless passthrough with nothing to size)
+    set_state_partitions(sdf.sparkSession, state_partitions)
     cap = burst if burst is not None else 10.0 * rate
 
     out_schema = T.StructType(
