@@ -211,3 +211,67 @@ class CatalogStore:
         self.fs.rename(self.path, old)
         self.fs.rename(staged, self.path)
         self.fs.rmtree(old)
+
+
+def bucket_stats(
+    keys: DataFrame, key_cols, cap: int | None = None
+) -> dict[str, int]:
+    """Occupancy histogram of a catalog's bucket-key table — the probe
+    the round-7 10M-doc stress analysis ran by hand (PERF_NOTES r7:
+    nbits=8 degenerates to 256 always-hot buckets at 10M vectors; the
+    hot-bucket cap is the quadratic-tail guard), now a first-class
+    advisory (VERDICT r7 ask #4).
+
+    One groupBy over the ids+ints key table (never documents), one
+    1-row aggregate over the per-bucket counts. Returns integers only:
+    ``n_rows`` (stored keys), ``n_buckets``, occupancy ``p50/p90/p99/
+    max``, ``pair_mass`` = sum c*(c-1)/2 (the candidate pairs an
+    uncapped self-join of the catalog would generate — the quantity
+    that explodes on hub buckets), and with ``cap``:
+    ``hot_buckets`` (occupancy > cap, i.e. buckets the cap silences)
+    and ``pair_mass_capped``."""
+    from pyspark.sql import functions as F
+
+    counts = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("c"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_occ"),
+        F.expr(
+            "percentile_approx(c, array(0.5D, 0.9D, 0.99D), 100000)"
+        ).alias("pct"),
+        F.sum(F.expr("c * (c - 1L) div 2")).alias("pair_mass"),
+    ]
+    if cap is not None:
+        capped = F.least(F.col("c"), F.lit(int(cap)))
+        aggs += [
+            F.sum(F.when(F.col("c") > int(cap), 1).otherwise(0)).alias(
+                "hot_buckets"
+            ),
+            F.sum(
+                (capped * (capped - F.lit(1))).cast("long") / F.lit(2)
+            ).cast("long").alias("pair_mass_capped"),
+        ]
+    row = counts.agg(*aggs).collect()[0]
+    out = {
+        "n_rows": int(row.n_rows or 0),
+        "n_buckets": int(row.n_buckets or 0),
+        "occ_p50": int(row.pct[0]) if row.pct else 0,
+        "occ_p90": int(row.pct[1]) if row.pct else 0,
+        "occ_p99": int(row.pct[2]) if row.pct else 0,
+        "occ_max": int(row.max_occ or 0),
+        "pair_mass": int(row.pair_mass or 0),
+    }
+    if cap is not None:
+        out["cap"] = int(cap)
+        out["hot_buckets"] = int(row.hot_buckets or 0)
+        out["pair_mass_capped"] = int(row.pair_mass_capped or 0)
+    return out
+
+
+def recommend_cap(stats: dict[str, int], floor: int = 16) -> int:
+    """Hot-bucket cap recommendation from a bucket histogram: p99
+    occupancy (so the cap engages only on the pathological tail — the
+    hub/boilerplate buckets — never on the working mass), floored so a
+    tiny catalog doesn't recommend a cap that silences normal buckets."""
+    return max(int(floor), int(stats["occ_p99"]))

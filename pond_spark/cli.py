@@ -615,7 +615,10 @@ _CATALOG_USAGE = (
     "  emb-filter       CAT VECS_PARQUET --dim=D [same flags] [--out=]\n"
     "  emb-candidates   CAT VECS_PARQUET --dim=D [same flags]\n"
     "                   [--max-bucket-size=N] [--out=]\n"
-    "  compact          digest|minhash|emb CAT [open flags, --dim for emb]"
+    "  compact          digest|minhash|emb CAT [open flags, --dim for emb]\n"
+    "  advise           minhash|emb CAT [--max-bucket-size=N]\n"
+    "                   [open flags, --dim for emb] — bucket histogram\n"
+    "                   + recommended cap (and nbits for emb)"
 )
 
 
@@ -695,9 +698,9 @@ def _run_catalog(spark, rest: list[str]) -> int:
         return 0
 
     known = (
-        "compact", "digest-register", "digest-filter", "minhash-register",
-        "minhash-filter", "minhash-candidates", "emb-register",
-        "emb-filter", "emb-candidates",
+        "compact", "advise", "digest-register", "digest-filter",
+        "minhash-register", "minhash-filter", "minhash-candidates",
+        "emb-register", "emb-filter", "emb-candidates",
     )
     if sub not in known:
         print(_CATALOG_USAGE, file=sys.stderr)
@@ -709,6 +712,15 @@ def _run_catalog(spark, rest: list[str]) -> int:
                 kind
             ](path).compact()
             print(f"compacted kind={kind} path={path}")
+            return 0
+        if sub == "advise":
+            # bucket histogram + tuning recommendation (VERDICT r7 #4)
+            kind, path = args
+            rep = {"minhash": open_minhash, "emb": open_emb}[kind](
+                path
+            ).advise(max_bucket_size=max_bucket)
+            for key in sorted(rep):
+                print(f"{key}={rep[key]}")
             return 0
         path, data = args
         docs = spark.read.parquet(data)

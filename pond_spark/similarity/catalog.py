@@ -164,3 +164,39 @@ class EmbeddingCatalog:
         """Distinct rewrite with the crash-safe double rename
         (pond_spark.catalog)."""
         self._store.compact()
+
+    def advise(self, max_bucket_size: int | None = None) -> dict:
+        """Bucket-occupancy advisory (VERDICT r7 ask #4): the
+        (table, bucket) histogram and hot-bucket count (see
+        MinHashCatalog.advise), PLUS an nbits recommendation from the
+        registered volume: ``nbits = clamp(ceil(log2(n_vectors / 32)),
+        4, 24)`` — mean occupancy ~32 per table keeps probe fan-out
+        bounded while buckets stay populated. Grounding (PERF_NOTES r7
+        10M stress): nbits=8 degenerates to 256 always-hot buckets at
+        10M vectors, while nbits=20 (the formula gives 19) probes 1M
+        docs with a 134 MB ids+ints shuffle. Changing nbits requires
+        re-registering (bucket keys are hyperplane-pinned); the
+        advisory tells you when the catalog has outgrown its
+        build-time choice."""
+        import math
+
+        from pond_spark.catalog import bucket_stats, recommend_cap
+
+        keys = self._read()
+        stats = bucket_stats(keys, ["table", "bucket"])
+        cap = (
+            max_bucket_size
+            if max_bucket_size is not None
+            else recommend_cap(stats)
+        )
+        stats = bucket_stats(keys, ["table", "bucket"], cap=cap)
+        stats["recommended_max_bucket_size"] = recommend_cap(stats)
+        n_vecs = stats["n_rows"] // max(1, int(self.params["n_tables"]))
+        stats["n_vectors"] = n_vecs
+        stats["nbits"] = int(self.params["nbits"])
+        stats["recommended_nbits"] = (
+            min(24, max(4, math.ceil(math.log2(n_vecs / 32))))
+            if n_vecs > 32
+            else 4
+        )
+        return stats

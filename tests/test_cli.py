@@ -768,3 +768,64 @@ def test_cli_index_group_text_and_ivf(spark, store_dir, tmp_path, capsys):
     assert main([f"--store={store_dir}", "index"]) == 2
     assert main([f"--store={store_dir}", "index", "no-such", "a"]) == 2
     assert main([f"--store={store_dir}", "index", "search-text", tix]) == 2
+
+
+def test_cli_catalog_advise_skewed_fixture(spark, store_dir, tmp_path, capsys):
+    """r8 (VERDICT r7 ask #4): ``catalog advise`` reports the bucket
+    histogram of a registered catalog and recommends the hot-bucket
+    cap (and nbits for embedding catalogs). The fixture plants a hub:
+    40 identical boilerplate docs share every band key, 20 unique docs
+    sit in singleton buckets — p99/max must surface the hub, and the
+    recommended cap must silence it (cap < hub occupancy)."""
+    from pond_spark.cli import main
+
+    docs = str(tmp_path / "adocs")
+    rows = [(i, "the same boilerplate text everywhere") for i in range(40)]
+    # enough unique mass that the hub sits beyond p99 (as at real
+    # scale — with a handful of buckets p99 IS the hub and the
+    # recommendation would not discriminate)
+    rows += [(1000 + i,
+              f"w{i * 7} w{i * 13 + 1} w{i * 29 + 2} w{i * 31 + 3} "
+              f"w{i * 37 + 4} w{i * 41 + 5}")
+             for i in range(400)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+
+    mcat = str(tmp_path / "amcat")
+    assert main([f"--store={store_dir}", "catalog", "minhash-register",
+                 mcat, docs, "--k=16", "--bands=4"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "catalog", "advise", "minhash",
+                 mcat, "--k=16", "--bands=4"]) == 0
+    rep = dict(
+        line.split("=", 1)
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(rep["occ_max"]) == 40  # the hub is visible
+    assert int(rep["occ_p50"]) <= 2  # the working mass is not
+    cap = int(rep["recommended_max_bucket_size"])
+    assert 16 <= cap < 40  # silences the hub, spares the mass
+    assert int(rep["hot_buckets"]) >= 4  # the hub's 4 band keys
+    assert int(rep["pair_mass_capped"]) < int(rep["pair_mass"])
+
+    # embedding catalog: hub vector repeated, nbits recommendation
+    vecs = str(tmp_path / "avecs")
+    vrows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    vrows += [(100 + i, [float(i % 3) - 1.0, float(i % 5) - 2.0,
+                         float(i % 7) - 3.0, 1.0]) for i in range(20)]
+    spark.createDataFrame(vrows, "vec_id long, embedding array<float>")\
+        .write.parquet(vecs)
+    ecat = str(tmp_path / "aecat")
+    assert main([f"--store={store_dir}", "catalog", "emb-register",
+                 ecat, vecs, "--dim=4", "--nbits=4"]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "catalog", "advise", "emb",
+                 ecat, "--dim=4", "--nbits=4", "--max-bucket-size=8"]) == 0
+    erep = dict(
+        line.split("=", 1)
+        for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert int(erep["n_vectors"]) == 60
+    assert int(erep["occ_max"]) >= 40
+    assert int(erep["cap"]) == 8  # explicit cap respected
+    assert int(erep["hot_buckets"]) >= 2  # the hub bucket in each table
+    assert int(erep["recommended_nbits"]) == 4  # 60 vecs -> tiny table
