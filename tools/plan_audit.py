@@ -61,6 +61,259 @@ def audit(sf_dir: str) -> list[dict]:
     return rows
 
 
+STREAM_WM = "10 seconds"
+
+
+def _stream_fixture(spark, root: str) -> dict[str, str]:
+    """Tiny fixtures for one-trigger runs: a LOG_SCHEMA store (2 files,
+    60 rows, 3 sites), a documents stream, an as-of right side and a
+    conversions side."""
+    import datetime as dt
+
+    from pond_spark.schema import LOG_SCHEMA
+
+    t0 = dt.datetime(2024, 3, 1, 8)
+    base = dict.fromkeys([f.name for f in LOG_SCHEMA.fields])
+    rows = []
+    for i in range(60):
+        r = dict(base)
+        r.update(
+            id=i,
+            timestamp=t0 + dt.timedelta(seconds=i * 7),
+            site=f"s{i % 3}",
+            type="http_error" if i % 5 == 0 else "http_access",
+            http_uri=f"/u{i % 4}",
+            remote_host=f"10.0.0.{i % 9}",
+            duration_us=1000 + i,
+            message=f"m{i % 6}",
+        )
+        rows.append(r)
+    store = os.path.join(root, "store")
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    df.filter("id < 30").coalesce(1).write.mode("append").parquet(store)
+    df.filter("id >= 30").coalesce(1).write.mode("append").parquet(store)
+
+    docs = os.path.join(root, "docs")
+    spark.createDataFrame(
+        [(i, f"text {i % 7} body", t0 + dt.timedelta(seconds=i)) for i in range(40)],
+        "doc_id long, text string, timestamp timestamp",
+    ).coalesce(2).write.parquet(docs)
+
+    marks = os.path.join(root, "marks")
+    spark.createDataFrame(
+        [(f"s{i % 3}", t0 + dt.timedelta(seconds=i * 50), f"v{i}") for i in range(6)],
+        "site string, timestamp timestamp, cfg string",
+    ).coalesce(2).write.parquet(marks)
+
+    events = os.path.join(root, "events")
+    spark.createDataFrame(
+        [(i % 4, i, t0 + dt.timedelta(seconds=i * 11)) for i in range(30)],
+        "user_id long, event_id long, ts timestamp",
+    ).coalesce(2).write.parquet(events)
+    return {"store": store, "docs": docs, "marks": marks, "events": events}
+
+
+def _run_one_trigger(spark, sdf, ckpt_root: str, name: str) -> dict:
+    """Start the stream availableNow against a fresh checkpoint, drain,
+    and record the per-trigger physical plan + lastProgress state
+    metrics (VERDICT r7 ask #5: the 13 live twins had no recorded
+    plan/exchange inventory)."""
+    import re as _re
+
+    ckpt = os.path.join(ckpt_root, name)
+    q = (
+        sdf.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    prog = q.lastProgress or {}
+    try:
+        plan = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001 — plan GC'd after stop on some paths
+        plan = ""
+    ops = prog.get("stateOperators") or []
+    return {
+        "twin": name,
+        "exchanges": plan.count("Exchange"),
+        "python": plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas")
+        + plan.count("EvalPython"),
+        "stateful": len(ops),
+        "operators": "+".join(o.get("operatorName", "?") for o in ops),
+        "state_rows": sum(int(o.get("numRowsTotal", 0)) for o in ops),
+        "parts": max(
+            (int(o.get("numShufflePartitions", 0)) for o in ops), default=0
+        ),
+        "out_rows": int(prog.get("sink", {}).get("numOutputRows", -1)),
+    }
+
+
+def audit_streams(spark=None) -> list[dict]:
+    """One-trigger plan/state inventory for every live twin, on tiny
+    fixtures in a temp dir. Construction mirrors the pytest drives
+    (tests/test_streaming.py); the ingest twin manages its own query
+    and is audited from its returned handle."""
+    import shutil
+    import tempfile
+
+    from pond_spark.filters import FilterSpec
+    from pond_spark.schema import LOG_SCHEMA
+    from pond_spark.session import get_spark
+    from pond_spark.streaming import (
+        asof_join_stream,
+        attribute_conversions,
+        continue_stream,
+        cusum_stream,
+        group_site_topk_stream,
+        kmv_uniques_stream,
+        rate_limit_stream,
+        rollup_stream,
+        site_key_counts_stream,
+        trending_terms_stream,
+        value_quantiles_stream,
+    )
+    from pond_spark.streaming.dedup import dedup_stream
+    from pond_spark.streaming.follow import follow_stream
+
+    spark = spark or get_spark("plan_audit_streams")
+    root = tempfile.mkdtemp(prefix="pond_stream_audit_")
+    rows: list[dict] = []
+    try:
+        fx = _stream_fixture(spark, root)
+
+        def cont(**kw):
+            return continue_stream(spark, fx["store"], **kw)
+
+        def docs_stream():
+            return spark.readStream.schema(
+                "doc_id long, text string, timestamp timestamp"
+            ).parquet(fx["docs"])
+
+        def ev_stream():
+            return spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp"
+            ).parquet(fx["events"])
+
+        import datetime as dt
+
+        builders = {
+            "follow": lambda: follow_stream(
+                spark,
+                fx["store"],
+                spec=FilterSpec(status_begin=0, status_end=600),
+                since_now=dt.datetime(1970, 1, 2),
+            ),
+            "continue": cont,
+            "rollup": lambda: rollup_stream(cont(watermark=None), every="5 minutes"),
+            "trending": lambda: trending_terms_stream(
+                cont(watermark=None), text_col="http_uri", every="5 minutes"
+            ),
+            "group_site_windowed": lambda: site_key_counts_stream(
+                cont(watermark=None), key_col="http_uri", every="5 minutes"
+            ),
+            "group_site_spacesaving": lambda: group_site_topk_stream(
+                cont(watermark=None), key_col="http_uri", k=3, m=8
+            ),
+            "dedup": lambda: dedup_stream(docs_stream()),
+            "attribution": lambda: attribute_conversions(
+                ev_stream(), ev_stream(), horizon_seconds=600
+            ),
+            "ratelimit": lambda: rate_limit_stream(
+                cont(watermark=None), rate=2.0, message_type="http_error"
+            ),
+            "cusum": lambda: cusum_stream(cont(watermark=None), k=5),
+            "kmv": lambda: kmv_uniques_stream(cont(watermark=None), k=16),
+            "quantiles": lambda: value_quantiles_stream(
+                cont(watermark=None), k=16, value_col="duration_us"
+            ),
+            "asof": lambda: asof_join_stream(
+                cont(watermark=None),
+                spark.readStream.schema(
+                    "site string, timestamp timestamp, cfg string"
+                ).parquet(fx["marks"]),
+                ["site"],
+                horizon_seconds=3600,
+            ),
+        }
+        for name, build in builders.items():
+            try:
+                rows.append(_run_one_trigger(spark, build(), root, name))
+            except Exception as e:  # noqa: BLE001
+                rows.append({"twin": name, "error": repr(e)[:80]})
+
+        # ingest manages its own foreachBatch query
+        try:
+            import json
+
+            from pond_spark.sources.store import LogStore
+            from pond_spark.streaming import ingest_stream
+
+            raw_dir = os.path.join(root, "raw")
+            payloads = [
+                (json.dumps({"id": i, "timestamp": "2024-03-01T08:00:00",
+                             "site": "a", "type": "http_access"}),)
+                for i in range(20)
+            ]
+            spark.createDataFrame(payloads, "payload string").coalesce(
+                1
+            ).write.format("text").option("compression", "none").save(raw_dir)
+            raw = (
+                spark.readStream.format("text")
+                .load(raw_dir)
+                .withColumnRenamed("value", "payload")
+            )
+            q = ingest_stream(
+                raw,
+                LogStore(spark, os.path.join(root, "ingest_store")),
+                metrics_dir=os.path.join(root, "metrics"),
+                checkpoint_dir=os.path.join(root, "ingest_ckpt"),
+            )
+            q.awaitTermination(180)
+            prog = q.lastProgress or {}
+            try:
+                plan = q._jsq.explainInternal(False)
+            except Exception:  # noqa: BLE001
+                plan = ""
+            rows.append(
+                {
+                    "twin": "ingest",
+                    "exchanges": plan.count("Exchange"),
+                    "python": plan.count("FlatMapGroupsInPandas")
+                    + plan.count("MapInPandas")
+                    + plan.count("EvalPython"),
+                    "stateful": len(prog.get("stateOperators") or []),
+                    "operators": "",
+                    "state_rows": 0,
+                    "parts": 0,
+                    "out_rows": -1,
+                }
+            )
+        except Exception as e:  # noqa: BLE001
+            rows.append({"twin": "ingest", "error": repr(e)[:80]})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
+def streams_table(rows: list[dict]) -> str:
+    out = [
+        "| twin | exch | py | stateful ops | state rows | parts | out rows |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            out.append(f"| {r['twin']} | ERROR: {r['error']} |")
+            continue
+        out.append(
+            f"| {r['twin']} | {r['exchanges']} | {r['python']} "
+            f"| {r['stateful']}: {r['operators']} | {r['state_rows']} "
+            f"| {r['parts']} | {r['out_rows']} |"
+        )
+    return "\n".join(out)
+
+
 def main() -> None:
     # positional sf_dir is the first NON-flag argument: bare
     # `plan_audit.py --write PLANS.md` must not treat '--write' as the
@@ -85,6 +338,11 @@ def main() -> None:
         )
     text = "\n".join(out)
     print(text)
+    stext = ""
+    if "--batch-only" not in sys.argv:
+        stext = streams_table(audit_streams())
+        print()
+        print(stext)
     if "--write" in sys.argv:
         path = sys.argv[sys.argv.index("--write") + 1]
         with open(path, "w") as fh:
@@ -105,6 +363,26 @@ def main() -> None:
                 + text
                 + "\n"
             )
+            if stext:
+                fh.write(
+                    "\n## Streaming per-trigger plans (audit_streams,"
+                    " one availableNow trigger on a tiny fixture)\n\n"
+                    "Per live twin: exchange count and Python batch"
+                    " operators in the trigger's physical plan, the"
+                    " stateful operators with their lastProgress state"
+                    " row totals, the state-store partition count the"
+                    " checkpoint pinned (the session default here —"
+                    " deployments size it with state_partitions=, see"
+                    " streaming/conf.py), and the FINAL trigger's sink"
+                    " rows (availableNow runs several triggers; 0 just"
+                    " means the last one only advanced the watermark,"
+                    " -1 = sink does not report). Python appears ONLY"
+                    " in the applyInPandasWithState folds (Space-Saving"
+                    " top-k, token bucket, CUSUM, KMV, bottom-k"
+                    " quantiles) — every other twin is pure JVM.\n\n"
+                    + stext
+                    + "\n"
+                )
 
 
 if __name__ == "__main__":
