@@ -2847,21 +2847,34 @@ def q_curation_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "text")
 
 
-def _curation_near_sql() -> str:
+def curation_near_oracle_sql(
+    source: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    rate: float = 0.5,
+    salt: str = "curate_near",
+) -> str:
+    """Parameterized DuckDB replay of the quality → n-gram-Jaccard
+    near-dedup (recursive-CTE transitive closure, min-id
+    representative) → hash-sample chain. ``source`` is any
+    parenthesized (doc_id, lang, text) relation — the registry twin
+    binds the documents fixture; the randomized fuzz
+    (tests/test_pipeline.py, VERDICT r7 ask #6) binds generated
+    corpora, so both run THIS sql, not a copy."""
     from pond_spark.functions.text import quality_rules_sql
     from pond_spark.operators.sampling import sample_sql
 
     return f"""
 WITH RECURSIVE w AS (SELECT doc_id, lang, text,
                   (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS words
-           FROM {_DEDUP_DOCS_SQL}),
+           FROM {source}),
 q AS (SELECT doc_id, lang, text
       FROM (SELECT __w.doc_id, __w.lang, __w.text, {quality_rules_sql("text")}
             FROM w AS __w) qq
       WHERE keep),
-t AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
-         THEN list_transform(generate_series(1, len(toks) - 2),
-              i -> array_to_string(toks[i:i+2], ' '))
+t AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= {n}
+         THEN list_transform(generate_series(1, len(toks) - {n - 1}),
+              i -> array_to_string(toks[i:i+{n - 1}], ' '))
          ELSE CAST([] AS VARCHAR[]) END) AS grams
       FROM (SELECT doc_id, lang,
                    (CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS toks
@@ -2869,7 +2882,7 @@ t AS (SELECT doc_id, lang, list_distinct(CASE WHEN len(toks) >= 3
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8),
+                (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {threshold}),
 e AS (SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
 reach(n, m) AS (
@@ -2880,8 +2893,12 @@ drops AS (SELECT n AS node FROM reach GROUP BY n
           HAVING n <> least(n, min(m)))
 SELECT doc_id, lang, text FROM q
 WHERE doc_id NOT IN (SELECT node FROM drops)
-  AND {sample_sql(0.5, "doc_id", "curate_near")}
+  AND {sample_sql(rate, "doc_id", salt)}
 """
+
+
+def _curation_near_sql() -> str:
+    return curation_near_oracle_sql(_DEDUP_DOCS_SQL)
 
 
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

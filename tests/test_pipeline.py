@@ -322,3 +322,105 @@ def test_report_funnel_counts(spark, corpus):
     assert rows[2] == {
         "stage": "decontaminate", "rows_in": 4, "rows_out": 3,
     }
+
+
+def test_curation_near_fuzz_oracle_parity(spark):
+    """VERDICT r7 ask #6: the composed quality → ngram near-dedup
+    (transitive closure, min-id representative) → hash-sample chain,
+    randomized: 50 corpora with dup clusters of varying jaccard
+    (mutation rate 0-25%), singleton docs, NULL text, empty and
+    whitespace-only docs, two lang blocks — each compared row-set
+    exact against the SAME parameterized recursive-CTE DuckDB replay
+    the registry twin runs (__spark_entry__.curation_near_oracle_sql),
+    not a copy. One seeded draw keeps failures reproducible."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import curation_near_oracle_sql
+    from pond_spark.pipeline import CurationConfig, curate
+
+    rng = random.Random(0xC04A)
+    vocab = [f"tok{i}" for i in range(200)]
+    cfg = CurationConfig(
+        stages=("quality", "near_dedup", "sample"),
+        sample_rate=0.5,
+        sample_salt="fuzz",
+        extra={
+            "near_method": "ngram",
+            "near_block_col": "lang",
+            "near_threshold": 0.8,
+            "near_n": 3,
+        },
+    )
+    nonempty_cases = 0
+    for case in range(50):
+        rows: list[tuple] = []
+        did = 0
+        langs = ["en", "de"]
+        for _c in range(rng.randint(1, 5)):
+            # a near-dup cluster: mutate 0-25% of the base tokens per
+            # member — spans jaccard ~1.0 down to below the threshold
+            base_len = rng.randint(4, 30)
+            base = [rng.choice(vocab) for _ in range(base_len)]
+            lang = rng.choice(langs)
+            for _m in range(rng.randint(2, 4)):
+                toks = list(base)
+                for _ in range(rng.randint(0, max(1, base_len // 4))):
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                did += 1
+                rows.append((did, lang, " ".join(toks)))
+        for _ in range(rng.randint(2, 10)):  # singletons, some too short
+            did += 1
+            rows.append(
+                (
+                    did,
+                    rng.choice(langs),
+                    " ".join(
+                        rng.choice(vocab)
+                        for _ in range(rng.randint(0, 12))
+                    ),
+                )
+            )
+        for _ in range(rng.randint(0, 3)):  # NULL text
+            did += 1
+            rows.append((did, rng.choice(langs), None))
+        did += 1
+        rows.append((did, "en", ""))  # empty doc
+        did += 1
+        rows.append((did, "en", "  \t "))  # whitespace-only doc
+
+        sdocs = spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+        got = {
+            (r.doc_id, r.lang, r.text)
+            for r in curate(sdocs, cfg)
+            .select("doc_id", "lang", "text")
+            .collect()
+        }
+
+        con = duckdb.connect()
+        try:
+            con.execute(
+                "CREATE TABLE fuzz_docs"
+                "(doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+            )
+            con.executemany("INSERT INTO fuzz_docs VALUES (?, ?, ?)", rows)
+            exp = {
+                tuple(r)
+                for r in con.execute(
+                    curation_near_oracle_sql("fuzz_docs", salt="fuzz")
+                ).fetchall()
+            }
+        finally:
+            con.close()
+        assert got == exp, (
+            f"case {case}: spark-only={sorted(got - exp)[:5]} "
+            f"duck-only={sorted(exp - got)[:5]}"
+        )
+        if exp:
+            nonempty_cases += 1
+    # the draws actually exercised the chain (the quality gate + 50%
+    # sample legitimately empty some small corpora; seeded: 35/50)
+    assert nonempty_cases >= 30
