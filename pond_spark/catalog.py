@@ -59,6 +59,9 @@ class _LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
     def rmtree(self, path: str) -> None:
         import shutil
 
@@ -106,6 +109,9 @@ class _HadoopFS:
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
 
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._p(path), True)

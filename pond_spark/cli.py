@@ -407,7 +407,7 @@ def build(
     return out.select(line.alias("line"))
 
 
-_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack", "catalog", "index")
+_COMMANDS = ("query", "stats", "inject", "clone", "cancel", "sketch", "pack", "catalog", "index", "pipeline")
 
 _SKETCH_USAGE = (
     "usage: ... sketch SUBCOMMAND ARGS\n"
@@ -995,6 +995,106 @@ def _run_follow(
     return 0
 
 
+_PIPELINE_USAGE = (
+    "usage: ... pipeline SUBCOMMAND ARGS\n"
+    "  run    INPUT_PARQUET WORK_DIR [--stages=quality,exact_dedup,sample]\n"
+    "         [--min-words=20 --max-words=100000] [--sample-rate=1.0]\n"
+    "         [--sample-salt=curate] [--eval-set=PARQUET]\n"
+    "         [--near-method=minhash --near-threshold=0.8 --near-n=3]\n"
+    "         [--near-block-col=COL --near-max-bucket=N]\n"
+    "         — compute-or-resume the stage chain (pipeline.curate_run)\n"
+    "  status WORK_DIR — per-stage complete/missing, no computation"
+)
+
+
+def _run_pipeline(spark, rest: list[str]) -> int:
+    """``pipeline`` command group — the resumable curation driver
+    (pipeline.curate_run) scriptable like the catalog/index groups: a
+    scheduler re-invokes the SAME ``pipeline run`` after any crash and
+    the chain resumes from its first incomplete stage; ``status``
+    inspects a work_dir without touching Spark jobs."""
+    import json as _json
+
+    stages = "quality,exact_dedup,sample"
+    min_words, max_words = 20, 100_000
+    sample_rate, sample_salt = 1.0, "curate"
+    eval_set = None
+    near: dict = {}
+    args: list[str] = []
+    for a in rest:
+        if (v := _filter_value(a, "--stages")) is not None:
+            stages = v
+        elif (v := _filter_value(a, "--min-words")) is not None:
+            min_words = int(v)
+        elif (v := _filter_value(a, "--max-words")) is not None:
+            max_words = int(v)
+        elif (v := _filter_value(a, "--sample-rate")) is not None:
+            sample_rate = float(v)
+        elif (v := _filter_value(a, "--sample-salt")) is not None:
+            sample_salt = v
+        elif (v := _filter_value(a, "--eval-set")) is not None:
+            eval_set = v
+        elif (v := _filter_value(a, "--near-method")) is not None:
+            near["near_method"] = v
+        elif (v := _filter_value(a, "--near-threshold")) is not None:
+            near["near_threshold"] = float(v)
+        elif (v := _filter_value(a, "--near-n")) is not None:
+            near["near_n"] = int(v)
+        elif (v := _filter_value(a, "--near-block-col")) is not None:
+            near["near_block_col"] = v
+        elif (v := _filter_value(a, "--near-max-bucket")) is not None:
+            near["near_max_bucket"] = int(v)
+        else:
+            args.append(a)
+    if not args:
+        print(_PIPELINE_USAGE, file=sys.stderr)
+        return 2
+    sub, args = args[0], args[1:]
+    try:
+        if sub == "status":
+            (work,) = args
+            from pond_spark.catalog import _fs_for
+
+            fs = _fs_for(spark, work)
+            mpath = work.rstrip("/") + "/manifest.json"
+            if not fs.exists(mpath):
+                print(f"no run at {work} (manifest.json missing)",
+                      file=sys.stderr)
+                return 2
+            manifest = _json.loads(fs.read_text(mpath))
+            for idx, stage in enumerate(manifest["stages"]):
+                sdir = f"{work.rstrip('/')}/stage_{idx:02d}_{stage}"
+                state = (
+                    "complete" if fs.exists(sdir + "/_SUCCESS") else "missing"
+                )
+                print(f"{state:8s} {stage:14s} {sdir}")
+            return 0
+        if sub == "run":
+            inp, work = args
+            from pond_spark.pipeline import CurationConfig, curate_run
+
+            cfg = CurationConfig(
+                min_words=min_words,
+                max_words=max_words,
+                sample_rate=sample_rate,
+                sample_salt=sample_salt,
+                stages=tuple(s for s in stages.split(",") if s),
+                extra=near,
+            )
+            rows = curate_run(
+                spark, inp, work, cfg, eval_set_path=eval_set
+            )
+            for r in rows:
+                print(f"{r['status']:8s} {r['stage']:14s} {r['path']}")
+            print(f"final={rows[-1]['path']}")
+            return 0
+        print(_PIPELINE_USAGE, file=sys.stderr)
+        return 2
+    except ValueError as e:  # user errors: message + exit 2, no traceback
+        print(str(e), file=sys.stderr)
+        return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     """``python -m pond_spark.cli --store=DIR COMMAND ...`` — the
     reference client's command surface (Main.cxx:672-745): query
@@ -1045,7 +1145,7 @@ def main(argv: list[str] | None = None) -> int:
     if store is None:
         print(
             "usage: python -m pond_spark.cli --store=DIR "
-            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack|catalog SUB|index SUB] "
+            "[query|stats|inject FILE|clone SRC|cancel|sketch SUB|pack|catalog SUB|index SUB|pipeline SUB] "
             "[ARGS]",
             file=sys.stderr,
         )
@@ -1105,6 +1205,8 @@ def main(argv: list[str] | None = None) -> int:
         return _run_catalog(spark, rest)
     if command == "index":
         return _run_index(spark, rest)
+    if command == "pipeline":
+        return _run_pipeline(spark, rest)
 
     try:
         parsed = parse_query_args(rest)

@@ -829,3 +829,47 @@ def test_cli_catalog_advise_skewed_fixture(spark, store_dir, tmp_path, capsys):
     assert int(erep["cap"]) == 8  # explicit cap respected
     assert int(erep["hot_buckets"]) >= 2  # the hub bucket in each table
     assert int(erep["recommended_nbits"]) == 4  # 60 vecs -> tiny table
+
+
+def test_cli_pipeline_run_and_status(spark, store_dir, tmp_path, capsys):
+    """r8: the pipeline command group — `pipeline run` computes the
+    stage chain into a work_dir, a second identical invocation resumes
+    every stage, `status` reports completeness without running jobs,
+    and a changed config hits the manifest pin through the CLI error
+    contract (exit 2, message, no traceback)."""
+    from pond_spark.cli import main
+
+    docs = str(tmp_path / "pdocs")
+    good = "clean prose with plenty of ordinary readable words " * 3
+    spark.createDataFrame(
+        [(1, good + "one"), (2, good + "one"), (3, good + "three"),
+         (4, "too short")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    work = str(tmp_path / "pwork")
+    base = [f"--store={store_dir}", "pipeline", "run", docs, work,
+            "--stages=quality,exact_dedup,sample", "--sample-rate=1.0"]
+
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    assert out.count("computed") == 3 and "final=" in out
+
+    assert main(base) == 0
+    out = capsys.readouterr().out
+    assert out.count("resumed") == 3
+
+    assert main([f"--store={store_dir}", "pipeline", "status", work]) == 0
+    out = capsys.readouterr().out
+    assert out.count("complete") == 3 and "missing" not in out
+
+    # manifest pin through the error contract
+    assert main([f"--store={store_dir}", "pipeline", "run", docs, work,
+                 "--stages=quality,sample"]) == 2
+    assert "work_dir" in capsys.readouterr().err
+
+    # usage errors
+    assert main([f"--store={store_dir}", "pipeline"]) == 2
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "pipeline", "status",
+                 str(tmp_path / "nowhere")]) == 2
+    capsys.readouterr()

@@ -57,3 +57,11 @@ def test_example_stream_curation(tmp_path, capsys):
     out = _run("stream_curation", [SF, str(tmp_path / "sc")], capsys)
     assert "batch=2 curated_rows=0" in out  # catalog gated re-delivery
     assert "catalog-gated" in out
+
+
+@pytest.mark.usefixtures("spark")
+def test_example_curate_resumable(tmp_path, capsys):
+    out = _run("curate_resumable", [SF, str(tmp_path / "cr")], capsys)
+    assert out.count("computed") >= 6  # fresh run (4) + post-crash (2)
+    assert out.count("resumed") >= 6  # full resume (4) + post-crash (2)
+    assert "curated rows:" in out
