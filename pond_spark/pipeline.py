@@ -370,6 +370,8 @@ def curate_run(
 
     from pond_spark.catalog import _fs_for
 
+    if not config.stages:
+        raise ValueError("curate_run needs at least one stage")
     fs = _fs_for(spark, work_dir)
     fs.mkdirs(work_dir)
     manifest_path = work_dir.rstrip("/") + "/manifest.json"
