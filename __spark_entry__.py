@@ -5195,6 +5195,102 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
             lambda df: df.site == "_lagprobe",
         )(spark, sf_dir)
 
+    def stream_asof_close_lag(spark: SparkSession, sf_dir: str) -> float:
+        """Close-delivery lag of the live as-of join (the latency a
+        consumer of enriched rows feels): seed left rows sit joined-
+        but-unemitted until the event-time watermark passes their emit
+        window; the probe measures wall seconds from the FIRST
+        watermark-advancing write to the delivery of the seed rows
+        with their carried payload. Three as-of-specific mechanics
+        shape the setup (each measured the hard way): (a) the global
+        watermark is the MIN over BOTH inputs, so an idle right stream
+        pins it forever — the closing writes land on both sides;
+        (b) the left-OUTER join holds its output watermark back by the
+        HORIZON (join state retention), so the downstream window
+        closes only once the watermark passes window_end + horizon —
+        the closing timestamps must clear that, and the horizon is a
+        latency dial, not just a state dial (asof.py docstring);
+        (c) the chained stateful operators flush on successive
+        triggers, so three advancing pairs land up front."""
+        import threading
+
+        ldir = tempfile.mkdtemp(prefix="pond_bench_asoflag_l_")
+        rdir = tempfile.mkdtemp(prefix="pond_bench_asoflag_r_")
+        ckpt = tempfile.mkdtemp(prefix="pond_bench_ckpt_")
+        from pond_spark.streaming.asof import asof_join_stream
+        from pond_spark.streaming.follow import continue_stream
+
+        h_open = dt.datetime(2024, 1, 1, 0, 30, 0)
+        seed = events_as_logs(spark, sf_dir).limit(256).withColumn(
+            "site", F.lit("_lagprobe")
+        ).withColumn("timestamp", F.lit(h_open))
+        seed.coalesce(1).write.mode("append").parquet(ldir)
+        rsch = "site string, timestamp timestamp, cfg string"
+        spark.createDataFrame(
+            [("_lagprobe", dt.datetime(2024, 1, 1, 0, 0, 0), "v1")], rsch
+        ).coalesce(1).write.mode("append").parquet(rdir)
+
+        history_done = threading.Event()
+        hit = threading.Event()
+        t_hit: list[float] = []
+        t0_box: list[float] = [float("inf")]
+
+        def sink(df: DataFrame, _bid: int) -> None:
+            n_hit = df.filter(
+                (df.site == "_lagprobe")
+                & (df.timestamp == h_open)
+                & df.cfg.isNotNull()
+            ).count()
+            if n_hit > 0 and _time.perf_counter() > t0_box[0]:
+                t_hit.append(_time.perf_counter())
+                hit.set()
+            history_done.set()
+
+        right = (
+            spark.readStream.schema(rsch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(rdir)
+        )
+        q = (
+            asof_join_stream(
+                continue_stream(spark, ldir, watermark=None),
+                right,
+                ["site"],
+                # > the 1800 s seed gap, small enough that the closing
+                # stamps below clear window_end + horizon
+                horizon_seconds=1900,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            if not history_done.wait(timeout=300):
+                raise RuntimeError("asof lag-probe backfill never drained")
+            t0_box[0] = _time.perf_counter()
+            t0 = t0_box[0]
+            # three advancing pairs: one to land past the emit window,
+            # and spares because each of the two chained stateful
+            # operators flushes on the NEXT trigger's watermark
+            for m in (65, 70, 75):
+                later = dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(
+                    minutes=m
+                )
+                seed.limit(1).withColumn("site", F.lit("_zz")).withColumn(
+                    "timestamp", F.lit(later)
+                ).coalesce(1).write.mode("append").parquet(ldir)
+                spark.createDataFrame(
+                    [("_zz", later, "vx")], rsch
+                ).coalesce(1).write.mode("append").parquet(rdir)
+            if not hit.wait(timeout=300):
+                raise RuntimeError("asof closing row never delivered")
+            return round(t_hit[0] - t0, 3)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(ldir, ignore_errors=True)
+            shutil.rmtree(rdir, ignore_errors=True)
+
     def stream_continue_first_live(spark: SparkSession, sf_dir: str) -> float:
         """Q7 CONTINUE catch-up→tail switchover (VERDICT r5 ask #5):
         the full sf events backfill drains as history, THEN a live
@@ -5280,6 +5376,7 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_asof_batch_p50_sized": stream_asof_batch_p50_sized,
         "stream_quantiles_batch_p50": stream_quantiles_batch_p50,
         "stream_cusum_close_lag": stream_cusum_close_lag,
+        "stream_asof_close_lag": stream_asof_close_lag,
         "stream_kmv_close_lag": stream_kmv_close_lag,
         "stream_continue_first_live": stream_continue_first_live,
         "store_retain_compact": store_retain_compact,

@@ -26,8 +26,15 @@ operators (supported since Spark 3.5, SPARK-42376):
 
 The window is an EMISSION cadence, not a semantic bucket: rows group
 by the left row's full identity; the window only gives the
-aggregation a watermark-driven close. Output latency is therefore up
-to ``emit_window + watermark`` behind the left stream's event time.
+aggregation a watermark-driven close. Output latency is up to
+``horizon + emit_window + watermark`` behind the stream's event time:
+the left-OUTER join holds its output watermark back by the join's
+time bound (state retention — Spark's multi-stateful-operator rule),
+so the downstream window closes only once the input watermark passes
+``window_end + horizon``. Size the horizon to the real lookback you
+need — it is a LATENCY dial as much as a state-size dial (measured:
+with horizon=2h, results finalize 2h of event time behind the tail;
+bench's stream_asof_close_lag drives this end to end).
 
 Two implementation notes that cost a debugging session each:
 
