@@ -15,6 +15,14 @@ At scale the join shuffles both streams on the user key once;
 everything else is per-row. Late events beyond the watermark drop —
 the same role as the reference's 10-second jitter slack
 (/root/reference/src/Selection.cxx:8-20).
+
+Latency note: this INNER join emits matched pairs as they arrive, but
+any STATEFUL operator a consumer chains downstream (windowed
+aggregation, dedup) inherits an output watermark held back by the
+horizon — the join retains state that long, so downstream windows
+close only once the watermark passes ``window_end + horizon``
+(measured and documented in streaming/asof.py, whose second stage hits
+exactly this).
 """
 
 from __future__ import annotations

@@ -1413,3 +1413,78 @@ def test_state_partitions_parameter_sizes_state_store(spark, tmp_path):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_stream_horizon_holds_back_emission(spark, tmp_path):
+    """Pins the r8 in-round finding: the left-outer join delays its
+    output watermark by the HORIZON (state retention), so the emit
+    window closes only once the input watermark passes
+    ``window_end + horizon``. A sentinel just SHORT of that line must
+    deliver nothing; a sentinel past it must deliver the seed rows
+    with their carried payload. Deterministic via two availableNow
+    drains over one checkpoint."""
+    import pyspark.sql.types as T
+
+    from pond_spark.streaming import asof_join_stream
+
+    lsch = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("site", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    rsch = T.StructType(
+        [
+            T.StructField("site", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("cfg", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    h_open = t0 + dt.timedelta(minutes=30)
+    horizon = 1900  # seconds; covers the 30-min seed gap
+    ldir, rdir = str(tmp_path / "hl"), str(tmp_path / "hr")
+    ckpt = str(tmp_path / "hckpt")
+    spark.createDataFrame(
+        [(i, "k", h_open) for i in range(3)], lsch
+    ).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame([("k", t0, "v1")], rsch).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+    # window [00:30, 00:31); close line = 00:31 + horizon (+ wm delay)
+    close_line = h_open + dt.timedelta(minutes=1, seconds=horizon)
+
+    def drain(name):
+        got: set = set()
+
+        def sink(df, _bid):
+            got.update((r.site, r.cfg) for r in df.collect())
+
+        ls = spark.readStream.schema(lsch).parquet(ldir)
+        rs = spark.readStream.schema(rsch).parquet(rdir)
+        q = (
+            asof_join_stream(ls, rs, ["site"], horizon_seconds=horizon)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def sentinel(ts):
+        spark.createDataFrame([(99, "zz", ts)], lsch).coalesce(1).write.mode(
+            "append"
+        ).parquet(ldir)
+        spark.createDataFrame([("zz", ts, "vx")], rsch).coalesce(1).write.mode(
+            "append"
+        ).parquet(rdir)
+
+    # watermark lands ~1 min SHORT of the close line: nothing delivers
+    sentinel(close_line - dt.timedelta(minutes=1))
+    assert drain("asof_hold1") == set()
+    # watermark clears the line (+ delay slack): the seed rows deliver
+    sentinel(close_line + dt.timedelta(minutes=5))
+    sentinel(close_line + dt.timedelta(minutes=10))
+    assert ("k", "v1") in drain("asof_hold2")
