@@ -4593,7 +4593,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anonymize": (q_anonymize, ANONYMIZE_SQL),  # r8 window (r3-era refresh)
     "event_transitions": (q_event_transitions, None),  # lazy sql; r8 window (r3-era refresh)
     "chunk_documents": (q_chunk_documents, None),  # lazy sql; r8 window (r3-era refresh)
-    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # lazy sql; r8 window (compact_partition_dirs guard)
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
@@ -4641,6 +4641,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # ---- on files unchanged since that attestation (legit carry) ---
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)
+    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),  # r7-green carry (substr.py unchanged r8)
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
     "range_join": (q_range_join, None),  # lazy sql; r7-green carry
@@ -4653,7 +4654,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
     "hard_negatives": (q_hard_negatives, None),  # below-window carry (r6 green, unchanged r7)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # below-window carry (r6 green, unchanged r7)
     "bitext_pairs": (q_bitext_pairs, None),  # below-window carry (r6 green, unchanged r7)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # below-window carry (r6 green, unchanged r7)
     "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)

@@ -78,6 +78,15 @@ def write_per_site(
       one data file, which is renamed after the write. Local-
       filesystem paths only (os.rename) — the normal CLI context.
     """
+    if filename is not None:
+        from pond_spark.catalog import _is_local_path
+
+        if not _is_local_path(path):
+            raise ValueError(
+                f"write_per_site(filename=...) renames via os.rename; "
+                f"{path!r} has a scheme — the rename walk would silently "
+                "find nothing and leave part- files unrenamed"
+            )
     out = df.withColumn("_site_dir", sanitize_site(F.col("site"))).filter(
         F.col("_site_dir").isNotNull()
     )

@@ -63,7 +63,22 @@ def apply_retention(
     now: dt.datetime | None = None,
     dry_run: bool = False,
 ) -> RetentionReport:
-    """Drop aged files, then oldest-first down to the size budget."""
+    """Drop aged files, then oldest-first down to the size budget.
+
+    Local-filesystem stores only — and LOUDLY so: the reaper lists via
+    glob, and on an hdfs://-style store an empty listing would return
+    a clean "nothing to drop" report while retention silently never
+    evicts (the r7 sidecar class of bug). On a cluster, run retention
+    where the storage is mounted, or port the listing to the Hadoop
+    FileSystem API (catalog._HadoopFS has the primitives)."""
+    from pond_spark.catalog import _is_local_path
+
+    if not _is_local_path(store_dir):
+        raise ValueError(
+            f"apply_retention lists via the local filesystem; {store_dir!r} "
+            "has a scheme — a silent empty listing would report nothing to "
+            "drop while never evicting"
+        )
     now = now or dt.datetime.utcnow()
     if now.tzinfo is not None:
         # file stats are naive-UTC; an aware `now` (the modern

@@ -51,6 +51,14 @@ def compact_partition_dirs(
     import math
     import os
 
+    from pond_spark.catalog import _is_local_path
+
+    if not _is_local_path(base_path):
+        raise ValueError(
+            f"compact_partition_dirs lists via the local filesystem; "
+            f"{base_path!r} has a scheme — a silent empty listing would "
+            "report every partition as already compact"
+        )
     report: dict = {}
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")

@@ -385,3 +385,26 @@ def test_json_sinks_keep_microseconds(spark, tmp_path):
     assert back[0].timestamp == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
     # the packet sink (full row set) round-trips losslessly: covered by
     # test_write_packet_socket_roundtrip with the same timestampFormat
+
+
+def test_local_fs_maintenance_refuses_schemed_paths(spark, tmp_path):
+    """r8 review: the three local-listing maintenance paths (retention
+    reaper, partition-dir compaction, per-site filename rename) used
+    glob/os.walk, so an hdfs://-style path produced a clean empty
+    result instead of doing the work — the same silent-no-op class the
+    r7 sidecar fix closed. All three now refuse loudly."""
+    import pytest as _pytest
+
+    from pond_spark.sinks.writers import write_per_site
+    from pond_spark.sources.retention import apply_retention
+    from pond_spark.util import compact_partition_dirs
+
+    with _pytest.raises(ValueError, match="scheme"):
+        apply_retention("hdfs://nn/store", max_bytes=1)
+    with _pytest.raises(ValueError, match="scheme"):
+        compact_partition_dirs(
+            spark, "file:/tmp/x", "p_date=*", lambda *a: None, 1
+        )
+    df = spark.createDataFrame([(1, "a")], "id long, site string")
+    with _pytest.raises(ValueError, match="scheme"):
+        write_per_site(df, f"file://{tmp_path}/ps", filename="site.log")
