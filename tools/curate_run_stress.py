@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""curate_run resume stress: the stage-materializing curation driver
+(pipeline.curate_run, round 8) at 1M docs — proves the resume story at
+a scale where stage wall-times are visible, not just on the pytest
+fixture:
+
+1. fresh run over the pipeline_stress synthetic corpus (hub of exact
+   dups + unique mass): every stage computes; per-stage wall recorded;
+2. simulated crash: the LAST stage's ``_SUCCESS`` marker is removed;
+3. resume run: earlier stages must report ``resumed`` (metadata-only),
+   only the broken stage recomputes, and the recomputed final corpus
+   must be row-identical to the original (stage determinism is what
+   makes resume correct).
+
+Usage::
+
+    python tools/curate_run_stress.py [n_docs]
+
+Prints one JSON line ``RUNSTRESS {...}``. ~2-4 min at the default 1M.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from pond_spark.pipeline import CurationConfig, curate_run
+    from pond_spark.session import get_spark
+    from tools.pipeline_stress import _synth_pipeline_docs
+
+    spark = get_spark("curate_run_stress")
+    root = tempfile.mkdtemp(prefix="pond_runstress_")
+    try:
+        src = os.path.join(root, "docs")
+        t0 = time.perf_counter()
+        _synth_pipeline_docs(spark, n).coalesce(8).write.parquet(src)
+        gen_s = round(time.perf_counter() - t0, 1)
+
+        cfg = CurationConfig(
+            min_words=5, sample_rate=0.5, stages=("quality", "exact_dedup", "sample")
+        )
+        work = os.path.join(root, "work")
+
+        t0 = time.perf_counter()
+        r1 = curate_run(spark, src, work, cfg)
+        fresh_s = round(time.perf_counter() - t0, 1)
+        final1 = spark.read.parquet(r1[-1]["path"]).count()
+
+        # crash: the last stage lost its marker mid-write
+        os.remove(os.path.join(r1[-1]["path"], "_SUCCESS"))
+        t0 = time.perf_counter()
+        r2 = curate_run(spark, src, work, cfg)
+        resume_s = round(time.perf_counter() - t0, 1)
+        final2 = spark.read.parquet(r2[-1]["path"]).count()
+
+        report = {
+            "n_docs": n,
+            "gen_s": gen_s,
+            "fresh_s": fresh_s,
+            "resume_s": resume_s,
+            "statuses_fresh": [r["status"] for r in r1],
+            "statuses_resume": [r["status"] for r in r2],
+            "final_rows": final1,
+        }
+        print("RUNSTRESS " + json.dumps(report))
+        assert [r["status"] for r in r2] == ["resumed", "resumed", "computed"]
+        assert final1 == final2  # determinism: recompute == original
+        assert resume_s < fresh_s  # only the broken stage re-ran
+        return 0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
