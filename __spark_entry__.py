@@ -4572,15 +4572,16 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #         were drift risk against driver-harness evolution even
     #         with provably-unchanged code (the corpus_profile episode
     #         showed twin-vs-driver divergence is real)
-    #   10-50 the r7 window minus nine demotions (ngram/simhash/minhash
-    #         pairs, range_join, geoip, the four media rows — all
-    #         r7-green on modules untouched in r8), keeping every query
-    #         whose module closure changed this round: corpus_profile
-    #         (dup_ppm BIGINT cast), the sketch family (sidecar fs
-    #         routing + quantile naming: kmv_churn, cm_join_size,
-    #         cm_heavy_hitters, uniques/value sketch rollups), asof
-    #         (streaming eqNullSafe shares no batch module but stays),
-    #         and the curation/pipeline rows.
+    #   10-50 the r7 window minus ten demotions (ngram/simhash/minhash
+    #         pairs, range_join, geoip, the four media rows,
+    #         substring_dup — all r7-green on modules untouched in r8)
+    #         plus ann_ivf_index_topk rotated IN late-round (its index
+    #         compaction reaches the r8 compact_partition_dirs guard),
+    #         keeping every query whose module closure changed this
+    #         round: corpus_profile (dup_ppm BIGINT cast), the sketch
+    #         family (sidecar fs routing + quantile naming: kmv_churn,
+    #         cm_join_size, cm_heavy_hitters, uniques/value sketch
+    #         rollups), and the curation/pipeline rows (curate_run).
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
