@@ -5196,7 +5196,9 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
             lambda df: df.site == "_lagprobe",
         )(spark, sf_dir)
 
-    def stream_asof_close_lag(spark: SparkSession, sf_dir: str) -> float:
+    def stream_asof_close_lag(
+        spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+    ) -> float:
         """Close-delivery lag of the live as-of join (the latency a
         consumer of enriched rows feels): seed left rows sit joined-
         but-unemitted until the event-time watermark passes their emit
@@ -5252,6 +5254,9 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
             .option("maxFilesPerTrigger", "1")
             .parquet(rdir)
         )
+        from pond_spark.streaming.conf import SHUFFLE_PARTITIONS_CONF
+
+        prev_parts = spark.conf.get(SHUFFLE_PARTITIONS_CONF)
         q = (
             asof_join_stream(
                 continue_stream(spark, ldir, watermark=None),
@@ -5260,11 +5265,15 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
                 # > the 1800 s seed gap, small enough that the closing
                 # stamps below clear window_end + horizon
                 horizon_seconds=1900,
+                state_partitions=state_partitions,
             )
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .start()
         )
+        # the query captured its conf at start; restore the session's
+        # (bench probes share it)
+        spark.conf.set(SHUFFLE_PARTITIONS_CONF, prev_parts)
         try:
             if not history_done.wait(timeout=300):
                 raise RuntimeError("asof lag-probe backfill never drained")
@@ -5378,6 +5387,12 @@ def bench_probes() -> dict[str, Callable[[SparkSession, str], float]]:
         "stream_quantiles_batch_p50": stream_quantiles_batch_p50,
         "stream_cusum_close_lag": stream_cusum_close_lag,
         "stream_asof_close_lag": stream_asof_close_lag,
+        # the same delivery lag at the DEPLOYED monitoring sizing — the
+        # 12 s default-sizing row is trigger fixed-cost x 32 partitions
+        # x several rounds; this is what a sized deployment feels
+        "stream_asof_close_lag_sized": lambda spark, sf_dir: (
+            stream_asof_close_lag(spark, sf_dir, state_partitions=4)
+        ),
         "stream_kmv_close_lag": stream_kmv_close_lag,
         "stream_continue_first_live": stream_continue_first_live,
         "store_retain_compact": store_retain_compact,
