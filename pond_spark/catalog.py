@@ -67,6 +67,29 @@ class _LocalFS:
 
         shutil.rmtree(path)
 
+    # -- listing/stat primitives for the maintenance jobs (retention
+    # reaper, partition compaction, per-site rename) ------------------
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(pattern))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmdir(self, path: str) -> None:
+        os.rmdir(path)
+
+    def open_read(self, path: str):
+        return open(path, "rb")
+
 
 class _HadoopFS:
     """The same primitives through the Hadoop FileSystem API, so a
@@ -116,6 +139,98 @@ class _HadoopFS:
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._p(path), True)
 
+    # -- listing/stat primitives (round-9 #1: the maintenance jobs now
+    # WORK on schemed stores instead of refusing) ---------------------
+
+    def glob(self, pattern: str) -> list[str]:
+        """Hadoop's native ``globStatus`` — same ``*`` semantics as the
+        local glob. Returns full URI strings so every follow-up call
+        (spark.read, size, remove) stays on the same filesystem."""
+        statuses = self._fs.globStatus(self._p(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath().toString()) for s in statuses)
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def listdir(self, path: str) -> list[str]:
+        return [
+            str(s.getPath().getName())
+            for s in self._fs.listStatus(self._p(path))
+        ]
+
+    def remove(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+    def rmdir(self, path: str) -> None:
+        # non-recursive delete — raises if the directory is non-empty,
+        # matching os.rmdir
+        self._fs.delete(self._p(path), False)
+
+    def open_read(self, path: str):
+        return _JStreamReader(self._jvm, self._fs, self._p(path))
+
+
+class _JStreamReader:
+    """Seekable read-only Python file over a Hadoop FSDataInputStream —
+    just enough surface (read/seek/tell/close) for pyarrow's parquet
+    footer reads, so the retention reaper can stat files on hdfs://
+    stores without scanning data. Each read is one Py4J round trip
+    returning a byte[]; footers are KB-sized and pyarrow fetches them
+    in a handful of reads, so the per-file cost stays O(1) round trips
+    — fine for O(#files) maintenance jobs, NOT a data-plane reader."""
+
+    mode = "rb"
+
+    def __init__(self, jvm, fs, jpath):
+        self._io = jvm.org.apache.commons.io.IOUtils
+        self._stream = fs.open(jpath)
+        self._len = int(fs.getFileStatus(jpath).getLen())
+        self.closed = False
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._len - self.tell()
+        if n is None or n < 0 or n > remaining:
+            n = remaining
+        if n <= 0:
+            return b""
+        return bytes(self._io.toByteArray(self._stream, int(n)))
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 1:
+            offset += self.tell()
+        elif whence == 2:
+            offset += self._len
+        self._stream.seek(int(offset))
+        return int(offset)
+
+    def tell(self) -> int:
+        return int(self._stream.getPos())
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def flush(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
 
 #: URI scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":".
 #: Matching the scheme itself (not "://") covers the single-slash forms
@@ -137,6 +252,22 @@ def _fs_for(spark: SparkSession, path: str):
     silent no-op)."""
     if _is_local_path(path):
         return _LocalFS()
+    return _HadoopFS(spark, path)
+
+
+def _fs_for_maintenance(path: str, spark: SparkSession | None = None):
+    """_fs_for for entry points that historically took no SparkSession
+    (apply_retention): local paths never need one; schemed paths pick
+    up the active session or fail loudly — never the silent-empty-
+    listing no-op this whole layer exists to prevent."""
+    if _is_local_path(path):
+        return _LocalFS()
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"{path!r} has a scheme and no SparkSession is active — "
+            "listing it needs the Hadoop FileSystem API; pass spark="
+        )
     return _HadoopFS(spark, path)
 
 

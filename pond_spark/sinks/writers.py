@@ -75,18 +75,10 @@ def write_per_site(
     - ``filename`` names each site's output file (the reference
       client's --per-site-file, Main.cxx:229-232): the frame is
       repartitioned on the site dir so each directory holds exactly
-      one data file, which is renamed after the write. Local-
-      filesystem paths only (os.rename) — the normal CLI context.
+      one data file, which is renamed after the write — through the
+      path's filesystem, so schemed stores rename for real
+      (round-9 #1).
     """
-    if filename is not None:
-        from pond_spark.catalog import _is_local_path
-
-        if not _is_local_path(path):
-            raise ValueError(
-                f"write_per_site(filename=...) renames via os.rename; "
-                f"{path!r} has a scheme — the rename walk would silently "
-                "find nothing and leave part- files unrenamed"
-            )
     out = df.withColumn("_site_dir", sanitize_site(F.col("site"))).filter(
         F.col("_site_dir").isNotNull()
     )
@@ -135,27 +127,36 @@ def write_per_site(
     else:
         raise ValueError(f"unknown per-site format: {fmt}")
     if filename is not None:
-        _rename_part_files(path, filename + (".gz" if gzip else ""))
+        _rename_part_files(
+            df.sparkSession, path, filename + (".gz" if gzip else "")
+        )
 
 
-def _rename_part_files(root: str, filename: str) -> None:
+def _rename_part_files(spark, root: str, filename: str) -> None:
     """Give each site directory its single data file the requested
-    name (see write_per_site ``filename``)."""
-    import glob as _glob
+    name (see write_per_site ``filename``). Listing/renames go through
+    the path's filesystem (catalog._fs_for): the partition tree is at
+    most two levels (``_site_dir=…`` or ``_shard=…/_site_dir=…``), so
+    two glob depths cover every leaf."""
     import os as _os
 
-    for d, _dirs, files in _os.walk(root):
-        parts = [f for f in files if f.startswith("part-")]
-        if not parts:
-            continue
+    from pond_spark.catalog import _fs_for
+
+    fs = _fs_for(spark, root)
+    parts_by_dir: dict[str, list[str]] = {}
+    for pat in ("*/part-*", "*/*/part-*"):
+        for p in fs.glob(_os.path.join(root, pat)):
+            d, name = p.rstrip("/").rsplit("/", 1)
+            parts_by_dir.setdefault(d, []).append(name)
+    for d, parts in sorted(parts_by_dir.items()):
         if len(parts) > 1:  # defensive: repartition should prevent this
             raise RuntimeError(
                 f"per-site dir {d} has {len(parts)} data files; cannot "
                 f"apply --per-site-file name {filename!r}"
             )
-        _os.rename(_os.path.join(d, parts[0]), _os.path.join(d, filename))
-        for crc in _glob.glob(_os.path.join(d, ".part-*.crc")):
-            _os.remove(crc)
+        fs.rename(d + "/" + parts[0], d + "/" + filename)
+        for crc in fs.glob(d + "/.part-*.crc"):
+            fs.remove(crc)
 
 
 def write_raw(df: DataFrame, path: str) -> None:

@@ -12,12 +12,18 @@ File-level min/max come from the Parquet footers (no data scan), so the
 job's cost is O(#files). Readers get snapshot isolation per query (the
 file listing is fixed at planning time) — strictly stronger than the
 reference's live-cursor FixDeleted repair (src/Cursor.cxx:8-16).
+
+Storage routing (round-9 #1): scheme-less paths list via glob/os (the
+fast local path); schemed stores (hdfs://, file:, s3a://…) route
+through the Hadoop FileSystem API, with footer stats read over a
+seekable Py4J stream (catalog._JStreamReader) — still O(1) small reads
+per file, never a data scan. Schemed paths need a SparkSession (the
+active one is picked up, or pass ``spark=``).
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import os
 from dataclasses import dataclass
 
@@ -29,29 +35,33 @@ class RetentionReport:
     remaining_bytes: int
 
 
-def _file_stats(path: str) -> tuple[int, dt.datetime | None]:
-    """(bytes, max timestamp) from the parquet footer."""
+def _file_stats(fs, path: str) -> tuple[int, dt.datetime | None]:
+    """(bytes, max timestamp) from the parquet footer, via the store's
+    filesystem primitives (local open or Hadoop stream)."""
     import pyarrow.parquet as pq
 
-    size = os.path.getsize(path)
+    size = fs.size(path)
     try:
-        md = pq.ParquetFile(path).metadata
-        newest = None
-        for rg in range(md.num_row_groups):
-            row_group = md.row_group(rg)
-            for c in range(row_group.num_columns):
-                col = row_group.column(c)
-                if col.path_in_schema not in ("timestamp", "ts"):
-                    continue
-                stats = col.statistics
-                if stats is not None and stats.has_min_max:
-                    mx = stats.max
-                    if isinstance(mx, dt.datetime):
-                        if mx.tzinfo is not None:  # TIMESTAMP_MICROS is UTC-adjusted
-                            mx = mx.astimezone(dt.timezone.utc).replace(tzinfo=None)
-                        if newest is None or mx > newest:
-                            newest = mx
-        return size, newest
+        with fs.open_read(path) as f:
+            md = pq.ParquetFile(f).metadata
+            newest = None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for c in range(row_group.num_columns):
+                    col = row_group.column(c)
+                    if col.path_in_schema not in ("timestamp", "ts"):
+                        continue
+                    stats = col.statistics
+                    if stats is not None and stats.has_min_max:
+                        mx = stats.max
+                        if isinstance(mx, dt.datetime):
+                            if mx.tzinfo is not None:  # TIMESTAMP_MICROS is UTC-adjusted
+                                mx = mx.astimezone(dt.timezone.utc).replace(
+                                    tzinfo=None
+                                )
+                            if newest is None or mx > newest:
+                                newest = mx
+            return size, newest
     except Exception:
         return size, None
 
@@ -62,23 +72,17 @@ def apply_retention(
     max_bytes: int | None = None,
     now: dt.datetime | None = None,
     dry_run: bool = False,
+    spark=None,
 ) -> RetentionReport:
     """Drop aged files, then oldest-first down to the size budget.
 
-    Local-filesystem stores only — and LOUDLY so: the reaper lists via
-    glob, and on an hdfs://-style store an empty listing would return
-    a clean "nothing to drop" report while retention silently never
-    evicts (the r7 sidecar class of bug). On a cluster, run retention
-    where the storage is mounted, or port the listing to the Hadoop
-    FileSystem API (catalog._HadoopFS has the primitives)."""
-    from pond_spark.catalog import _is_local_path
+    Works on local paths AND schemed stores: the listing, footer stats
+    and deletes all go through the path's filesystem
+    (catalog._fs_for_maintenance) — an hdfs:// store is reaped for
+    real, not silently skipped (the r7/r8 silent-no-op bug class)."""
+    from pond_spark.catalog import _fs_for_maintenance
 
-    if not _is_local_path(store_dir):
-        raise ValueError(
-            f"apply_retention lists via the local filesystem; {store_dir!r} "
-            "has a scheme — a silent empty listing would report nothing to "
-            "drop while never evicting"
-        )
+    fs = _fs_for_maintenance(store_dir, spark)
     now = now or dt.datetime.utcnow()
     if now.tzinfo is not None:
         # file stats are naive-UTC; an aware `now` (the modern
@@ -88,10 +92,10 @@ def apply_retention(
     # flat layouts and LogStore's p_date=… partition dirs both retain
     # at file granularity; emptied partition dirs are pruned afterwards
     files = sorted(
-        glob.glob(os.path.join(store_dir, "*.parquet"))
-        + glob.glob(os.path.join(store_dir, "p_date=*", "*.parquet"))
+        fs.glob(os.path.join(store_dir, "*.parquet"))
+        + fs.glob(os.path.join(store_dir, "p_date=*", "*.parquet"))
     )
-    stats = {f: _file_stats(f) for f in files}
+    stats = {f: _file_stats(fs, f) for f in files}
 
     dropped_age: list[str] = []
     if max_age is not None:
@@ -122,13 +126,13 @@ def apply_retention(
 
     if not dry_run:
         for f in dropped_age + dropped_size:
-            os.remove(f)
-        for d in glob.glob(os.path.join(store_dir, "p_date=*")):
-            if not glob.glob(os.path.join(d, "*.parquet")):
+            fs.remove(f)
+        for d in fs.glob(os.path.join(store_dir, "p_date=*")):
+            if not fs.glob(os.path.join(d, "*.parquet")):
                 # only checksum/marker droppings remain — clear them
-                for leftover in os.listdir(d):
-                    os.remove(os.path.join(d, leftover))
-                os.rmdir(d)
+                for leftover in fs.listdir(d):
+                    fs.remove(os.path.join(d, leftover))
+                fs.rmdir(d)
 
     dropped_all = dropped_age_set | set(dropped_size)
     remaining = sum(stats[f][0] for f in files if f not in dropped_all)

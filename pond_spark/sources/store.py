@@ -180,7 +180,12 @@ class LogStore:
         from pond_spark.sources.retention import apply_retention
 
         return apply_retention(
-            self.path, max_age=max_age, max_bytes=max_bytes, now=now, dry_run=dry_run
+            self.path,
+            max_age=max_age,
+            max_bytes=max_bytes,
+            now=now,
+            dry_run=dry_run,
+            spark=self.spark,
         )
 
     def compact(self, target_file_bytes: int = 128 << 20) -> dict[str, int]:

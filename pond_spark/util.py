@@ -44,39 +44,33 @@ def compact_partition_dirs(
     parquet file count exceeds what its byte size warrants, call
     ``rewrite(partition_value, partition_dir, want_files)`` under
     dynamic partition overwrite. Returns {partition_value:
-    files_removed}. File listing is local-fs (this engine's deployment
-    target here); on HDFS/S3 the same loop runs over the FileSystem
-    API."""
-    import glob as _glob
+    files_removed}. Listing routes through the path's filesystem
+    (catalog._fs_for), so schemed stores (hdfs://, file:) compact for
+    real — round-9 #1."""
     import math
     import os
 
-    from pond_spark.catalog import _is_local_path
+    from pond_spark.catalog import _fs_for
 
-    if not _is_local_path(base_path):
-        raise ValueError(
-            f"compact_partition_dirs lists via the local filesystem; "
-            f"{base_path!r} has a scheme — a silent empty listing would "
-            "report every partition as already compact"
-        )
+    fs = _fs_for(spark, base_path)
     report: dict = {}
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
     try:
-        for pdir in sorted(_glob.glob(os.path.join(base_path, partition_glob))):
-            files = _glob.glob(os.path.join(pdir, "*.parquet"))
-            nbytes = sum(os.path.getsize(f) for f in files)
+        for pdir in fs.glob(os.path.join(base_path, partition_glob)):
+            files = fs.glob(os.path.join(pdir, "*.parquet"))
+            nbytes = sum(fs.size(f) for f in files)
             want = max(1, math.ceil(nbytes / target_file_bytes))
             if len(files) <= want:
                 continue
-            pvalue = os.path.basename(pdir).split("=", 1)[1]
+            pvalue = pdir.rstrip("/").rsplit("/", 1)[-1].split("=", 1)[1]
             rewrite(pvalue, pdir, want)
             # re-list for the TRUE removal count: the rewrite's range
             # partitioner can emit fewer non-empty files than `want`
             # (skew) or more (maxRecordsPerFile) — len(files) - want
             # would misstate it
-            after = _glob.glob(os.path.join(pdir, "*.parquet"))
+            after = fs.glob(os.path.join(pdir, "*.parquet"))
             report[pvalue] = len(files) - len(after)
     finally:
         spark.conf.set(mode_key, prev)

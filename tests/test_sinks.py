@@ -387,24 +387,63 @@ def test_json_sinks_keep_microseconds(spark, tmp_path):
     # test_write_packet_socket_roundtrip with the same timestampFormat
 
 
-def test_local_fs_maintenance_refuses_schemed_paths(spark, tmp_path):
-    """r8 review: the three local-listing maintenance paths (retention
-    reaper, partition-dir compaction, per-site filename rename) used
-    glob/os.walk, so an hdfs://-style path produced a clean empty
-    result instead of doing the work — the same silent-no-op class the
-    r7 sidecar fix closed. All three now refuse loudly."""
-    import pytest as _pytest
+def test_maintenance_works_on_schemed_paths(spark, logs, tmp_path):
+    """round-9 #1: the three maintenance paths that refused schemed
+    paths in r8 (retention reaper, partition-dir compaction, per-site
+    filename rename) now route listings/stats/renames through the
+    Hadoop FileSystem API and DO the work. file:// is the in-test
+    stand-in for hdfs:// — the exact _HadoopFS code path (globStatus,
+    FSDataInputStream footer reads, rename), locally verifiable."""
+    import datetime as _dt
 
     from pond_spark.sinks.writers import write_per_site
-    from pond_spark.sources.retention import apply_retention
-    from pond_spark.util import compact_partition_dirs
+    from pond_spark.sources.store import LogStore
 
-    with _pytest.raises(ValueError, match="scheme"):
-        apply_retention("hdfs://nn/store", max_bytes=1)
-    with _pytest.raises(ValueError, match="scheme"):
-        compact_partition_dirs(
-            spark, "file:/tmp/x", "p_date=*", lambda *a: None, 1
-        )
-    df = spark.createDataFrame([(1, "a")], "id long, site string")
-    with _pytest.raises(ValueError, match="scheme"):
-        write_per_site(df, f"file://{tmp_path}/ps", filename="site.log")
+    local = tmp_path / "store"
+    s = LogStore(spark, f"file://{local}")
+    for _ in range(3):  # several small files per date
+        s.append(logs)
+    n = s.read().count()
+    dated = glob.glob(str(local / "p_date=*"))
+    files_before = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in dated
+    )
+    # compaction merges the small files — verified on the LOCAL view
+    report = s.compact()
+    files_after = sum(
+        len(glob.glob(os.path.join(d, "*.parquet"))) for d in dated
+    )
+    assert files_after < files_before
+    assert sum(report.values()) == files_before - files_after
+    assert s.read().count() == n
+    # retention via footer stats over the Hadoop stream: age out all
+    # dated files; dirs pruned (the unknown partition has no time
+    # stats, so age-based retention correctly leaves it)
+    newest = max(
+        r.timestamp
+        for r in s.read().select("timestamp").collect()
+        if r.timestamp is not None
+    )
+    rep = s.retain(max_age=_dt.timedelta(0), now=newest + _dt.timedelta(days=400))
+    assert rep.dropped_age
+    assert glob.glob(str(local / "p_date=*")) == [str(local / "p_date=unknown")]
+    # per-site rename on a schemed sink
+    write_per_site(logs, f"file://{tmp_path}/ps", filename="site.log")
+    named = glob.glob(str(tmp_path / "ps" / "_site_dir=*" / "site.log"))
+    assert len(named) == 3  # sites a, b, c
+    assert not glob.glob(str(tmp_path / "ps" / "_site_dir=*" / "part-*"))
+
+
+def test_retention_schemed_path_without_session_refuses(monkeypatch):
+    """A schemed store with no SparkSession available must fail loudly
+    (never the silent empty-listing no-op)."""
+    import pytest as _pytest
+    from pyspark.sql import SparkSession
+
+    from pond_spark.catalog import _fs_for_maintenance
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    with _pytest.raises(ValueError, match="SparkSession"):
+        _fs_for_maintenance("hdfs://nn/store", spark=None)
