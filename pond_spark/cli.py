@@ -1002,7 +1002,10 @@ _PIPELINE_USAGE = (
     "         [--sample-salt=curate] [--eval-set=PARQUET]\n"
     "         [--near-method=minhash --near-threshold=0.8 --near-n=3]\n"
     "         [--near-block-col=COL --near-max-bucket=N]\n"
-    "         — compute-or-resume the stage chain (pipeline.curate_run)\n"
+    "         [--digest-catalog=PATH] [--minhash-catalog=PATH]\n"
+    "         — compute-or-resume the stage chain (pipeline.curate_run);\n"
+    "           the catalog flags add the cross-run incremental gate +\n"
+    "           after-ship registration (daily-corpus mode)\n"
     "  status WORK_DIR — per-stage complete/missing, no computation"
 )
 
@@ -1019,6 +1022,7 @@ def _run_pipeline(spark, rest: list[str]) -> int:
     min_words, max_words = 20, 100_000
     sample_rate, sample_salt = 1.0, "curate"
     eval_set = None
+    digest_catalog = minhash_catalog = None
     near: dict = {}
     args: list[str] = []
     for a in rest:
@@ -1044,6 +1048,10 @@ def _run_pipeline(spark, rest: list[str]) -> int:
             near["near_block_col"] = v
         elif (v := _filter_value(a, "--near-max-bucket")) is not None:
             near["near_max_bucket"] = int(v)
+        elif (v := _filter_value(a, "--digest-catalog")) is not None:
+            digest_catalog = v
+        elif (v := _filter_value(a, "--minhash-catalog")) is not None:
+            minhash_catalog = v
         else:
             args.append(a)
     if not args:
@@ -1062,12 +1070,22 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                       file=sys.stderr)
                 return 2
             manifest = _json.loads(fs.read_text(mpath))
-            for idx, stage in enumerate(manifest["stages"]):
+            stages = list(manifest["stages"])
+            gated = manifest.get("digest_catalog_path") or manifest.get(
+                "minhash_catalog_path"
+            )
+            if gated:
+                stages = ["catalog_gate"] + stages
+            for idx, stage in enumerate(stages):
                 sdir = f"{work.rstrip('/')}/stage_{idx:02d}_{stage}"
                 state = (
                     "complete" if fs.exists(sdir + "/_SUCCESS") else "missing"
                 )
                 print(f"{state:8s} {stage:14s} {sdir}")
+            if gated:
+                marker = work.rstrip("/") + "/_REGISTERED"
+                state = "complete" if fs.exists(marker) else "missing"
+                print(f"{state:8s} {'catalog_register':14s} {marker}")
             return 0
         if sub == "run":
             inp, work = args
@@ -1082,11 +1100,22 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 extra=near,
             )
             rows = curate_run(
-                spark, inp, work, cfg, eval_set_path=eval_set
+                spark,
+                inp,
+                work,
+                cfg,
+                eval_set_path=eval_set,
+                digest_catalog_path=digest_catalog,
+                minhash_catalog_path=minhash_catalog,
             )
             for r in rows:
                 print(f"{r['status']:8s} {r['stage']:14s} {r['path']}")
-            print(f"final={rows[-1]['path']}")
+            final = next(
+                r["path"]
+                for r in reversed(rows)
+                if r["stage"] != "catalog_register"
+            )
+            print(f"final={final}")
             return 0
         print(_PIPELINE_USAGE, file=sys.stderr)
         return 2

@@ -873,3 +873,39 @@ def test_cli_pipeline_run_and_status(spark, store_dir, tmp_path, capsys):
     assert main([f"--store={store_dir}", "pipeline", "status",
                  str(tmp_path / "nowhere")]) == 2
     capsys.readouterr()
+
+
+def test_cli_pipeline_run_incremental_catalogs(spark, store_dir, tmp_path, capsys):
+    """round-9 #3 through the CLI: --digest-catalog adds the cross-run
+    gate + after-ship registration; a second day's run through the
+    SAME catalog drops already-shipped content, and status reports the
+    gate stage and the registration marker."""
+    from pond_spark.cli import main
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    cat = str(tmp_path / "cat")
+    day1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(1, good + "one")], "doc_id long, text string"
+    ).write.parquet(day1)
+    assert main([f"--store={store_dir}", "pipeline", "run", day1,
+                 str(tmp_path / "w1"), "--stages=quality",
+                 f"--digest-catalog={cat}"]) == 0
+    out = capsys.readouterr().out
+    assert "catalog_gate" in out and "catalog_register" in out
+
+    day2 = str(tmp_path / "d2")
+    spark.createDataFrame(
+        [(11, good + "one"), (12, good + "two")],
+        "doc_id long, text string",
+    ).write.parquet(day2)
+    w2 = str(tmp_path / "w2")
+    assert main([f"--store={store_dir}", "pipeline", "run", day2, w2,
+                 "--stages=quality", f"--digest-catalog={cat}"]) == 0
+    final = capsys.readouterr().out.splitlines()[-1].split("=", 1)[1]
+    assert {r.doc_id for r in spark.read.parquet(final).collect()} == {12}
+
+    assert main([f"--store={store_dir}", "pipeline", "status", w2]) == 0
+    out = capsys.readouterr().out
+    assert out.count("complete") == 3  # gate, quality, register
+    assert "catalog_register" in out and "missing" not in out

@@ -496,3 +496,100 @@ def test_curate_run_stage_level_resume(spark, corpus, tmp_path):
             ),
             eval_set_path=eval_path,
         )
+
+
+def test_curate_run_cross_run_incremental_catalogs(spark, tmp_path):
+    """round-9 #3: the daily-corpus shape — one work_dir per day, one
+    shared Digest/MinHash catalog across days. Day 2 must drop content
+    day 1 already shipped (exact via digest, near via LSH band
+    collision), a resumed day neither re-registers nor skips a crashed
+    registration, and the gate stage materializes like any other."""
+    import os
+
+    from pond_spark.pipeline import curate_run
+
+    base = "clean prose with plenty of ordinary readable words " * 5
+    digest_cat = str(tmp_path / "digests")
+    minhash_cat = str(tmp_path / "bands")
+    cfg = CurationConfig(
+        min_words=10, sample_rate=1.0, stages=("quality", "exact_dedup")
+    )
+
+    t1 = base + "alpha version of the story ending"
+    t2 = base + "beta entirely different tail content here"
+    day1 = str(tmp_path / "day1_in")
+    spark.createDataFrame(
+        [(1, t1), (2, t2)], ["doc_id", "text"]
+    ).write.parquet(day1)
+    r1 = curate_run(
+        spark, day1, str(tmp_path / "w1"), cfg,
+        digest_catalog_path=digest_cat, minhash_catalog_path=minhash_cat,
+    )
+    assert [r["stage"] for r in r1] == [
+        "catalog_gate", "quality", "exact_dedup", "catalog_register",
+    ]
+    assert all(r["status"] == "computed" for r in r1)
+    assert {
+        r.doc_id for r in spark.read.parquet(r1[-2]["path"]).collect()
+    } == {1, 2}
+    n_digests = spark.read.parquet(digest_cat).count()
+    assert n_digests == 2
+
+    # day 2: an exact repeat of t1 (new id), a near-dup of t2 (one
+    # word changed in a ~250-word doc -> shares band keys with
+    # near-certainty), and a genuinely new doc
+    day2 = str(tmp_path / "day2_in")
+    spark.createDataFrame(
+        [
+            (11, t1),
+            (12, base + "beta entirely different tail content there"),
+            (
+                13,
+                "an unrelated essay about mountain weather patterns "
+                "and the long seasonal drift of alpine snow lines " * 5,
+            ),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(day2)
+    w2 = str(tmp_path / "w2")
+    r2 = curate_run(
+        spark, day2, w2, cfg,
+        digest_catalog_path=digest_cat, minhash_catalog_path=minhash_cat,
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(r2[-2]["path"]).collect()
+    } == {13}
+
+    # full resume: nothing recomputes, nothing re-registers
+    n_digests_after_day2 = spark.read.parquet(digest_cat).count()
+    r2b = curate_run(
+        spark, day2, w2, cfg,
+        digest_catalog_path=digest_cat, minhash_catalog_path=minhash_cat,
+    )
+    assert all(r["status"] == "resumed" for r in r2b)
+    assert spark.read.parquet(digest_cat).count() == n_digests_after_day2
+
+    # crash between final stage and registration: marker missing ->
+    # the resume registers from the materialized gate output
+    os.remove(os.path.join(w2, "_REGISTERED"))
+    r2c = curate_run(
+        spark, day2, w2, cfg,
+        digest_catalog_path=digest_cat, minhash_catalog_path=minhash_cat,
+    )
+    assert [r["status"] for r in r2c] == [
+        "resumed", "resumed", "resumed", "computed",
+    ]
+    # re-registration appends (at-least-once); probes are multiplicity-
+    # blind, and compact() restores the distinct set
+    from pond_spark.dedup.exact import DigestCatalog
+
+    DigestCatalog(spark, digest_cat).compact()
+    assert spark.read.parquet(digest_cat).count() == n_digests_after_day2
+
+    # a different catalog path refuses the pinned work_dir
+    with pytest.raises(ValueError, match="new work_dir"):
+        curate_run(
+            spark, day2, w2, cfg,
+            digest_catalog_path=str(tmp_path / "other"),
+            minhash_catalog_path=minhash_cat,
+        )
