@@ -349,6 +349,36 @@ class CatalogStore:
         self.fs.rename(staged, self.path)
         self.fs.rmtree(old)
 
+    # -- advisory snapshots (round-9 #4): skew trends over a catalog's
+    # lifetime without re-scanning history -----------------------------
+
+    def snapshot_stats(self, stats: dict) -> None:
+        """Append one advisory histogram (bucket_stats dict, typically
+        via the owning catalog's advise()) to ``path + '.advise.jsonl'``
+        with a wall-clock stamp. The history is one small dict per
+        snapshot — read-rewrite append keeps the primitive uniform
+        across local and Hadoop filesystems. Same single-writer rule as
+        the catalog itself."""
+        import time
+
+        side = self.path + ".advise.jsonl"
+        line = json.dumps({"ts": int(time.time()), **stats})
+        prior = self.fs.read_text(side) if self.fs.exists(side) else ""
+        self.fs.write_text(side, prior + line + "\n")
+
+    def stats_history(self) -> list[dict]:
+        """All snapshots, oldest first (``[]`` before the first one).
+        ``n_rows`` is the natural trend axis — monotone in registered
+        volume — with ``ts`` for calendar alignment."""
+        side = self.path + ".advise.jsonl"
+        if not self.fs.exists(side):
+            return []
+        return [
+            json.loads(line)
+            for line in self.fs.read_text(side).splitlines()
+            if line.strip()
+        ]
+
 
 def bucket_stats(
     keys: DataFrame, key_cols, cap: int | None = None

@@ -616,9 +616,12 @@ _CATALOG_USAGE = (
     "  emb-candidates   CAT VECS_PARQUET --dim=D [same flags]\n"
     "                   [--max-bucket-size=N] [--out=]\n"
     "  compact          digest|minhash|emb CAT [open flags, --dim for emb]\n"
-    "  advise           minhash|emb CAT [--max-bucket-size=N]\n"
+    "  advise           minhash|emb CAT [--max-bucket-size=N] [--snapshot]\n"
     "                   [open flags, --dim for emb] — bucket histogram\n"
-    "                   + recommended cap (and nbits for emb)"
+    "                   + recommended cap (and nbits for emb);\n"
+    "                   --snapshot appends it to CAT.advise.jsonl\n"
+    "  advise-history   minhash|emb CAT [open flags] — one JSON line\n"
+    "                   per persisted snapshot, oldest first"
 )
 
 
@@ -636,6 +639,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
     k, bands, n, seed = 64, 16, 1, 42
     dim, nbits, tables = None, 8, 2
     max_bucket, out_path = None, None
+    snapshot = False
     args: list[str] = []
     for a in rest:
         if (v := _filter_value(a, "--text-col")) is not None:
@@ -662,6 +666,8 @@ def _run_catalog(spark, rest: list[str]) -> int:
             max_bucket = int(v)
         elif (v := _filter_value(a, "--out")) is not None:
             out_path = v
+        elif a == "--snapshot":
+            snapshot = True
         else:
             args.append(a)
     if not args:
@@ -698,7 +704,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
         return 0
 
     known = (
-        "compact", "advise", "digest-register", "digest-filter",
+        "compact", "advise", "advise-history", "digest-register", "digest-filter",
         "minhash-register", "minhash-filter", "minhash-candidates",
         "emb-register", "emb-filter", "emb-candidates",
     )
@@ -714,13 +720,24 @@ def _run_catalog(spark, rest: list[str]) -> int:
             print(f"compacted kind={kind} path={path}")
             return 0
         if sub == "advise":
-            # bucket histogram + tuning recommendation (VERDICT r7 #4)
+            # bucket histogram + tuning recommendation (VERDICT r7 #4);
+            # --snapshot appends it to the advisory history (round-9 #4)
             kind, path = args
             rep = {"minhash": open_minhash, "emb": open_emb}[kind](
                 path
-            ).advise(max_bucket_size=max_bucket)
+            ).advise(max_bucket_size=max_bucket, snapshot=snapshot)
             for key in sorted(rep):
                 print(f"{key}={rep[key]}")
+            return 0
+        if sub == "advise-history":
+            # skew trend over the catalog's lifetime, no re-scan
+            import json as _json
+
+            kind, path = args
+            for snap in {"minhash": open_minhash, "emb": open_emb}[kind](
+                path
+            ).advise_history():
+                print(_json.dumps(snap, sort_keys=True))
             return 0
         path, data = args
         docs = spark.read.parquet(data)

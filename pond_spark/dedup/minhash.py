@@ -430,11 +430,22 @@ class MinHashCatalog:
         )
 
     def register(
-        self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        snapshot: bool = False,
     ) -> None:
         """Append the batch's band rows (and pin the parameter sidecar
-        on first use)."""
+        on first use). ``snapshot=True`` persists the post-register
+        bucket histogram to the advisory history (round-9 #4) — one
+        extra groupBy over the ids+ints key table per register, so
+        reserve it for scheduled/daily registers rather than tight
+        micro-batch loops (or snapshot from a cron via
+        ``catalog advise … --snapshot``)."""
         self._store.append(self._banded(df, text_col, id_col))
+        if snapshot:
+            self.advise(snapshot=True)
 
     def compact(self) -> None:
         """Rewrite as one distinct (doc_id, band_key) set — repeated
@@ -443,7 +454,9 @@ class MinHashCatalog:
         refuses to bootstrap over a ``._old`` remnant."""
         self._store.compact()
 
-    def advise(self, max_bucket_size: int | None = None) -> dict:
+    def advise(
+        self, max_bucket_size: int | None = None, snapshot: bool = False
+    ) -> dict:
         """Bucket-occupancy advisory (VERDICT r7 ask #4): the band-key
         histogram (p50/p90/p99/max occupancy, candidate-pair mass) and
         the hot-bucket count at ``max_bucket_size`` (or at the
@@ -466,4 +479,12 @@ class MinHashCatalog:
         )
         stats = bucket_stats(keys, ["band_key"], cap=cap)
         stats["recommended_max_bucket_size"] = recommend_cap(stats)
+        if snapshot:
+            self._store.snapshot_stats(stats)
         return stats
+
+    def advise_history(self) -> list[dict]:
+        """Persisted advisory snapshots, oldest first (round-9 #4):
+        how occupancy/pair-mass skew trends as the catalog grows,
+        without re-scanning anything."""
+        return self._store.stats_history()

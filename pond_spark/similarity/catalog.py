@@ -157,15 +157,24 @@ class EmbeddingCatalog:
         df: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        snapshot: bool = False,
     ) -> None:
+        """``snapshot=True`` persists the post-register bucket
+        histogram to the advisory history (round-9 #4) — one extra
+        groupBy over ids+ints per register; see
+        MinHashCatalog.register."""
         self._store.append(self._bucketed(df, vec_col, id_col))
+        if snapshot:
+            self.advise(snapshot=True)
 
     def compact(self) -> None:
         """Distinct rewrite with the crash-safe double rename
         (pond_spark.catalog)."""
         self._store.compact()
 
-    def advise(self, max_bucket_size: int | None = None) -> dict:
+    def advise(
+        self, max_bucket_size: int | None = None, snapshot: bool = False
+    ) -> dict:
         """Bucket-occupancy advisory (VERDICT r7 ask #4): the
         (table, bucket) histogram and hot-bucket count (see
         MinHashCatalog.advise), PLUS an nbits recommendation from the
@@ -199,4 +208,10 @@ class EmbeddingCatalog:
             if n_vecs > 32
             else 4
         )
+        if snapshot:
+            self._store.snapshot_stats(stats)
         return stats
+
+    def advise_history(self) -> list[dict]:
+        """Persisted advisory snapshots, oldest first (round-9 #4)."""
+        return self._store.stats_history()

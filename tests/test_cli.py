@@ -831,6 +831,71 @@ def test_cli_catalog_advise_skewed_fixture(spark, store_dir, tmp_path, capsys):
     assert int(erep["recommended_nbits"]) == 4  # 60 vecs -> tiny table
 
 
+def test_cli_catalog_advise_snapshot_history(spark, store_dir, tmp_path, capsys):
+    """round-9 #4: `advise --snapshot` persists the histogram next to
+    the catalog; a second register + snapshot grows the history, and
+    `advise-history` replays it oldest-first without re-scanning."""
+    import json as _json
+
+    from pond_spark.cli import main
+
+    d1 = str(tmp_path / "h1")
+    spark.createDataFrame(
+        [(i, f"w{i * 7} w{i * 13 + 1} w{i * 29 + 2} w{i * 31 + 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(d1)
+    d2 = str(tmp_path / "h2")
+    spark.createDataFrame(
+        [(1000 + i, f"v{i * 11} v{i * 17 + 1} v{i * 23 + 2} v{i * 43 + 3}")
+         for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(d2)
+
+    cat = str(tmp_path / "hcat")
+    flags = ["--k=16", "--bands=4"]
+    assert main([f"--store={store_dir}", "catalog", "minhash-register",
+                 cat, d1, *flags]) == 0
+    assert main([f"--store={store_dir}", "catalog", "advise", "minhash",
+                 cat, "--snapshot", *flags]) == 0
+    assert main([f"--store={store_dir}", "catalog", "minhash-register",
+                 cat, d2, *flags]) == 0
+    assert main([f"--store={store_dir}", "catalog", "advise", "minhash",
+                 cat, "--snapshot", *flags]) == 0
+    capsys.readouterr()
+    assert main([f"--store={store_dir}", "catalog", "advise-history",
+                 "minhash", cat, *flags]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    snaps = [_json.loads(line) for line in lines]
+    assert len(snaps) == 2
+    assert snaps[1]["n_rows"] > snaps[0]["n_rows"]  # growth is visible
+    assert all("ts" in s and "occ_p99" in s for s in snaps)
+    # the sidecar lives next to the catalog, one line per snapshot
+    with open(cat + ".advise.jsonl") as f:
+        assert len(f.read().strip().splitlines()) == 2
+
+
+def test_minhash_register_snapshot_records_history(spark, tmp_path):
+    """register(snapshot=True) appends the post-register histogram —
+    the in-pipeline shape of the advisory trend (round-9 #4)."""
+    from pond_spark.dedup.minhash import MinHashCatalog
+
+    docs1 = spark.createDataFrame(
+        [(i, f"a{i} b{i + 1} c{i + 2} d{i + 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(100 + i, f"x{i} y{i + 1} z{i + 2} q{i + 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    cat = MinHashCatalog(spark, str(tmp_path / "rcat"), k=16, bands=4)
+    cat.register(docs1, snapshot=True)
+    cat.register(docs2, snapshot=True)
+    hist = cat.advise_history()
+    assert len(hist) == 2
+    assert hist[1]["n_rows"] > hist[0]["n_rows"]
+
+
 def test_cli_pipeline_run_and_status(spark, store_dir, tmp_path, capsys):
     """r8: the pipeline command group — `pipeline run` computes the
     stage chain into a work_dir, a second identical invocation resumes
