@@ -2901,6 +2901,93 @@ def _curation_near_sql() -> str:
     return curation_near_oracle_sql(_DEDUP_DOCS_SQL)
 
 
+#: planted cross-day rows for q_curation_incremental: a day1→day2 exact
+#: repeat, a twice-in-day1 text repeated in day2, a within-day2 dup
+#: pair, and a day2 NULL text (absent content is never a duplicate)
+_CURATE_INC_ROWS = [
+    (9100002, "cross day repeated body planted for the gate"),
+    (9100003, "cross day repeated body planted for the gate"),
+    (9100004, "shared body registered twice on day one"),
+    (9100006, "shared body registered twice on day one"),
+    (9100009, "shared body registered twice on day one"),
+    (9100005, "day two duplicate body planted for min id"),
+    (9100007, "day two duplicate body planted for min id"),
+    (9100001, None),
+]
+
+_CURATE_INC_DOCS_SQL = (
+    "(SELECT doc_id, text FROM " + _DEDUP_DOCS_SQL + " UNION ALL "
+    "SELECT * FROM (VALUES "
+    "(9100002, 'cross day repeated body planted for the gate'), "
+    "(9100003, 'cross day repeated body planted for the gate'), "
+    "(9100004, 'shared body registered twice on day one'), "
+    "(9100006, 'shared body registered twice on day one'), "
+    "(9100009, 'shared body registered twice on day one'), "
+    "(9100005, 'day two duplicate body planted for min id'), "
+    "(9100007, 'day two duplicate body planted for min id'), "
+    "(9100001, CAST(NULL AS VARCHAR))) v(doc_id, text))"
+)
+
+
+def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RUN incremental curation (pipeline.curate_run with a
+    persisted DigestCatalog — round-9 #3, the daily-corpus shape): day
+    1 = even-id documents, shipped through a resumable run that
+    registers its catalog_gate survivors after the final stage; day 2
+    = odd-id documents, whose catalog_gate must drop every text day 1
+    shipped, keep NULL texts (absent content is never a duplicate,
+    the r7 rule), and keep the min id of any within-day-2 duplicate.
+    Output = day 2's final materialized corpus. Digest equality is
+    text equality, so the oracle replays the gate as ``text NOT IN
+    (day-1 non-null texts)`` plus the min-id rule — the whole
+    register-then-gate composition in one statement. The reference
+    has no curation pipeline; this extends the S2/S3 store discipline
+    (reference src/Clone.cxx append/clone semantics) to corpus runs."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pond_spark.pipeline import CurationConfig, curate_run
+
+    docs = _dedup_docs(spark, sf_dir).select("doc_id", "text").unionByName(
+        spark.createDataFrame(_CURATE_INC_ROWS, "doc_id long, text string")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"pond_curate_inc_{tag}")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    day1_path, day2_path = os.path.join(root, "day1"), os.path.join(root, "day2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(day1_path)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(day2_path)
+    cat = os.path.join(root, "digests")
+    cfg = CurationConfig(stages=("exact_dedup",))
+    curate_run(
+        spark, day1_path, os.path.join(root, "w1"), cfg,
+        digest_catalog_path=cat,
+    )
+    rows = curate_run(
+        spark, day2_path, os.path.join(root, "w2"), cfg,
+        digest_catalog_path=cat,
+    )
+    final = next(
+        r["path"] for r in reversed(rows) if r["stage"] != "catalog_register"
+    )
+    return spark.read.parquet(final).select("doc_id", "text")
+
+
+CURATION_INCREMENTAL_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM {_CURATE_INC_DOCS_SQL}),
+day1 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+day2 AS (SELECT * FROM docs WHERE doc_id % 2 = 1)
+SELECT d2.doc_id, d2.text
+FROM day2 d2
+WHERE d2.text IS NULL
+   OR (d2.text NOT IN (SELECT text FROM day1 WHERE text IS NOT NULL)
+       AND d2.doc_id = (SELECT min(doc_id) FROM day2 x
+                        WHERE x.text = d2.text))
+"""
+
+
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr (Lee et al. 2022) repeated-span profile: 8-token
     windows at stride 1 (the paper's unit is token sequences; stride-1
@@ -4582,6 +4669,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     #         family (sidecar fs routing + quantile naming: kmv_churn,
     #         cm_join_size, cm_heavy_hitters, uniques/value sketch
     #         rollups), and the curation/pipeline rows (curate_run).
+    #         Late-r8: curation_incremental (NEW — the cross-run
+    #         catalog gate) added to the head; repetition demoted in
+    #         trade (r7-green, functions/text.py unchanged).
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
@@ -4611,6 +4701,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "curation_near": (q_curation_near, None),  # lazy sql (chained twins)
+    "curation_incremental": (q_curation_incremental, CURATION_INCREMENTAL_SQL),  # NEW r8 (cross-run catalog gate; demotes ann_ivf_topk below the boundary — ivf.py unchanged r8, r6-green carry)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
@@ -4625,7 +4716,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cm_join_size": (q_cm_join_size, None),  # lazy sql (NEW r6, CM inner product)
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
-    "repetition": (q_repetition, REPETITION_SQL),  # rotated into the r6 window (_word_ngrams fix)
     "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # rotated into the r6 window (sketches.py + oracle changed)
     "quality_rules": (q_quality_rules, None),  # rotated into the r6 window (_word_ngrams fix)
     "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
@@ -4640,6 +4730,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     # ---- window boundary (index 50): everything below is r5-green --
     # ---- on files unchanged since that attestation (legit carry) ---
+    "repetition": (q_repetition, REPETITION_SQL),  # demoted late-r8 for curation_incremental (r7-green, functions/text.py unchanged this round)
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),  # r7-green carry (substr.py unchanged r8)
