@@ -415,6 +415,11 @@ def curate_run(
 
     if not config.stages:
         raise ValueError("curate_run needs at least one stage")
+    if "catalog_gate" in config.stages:
+        raise ValueError(
+            "catalog_gate is not a configurable stage — it is prepended "
+            "by digest_catalog_path/minhash_catalog_path"
+        )
     gated = digest_catalog_path is not None or minhash_catalog_path is not None
     fs = _fs_for(spark, work_dir)
     fs.mkdirs(work_dir)

@@ -593,3 +593,15 @@ def test_curate_run_cross_run_incremental_catalogs(spark, tmp_path):
             digest_catalog_path=str(tmp_path / "other"),
             minhash_catalog_path=minhash_cat,
         )
+
+
+def test_curate_run_refuses_explicit_catalog_gate_stage(spark, tmp_path):
+    """catalog_gate is synthetic — configuring it explicitly would
+    double the gate (or run it without catalogs) and must refuse."""
+    from pond_spark.pipeline import curate_run
+
+    with pytest.raises(ValueError, match="catalog_gate"):
+        curate_run(
+            spark, str(tmp_path / "in"), str(tmp_path / "w"),
+            CurationConfig(stages=("catalog_gate", "quality")),
+        )
