@@ -1,0 +1,92 @@
+"""Daily incremental corpus curation — the cross-RUN shape of
+examples/curate_resumable.py: one work_dir per day, one shared
+DigestCatalog across days, so each day's run ships only content no
+prior day shipped (pipeline.curate_run with digest_catalog_path,
+late-r8 / round-9 #3).
+
+    python examples/curate_daily.py [sf_dir] [base_dir]
+
+The script simulates three daily arrivals from the documents table:
+
+1. day 1 — a slice of the corpus; everything is new, the run registers
+   its shipped digests after the final stage succeeds;
+2. day 2 — a slice that OVERLAPS day 1 (the upstream crawler re-fetched
+   half of yesterday); the catalog_gate drops the overlap before any
+   curation compute touches it;
+3. day 2 re-run — every stage (and the registration) reports
+   ``resumed``: a scheduler can blindly re-invoke the same command.
+
+The gate's scale story: the anti-join ships 32-byte digests only,
+never documents — at 100 TB/day the catalog is ~0.03% of the corpus.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pond_curate_daily"
+
+    from pond_spark.pipeline import CurationConfig, curate_run
+    from pond_spark.session import get_spark
+
+    spark = get_spark("curate_daily")
+    config = CurationConfig(
+        min_words=10, stages=("quality", "exact_dedup", "pii")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # day 1 = ids [0, 2/3); day 2 = ids [1/3, 1) — the middle third is
+    # the crawler's re-fetch that the gate must drop on day 2
+    hi = docs.selectExpr("max(doc_id) AS m").collect()[0].m or 0
+    day1_path, day2_path = f"{base}/in_day1", f"{base}/in_day2"
+    docs.filter(f"doc_id < {2 * hi // 3}").write.mode("overwrite").parquet(
+        day1_path
+    )
+    docs.filter(f"doc_id >= {hi // 3}").write.mode("overwrite").parquet(
+        day2_path
+    )
+    catalog = f"{base}/digest_catalog"
+
+    def show(tag: str, rows: list[dict]) -> None:
+        print(f"--- {tag}")
+        for r in rows:
+            print(f"  {r['status']:8s} {r['stage']:16s} -> {r['path']}")
+        final = next(
+            r["path"] for r in reversed(rows)
+            if r["stage"] != "catalog_register"
+        )
+        print(f"  shipped rows: {spark.read.parquet(final).count()}")
+
+    show(
+        "day 1",
+        curate_run(
+            spark, day1_path, f"{base}/day1", config,
+            digest_catalog_path=catalog,
+        ),
+    )
+    show(
+        "day 2 (overlap gated)",
+        curate_run(
+            spark, day2_path, f"{base}/day2", config,
+            digest_catalog_path=catalog,
+        ),
+    )
+    show(
+        "day 2 re-run (scheduler retry)",
+        curate_run(
+            spark, day2_path, f"{base}/day2", config,
+            digest_catalog_path=catalog,
+        ),
+    )
+    print(f"catalog digests: {spark.read.parquet(catalog).count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,12 @@ def test_example_curate_resumable(tmp_path, capsys):
     assert out.count("computed") >= 6  # fresh run (4) + post-crash (2)
     assert out.count("resumed") >= 6  # full resume (4) + post-crash (2)
     assert "curated rows:" in out
+
+
+def test_example_curate_daily(tmp_path, capsys):
+    out = _run("curate_daily", [SF, str(tmp_path / "cd")], capsys)
+    assert out.count("stage_00_catalog_gate") == 3
+    assert out.count("_REGISTERED") == 3
+    # the retry resumes everything, including the registration
+    assert out.count("resumed") >= 5
+    assert "catalog digests:" in out

@@ -12,11 +12,19 @@ fixture:
    must be row-identical to the original (stage determinism is what
    makes resume correct).
 
+Then the DAILY cross-run phase (late-r8, round-9 #3): day 1 registers
+its shipped digests, day 2 arrives with ~50% exact repeats of day-1
+content (id-shifted slice of the same deterministic synth corpus) —
+the catalog_gate must drop the repeat mass, and the gate's overhead is
+measured against an ungated day-2 run. The gate's scale story under
+test: the anti-join ships 32-byte digests only, never documents.
+
 Usage::
 
     python tools/curate_run_stress.py [n_docs]
 
-Prints one JSON line ``RUNSTRESS {...}``. ~2-4 min at the default 1M.
+Prints ``RUNSTRESS {...}`` and ``DAILYSTRESS {...}`` JSON lines.
+~4-6 min at the default 1M.
 """
 
 from __future__ import annotations
@@ -76,6 +84,53 @@ def main() -> int:
         assert [r["status"] for r in r2] == ["resumed", "resumed", "computed"]
         assert final1 == final2  # determinism: recompute == original
         assert resume_s < fresh_s  # only the broken stage re-ran
+
+        # ---- daily cross-run phase: day 2 is an id-shifted slice so
+        # ~half its texts repeat day 1 (the synth text is a pure
+        # function of id); the digest gate must drop that mass
+        day2_src = os.path.join(root, "docs_day2")
+        (
+            _synth_pipeline_docs(spark, n + n // 2)
+            .filter(f"doc_id >= {n // 2}")
+            .coalesce(8)
+            .write.parquet(day2_src)
+        )
+        cat = os.path.join(root, "digests")
+        t0 = time.perf_counter()
+        curate_run(
+            spark, src, os.path.join(root, "wd1"), cfg,
+            digest_catalog_path=cat,
+        )
+        day1_s = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        g2 = curate_run(
+            spark, day2_src, os.path.join(root, "wd2"), cfg,
+            digest_catalog_path=cat,
+        )
+        day2_gated_s = round(time.perf_counter() - t0, 1)
+        gated_final = next(
+            r["path"] for r in reversed(g2) if r["stage"] != "catalog_register"
+        )
+        rows_gated = spark.read.parquet(gated_final).count()
+        t0 = time.perf_counter()
+        u2 = curate_run(
+            spark, day2_src, os.path.join(root, "wu2"), cfg
+        )
+        day2_ungated_s = round(time.perf_counter() - t0, 1)
+        rows_ungated = spark.read.parquet(u2[-1]["path"]).count()
+        daily = {
+            "n_docs_per_day": n,
+            "day1_gated_s": day1_s,
+            "day2_gated_s": day2_gated_s,
+            "day2_ungated_s": day2_ungated_s,
+            "rows_day2_gated": rows_gated,
+            "rows_day2_ungated": rows_ungated,
+            "catalog_digests": spark.read.parquet(cat).count(),
+        }
+        print("DAILYSTRESS " + json.dumps(daily))
+        # the repeat mass (~half of day 2) must be gone, and the gate
+        # must not multiply day-2 cost (digest-only anti-join)
+        assert rows_gated < rows_ungated * 0.7
         return 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
