@@ -203,6 +203,7 @@ def curate_foreach_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     digest_catalog_path: str | None = None,
+    minhash_catalog_path: str | None = None,
 ):
     """``foreachBatch`` companion covering the corpus-level stages
     ``curate_stream`` refuses (line_dedup, decontaminate).
@@ -228,29 +229,48 @@ def curate_foreach_batch(
     batch filter ITSELF out and lose its content; registering after
     keeps the retry able to re-ship (duplicates on retry are the
     at-least-once contract, silent loss is not).
+
+    ``minhash_catalog_path`` adds the cross-batch NEAR-dup gate
+    (dedup.minhash.MinHashCatalog): rows sharing any LSH band key with
+    a registered doc are dropped — the streaming twin of curate_run's
+    gated mode, with the same documented conservatism (band collisions
+    overshoot true near-dups; tune via the ``config.extra`` near_*
+    keys) and the same register-after-writer ordering.
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if digest_catalog_path is None and minhash_catalog_path is None:
+            writer(
+                curate(batch_df, config, eval_set, text_col, id_col),
+                batch_id,
+            )
+            return
+        spark = batch_df.sparkSession
+        dcat = mcat = None
+        fresh = batch_df
         if digest_catalog_path is not None:
             from pond_spark.dedup.exact import DigestCatalog
 
-            cat = DigestCatalog(batch_df.sparkSession, digest_catalog_path)
-            # pin `fresh`: it feeds both the writer's curate chain and
-            # register — unpinned, every micro-batch would pay the
-            # catalog anti-join + within-batch sha256 dedup TWICE
-            fresh = cat.filter_new(batch_df, text_col, id_col=id_col).persist()
-            try:
-                writer(
-                    curate(fresh, config, eval_set, text_col, id_col),
-                    batch_id,
-                )
-                cat.register(fresh, text_col)
-            finally:
-                fresh.unpersist()
-            return
-        writer(
-            curate(batch_df, config, eval_set, text_col, id_col), batch_id
-        )
+            dcat = DigestCatalog(spark, digest_catalog_path)
+            fresh = dcat.filter_new(fresh, text_col, id_col=id_col)
+        if minhash_catalog_path is not None:
+            mcat = _minhash_catalog(spark, minhash_catalog_path, config)
+            fresh = mcat.filter_new(fresh, text_col, id_col)
+        # pin `fresh`: it feeds both the writer's curate chain and
+        # register — unpinned, every micro-batch would pay the
+        # catalog joins + within-batch sha256 dedup TWICE
+        fresh = fresh.persist()
+        try:
+            writer(
+                curate(fresh, config, eval_set, text_col, id_col),
+                batch_id,
+            )
+            if dcat is not None:
+                dcat.register(fresh, text_col)
+            if mcat is not None:
+                mcat.register(fresh, text_col, id_col)
+        finally:
+            fresh.unpersist()
 
     return _apply
 

@@ -246,6 +246,57 @@ def test_curate_foreach_batch_digest_catalog(spark, tmp_path):
     assert set(collected) == {1, 2, 12}
 
 
+def test_curate_foreach_batch_minhash_catalog(spark, tmp_path):
+    """Cross-batch NEAR-dedup via the persisted MinHash catalog (the
+    streaming twin of curate_run's gated mode): a batch-B doc that is
+    a one-word mutation of shipped batch-A content shares band keys
+    and is dropped; genuinely new content survives; exact repeats are
+    also caught (a dup shares ALL band keys)."""
+    import time as _time
+
+    from pond_spark.pipeline import curate_foreach_batch
+
+    base = "clean prose with plenty of ordinary readable words " * 5
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, base + "alpha version of the story ending")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # mtime order decides micro-batch order (1 s res)
+    spark.createDataFrame(
+        [
+            (11, base + "alpha version of the story ENDING"),  # near-dup
+            (12, "an unrelated essay about mountain weather patterns "
+                 "and the long seasonal drift of alpine snow lines " * 5),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = CurationConfig(min_words=10, stages=("quality",))
+    collected: dict[int, str] = {}
+
+    def writer(df, batch_id):
+        collected.update({r.doc_id: r.text for r in df.collect()})
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            curate_foreach_batch(
+                writer, cfg,
+                minhash_catalog_path=str(tmp_path / "bands"),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert set(collected) == {1, 12}  # 11 near-dups batch A's doc 1
+
+
 def test_curate_near_dedup_stage_minhash_and_ngram(spark, corpus):
     """r7 near_dedup stage: one min-id representative survives per
     near-duplicate cluster, near-dups of QUALITY-REJECTED docs are
