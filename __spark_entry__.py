@@ -2935,7 +2935,8 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 = even-id documents, shipped through a resumable run that
     registers its catalog_gate survivors after the final stage; day 2
     = odd-id documents, whose catalog_gate must drop every text day 1
-    shipped, keep NULL texts (absent content is never a duplicate,
+    saw (registered = the gate's survivors, the curate_foreach_batch
+    semantic), keep NULL texts (absent content is never a duplicate,
     the r7 rule), and keep the min id of any within-day-2 duplicate.
     Output = day 2's final materialized corpus. Digest equality is
     text equality, so the oracle replays the gate as ``text NOT IN
@@ -2947,7 +2948,11 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pond_spark.pipeline import CurationConfig, curate_run
+    from pond_spark.pipeline import (
+        CurationConfig,
+        curate_run,
+        final_corpus_path,
+    )
 
     docs = _dedup_docs(spark, sf_dir).select("doc_id", "text").unionByName(
         spark.createDataFrame(_CURATE_INC_ROWS, "doc_id long, text string")
@@ -2969,10 +2974,9 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, day2_path, os.path.join(root, "w2"), cfg,
         digest_catalog_path=cat,
     )
-    final = next(
-        r["path"] for r in reversed(rows) if r["stage"] != "catalog_register"
+    return spark.read.parquet(final_corpus_path(rows)).select(
+        "doc_id", "text"
     )
-    return spark.read.parquet(final).select("doc_id", "text")
 
 
 CURATION_INCREMENTAL_SQL = f"""

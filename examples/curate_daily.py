@@ -1,7 +1,7 @@
 """Daily incremental corpus curation — the cross-RUN shape of
 examples/curate_resumable.py: one work_dir per day, one shared
-DigestCatalog across days, so each day's run ships only content no
-prior day shipped (pipeline.curate_run with digest_catalog_path,
+DigestCatalog across days, so each day's run processes only content no
+prior day saw (pipeline.curate_run with digest_catalog_path,
 late-r8 / round-9 #3).
 
     python examples/curate_daily.py [sf_dir] [base_dir]
@@ -9,7 +9,8 @@ late-r8 / round-9 #3).
 The script simulates three daily arrivals from the documents table:
 
 1. day 1 — a slice of the corpus; everything is new, the run registers
-   its shipped digests after the final stage succeeds;
+   the digests of everything it SAW (its gate survivors) after the
+   final stage succeeds;
 2. day 2 — a slice that OVERLAPS day 1 (the upstream crawler re-fetched
    half of yesterday); the catalog_gate drops the overlap before any
    curation compute touches it;
@@ -32,7 +33,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pond_curate_daily"
 
-    from pond_spark.pipeline import CurationConfig, curate_run
+    from pond_spark.pipeline import (
+        CurationConfig,
+        curate_run,
+        final_corpus_path,
+    )
     from pond_spark.session import get_spark
 
     spark = get_spark("curate_daily")
@@ -58,10 +63,7 @@ def main() -> None:
         print(f"--- {tag}")
         for r in rows:
             print(f"  {r['status']:8s} {r['stage']:16s} -> {r['path']}")
-        final = next(
-            r["path"] for r in reversed(rows)
-            if r["stage"] != "catalog_register"
-        )
+        final = final_corpus_path(rows)
         print(f"  shipped rows: {spark.read.parquet(final).count()}")
 
     show(

@@ -90,6 +90,15 @@ class _LocalFS:
     def open_read(self, path: str):
         return open(path, "rb")
 
+    def glob_escape(self, path: str) -> str:
+        """Escape glob metacharacters in a literal path so joining a
+        wildcard onto it can't misfire (a root like ``run[2026]`` would
+        otherwise be read as a character class and match nothing — the
+        silent-empty-listing class again)."""
+        import glob as _glob
+
+        return _glob.escape(path)
+
 
 class _HadoopFS:
     """The same primitives through the Hadoop FileSystem API, so a
@@ -170,6 +179,10 @@ class _HadoopFS:
 
     def open_read(self, path: str):
         return _JStreamReader(self._jvm, self._fs, self._p(path))
+
+    def glob_escape(self, path: str) -> str:
+        """Hadoop glob syntax: backslash escapes ``* ? [ ] { }``."""
+        return re.sub(r"([*?\[\]{}\\])", r"\\\1", path)
 
 
 class _JStreamReader:

@@ -1125,14 +1125,11 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 digest_catalog_path=digest_catalog,
                 minhash_catalog_path=minhash_catalog,
             )
+            from pond_spark.pipeline import final_corpus_path
+
             for r in rows:
                 print(f"{r['status']:8s} {r['stage']:14s} {r['path']}")
-            final = next(
-                r["path"]
-                for r in reversed(rows)
-                if r["stage"] != "catalog_register"
-            )
-            print(f"final={final}")
+            print(f"final={final_corpus_path(rows)}")
             return 0
         print(_PIPELINE_USAGE, file=sys.stderr)
         return 2

@@ -371,9 +371,19 @@ class MinHashCatalog:
     def _banded(
         self, df: DataFrame, text_col: str, id_col: str
     ) -> DataFrame:
+        # NULL text contributes NO band keys (the r7 rule: absent
+        # content is never a duplicate — DigestCatalog.register's NULL
+        # filter, mirrored). Without this, every NULL-text doc gets the
+        # IDENTICAL degenerate signature (array_min over a NULL shingle
+        # array is NULL in all k slots), so one registered NULL doc
+        # would make filter_new drop every future NULL-text row. The
+        # in-query minhash_lsh_pairs is shielded by its exact-Jaccard
+        # verify leg (NULL jaccard fails any threshold); the catalog
+        # gate has no verify leg, so the filter is the guard.
         p = self.params
         sigs = minhash_signatures(
-            df, text_col, id_col, p["k"], p["n"], p["seed"]
+            df.filter(F.col(text_col).isNotNull()),
+            text_col, id_col, p["k"], p["n"], p["seed"],
         )
         return band_keys(sigs, id_col, p["k"], p["bands"]).select(
             F.col(id_col).alias("doc_id"),
@@ -386,7 +396,8 @@ class MinHashCatalog:
     def filter_new(
         self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
-        """Rows sharing no band key with any registered doc."""
+        """Rows sharing no band key with any registered doc. NULL-text
+        rows always pass (they band to nothing — see _banded)."""
         hits = (
             self._banded(df, text_col, id_col)
             .join(self._read().select("band_key"), "band_key", "left_semi")

@@ -43,8 +43,19 @@ __all__ = [
     "curate_run",
     "curate_stream",
     "curate_foreach_batch",
+    "final_corpus_path",
     "report",
 ]
+
+
+def final_corpus_path(rows: list[dict]) -> str:
+    """The curated-corpus path from a :func:`curate_run` report: the
+    last materialized STAGE (the synthetic ``catalog_register`` row
+    records the registration marker, not data). One definition so the
+    CLI, examples, stress tools and registry queries can't drift."""
+    return next(
+        r["path"] for r in reversed(rows) if r["stage"] != "catalog_register"
+    )
 
 
 @dataclass(frozen=True)
@@ -124,7 +135,10 @@ def curate(
                     text_col,
                     id_col,
                     threshold=thr,
+                    k=int(config.extra.get("near_k", 64)),
+                    bands=int(config.extra.get("near_bands", 16)),
                     n=n,
+                    seed=int(config.extra.get("near_seed", 42)),
                     max_bucket_size=config.extra.get("near_max_bucket"),
                 )
             elif method == "ngram":
@@ -344,11 +358,14 @@ def curate_stream(
 
 
 def _minhash_catalog(spark, path: str, config: CurationConfig):
-    """MinHashCatalog with signature parameters drawn from the same
-    ``config.extra`` keys the near_dedup stage uses, so the cross-run
+    """MinHashCatalog with signature parameters from the same
+    ``config.extra`` keys (near_k/near_bands/near_n/near_seed) the
+    near_dedup stage passes to minhash_lsh_pairs, so the cross-run
     gate and the in-run candidate stage band identically (the sidecar
-    refuses a mismatch anyway — this just makes the happy path
-    consistent by construction)."""
+    refuses a mismatch anyway — this makes the happy path consistent
+    by construction). Note the gate's selectivity dial is bands/k,
+    NOT near_threshold: the gate has no exact-verify leg, so the
+    threshold never reaches it."""
     from pond_spark.dedup.minhash import MinHashCatalog
 
     x = config.extra
@@ -412,7 +429,12 @@ def curate_run(
 
     - ``digest_catalog_path`` prepends a ``catalog_gate`` stage that
       anti-joins the persisted DigestCatalog — content any PRIOR run
-      shipped is dropped before curation (exact, digest-equality).
+      SAW is dropped before curation (exact, digest-equality). "Saw"
+      is deliberate and matches curate_foreach_batch: the registered
+      set is the gate's survivors, not the final corpus, so a doc a
+      later stage rejected (quality) or deterministically sampled out
+      stays out on every future day instead of being re-adjudicated
+      per re-crawl.
     - ``minhash_catalog_path`` adds the near-dup gate to the same
       stage: rows sharing any LSH band key with a registered doc are
       dropped. Within the banding model this is the "possible near-dup
@@ -466,6 +488,11 @@ def curate_run(
     }
     if fs.exists(manifest_path):
         stored = _json.loads(fs.read_text(manifest_path))
+        # manifests written before the gated mode existed lack the
+        # catalog keys; absent == None (ungated), not a config change —
+        # strict equality would break resume across the upgrade
+        for key in ("digest_catalog_path", "minhash_catalog_path"):
+            stored.setdefault(key, None)
         if stored != manifest:
             diff = {
                 k for k in set(stored) | set(manifest)
@@ -487,6 +514,7 @@ def curate_run(
     rows: list[dict] = []
     cur_path = input_path
     gate_dir = f"{work_dir.rstrip('/')}/stage_00_catalog_gate"
+    marker = work_dir.rstrip("/") + "/_REGISTERED"
     run_stages = (("catalog_gate",) if gated else ()) + tuple(config.stages)
     recompute = False  # once a stage recomputes, everything after does
     for idx, stage in enumerate(run_stages):
@@ -498,6 +526,19 @@ def curate_run(
             cur_path = stage_dir
             continue
         recompute = True
+        if stage == "catalog_gate" and fs.exists(marker):
+            # re-gating AFTER this run registered would anti-join the
+            # run's own digests and silently ship an empty corpus —
+            # the silent-no-op class this repo refuses loudly
+            raise RuntimeError(
+                f"catalog_gate at {gate_dir} needs recomputing but "
+                f"{marker} says this run already registered its "
+                "content — re-gating against the run's own catalog "
+                "entries would produce an empty corpus. Restore the "
+                "stage output from backup, or start a new work_dir "
+                "(compact/rebuild the catalog first if this run's "
+                "content must re-ship)."
+            )
         src = spark.read.parquet(cur_path)
         if stage == "catalog_gate":
             out = src
@@ -528,7 +569,6 @@ def curate_run(
         # register AFTER the whole chain shipped (at-least-once: a
         # crashed run must stay re-admittable), from the MATERIALIZED
         # gate output so a resume registers exactly what was gated
-        marker = work_dir.rstrip("/") + "/_REGISTERED"
         if fs.exists(marker):
             rows.append(
                 {"stage": "catalog_register", "path": marker,

@@ -143,9 +143,10 @@ def _rename_part_files(spark, root: str, filename: str) -> None:
     from pond_spark.catalog import _fs_for
 
     fs = _fs_for(spark, root)
+    safe_root = fs.glob_escape(root)
     parts_by_dir: dict[str, list[str]] = {}
     for pat in ("*/part-*", "*/*/part-*"):
-        for p in fs.glob(_os.path.join(root, pat)):
+        for p in fs.glob(_os.path.join(safe_root, pat)):
             d, name = p.rstrip("/").rsplit("/", 1)
             parts_by_dir.setdefault(d, []).append(name)
     for d, parts in sorted(parts_by_dir.items()):
@@ -155,7 +156,7 @@ def _rename_part_files(spark, root: str, filename: str) -> None:
                 f"apply --per-site-file name {filename!r}"
             )
         fs.rename(d + "/" + parts[0], d + "/" + filename)
-        for crc in fs.glob(d + "/.part-*.crc"):
+        for crc in fs.glob(fs.glob_escape(d) + "/.part-*.crc"):
             fs.remove(crc)
 
 

@@ -91,9 +91,10 @@ def apply_retention(
         now = now.astimezone(dt.timezone.utc).replace(tzinfo=None)
     # flat layouts and LogStore's p_date=… partition dirs both retain
     # at file granularity; emptied partition dirs are pruned afterwards
+    safe_dir = fs.glob_escape(store_dir)
     files = sorted(
-        fs.glob(os.path.join(store_dir, "*.parquet"))
-        + fs.glob(os.path.join(store_dir, "p_date=*", "*.parquet"))
+        fs.glob(os.path.join(safe_dir, "*.parquet"))
+        + fs.glob(os.path.join(safe_dir, "p_date=*", "*.parquet"))
     )
     stats = {f: _file_stats(fs, f) for f in files}
 
@@ -127,8 +128,8 @@ def apply_retention(
     if not dry_run:
         for f in dropped_age + dropped_size:
             fs.remove(f)
-        for d in fs.glob(os.path.join(store_dir, "p_date=*")):
-            if not fs.glob(os.path.join(d, "*.parquet")):
+        for d in fs.glob(os.path.join(safe_dir, "p_date=*")):
+            if not fs.glob(os.path.join(fs.glob_escape(d), "*.parquet")):
                 # only checksum/marker droppings remain — clear them
                 for leftover in fs.listdir(d):
                     fs.remove(os.path.join(d, leftover))

@@ -58,8 +58,10 @@ def compact_partition_dirs(
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
     try:
-        for pdir in fs.glob(os.path.join(base_path, partition_glob)):
-            files = fs.glob(os.path.join(pdir, "*.parquet"))
+        for pdir in fs.glob(
+            os.path.join(fs.glob_escape(base_path), partition_glob)
+        ):
+            files = fs.glob(os.path.join(fs.glob_escape(pdir), "*.parquet"))
             nbytes = sum(fs.size(f) for f in files)
             want = max(1, math.ceil(nbytes / target_file_bytes))
             if len(files) <= want:
@@ -70,7 +72,7 @@ def compact_partition_dirs(
             # partitioner can emit fewer non-empty files than `want`
             # (skew) or more (maxRecordsPerFile) — len(files) - want
             # would misstate it
-            after = fs.glob(os.path.join(pdir, "*.parquet"))
+            after = fs.glob(os.path.join(fs.glob_escape(pdir), "*.parquet"))
             report[pvalue] = len(files) - len(after)
     finally:
         spark.conf.set(mode_key, prev)

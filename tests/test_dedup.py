@@ -628,3 +628,33 @@ def test_dedup_exact_null_text_rows_are_unique(spark, tmp_path):
     )
     new = {r.doc_id for r in cat.filter_new(probe, "text", "doc_id").collect()}
     assert new == {11, 12}  # NULL text is always new; "same" is gated
+
+
+def test_minhash_catalog_null_text_never_a_duplicate(spark, tmp_path):
+    """Late-r8 review finding: NULL text used to band to a degenerate
+    all-NULL signature shared by EVERY NULL-text doc, so one registered
+    NULL row made filter_new drop all future NULL rows — violating the
+    r7 rule (absent content is never a duplicate) that the digest
+    catalog enforces. NULL text now contributes no band keys on either
+    side of the catalog."""
+    from pond_spark.dedup.minhash import MinHashCatalog
+
+    cat = MinHashCatalog(spark, str(tmp_path / "cat"), k=16, bands=4)
+    day1 = spark.createDataFrame(
+        [(1, "a real document body with several words"), (2, None)],
+        "doc_id long, text string",
+    )
+    cat.register(day1)
+    # a NULL row registers nothing: only doc 1's bands are stored
+    assert spark.read.parquet(str(tmp_path / "cat")).select(
+        "doc_id"
+    ).distinct().count() == 1
+    day2 = spark.createDataFrame(
+        [(11, None), (12, "a real document body with several words"),
+         (13, "entirely unrelated fresh material here")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in cat.filter_new(day2).collect()}
+    assert kept == {11, 13}  # NULL passes; the repeat is gated
+    # and NULL probes produce no candidate pairs either
+    assert cat.near_candidates(day2).filter("new_id = 11").count() == 0

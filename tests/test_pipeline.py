@@ -656,3 +656,43 @@ def test_curate_run_refuses_explicit_catalog_gate_stage(spark, tmp_path):
             spark, str(tmp_path / "in"), str(tmp_path / "w"),
             CurationConfig(stages=("catalog_gate", "quality")),
         )
+
+
+def test_curate_run_manifest_upgrade_and_register_guard(spark, tmp_path):
+    """Late-r8 review findings: (a) a manifest written before the gated
+    mode lacks the catalog keys — absent means ungated, and resume must
+    not refuse across the upgrade; (b) recomputing the catalog_gate
+    stage after the run registered would anti-join the run's OWN
+    digests and silently ship an empty corpus — it must refuse."""
+    import json
+    import os
+    import shutil
+
+    from pond_spark.pipeline import curate_run
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, good + "one")], "doc_id long, text string"
+    ).write.parquet(docs)
+    cfg = CurationConfig(min_words=10, stages=("quality",))
+
+    # (a) strip the new keys from a completed ungated run's manifest
+    w = str(tmp_path / "w")
+    curate_run(spark, docs, w, cfg)
+    mpath = os.path.join(w, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    del manifest["digest_catalog_path"], manifest["minhash_catalog_path"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    r = curate_run(spark, docs, w, cfg)  # must resume, not refuse
+    assert [x["status"] for x in r] == ["resumed"]
+
+    # (b) gated run, then lose the gate stage output after registration
+    wg = str(tmp_path / "wg")
+    cat = str(tmp_path / "cat")
+    curate_run(spark, docs, wg, cfg, digest_catalog_path=cat)
+    shutil.rmtree(os.path.join(wg, "stage_00_catalog_gate"))
+    with pytest.raises(RuntimeError, match="already registered"):
+        curate_run(spark, docs, wg, cfg, digest_catalog_path=cat)

@@ -447,3 +447,14 @@ def test_retention_schemed_path_without_session_refuses(monkeypatch):
     )
     with _pytest.raises(ValueError, match="SparkSession"):
         _fs_for_maintenance("hdfs://nn/store", spark=None)
+
+
+def test_per_site_rename_survives_glob_metachars(spark, logs, tmp_path):
+    """Late-r8 review finding: the glob-based rename walk must escape
+    the output root — a path like run[2026] read as a character class
+    would silently skip every rename."""
+    out = str(tmp_path / "run[2026]" / "ps")
+    write_per_site(logs, out, filename="site.log")
+    named = glob.glob(glob.escape(out) + "/_site_dir=*/site.log")
+    assert len(named) == 3
+    assert not glob.glob(glob.escape(out) + "/_site_dir=*/part-*")

@@ -108,10 +108,9 @@ def main() -> int:
             digest_catalog_path=cat,
         )
         day2_gated_s = round(time.perf_counter() - t0, 1)
-        gated_final = next(
-            r["path"] for r in reversed(g2) if r["stage"] != "catalog_register"
-        )
-        rows_gated = spark.read.parquet(gated_final).count()
+        from pond_spark.pipeline import final_corpus_path
+
+        rows_gated = spark.read.parquet(final_corpus_path(g2)).count()
         t0 = time.perf_counter()
         u2 = curate_run(
             spark, day2_src, os.path.join(root, "wu2"), cfg
