@@ -1020,6 +1020,9 @@ _PIPELINE_USAGE = (
     "         [--near-method=minhash --near-threshold=0.8 --near-n=3]\n"
     "         [--near-block-col=COL --near-max-bucket=N]\n"
     "         [--digest-catalog=PATH] [--minhash-catalog=PATH]\n"
+    "         [--near-k=64 --near-bands=16]\n"
+    "         [--embedding-catalog=PATH --emb-dim=D]\n"
+    "         [--emb-col=embedding --emb-nbits=8 --emb-tables=2]\n"
     "         — compute-or-resume the stage chain (pipeline.curate_run);\n"
     "           the catalog flags add the cross-run incremental gate +\n"
     "           after-ship registration (daily-corpus mode)\n"
@@ -1039,7 +1042,7 @@ def _run_pipeline(spark, rest: list[str]) -> int:
     min_words, max_words = 20, 100_000
     sample_rate, sample_salt = 1.0, "curate"
     eval_set = None
-    digest_catalog = minhash_catalog = None
+    digest_catalog = minhash_catalog = embedding_catalog = None
     near: dict = {}
     args: list[str] = []
     for a in rest:
@@ -1069,6 +1072,20 @@ def _run_pipeline(spark, rest: list[str]) -> int:
             digest_catalog = v
         elif (v := _filter_value(a, "--minhash-catalog")) is not None:
             minhash_catalog = v
+        elif (v := _filter_value(a, "--embedding-catalog")) is not None:
+            embedding_catalog = v
+        elif (v := _filter_value(a, "--emb-dim")) is not None:
+            near["emb_dim"] = int(v)
+        elif (v := _filter_value(a, "--emb-col")) is not None:
+            near["emb_col"] = v
+        elif (v := _filter_value(a, "--emb-nbits")) is not None:
+            near["emb_nbits"] = int(v)
+        elif (v := _filter_value(a, "--emb-tables")) is not None:
+            near["emb_tables"] = int(v)
+        elif (v := _filter_value(a, "--near-k")) is not None:
+            near["near_k"] = int(v)
+        elif (v := _filter_value(a, "--near-bands")) is not None:
+            near["near_bands"] = int(v)
         else:
             args.append(a)
     if not args:
@@ -1088,8 +1105,10 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 return 2
             manifest = _json.loads(fs.read_text(mpath))
             stages = list(manifest["stages"])
-            gated = manifest.get("digest_catalog_path") or manifest.get(
-                "minhash_catalog_path"
+            gated = (
+                manifest.get("digest_catalog_path")
+                or manifest.get("minhash_catalog_path")
+                or manifest.get("embedding_catalog_path")
             )
             if gated:
                 stages = ["catalog_gate"] + stages
@@ -1124,6 +1143,7 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 eval_set_path=eval_set,
                 digest_catalog_path=digest_catalog,
                 minhash_catalog_path=minhash_catalog,
+                embedding_catalog_path=embedding_catalog,
             )
             from pond_spark.pipeline import final_corpus_path
 

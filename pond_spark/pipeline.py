@@ -218,6 +218,7 @@ def curate_foreach_batch(
     id_col: str = "doc_id",
     digest_catalog_path: str | None = None,
     minhash_catalog_path: str | None = None,
+    embedding_catalog_path: str | None = None,
 ):
     """``foreachBatch`` companion covering the corpus-level stages
     ``curate_stream`` refuses (line_dedup, decontaminate).
@@ -250,17 +251,24 @@ def curate_foreach_batch(
     gated mode, with the same documented conservatism (band collisions
     overshoot true near-dups; tune via the ``config.extra`` near_*
     keys) and the same register-after-writer ordering.
+    ``embedding_catalog_path`` likewise adds the cross-batch SEMANTIC
+    gate over the batch's embedding column (``config.extra`` emb_*
+    keys; emb_dim required).
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if digest_catalog_path is None and minhash_catalog_path is None:
+        if (
+            digest_catalog_path is None
+            and minhash_catalog_path is None
+            and embedding_catalog_path is None
+        ):
             writer(
                 curate(batch_df, config, eval_set, text_col, id_col),
                 batch_id,
             )
             return
         spark = batch_df.sparkSession
-        dcat = mcat = None
+        dcat = mcat = ecat = None
         fresh = batch_df
         if digest_catalog_path is not None:
             from pond_spark.dedup.exact import DigestCatalog
@@ -270,6 +278,11 @@ def curate_foreach_batch(
         if minhash_catalog_path is not None:
             mcat = _minhash_catalog(spark, minhash_catalog_path, config)
             fresh = mcat.filter_new(fresh, text_col, id_col)
+        if embedding_catalog_path is not None:
+            ecat = _embedding_catalog(spark, embedding_catalog_path, config)
+            fresh = ecat.filter_new(
+                fresh, config.extra.get("emb_col", "embedding"), id_col
+            )
         # pin `fresh`: it feeds both the writer's curate chain and
         # register — unpinned, every micro-batch would pay the
         # catalog joins + within-batch sha256 dedup TWICE
@@ -283,6 +296,10 @@ def curate_foreach_batch(
                 dcat.register(fresh, text_col)
             if mcat is not None:
                 mcat.register(fresh, text_col, id_col)
+            if ecat is not None:
+                ecat.register(
+                    fresh, config.extra.get("emb_col", "embedding"), id_col
+                )
         finally:
             fresh.unpersist()
 
@@ -379,6 +396,28 @@ def _minhash_catalog(spark, path: str, config: CurationConfig):
     )
 
 
+def _embedding_catalog(spark, path: str, config: CurationConfig):
+    """EmbeddingCatalog from the ``config.extra`` emb_* keys. emb_dim
+    is mandatory (hyperplane shape); the vector column defaults to
+    ``embedding`` via emb_col."""
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    x = config.extra
+    if "emb_dim" not in x:
+        raise ValueError(
+            "embedding_catalog_path needs config.extra['emb_dim'] "
+            "(the hyperplane shape is pinned per catalog)"
+        )
+    return EmbeddingCatalog(
+        spark,
+        path,
+        dim=int(x["emb_dim"]),
+        nbits=int(x.get("emb_nbits", 8)),
+        n_tables=int(x.get("emb_tables", 2)),
+        seed=int(x.get("emb_seed", 42)),
+    )
+
+
 def curate_run(
     spark,
     input_path: str,
@@ -389,6 +428,7 @@ def curate_run(
     id_col: str = "doc_id",
     digest_catalog_path: str | None = None,
     minhash_catalog_path: str | None = None,
+    embedding_catalog_path: str | None = None,
 ) -> list[dict]:
     """Stage-level RESUMABLE curation run — the multi-day 100 TB story
     (VERDICT r7 ask #8): each configured stage materializes its
@@ -439,10 +479,16 @@ def curate_run(
       stage: rows sharing any LSH band key with a registered doc are
       dropped. Within the banding model this is the "possible near-dup
       of something seen" set — a conservative curation gate (band
-      collisions overshoot true near-dups; tune bands/threshold via
-      ``config.extra`` like the near_dedup stage). Exact cross-run
-      verification would need prior runs' text, which the catalog
-      deliberately does not store.
+      collisions overshoot true near-dups; the dial is near_bands/
+      near_k via ``config.extra``, shared with the near_dedup stage).
+      Exact cross-run verification would need prior runs' text, which
+      the catalog deliberately does not store.
+    - ``embedding_catalog_path`` adds the SEMANTIC gate for corpora
+      carrying an embedding column (``config.extra``: emb_dim
+      required; emb_col/emb_nbits/emb_tables/emb_seed optional): rows
+      whose vector shares an RHP bucket with a registered vector are
+      dropped — cross-run SemDeDup, same conservatism note as the
+      minhash gate. NULL vectors always pass.
     - Registration follows ``curate_foreach_batch``'s at-least-once
       ordering: the gate stage's survivors are registered only AFTER
       the final stage's ``_SUCCESS`` exists, recorded by a
@@ -462,7 +508,11 @@ def curate_run(
             "catalog_gate is not a configurable stage — it is prepended "
             "by digest_catalog_path/minhash_catalog_path"
         )
-    gated = digest_catalog_path is not None or minhash_catalog_path is not None
+    gated = (
+        digest_catalog_path is not None
+        or minhash_catalog_path is not None
+        or embedding_catalog_path is not None
+    )
     fs = _fs_for(spark, work_dir)
     fs.mkdirs(work_dir)
     manifest_path = work_dir.rstrip("/") + "/manifest.json"
@@ -474,6 +524,7 @@ def curate_run(
         "stages": list(config.stages),
         "digest_catalog_path": digest_catalog_path,
         "minhash_catalog_path": minhash_catalog_path,
+        "embedding_catalog_path": embedding_catalog_path,
         "config": {
             "min_words": config.min_words,
             "max_words": config.max_words,
@@ -491,7 +542,11 @@ def curate_run(
         # manifests written before the gated mode existed lack the
         # catalog keys; absent == None (ungated), not a config change —
         # strict equality would break resume across the upgrade
-        for key in ("digest_catalog_path", "minhash_catalog_path"):
+        for key in (
+            "digest_catalog_path",
+            "minhash_catalog_path",
+            "embedding_catalog_path",
+        ):
             stored.setdefault(key, None)
         if stored != manifest:
             diff = {
@@ -552,6 +607,12 @@ def curate_run(
                 out = _minhash_catalog(
                     spark, minhash_catalog_path, config
                 ).filter_new(out, text_col, id_col)
+            if embedding_catalog_path is not None:
+                out = _embedding_catalog(
+                    spark, embedding_catalog_path, config
+                ).filter_new(
+                    out, config.extra.get("emb_col", "embedding"), id_col
+                )
         else:
             out = curate(
                 src,
@@ -586,6 +647,12 @@ def curate_run(
                 _minhash_catalog(
                     spark, minhash_catalog_path, config
                 ).register(fresh, text_col, id_col)
+            if embedding_catalog_path is not None:
+                _embedding_catalog(
+                    spark, embedding_catalog_path, config
+                ).register(
+                    fresh, config.extra.get("emb_col", "embedding"), id_col
+                )
             fs.write_text(marker, _json.dumps({"source": gate_dir}))
             rows.append(
                 {"stage": "catalog_register", "path": marker,

@@ -77,6 +77,10 @@ class EmbeddingCatalog:
         n_tables independent signatures from per-table seeds."""
         from pond_spark.similarity.lsh import rhp_bucket
 
+        # NULL vectors contribute no bucket keys (the absent-content
+        # rule, same as the text catalogs): they'd only pad the store
+        # with NULL buckets, and a probe-side NULL must always pass
+        df = df.filter(F.col(vec_col).isNotNull())
         p = self.params
         parts = []
         for t in range(p["n_tables"]):

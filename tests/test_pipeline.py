@@ -696,3 +696,72 @@ def test_curate_run_manifest_upgrade_and_register_guard(spark, tmp_path):
     shutil.rmtree(os.path.join(wg, "stage_00_catalog_gate"))
     with pytest.raises(RuntimeError, match="already registered"):
         curate_run(spark, docs, wg, cfg, digest_catalog_path=cat)
+
+
+def test_curate_run_embedding_gate(spark, tmp_path):
+    """Cross-run SEMANTIC gate (EmbeddingCatalog): day 2 drops vectors
+    sharing an RHP bucket with day-1 content (the same vector is a
+    certain collision; its negation flips every sign bit and is a
+    certain non-collision), and NULL vectors always pass."""
+    from pond_spark.pipeline import curate_run, final_corpus_path
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    cfg = CurationConfig(
+        min_words=10, stages=("quality",), extra={"emb_dim": 4}
+    )
+    cat = str(tmp_path / "ecat")
+    schema = "doc_id long, text string, embedding array<float>"
+    day1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(1, good + "one", [1.0, 2.0, 3.0, 4.0])], schema
+    ).write.parquet(day1)
+    curate_run(
+        spark, day1, str(tmp_path / "w1"), cfg,
+        embedding_catalog_path=cat,
+    )
+    day2 = str(tmp_path / "d2")
+    spark.createDataFrame(
+        [
+            (11, good + "repeat", [1.0, 2.0, 3.0, 4.0]),     # collision
+            (12, good + "negated", [-1.0, -2.0, -3.0, -4.0]),  # never
+            (13, good + "absent", None),                       # passes
+        ],
+        schema,
+    ).write.parquet(day2)
+    rows = curate_run(
+        spark, day2, str(tmp_path / "w2"), cfg,
+        embedding_catalog_path=cat,
+    )
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(final_corpus_path(rows)).collect()
+    }
+    assert got == {12, 13}
+
+    # emb_dim is mandatory for the embedding gate
+    with pytest.raises(ValueError, match="emb_dim"):
+        curate_run(
+            spark, day2, str(tmp_path / "w3"),
+            CurationConfig(min_words=10, stages=("quality",)),
+            embedding_catalog_path=str(tmp_path / "ecat2"),
+        )
+
+
+def test_curate_run_on_schemed_work_dir(spark, tmp_path):
+    """The resumable driver's markers/manifests work through the
+    Hadoop FS layer: a file://-schemed work_dir computes, resumes, and
+    keeps the gate/registration discipline."""
+    from pond_spark.pipeline import curate_run
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, good + "one")], "doc_id long, text string"
+    ).write.parquet(docs)
+    cfg = CurationConfig(min_words=10, stages=("quality",))
+    work = f"file://{tmp_path}/w"
+    cat = f"file://{tmp_path}/cat"
+    r1 = curate_run(spark, docs, work, cfg, digest_catalog_path=cat)
+    assert [r["status"] for r in r1] == ["computed"] * 3
+    r2 = curate_run(spark, docs, work, cfg, digest_catalog_path=cat)
+    assert [r["status"] for r in r2] == ["resumed"] * 3
