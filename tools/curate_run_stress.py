@@ -130,6 +130,35 @@ def main() -> int:
         # the repeat mass (~half of day 2) must be gone, and the gate
         # must not multiply day-2 cost (digest-only anti-join)
         assert rows_gated < rows_ungated * 0.7
+
+        # ---- minhash-gated leg: the NEAR gate at the same scale.
+        # Day-2 exact repeats share every band key -> all dropped;
+        # the near-pair construction (last word differs) makes each
+        # new near-doc collide with its registered partner too, so
+        # survivors ~= the genuinely-unique new half minus near mass.
+        mcat = os.path.join(root, "bands")
+        t0 = time.perf_counter()
+        curate_run(
+            spark, src, os.path.join(root, "wm1"), cfg,
+            minhash_catalog_path=mcat,
+        )
+        m_day1_s = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        m2 = curate_run(
+            spark, day2_src, os.path.join(root, "wm2"), cfg,
+            minhash_catalog_path=mcat,
+        )
+        m_day2_s = round(time.perf_counter() - t0, 1)
+        m_rows = spark.read.parquet(final_corpus_path(m2)).count()
+        minhash_leg = {
+            "n_docs_per_day": n,
+            "day1_minhash_gated_s": m_day1_s,
+            "day2_minhash_gated_s": m_day2_s,
+            "rows_day2_minhash_gated": m_rows,
+            "catalog_band_rows": spark.read.parquet(mcat).count(),
+        }
+        print("DAILYSTRESS_MINHASH " + json.dumps(minhash_leg))
+        assert m_rows <= rows_gated  # near gate is strictly stronger
         return 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
