@@ -1026,6 +1026,9 @@ _PIPELINE_USAGE = (
     "         — compute-or-resume the stage chain (pipeline.curate_run);\n"
     "           the catalog flags add the cross-run incremental gate +\n"
     "           after-ship registration (daily-corpus mode)\n"
+    "  report INPUT_PARQUET [stage/config flags as for run]\n"
+    "         — funnel audit: rows in/out per configured stage\n"
+    "           (pipeline.report; counts are jobs — audit cadence)\n"
     "  status WORK_DIR — per-stage complete/missing, no computation"
 )
 
@@ -1122,6 +1125,27 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 marker = work.rstrip("/") + "/_REGISTERED"
                 state = "complete" if fs.exists(marker) else "missing"
                 print(f"{state:8s} {'catalog_register':14s} {marker}")
+            return 0
+        if sub == "report":
+            (inp,) = args
+            from pond_spark.pipeline import CurationConfig, report
+
+            cfg = CurationConfig(
+                min_words=min_words,
+                max_words=max_words,
+                sample_rate=sample_rate,
+                sample_salt=sample_salt,
+                stages=tuple(s for s in stages.split(",") if s),
+                extra=near,
+            )
+            eval_df = spark.read.parquet(eval_set) if eval_set else None
+            docs = spark.read.parquet(inp)
+            for r in report(docs, cfg, eval_df):
+                dropped = r["rows_in"] - r["rows_out"]
+                print(
+                    f"{r['stage']:14s} in={r['rows_in']:>10d} "
+                    f"out={r['rows_out']:>10d} dropped={dropped}"
+                )
             return 0
         if sub == "run":
             inp, work = args

@@ -974,3 +974,21 @@ def test_cli_pipeline_run_incremental_catalogs(spark, store_dir, tmp_path, capsy
     out = capsys.readouterr().out
     assert out.count("complete") == 3  # gate, quality, register
     assert "catalog_register" in out and "missing" not in out
+
+
+def test_cli_pipeline_report_funnel(spark, store_dir, tmp_path, capsys):
+    """`pipeline report` prints the per-stage funnel (pipeline.report)
+    without touching a work_dir."""
+    from pond_spark.cli import main
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    docs = str(tmp_path / "rdocs")
+    spark.createDataFrame(
+        [(1, good + "one"), (2, good + "one"), (3, "too short")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    assert main([f"--store={store_dir}", "pipeline", "report", docs,
+                 "--stages=quality,exact_dedup", "--min-words=10"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("quality") and "in=         3" in out[0]
+    assert out[1].startswith("exact_dedup") and "dropped=1" in out[1]
