@@ -90,6 +90,12 @@ class _LocalFS:
     def open_read(self, path: str):
         return open(path, "rb")
 
+    def create_text_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent (raises FileExistsError when present) —
+        the lease primitive."""
+        with open(path, "x") as f:
+            f.write(text)
+
     def glob_escape(self, path: str) -> str:
         """Escape glob metacharacters in a literal path so joining a
         wildcard onto it can't misfire (a root like ``run[2026]`` would
@@ -179,6 +185,16 @@ class _HadoopFS:
 
     def open_read(self, path: str):
         return _JStreamReader(self._jvm, self._fs, self._p(path))
+
+    def create_text_exclusive(self, path: str, text: str) -> None:
+        """create(overwrite=False) raises when the path exists —
+        atomic on HDFS; advisory on object stores (S3 create is
+        last-writer-wins), documented at WriterLease."""
+        out = self._fs.create(self._p(path), False)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
 
     def glob_escape(self, path: str) -> str:
         """Hadoop glob syntax: backslash escapes ``* ? [ ] { }``."""
@@ -391,6 +407,107 @@ class CatalogStore:
             for line in self.fs.read_text(side).splitlines()
             if line.strip()
         ]
+
+
+class WriterLease:
+    """Cooperative single-writer lease for a catalog or work_dir path
+    (round-9 candidate #3): every mutable layout here documents a
+    single-writer assumption, and the daily-corpus shape runs under
+    schedulers that can double-fire. The lease turns that assumption
+    from prose into a check: ``acquire()`` creates ``path +
+    '.lease.json'`` exclusively and raises :class:`LeaseHeldError`
+    while another live owner holds it; a lease older than ``ttl_s``
+    is presumed crashed and taken over.
+
+    Scope, stated honestly: this is a cooperative gate against
+    ACCIDENTAL concurrency (scheduler double-fire, operator re-run),
+    not a distributed lock. Exclusive create is atomic on local
+    filesystems and HDFS; on object stores (s3a://) create is
+    last-writer-wins, so the gate is advisory there. The stale-lease
+    takeover (delete + re-create) has an unavoidable race window two
+    simultaneous takeovers could both win — acceptable for the
+    crash-recovery case it exists for; use an external lock service
+    when writers are genuinely concurrent by design.
+
+    Usage::
+
+        with WriterLease(spark, catalog_path, owner="daily-curate"):
+            ...register/compact...
+    """
+
+    def __init__(self, spark, path: str, owner: str | None = None,
+                 ttl_s: int = 3600):
+        import uuid
+
+        self.fs = _fs_for(spark, path)
+        self.lease_path = path + ".lease.json"
+        self.owner = owner or f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self.ttl_s = int(ttl_s)
+        self._held = False
+
+    def _read(self) -> dict | None:
+        if not self.fs.exists(self.lease_path):
+            return None
+        try:
+            return json.loads(self.fs.read_text(self.lease_path))
+        except Exception:
+            return None  # torn write — treat as stale
+
+    def acquire(self) -> "WriterLease":
+        import time
+
+        now = int(time.time())
+        cur = self._read()
+        if cur is not None:
+            age = now - int(cur.get("acquired_ts", 0))
+            if cur.get("owner") == self.owner:
+                pass  # re-entrant: refresh below
+            elif age < self.ttl_s:
+                raise LeaseHeldError(
+                    f"{self.lease_path} held by {cur.get('owner')!r} "
+                    f"({age}s ago, ttl {self.ttl_s}s) — another writer "
+                    "is live; single-writer layouts refuse to race"
+                )
+            # stale or ours: break and re-take
+            self.fs.remove(self.lease_path)
+        self.fs.create_text_exclusive(
+            self.lease_path,
+            json.dumps(
+                {"owner": self.owner, "acquired_ts": now, "ttl_s": self.ttl_s}
+            ),
+        )
+        self._held = True
+        return self
+
+    def renew(self) -> None:
+        """Refresh acquired_ts — call between long stages when the run
+        can outlive the ttl."""
+        if not self._held:
+            raise RuntimeError("renew() before acquire()")
+        import time
+
+        self.fs.write_text(
+            self.lease_path,
+            json.dumps(
+                {"owner": self.owner, "acquired_ts": int(time.time()),
+                 "ttl_s": self.ttl_s}
+            ),
+        )
+
+    def release(self) -> None:
+        if self._held and self.fs.exists(self.lease_path):
+            self.fs.remove(self.lease_path)
+        self._held = False
+
+    def __enter__(self) -> "WriterLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class LeaseHeldError(RuntimeError):
+    """Another live writer holds the lease."""
 
 
 def bucket_stats(

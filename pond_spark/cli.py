@@ -1023,9 +1023,12 @@ _PIPELINE_USAGE = (
     "         [--near-k=64 --near-bands=16]\n"
     "         [--embedding-catalog=PATH --emb-dim=D]\n"
     "         [--emb-col=embedding --emb-nbits=8 --emb-tables=2]\n"
+    "         [--lease-ttl=SECONDS]\n"
     "         — compute-or-resume the stage chain (pipeline.curate_run);\n"
     "           the catalog flags add the cross-run incremental gate +\n"
-    "           after-ship registration (daily-corpus mode)\n"
+    "           after-ship registration (daily-corpus mode); --lease-ttl\n"
+    "           holds a writer lease on the work_dir + catalogs so a\n"
+    "           scheduler double-fire refuses instead of racing\n"
     "  report INPUT_PARQUET [stage/config flags as for run]\n"
     "         — funnel audit: rows in/out per configured stage\n"
     "           (pipeline.report; counts are jobs — audit cadence)\n"
@@ -1046,6 +1049,7 @@ def _run_pipeline(spark, rest: list[str]) -> int:
     sample_rate, sample_salt = 1.0, "curate"
     eval_set = None
     digest_catalog = minhash_catalog = embedding_catalog = None
+    lease_ttl = None
     near: dict = {}
     args: list[str] = []
     for a in rest:
@@ -1089,6 +1093,8 @@ def _run_pipeline(spark, rest: list[str]) -> int:
             near["near_k"] = int(v)
         elif (v := _filter_value(a, "--near-bands")) is not None:
             near["near_bands"] = int(v)
+        elif (v := _filter_value(a, "--lease-ttl")) is not None:
+            lease_ttl = int(v)
         else:
             args.append(a)
     if not args:
@@ -1168,6 +1174,7 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 digest_catalog_path=digest_catalog,
                 minhash_catalog_path=minhash_catalog,
                 embedding_catalog_path=embedding_catalog,
+                lease_ttl=lease_ttl,
             )
             from pond_spark.pipeline import final_corpus_path
 

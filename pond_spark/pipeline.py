@@ -429,6 +429,7 @@ def curate_run(
     digest_catalog_path: str | None = None,
     minhash_catalog_path: str | None = None,
     embedding_catalog_path: str | None = None,
+    lease_ttl: int | None = None,
 ) -> list[dict]:
     """Stage-level RESUMABLE curation run — the multi-day 100 TB story
     (VERDICT r7 ask #8): each configured stage materializes its
@@ -500,6 +501,35 @@ def curate_run(
     import json as _json
 
     from pond_spark.catalog import _fs_for
+
+    if lease_ttl is not None:
+        # cooperative single-writer gate (catalog.WriterLease): one
+        # lease on the work_dir and one per shared catalog, held for
+        # the whole run — a scheduler double-fire gets LeaseHeldError
+        # instead of two writers racing the read-then-append catalogs
+        from pond_spark.catalog import WriterLease
+
+        acquired = []
+        try:
+            for p in (
+                work_dir,
+                digest_catalog_path,
+                minhash_catalog_path,
+                embedding_catalog_path,
+            ):
+                if p is not None:
+                    acquired.append(
+                        WriterLease(spark, p, ttl_s=lease_ttl).acquire()
+                    )
+            return curate_run(
+                spark, input_path, work_dir, config, eval_set_path,
+                text_col, id_col, digest_catalog_path,
+                minhash_catalog_path, embedding_catalog_path,
+                lease_ttl=None,
+            )
+        finally:
+            for lease in acquired:
+                lease.release()
 
     if not config.stages:
         raise ValueError("curate_run needs at least one stage")

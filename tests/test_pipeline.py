@@ -765,3 +765,50 @@ def test_curate_run_on_schemed_work_dir(spark, tmp_path):
     assert [r["status"] for r in r1] == ["computed"] * 3
     r2 = curate_run(spark, docs, work, cfg, digest_catalog_path=cat)
     assert [r["status"] for r in r2] == ["resumed"] * 3
+
+
+def test_writer_lease_gates_concurrent_runs(spark, tmp_path):
+    """Cooperative single-writer lease (catalog.WriterLease): a held
+    lease refuses a second writer, a released or stale lease admits
+    one, renew() refreshes, and curate_run(lease_ttl=) holds leases on
+    the work_dir and every catalog for the run's duration."""
+    import json
+    import time
+
+    from pond_spark.catalog import LeaseHeldError, WriterLease
+    from pond_spark.pipeline import curate_run
+
+    path = str(tmp_path / "cat")
+    a = WriterLease(spark, path, owner="a", ttl_s=3600)
+    a.acquire()
+    with pytest.raises(LeaseHeldError, match="held by 'a'"):
+        WriterLease(spark, path, owner="b", ttl_s=3600).acquire()
+    a.acquire()  # re-entrant for the same owner
+    a.renew()
+    a.release()
+    b = WriterLease(spark, path, owner="b", ttl_s=3600)
+    b.acquire()  # free after release
+    # stale takeover: backdate the lease past its ttl
+    with open(path + ".lease.json", "w") as f:
+        json.dump({"owner": "b", "acquired_ts": int(time.time()) - 7200,
+                   "ttl_s": 3600}, f)
+    WriterLease(spark, path, owner="c", ttl_s=3600).acquire().release()
+
+    # curate_run(lease_ttl=): refused while held, clean after release
+    good = "clean prose with plenty of ordinary readable words " * 3
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, good + "one")], "doc_id long, text string"
+    ).write.parquet(docs)
+    cat = str(tmp_path / "dcat")
+    holder = WriterLease(spark, cat, owner="other-run").acquire()
+    cfg = CurationConfig(min_words=10, stages=("quality",))
+    with pytest.raises(LeaseHeldError):
+        curate_run(spark, docs, str(tmp_path / "w"), cfg,
+                   digest_catalog_path=cat, lease_ttl=600)
+    holder.release()
+    r = curate_run(spark, docs, str(tmp_path / "w"), cfg,
+                   digest_catalog_path=cat, lease_ttl=600)
+    assert r[-1]["stage"] == "catalog_register"
+    import os
+    assert not os.path.exists(cat + ".lease.json")  # released after
