@@ -409,6 +409,25 @@ class CatalogStore:
         ]
 
 
+def history_deltas(history: list[dict]) -> list[dict]:
+    """Growth view of a stats_history list: for each adjacent snapshot
+    pair, the delta of every shared integer metric (``d_<metric>``),
+    keyed by the later snapshot's ``ts``/``n_rows``. This is the
+    operator-facing read of the advisory history — "did pair mass grow
+    faster than rows since the last register" is a skew trend the raw
+    JSONL makes you compute by hand."""
+    out = []
+    for prev, cur in zip(history, history[1:]):
+        row = {"ts": cur.get("ts"), "n_rows": cur.get("n_rows")}
+        for k in sorted(set(prev) & set(cur)):
+            if k == "ts":
+                continue
+            if isinstance(prev[k], int) and isinstance(cur[k], int):
+                row["d_" + k] = cur[k] - prev[k]
+        out.append(row)
+    return out
+
+
 class WriterLease:
     """Cooperative single-writer lease for a catalog or work_dir path
     (round-9 candidate #3): every mutable layout here documents a

@@ -620,8 +620,9 @@ _CATALOG_USAGE = (
     "                   [open flags, --dim for emb] — bucket histogram\n"
     "                   + recommended cap (and nbits for emb);\n"
     "                   --snapshot appends it to CAT.advise.jsonl\n"
-    "  advise-history   minhash|emb CAT [open flags] — one JSON line\n"
-    "                   per persisted snapshot, oldest first"
+    "  advise-history   minhash|emb CAT [open flags] [--delta] — one\n"
+    "                   JSON line per persisted snapshot, oldest\n"
+    "                   first; --delta prints adjacent-snapshot growth"
 )
 
 
@@ -639,7 +640,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
     k, bands, n, seed = 64, 16, 1, 42
     dim, nbits, tables = None, 8, 2
     max_bucket, out_path = None, None
-    snapshot = False
+    snapshot = delta = False
     args: list[str] = []
     for a in rest:
         if (v := _filter_value(a, "--text-col")) is not None:
@@ -668,6 +669,8 @@ def _run_catalog(spark, rest: list[str]) -> int:
             out_path = v
         elif a == "--snapshot":
             snapshot = True
+        elif a == "--delta":
+            delta = True
         else:
             args.append(a)
     if not args:
@@ -730,13 +733,20 @@ def _run_catalog(spark, rest: list[str]) -> int:
                 print(f"{key}={rep[key]}")
             return 0
         if sub == "advise-history":
-            # skew trend over the catalog's lifetime, no re-scan
+            # skew trend over the catalog's lifetime, no re-scan;
+            # --delta prints adjacent-snapshot growth instead of the
+            # raw snapshots
             import json as _json
 
             kind, path = args
-            for snap in {"minhash": open_minhash, "emb": open_emb}[kind](
+            hist = {"minhash": open_minhash, "emb": open_emb}[kind](
                 path
-            ).advise_history():
+            ).advise_history()
+            if delta:
+                from pond_spark.catalog import history_deltas
+
+                hist = history_deltas(hist)
+            for snap in hist:
                 print(_json.dumps(snap, sort_keys=True))
             return 0
         path, data = args

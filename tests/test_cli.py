@@ -870,6 +870,12 @@ def test_cli_catalog_advise_snapshot_history(spark, store_dir, tmp_path, capsys)
     assert len(snaps) == 2
     assert snaps[1]["n_rows"] > snaps[0]["n_rows"]  # growth is visible
     assert all("ts" in s and "occ_p99" in s for s in snaps)
+    # --delta: one adjacent-pair growth row with positive d_n_rows
+    assert main([f"--store={store_dir}", "catalog", "advise-history",
+                 "minhash", cat, "--delta", *flags]) == 0
+    dl = [_json.loads(x) for x in
+          capsys.readouterr().out.strip().splitlines()]
+    assert len(dl) == 1 and dl[0]["d_n_rows"] > 0
     # the sidecar lives next to the catalog, one line per snapshot
     with open(cat + ".advise.jsonl") as f:
         assert len(f.read().strip().splitlines()) == 2
