@@ -159,6 +159,82 @@ def main() -> int:
         }
         print("DAILYSTRESS_MINHASH " + json.dumps(minhash_leg))
         assert m_rows <= rows_gated  # near gate is strictly stronger
+
+        # ---- embedding-gated leg: the SEMANTIC gate at 1M/day.
+        # Vectors are a pure function of doc_id, so day-2 repeats
+        # carry identical vectors (certain bucket collision); new
+        # docs land in quasi-random buckets, and the drop rate of NEW
+        # content is the gate's documented overshoot at this
+        # nbits/tables point — the advise() tuning surface, measured.
+        from pyspark.sql import functions as F
+
+        dim = 64
+
+        def with_vecs(src_path, out_path):
+            (
+                spark.read.parquet(src_path)
+                .withColumn(
+                    "embedding",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j: (
+                            F.pmod(F.xxhash64(F.col("doc_id"), j),
+                                   F.lit(2001))
+                            / F.lit(1000.0)
+                            - F.lit(1.0)
+                        ).cast("float"),
+                    ),
+                )
+                .write.parquet(out_path)
+            )
+
+        d1v, d2v = os.path.join(root, "d1v"), os.path.join(root, "d2v")
+        with_vecs(src, d1v)
+        with_vecs(day2_src, d2v)
+        from dataclasses import replace as _replace
+
+        # nbits=24 x 1 table x dim=64. Two measured degeneracies on
+        # the way here (PERF_NOTES): 2^20 buckets x 2 tables at 1M
+        # random vectors -> 99.5% new-content overshoot (every bucket
+        # occupied); and dim=16 at nbits=24 -> 75% (24 sign bits in a
+        # 16-dim space carry at most ~16 bits of bucket entropy, so
+        # the effective table is tiny no matter the nbits). The gate's
+        # selectivity needs BOTH enough buckets and enough vector
+        # dimensions to fill them — real embedding dims (>=64) are.
+        ecfg = _replace(
+            cfg, extra={"emb_dim": dim, "emb_nbits": 24, "emb_tables": 1}
+        )
+        ecat = os.path.join(root, "buckets")
+        t0 = time.perf_counter()
+        curate_run(
+            spark, d1v, os.path.join(root, "we1"), ecfg,
+            embedding_catalog_path=ecat,
+        )
+        e_day1_s = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        e2 = curate_run(
+            spark, d2v, os.path.join(root, "we2"), ecfg,
+            embedding_catalog_path=ecat,
+        )
+        e_day2_s = round(time.perf_counter() - t0, 1)
+        e_rows = spark.read.parquet(final_corpus_path(e2)).count()
+        emb_leg = {
+            "n_docs_per_day": n,
+            "day1_emb_gated_s": e_day1_s,
+            "day2_emb_gated_s": e_day2_s,
+            "rows_day2_emb_gated": e_rows,
+            # vs the exact-gate survivor count: the fraction of NEW
+            # content the semantic gate ALSO dropped (bucket-collision
+            # overshoot at nbits=20 x 2 tables on random vectors)
+            "new_content_overshoot_ppm": int(
+                (1 - e_rows / max(1, rows_gated)) * 1_000_000
+            ),
+            "catalog_bucket_rows": spark.read.parquet(ecat).count(),
+        }
+        print("DAILYSTRESS_EMB " + json.dumps(emb_leg))
+        # identical vectors superset identical texts -> at most the
+        # digest-leg survivors; and the gate must not drop everything
+        assert 0 < e_rows <= rows_gated
         return 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
