@@ -45,6 +45,8 @@ import tempfile
 import time
 import urllib.request
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 HUB = 100_000
 N_HUB_PROBE = 1_000
 N_DUP_PROBE = 10_000
@@ -157,11 +159,15 @@ def _synth_vecs(spark, n: int, dim: int, start: int = 0, probe: bool = False):
     )
 
 
-def stress_minhash(spark, n_reg: int, n_probe: int) -> dict:
+def stress_minhash(
+    spark, n_reg: int, n_probe: int, scheme: str | None = None
+) -> dict:
     from pond_spark.dedup.minhash import MinHashCatalog
 
     print(f"minhash: register {n_reg}, probe {n_probe}", flush=True)
     path = tempfile.mkdtemp(prefix="stress_mh_") + "/cat"
+    if scheme:  # e.g. file:// — run the whole discipline through _HadoopFS
+        path = scheme + path
     cat = MinHashCatalog(spark, path, k=64, bands=16, n=1, seed=7)
     m = _Meter(spark)
     try:
@@ -208,11 +214,15 @@ def stress_minhash(spark, n_reg: int, n_probe: int) -> dict:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
-def stress_embedding(spark, n_reg: int, n_probe: int) -> dict:
+def stress_embedding(
+    spark, n_reg: int, n_probe: int, scheme: str | None = None
+) -> dict:
     from pond_spark.similarity.catalog import EmbeddingCatalog
 
     print(f"embedding: register {n_reg}, probe {n_probe}", flush=True)
     path = tempfile.mkdtemp(prefix="stress_emb_") + "/cat"
+    if scheme:
+        path = scheme + path
     # nbits=20 (1M buckets/table): at 10M vectors the r6 default of 8
     # bits (256 buckets) degenerates to every-bucket-hot; the knob is
     # the documented scale dial, exercised here for real.
@@ -265,15 +275,23 @@ def stress_embedding(spark, n_reg: int, n_probe: int) -> dict:
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
-    n_reg = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
-    n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "both"
+    n_reg = int(args[1]) if len(args) > 1 else 10_000_000
+    n_probe = int(args[2]) if len(args) > 2 else 1_000_000
+    # --scheme=file:// routes every catalog path through the Hadoop
+    # FileSystem layer (sidecars, compaction double-rename, advise
+    # snapshots) — the in-test stand-in for hdfs:// (round-9 #4)
+    scheme = None
+    for a in sys.argv[1:]:
+        if a.startswith("--scheme="):
+            scheme = a.split("=", 1)[1]
     spark = _get_spark()
     runs = []
     if which in ("minhash", "both"):
-        runs.append(stress_minhash(spark, n_reg, n_probe))
+        runs.append(stress_minhash(spark, n_reg, n_probe, scheme))
     if which in ("embedding", "both"):
-        runs.append(stress_embedding(spark, n_reg, n_probe))
+        runs.append(stress_embedding(spark, n_reg, n_probe, scheme))
     for r in runs:
         print("CATSTRESS " + json.dumps(r), flush=True)
     spark.stop()
