@@ -1189,7 +1189,10 @@ def _run_pipeline(spark, rest: list[str]) -> int:
             from pond_spark.pipeline import final_corpus_path
 
             for r in rows:
-                print(f"{r['status']:8s} {r['stage']:14s} {r['path']}")
+                timing = f" ({r['seconds']}s)" if "seconds" in r else ""
+                print(
+                    f"{r['status']:8s} {r['stage']:14s} {r['path']}{timing}"
+                )
             print(f"final={final_corpus_path(rows)}")
             return 0
         print(_PIPELINE_USAGE, file=sys.stderr)

@@ -611,6 +611,9 @@ def curate_run(
             cur_path = stage_dir
             continue
         recompute = True
+        import time as _time
+
+        t0 = _time.perf_counter()
         if stage == "catalog_gate" and fs.exists(marker):
             # re-gating AFTER this run registered would anti-join the
             # run's own digests and silently ship an empty corpus —
@@ -653,7 +656,15 @@ def curate_run(
             )
         out.write.mode("overwrite").parquet(stage_dir)
         rows.append(
-            {"stage": stage, "path": stage_dir, "status": "computed"}
+            {
+                "stage": stage,
+                "path": stage_dir,
+                "status": "computed",
+                # per-stage wall — the ops telemetry a multi-day run
+                # reads to find its expensive stage; resumed rows are
+                # metadata-only and carry no timing
+                "seconds": round(_time.perf_counter() - t0, 1),
+            }
         )
         cur_path = stage_dir
     if gated:

@@ -504,6 +504,7 @@ def test_curate_run_stage_level_resume(spark, corpus, tmp_path):
 
     r1 = curate_run(spark, docs_path, work, cfg, eval_set_path=eval_path)
     assert [r["status"] for r in r1] == ["computed"] * 4
+    assert all(r["seconds"] >= 0 for r in r1)  # computed rows timed
     final = {r.doc_id for r in spark.read.parquet(r1[-1]["path"]).collect()}
     inline = {
         r.doc_id
@@ -517,6 +518,7 @@ def test_curate_run_stage_level_resume(spark, corpus, tmp_path):
 
     r2 = curate_run(spark, docs_path, work, cfg, eval_set_path=eval_path)
     assert [r["status"] for r in r2] == ["resumed"] * 4
+    assert all("seconds" not in r for r in r2)  # metadata-only resume
     assert {
         r.doc_id for r in spark.read.parquet(r2[-1]["path"]).collect()
     } == final
