@@ -17,6 +17,11 @@ The script simulates three daily arrivals from the documents table:
 3. day 2 re-run — every stage (and the registration) reports
    ``resumed``: a scheduler can blindly re-invoke the same command.
 
+Each run holds a writer lease (``lease_ttl=``) on the work_dir and
+the catalog, so a scheduler double-FIRE (two overlapping invocations,
+as opposed to the sequential retry above) refuses with LeaseHeldError
+instead of racing the read-then-append catalog.
+
 The gate's scale story: the anti-join ships 32-byte digests only,
 never documents — at 100 TB/day the catalog is ~0.03% of the corpus.
 """
@@ -70,21 +75,21 @@ def main() -> None:
         "day 1",
         curate_run(
             spark, day1_path, f"{base}/day1", config,
-            digest_catalog_path=catalog,
+            digest_catalog_path=catalog, lease_ttl=600,
         ),
     )
     show(
         "day 2 (overlap gated)",
         curate_run(
             spark, day2_path, f"{base}/day2", config,
-            digest_catalog_path=catalog,
+            digest_catalog_path=catalog, lease_ttl=600,
         ),
     )
     show(
         "day 2 re-run (scheduler retry)",
         curate_run(
             spark, day2_path, f"{base}/day2", config,
-            digest_catalog_path=catalog,
+            digest_catalog_path=catalog, lease_ttl=600,
         ),
     )
     print(f"catalog digests: {spark.read.parquet(catalog).count()}")
