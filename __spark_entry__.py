@@ -2979,8 +2979,16 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATION_INCREMENTAL_SQL = f"""
-WITH docs AS (SELECT doc_id, text FROM {_CURATE_INC_DOCS_SQL}),
+def curation_incremental_oracle_sql(source: str) -> str:
+    """Parameterized DuckDB replay of the cross-run digest gate:
+    register day 1 (even ids), gate day 2 (odd ids) — NULL text always
+    passes, min id wins within day 2, digest equality is text
+    equality. ``source`` is any parenthesized (doc_id, text) relation;
+    the registry twin binds the documents fixture, the randomized fuzz
+    (tests/test_pipeline.py) binds generated corpora, so both run THIS
+    sql, not a copy."""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM {source}),
 day1 AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
 day2 AS (SELECT * FROM docs WHERE doc_id % 2 = 1)
 SELECT d2.doc_id, d2.text
@@ -2990,6 +2998,11 @@ WHERE d2.text IS NULL
        AND d2.doc_id = (SELECT min(doc_id) FROM day2 x
                         WHERE x.text = d2.text))
 """
+
+
+CURATION_INCREMENTAL_SQL = curation_incremental_oracle_sql(
+    _CURATE_INC_DOCS_SQL
+)
 
 
 def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

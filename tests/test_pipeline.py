@@ -814,3 +814,70 @@ def test_writer_lease_gates_concurrent_runs(spark, tmp_path):
     assert r[-1]["stage"] == "catalog_register"
     import os
     assert not os.path.exists(cat + ".lease.json")  # released after
+
+
+def test_curation_incremental_fuzz_oracle_parity(spark, tmp_path):
+    """Randomized cross-run gate parity (the curation_near fuzz
+    pattern): 15 corpora with cross-day exact repeats, within-day dup
+    groups, NULL/empty/whitespace docs — each day-split run through
+    the REAL curate_run + DigestCatalog machinery and compared row-set
+    exact against the SAME parameterized DuckDB replay the registry
+    twin runs (__spark_entry__.curation_incremental_oracle_sql)."""
+    import random
+
+    import duckdb
+
+    from __spark_entry__ import curation_incremental_oracle_sql
+    from pond_spark.pipeline import CurationConfig, curate_run, final_corpus_path
+
+    rng = random.Random(0xD161)
+    vocab = [f"w{i}" for i in range(60)]
+    cfg = CurationConfig(stages=("exact_dedup",))
+    nonempty = 0
+    for case in range(15):
+        rows: list[tuple] = []
+        did = 0
+        # dup groups whose members land on BOTH sides of the parity
+        # split (consecutive ids alternate parity), so cross-day and
+        # within-day duplication both occur
+        for _g in range(rng.randint(1, 6)):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+            for _m in range(rng.randint(1, 4)):
+                did += 1
+                rows.append((did, text))
+        for _ in range(rng.randint(0, 4)):  # NULL text (both days)
+            did += 1
+            rows.append((did, None))
+        did += 1
+        rows.append((did, ""))  # empty doc
+        did += 1
+        rows.append((did, "  \t "))  # whitespace-only doc
+
+        root = tmp_path / f"case{case}"
+        sdocs = spark.createDataFrame(rows, "doc_id long, text string")
+        d1, d2 = str(root / "d1"), str(root / "d2")
+        sdocs.filter("doc_id % 2 = 0").write.parquet(d1)
+        sdocs.filter("doc_id % 2 = 1").write.parquet(d2)
+        cat = str(root / "cat")
+        curate_run(spark, d1, str(root / "w1"), cfg, digest_catalog_path=cat)
+        r2 = curate_run(spark, d2, str(root / "w2"), cfg, digest_catalog_path=cat)
+        got = {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(final_corpus_path(r2)).collect()
+        }
+
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE fuzz_docs (doc_id BIGINT, text VARCHAR)")
+            con.executemany("INSERT INTO fuzz_docs VALUES (?, ?)", rows)
+            want = {
+                (r[0], r[1])
+                for r in con.execute(
+                    curation_incremental_oracle_sql("fuzz_docs")
+                ).fetchall()
+            }
+        finally:
+            con.close()
+        assert got == want, f"case {case}: {got ^ want}"
+        nonempty += bool(want)
+    assert nonempty >= 10  # the fuzz exercised real survivors
