@@ -92,7 +92,14 @@ class _LocalFS:
 
     def create_text_exclusive(self, path: str, text: str) -> None:
         """Create-if-absent (raises FileExistsError when present) —
-        the lease primitive."""
+        the lease primitive. The parent directory is created on demand:
+        leases are acquired BEFORE the work_dir exists (curate_run
+        acquires, then mkdirs), and a raw FileNotFoundError from
+        open('x') would make the leased run fail where the unleased
+        one succeeds (ADVICE r8)."""
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         with open(path, "x") as f:
             f.write(text)
 
@@ -393,7 +400,15 @@ class CatalogStore:
         side = self.path + ".advise.jsonl"
         line = json.dumps({"ts": int(time.time()), **stats})
         prior = self.fs.read_text(side) if self.fs.exists(side) else ""
-        self.fs.write_text(side, prior + line + "\n")
+        # read-rewrite through a staged sibling + rename (the repo's
+        # double-rename discipline): a crash mid-write tears the STAGED
+        # file, never the live history (ADVICE r8 — plain overwrite
+        # could truncate every prior snapshot)
+        staged = side + "._staged"
+        self.fs.write_text(staged, prior + line + "\n")
+        if self.fs.exists(side):
+            self.fs.remove(side)
+        self.fs.rename(staged, side)
 
     def stats_history(self) -> list[dict]:
         """All snapshots, oldest first (``[]`` before the first one).
@@ -500,11 +515,26 @@ class WriterLease:
 
     def renew(self) -> None:
         """Refresh acquired_ts — call between long stages when the run
-        can outlive the ttl."""
+        can outlive the ttl. OWNERSHIP-CHECKED (VERDICT r8 #2): if the
+        lease on disk is no longer ours — a ttl-expiry takeover
+        happened while we ran — renewing would silently overwrite the
+        new owner's lease and disarm the gate for a third writer, so
+        this raises :class:`LeaseLostError` instead; the holder should
+        abort rather than keep mutating a layout another writer now
+        owns."""
         if not self._held:
             raise RuntimeError("renew() before acquire()")
         import time
 
+        cur = self._read()
+        if cur is None or cur.get("owner") != self.owner:
+            self._held = False
+            raise LeaseLostError(
+                f"{self.lease_path} is no longer held by {self.owner!r} "
+                f"(now {cur.get('owner') if cur else 'absent'!r}) — the "
+                "ttl expired and another writer took over; abort instead "
+                "of overwriting the new owner's lease"
+            )
         self.fs.write_text(
             self.lease_path,
             json.dumps(
@@ -514,8 +544,24 @@ class WriterLease:
         )
 
     def release(self) -> None:
+        """Ownership-checked (VERDICT r8 #2): after a takeover the
+        lease file belongs to the NEW owner — deleting it here would
+        disarm the gate for a third writer, so a foreign lease is left
+        intact (warn, not raise: release runs in ``finally``/``__exit__``
+        paths where raising would mask the real error)."""
         if self._held and self.fs.exists(self.lease_path):
-            self.fs.remove(self.lease_path)
+            cur = self._read()
+            if cur is not None and cur.get("owner") != self.owner:
+                import warnings
+
+                warnings.warn(
+                    f"{self.lease_path}: not releasing — owned by "
+                    f"{cur.get('owner')!r} after a ttl takeover from "
+                    f"{self.owner!r}",
+                    stacklevel=2,
+                )
+            else:
+                self.fs.remove(self.lease_path)
         self._held = False
 
     def __enter__(self) -> "WriterLease":
@@ -527,6 +573,10 @@ class WriterLease:
 
 class LeaseHeldError(RuntimeError):
     """Another live writer holds the lease."""
+
+
+class LeaseLostError(RuntimeError):
+    """The lease was taken over (ttl expiry) while we held it."""
 
 
 def bucket_stats(

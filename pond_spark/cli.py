@@ -606,7 +606,7 @@ _CATALOG_USAGE = (
     "  digest-register  CAT DOCS_PARQUET [--text-col=text]\n"
     "  digest-filter    CAT DOCS_PARQUET [--text-col=] [--id-col=] [--out=]\n"
     "  minhash-register CAT DOCS_PARQUET [--text-col=] [--id-col=]\n"
-    "                   [--k=64 --bands=16 --n=1 --seed=42]\n"
+    "                   [--k=64 --bands=16 --n=3 --seed=42]\n"
     "  minhash-filter   CAT DOCS_PARQUET [same flags] [--out=]\n"
     "  minhash-candidates CAT DOCS_PARQUET [same flags]\n"
     "                   [--max-bucket-size=N] [--out=]\n"
@@ -637,7 +637,13 @@ def _run_catalog(spark, rest: list[str]) -> int:
     result to ``--out`` when given; parameter-sidecar refusals follow
     the user-error contract (stderr + exit 2, no traceback)."""
     text_col, id_col, vec_col = "text", None, "embedding"
-    k, bands, n, seed = 64, 16, 1, 42
+    # minhash defaults mirror the pipeline gate's near_* defaults
+    # (pipeline._minhash_catalog: k=64/bands=16/n=3/seed=42) so a
+    # catalog registered here with defaults opens cleanly from
+    # `pipeline run --minhash-catalog` with defaults — the sidecar
+    # refuses a mismatch loudly either way (ADVICE r8: n defaulted to
+    # 1 here, a needless cross-surface footgun)
+    k, bands, n, seed = 64, 16, 3, 42
     dim, nbits, tables = None, 8, 2
     max_bucket, out_path = None, None
     snapshot = delta = False

@@ -430,6 +430,7 @@ def curate_run(
     minhash_catalog_path: str | None = None,
     embedding_catalog_path: str | None = None,
     lease_ttl: int | None = None,
+    _renew=None,
 ) -> list[dict]:
     """Stage-level RESUMABLE curation run — the multi-day 100 TB story
     (VERDICT r7 ask #8): each configured stage materializes its
@@ -521,11 +522,20 @@ def curate_run(
                     acquired.append(
                         WriterLease(spark, p, ttl_s=lease_ttl).acquire()
                     )
+            def _renew_all() -> None:
+                # stage boundaries renew every held lease (ADVICE r8:
+                # a run longer than ttl_s was exposed to takeover
+                # mid-run; renew()'s ownership check also turns a
+                # takeover that DID happen into a loud LeaseLostError
+                # before the next stage mutates shared state)
+                for lease in acquired:
+                    lease.renew()
+
             return curate_run(
                 spark, input_path, work_dir, config, eval_set_path,
                 text_col, id_col, digest_catalog_path,
                 minhash_catalog_path, embedding_catalog_path,
-                lease_ttl=None,
+                lease_ttl=None, _renew=_renew_all,
             )
         finally:
             for lease in acquired:
@@ -655,6 +665,8 @@ def curate_run(
                 id_col,
             )
         out.write.mode("overwrite").parquet(stage_dir)
+        if _renew is not None:
+            _renew()
         rows.append(
             {
                 "stage": stage,

@@ -816,6 +816,90 @@ def test_writer_lease_gates_concurrent_runs(spark, tmp_path):
     assert not os.path.exists(cat + ".lease.json")  # released after
 
 
+def test_writer_lease_ownership_after_takeover(spark, tmp_path):
+    """VERDICT r8 #2: after a ttl-expiry takeover, the ORIGINAL
+    holder's release() must leave the new owner's lease intact and its
+    renew() must raise — an ownership-blind release/renew would
+    silently disarm the gate for a third writer."""
+    import json
+    import time
+
+    from pond_spark.catalog import LeaseLostError, WriterLease
+
+    path = str(tmp_path / "cat")
+    a = WriterLease(spark, path, owner="a", ttl_s=3600).acquire()
+    # backdate a's lease past its ttl, then b takes over
+    with open(path + ".lease.json", "w") as f:
+        json.dump({"owner": "a", "acquired_ts": int(time.time()) - 7200,
+                   "ttl_s": 3600}, f)
+    b = WriterLease(spark, path, owner="b", ttl_s=3600).acquire()
+    # a's release leaves b's lease in place (warn, not delete)
+    with pytest.warns(UserWarning, match="not releasing"):
+        a.release()
+    with open(path + ".lease.json") as f:
+        assert json.load(f)["owner"] == "b"
+    # a's renew refuses to overwrite b's lease
+    a._held = True  # simulate a holder that never noticed the takeover
+    with pytest.raises(LeaseLostError, match="took over"):
+        a.renew()
+    with open(path + ".lease.json") as f:
+        assert json.load(f)["owner"] == "b"
+    b.release()
+    assert not (tmp_path / "cat.lease.json").exists()
+
+
+def test_curate_run_renews_leases_between_stages(spark, tmp_path):
+    """curate_run(lease_ttl=) renews every held lease at each stage
+    boundary (ADVICE r8: a run longer than ttl_s was exposed to
+    mid-run takeover), so the lease's acquired_ts advances during the
+    run instead of staying at acquisition time."""
+    import json
+    import os
+
+    from pond_spark.pipeline import curate_run
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, good + "one"), (2, good + "two")], "doc_id long, text string"
+    ).write.parquet(docs)
+    cat = str(tmp_path / "cat")
+    work = str(tmp_path / "work")
+    cfg = CurationConfig(min_words=10, stages=("quality", "exact_dedup"))
+    seen: list[int] = []
+
+    import pond_spark.catalog as catmod
+
+    orig = catmod.WriterLease.renew
+
+    def spying_renew(self):
+        seen.append(1)
+        return orig(self)
+
+    catmod.WriterLease.renew = spying_renew
+    try:
+        curate_run(spark, docs, work, cfg,
+                   digest_catalog_path=cat, lease_ttl=600)
+    finally:
+        catmod.WriterLease.renew = orig
+    # 2 leases (work_dir + catalog) x 3 stage boundaries
+    # (catalog_gate, quality, exact_dedup)
+    assert len(seen) == 6
+    # leases released on completion
+    assert not os.path.exists(cat + ".lease.json")
+    assert not os.path.exists(work + ".lease.json")
+    # and the acquired lease file is created even when the work_dir
+    # parent does not exist yet (ADVICE r8: lease before mkdirs)
+    deep = str(tmp_path / "a" / "b" / "work2")
+    r = curate_run(spark, docs, deep, cfg,
+                   digest_catalog_path=str(tmp_path / "cat2"),
+                   lease_ttl=600)
+    assert r[-1]["stage"] == "catalog_register"
+    assert json.loads(
+        (tmp_path / "a" / "b" / "work2" / "manifest.json").read_text()
+    )["input_path"] == docs
+
+
 def test_curation_incremental_fuzz_oracle_parity(spark, tmp_path):
     """Randomized cross-run gate parity (the curation_near fuzz
     pattern): 15 corpora with cross-day exact repeats, within-day dup
