@@ -4208,6 +4208,63 @@ WHERE sc.cosine >= 0.35
 """
 
 
+def q_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run VERIFIED semantic gate (VERDICT r8 #2 — the fix for
+    the bucket gate's occupancy-driven false drops): even vec_ids
+    register into an EmbeddingCatalog built with ``store_vectors=True``;
+    odd vec_ids probe with ``filter_new(verify_cos=0.35)``. Bucket
+    collisions are only CANDIDATES — the exact cosine against the
+    persisted vectors decides the drop — so at nbits=4 (deliberately
+    saturated: the bucket-only gate would drop nearly every probe) the
+    survivors are exactly the odd ids with NO registered neighbor at
+    cosine >= 0.35. The oracle replays planes, both bucket joins and
+    the cosine verify deterministically, so this is a hash row over
+    the verified gate's full semantics."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    emb = _fan(_embeddings(spark, sf_dir))
+    run1 = emb.filter(F.col("vec_id") % 2 == 0)
+    run2 = emb.filter(F.col("vec_id") % 2 == 1)
+    tag = hashlib.md5((sf_dir + "|vgate").encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_emb_vgate_{tag}")
+    for p in (
+        path, path + ".params.json", path + "._old",
+        path + ".vectors", path + ".vectors._old",
+    ):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    cat = EmbeddingCatalog(
+        spark, path, dim=64, nbits=4, n_tables=2, store_vectors=True
+    )
+    cat.register(run1)
+    return cat.filter_new(run2, verify_cos=0.35).select("vec_id")
+
+
+def _embedding_gate_verified_sql() -> str:
+    from pond_spark.similarity.lsh import hyperplanes
+
+    b0 = _sql_bucket(hyperplanes(64, nbits=4, seed=42))
+    b1 = _sql_bucket(hyperplanes(64, nbits=4, seed=43))
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, embedding, {b0} AS b0, {b1} AS b1 FROM embeddings),
+s AS (SELECT * FROM sig WHERE vec_id % 2 = 1),
+t AS (SELECT * FROM sig WHERE vec_id % 2 = 0),
+dropped AS (
+  SELECT DISTINCT s.vec_id AS new_id
+  FROM s JOIN t ON (s.b0 = t.b0 OR s.b1 = t.b1)
+  WHERE {_sql_cos('s.embedding', 't.embedding')} >= 0.35)
+SELECT s.vec_id FROM s
+WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)
+"""
+
+
 BITEXT_ANN_NBITS = 6
 BITEXT_ANN_PROBE = 3
 
@@ -4667,31 +4724,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-8 layout
-    # (VERDICT r7 asks #1-2):
-    #   1-9   the nine r3-era attestations rotated back in (retention,
-    #         sessionize, sanitize_site, resolve_forwarded,
-    #         format_one_line, accumulate_more, anonymize,
-    #         event_transitions, chunk_documents) — 4-round-old greens
-    #         were drift risk against driver-harness evolution even
-    #         with provably-unchanged code (the corpus_profile episode
-    #         showed twin-vs-driver divergence is real)
-    #   10-50 the r7 window minus ten demotions (ngram/simhash/minhash
-    #         pairs, range_join, geoip, the four media rows,
-    #         substring_dup — all r7-green on modules untouched in r8)
-    #         plus ann_ivf_index_topk rotated IN late-round (its index
-    #         compaction reaches the r8 compact_partition_dirs guard),
-    #         keeping every query whose module closure changed this
-    #         round: corpus_profile (dup_ppm BIGINT cast), the sketch
-    #         family (sidecar fs routing + quantile naming: kmv_churn,
-    #         cm_join_size, cm_heavy_hitters, uniques/value sketch
-    #         rollups), and the curation/pipeline rows (curate_run).
-    #         Late-r8: curation_incremental (NEW — the cross-run
-    #         catalog gate) added to the head; repetition demoted in
-    #         trade (r7-green, functions/text.py unchanged).
+    # FIRST 50 = the driver's per-round check window. Round-9 layout
+    # (VERDICT r8 ask #5):
+    #   1-16  the sixteen r4-era attestations rotated back in
+    #         (scan_window, filter_surface, last, group_site,
+    #         uri_prefix, unsafe_method, duration_longer,
+    #         value_quantiles[_approx], daily_uniques[_approx],
+    #         promo_revenue, time_rollup, site_delta,
+    #         rollup_hierarchy, line_dedup) — the oldest carries;
+    #         4-round-old greens are drift risk against driver-harness
+    #         evolution even with provably-unchanged code
+    #   17-50 the r8 window minus sixteen demotions (the _words text
+    #         family, asof_join, temperature_mixture, corpus_drift,
+    #         funnel, bpe rows, quality_outliers — all r8-green on
+    #         modules untouched in r9), keeping every query whose
+    #         closure changed this round: the catalog family
+    #         (CatalogStore retention/registered_ts), the curation/
+    #         pipeline rows (gate modes, lease renewal), and the NEW
+    #         embedding_gate_verified (exact-cosine verify leg,
+    #         VERDICT r8 #2).
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "last": (q_last, LAST_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "group_site": (q_group_site, GROUP_SITE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "unsafe_method": (q_unsafe_method, None),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "duration_longer": (q_duration_longer, DURATION_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "site_delta": (q_site_delta, SITE_DELTA_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
     "retention": (q_retention, RETENTION_SQL),  # rotated into the r8 window (r3-era attestation refresh, VERDICT r7 ask #2)
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r8 window (r3-era refresh)
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r8 window (r3-era refresh)
@@ -4705,31 +4775,14 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
     "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "tfidf_keywords": (q_tfidf_keywords, None),  # rotated into the r7 window (_words sweep)
-    "bm25_search": (q_bm25_search, None),  # rotated into the r7 window (_words sweep)
-    "nb_classify": (q_nb_classify, None),  # rotated into the r7 window (_words sweep)
-    "nb_confusion": (q_nb_confusion, None),  # rotated into the r7 window (_words sweep)
-    "text_stats": (q_text_stats, None),  # rotated into the r7 window (_words sweep + edge fixture)
-    "lang_id": (q_lang_id, None),  # rotated into the r7 window (_words sweep + edge fixture)
-    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # rotated into the r7 window (_words sweep)
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # rotated into the r7 window (_words sweep)
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # rotated into the r7 window (_words sweep)
-    "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # rotated into the r7 window (struct-carry fix)
-    "temperature_mixture": (q_temperature_mixture, None),  # lazy sql
     "curation": (q_curation, None),  # lazy sql (chained twin builders)
     "curation_near": (q_curation_near, None),  # lazy sql (chained twins)
     "curation_incremental": (q_curation_incremental, CURATION_INCREMENTAL_SQL),  # NEW r8 (cross-run catalog gate; demotes ann_ivf_topk below the boundary — ivf.py unchanged r8, r6-green carry)
-    "stratified_sample": (q_stratified_sample, None),  # lazy sql
     "mixture": (q_mixture, None),  # lazy sql
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "corpus_profile": (q_corpus_profile, None),  # rotated into the r7 window (NULL-as-unique fix)
-    "corpus_drift": (q_corpus_drift, None),  # rotated into the r7 window (oracle hash reuse)
-    "funnel": (q_funnel, None),  # rotated into the r7 window (funnel_sql guard)
-    "bpe_vocab": (q_bpe_vocab, None),  # lazy sql (unrolled merge replay)
     "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
-    "quality_outliers": (q_quality_outliers, None),  # lazy sql (NEW r6, integer Cramer)
     "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
-    "bpe_tokenize": (q_bpe_tokenize, None),  # lazy sql (NEW r6, shared merge chain)
     "cm_join_size": (q_cm_join_size, None),  # lazy sql (NEW r6, CM inner product)
     "dsir_weights": (q_dsir_weights, None),  # lazy sql
     "dsir_topk": (q_dsir_topk, None),  # lazy sql
@@ -4744,9 +4797,29 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_catalog_incremental": (
         q_embedding_catalog_incremental, None,
     ),  # lazy sql (NEW r6)
+    "embedding_gate_verified": (
+        q_embedding_gate_verified, None,
+    ),  # lazy sql (NEW r9: exact-cosine verify leg, VERDICT r8 #2)
+    # ---- window boundary (index 50): everything below is green on --
+    # ---- files unchanged since its last attestation (legit carry) --
+    "tfidf_keywords": (q_tfidf_keywords, None),  # demoted r9 (r8-green, module unchanged this round)
+    "bm25_search": (q_bm25_search, None),  # demoted r9 (r8-green, module unchanged this round)
+    "nb_classify": (q_nb_classify, None),  # demoted r9 (r8-green, module unchanged this round)
+    "nb_confusion": (q_nb_confusion, None),  # demoted r9 (r8-green, module unchanged this round)
+    "text_stats": (q_text_stats, None),  # demoted r9 (r8-green, module unchanged this round)
+    "lang_id": (q_lang_id, None),  # demoted r9 (r8-green, module unchanged this round)
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # demoted r9 (r8-green, module unchanged this round)
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # demoted r9 (r8-green, module unchanged this round)
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # demoted r9 (r8-green, module unchanged this round)
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # demoted r9 (r8-green, module unchanged this round)
+    "temperature_mixture": (q_temperature_mixture, None),  # demoted r9 (r8-green, module unchanged this round)
+    "corpus_drift": (q_corpus_drift, None),  # demoted r9 (r8-green, module unchanged this round)
+    "funnel": (q_funnel, None),  # demoted r9 (r8-green, module unchanged this round)
+    "bpe_vocab": (q_bpe_vocab, None),  # demoted r9 (r8-green, module unchanged this round)
+    "quality_outliers": (q_quality_outliers, None),  # demoted r9 (r8-green, module unchanged this round)
+    "bpe_tokenize": (q_bpe_tokenize, None),  # demoted r9 (r8-green, module unchanged this round)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    # ---- window boundary (index 50): everything below is r5-green --
-    # ---- on files unchanged since that attestation (legit carry) ---
+    "stratified_sample": (q_stratified_sample, None),  # lazy sql; demoted r9 for embedding_gate_verified (r8-green, sampling.py unchanged)
     "repetition": (q_repetition, REPETITION_SQL),  # demoted late-r8 for curation_incremental (r7-green, functions/text.py unchanged this round)
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)
@@ -4778,7 +4851,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "psl_domains": (q_psl_domains, None),  # below-window carry (r6 green, unchanged r7)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
     "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated below r6 boundary (exempt: dedup __init__ re-export-only)
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
     "pack_shards": (q_pack_shards, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
@@ -4791,21 +4863,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),
-    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),
-    "site_delta": (q_site_delta, SITE_DELTA_SQL),
-    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),
-    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),
-    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),
-    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),
-    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),
-    "unsafe_method": (q_unsafe_method, None),  # lazy sql
-    "duration_longer": (q_duration_longer, DURATION_SQL),
-    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),
-    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),
-    "last": (q_last, LAST_SQL),
-    "group_site": (q_group_site, GROUP_SITE_SQL),
-    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),
     "bloom_prefilter": (q_bloom_prefilter, None),  # rotated below r6 boundary (exempt: false edges)
 }
 
@@ -4817,6 +4874,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "bitext_pairs": _bitext_pairs_sql,
     "bitext_pairs_ann": _bitext_pairs_ann_sql,
     "embedding_catalog_incremental": _embedding_catalog_sql,
+    "embedding_gate_verified": _embedding_gate_verified_sql,
     "kanon_export": _kanon_export_sql,
     "cm_heavy_hitters": _cm_heavy_hitters_sql,
     "bloom_prefilter": _bloom_prefilter_sql,

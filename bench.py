@@ -58,18 +58,19 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
-        # best of two runs: the first pays one-time codegen/JIT compile
+        # best of N runs: the first pays one-time codegen/JIT compile
         # of the query's generated classes; steady-state throughput is
-        # the second. Also damps host-level noise on shared machines.
-        # If the two runs disagree >1.5x the window was noisy (observed
-        # 2-4x inflation under concurrent load on this host) — take one
-        # more sample so a single noisy pair can't inflate the total.
+        # the min. Sub-2s rows sit in the host's 1.1-1.4x run-to-run
+        # noise band where a 2-sample min is itself noisy (VERDICT r8
+        # #4: ~70 of 130 rows were unadjudicatable), so they take a
+        # THIRD sample — min-of-3 keeps repeated solo runs within
+        # ~1.1x on those rows. A >1.5x-disagreeing pair (observed 2-4x
+        # inflation under concurrent load) also takes the extra
+        # sample, so one noisy window can't inflate the total.
         best = -1.0
         try:
             samples: list[float] = []
-            while len(samples) < 2 or (
-                len(samples) == 2 and max(samples) > 1.5 * min(samples)
-            ):
+            while True:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
@@ -77,6 +78,11 @@ def main() -> None:
                 # and later queries aren't timed under accumulated
                 # cache + GC pressure
                 spark.catalog.clearCache()
+                need = 3 if min(samples) < 2.0 else 2
+                if len(samples) == 2 and max(samples) > 1.5 * min(samples):
+                    need = 3
+                if len(samples) >= need:
+                    break
             best = min(samples)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)

@@ -307,12 +307,32 @@ def _fs_for_maintenance(path: str, spark: SparkSession | None = None):
     return _HadoopFS(spark, path)
 
 
+#: registration-time stamp every append adds (epoch seconds) — the
+#: retention axis. Key columns are everything EXCEPT this.
+TS_COL = "registered_ts"
+
+
 class CatalogStore:
     """Persistence backend for one catalog path. ``empty_schema`` is
-    the DDL string an empty bootstrap returns; ``kind`` names the
-    catalog in error messages; ``params``/``mismatch_hint`` enable the
-    sidecar pinning (None disables it, e.g. the digest catalog whose
-    key has no parameters)."""
+    the DDL string an empty bootstrap returns (the store appends its
+    own ``registered_ts long``); ``kind`` names the catalog in error
+    messages; ``params``/``mismatch_hint`` enable the sidecar pinning
+    (None disables it, e.g. the digest catalog whose key has no
+    parameters).
+
+    **Retention** (VERDICT r8 missing #3 — the reference evicts by
+    age/size, src/Database.cxx:118-149 ring buffer + max_age,
+    src/Instance.cxx:190-203 scheduled eviction, and the LogStore has
+    its retention job; the gate catalogs previously only GREW): every
+    ``append`` stamps ``registered_ts`` (epoch seconds; override with
+    ``run_ts`` for backdating/replay), ``compact`` keeps the NEWEST
+    stamp per key row, and :meth:`expire` drops rows registered before
+    a horizon with the same crash-safe double rename. After eviction,
+    re-seen old content re-registers with a fresh stamp — exactly the
+    reference's max_age discipline applied to the gate stores.
+    Pre-retention catalogs (files without the column) read as
+    ``registered_ts = NULL``, which expire treats as epoch 0: legacy
+    rows are the OLDEST and age out first."""
 
     def __init__(
         self,
@@ -322,6 +342,7 @@ class CatalogStore:
         kind: str,
         params: dict | None = None,
         mismatch_hint: str = "keys from different parameters are incomparable",
+        stored_defaults: dict | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -334,6 +355,12 @@ class CatalogStore:
             sidecar = self._sidecar()
             if self.fs.exists(sidecar):
                 stored = json.loads(self.fs.read_text(sidecar))
+                # sidecars written before a parameter existed lack its
+                # key; absent == the documented default, not a config
+                # change (the curate_run manifest rule) — strict
+                # equality would refuse every pre-upgrade catalog
+                for key, val in (stored_defaults or {}).items():
+                    stored.setdefault(key, val)
                 if stored != params:
                     raise ValueError(
                         f"{kind} at {path} was built with {stored}, "
@@ -344,10 +371,18 @@ class CatalogStore:
         return self.path + ".params.json"
 
     def read(self) -> DataFrame:
+        from pyspark.sql import functions as F
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.path)
+            # mergeSchema: pre-retention files lack registered_ts; the
+            # merged footer keeps the column and fills NULL for old
+            # files. Driver-side O(#files) footer reads — bounded by
+            # the compact() discipline, fine for a maintenance-grade
+            # reader (the data plane reads only key columns anyway).
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.path
+            )
         except AnalysisException as e:
             get_cond = getattr(e, "getCondition", None) or getattr(
                 e, "getErrorClass", None
@@ -361,29 +396,100 @@ class CatalogStore:
                         "compact() crashed mid-swap. Recover with: "
                         f"mv {old} {self.path} (then re-run compact)"
                     ) from e
-                return self.spark.createDataFrame([], self.empty_schema)
+                return self.spark.createDataFrame(
+                    [], self.empty_schema + f", {TS_COL} long"
+                )
             raise
+        if TS_COL not in df.columns:
+            df = df.withColumn(TS_COL, F.lit(None).cast("long"))
+        return df
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, run_ts: int | None = None) -> None:
         """Append a batch of key rows, pinning the parameter sidecar
-        on first use."""
+        on first use and stamping ``registered_ts`` (``run_ts``
+        overrides the wall clock for replayed/backdated runs)."""
+        import time
+
+        from pyspark.sql import functions as F
+
         if self.params is not None:
             sidecar = self._sidecar()
             if not self.fs.exists(sidecar):
                 self.fs.write_text(sidecar, json.dumps(self.params))
-        df.write.mode("append").parquet(self.path)
+        ts = int(time.time()) if run_ts is None else int(run_ts)
+        df.withColumn(TS_COL, F.lit(ts).cast("long")).write.mode(
+            "append"
+        ).parquet(self.path)
 
-    def compact(self) -> None:
-        if not self.fs.exists(self.path):
-            return  # nothing registered yet — nothing to compact
+    def _rewrite(self, df: DataFrame) -> None:
+        """Crash-safe double-rename rewrite (compact/expire share it):
+        stage new, rename live aside, rename staged in, delete old."""
         staged = self.path + "._compact"
         old = self.path + "._old"
-        self.read().distinct().write.mode("overwrite").parquet(staged)
+        df.write.mode("overwrite").parquet(staged)
         if self.fs.exists(old):
             self.fs.rmtree(old)
         self.fs.rename(self.path, old)
         self.fs.rename(staged, self.path)
         self.fs.rmtree(old)
+
+    def _deduped(self, df: DataFrame) -> DataFrame:
+        """One row per key with the NEWEST registration stamp —
+        ``distinct()`` would keep one row per (key, ts) pair, so a
+        re-registered key would survive expire through its oldest
+        stamp's twin row."""
+        from pyspark.sql import functions as F
+
+        key_cols = [c for c in df.columns if c != TS_COL]
+        return df.groupBy(*key_cols).agg(F.max(TS_COL).alias(TS_COL))
+
+    def compact(self) -> None:
+        if not self.fs.exists(self.path):
+            return  # nothing registered yet — nothing to compact
+        self._rewrite(self._deduped(self.read()))
+
+    def expire(self, before_ts: int) -> dict:
+        """Drop rows registered before ``before_ts`` (epoch seconds) —
+        the age-eviction maintenance job (reference max_age,
+        src/Instance.cxx:190-203). Compaction-integrated: the rewrite
+        also merges duplicate key rows (newest stamp wins), so a
+        scheduled ``expire`` replaces the separate ``compact``.
+        Rows with NULL stamps (pre-retention files) count as epoch 0
+        and are the first to age out; content evicted here re-admits —
+        and re-registers, with a fresh stamp — on its next appearance.
+        The eviction is recorded in ``path + '.retention.jsonl'``.
+        Returns ``{rows_before, rows_kept, before_ts, ts}``."""
+        import time
+
+        from pyspark.sql import functions as F
+
+        if not self.fs.exists(self.path):
+            return {
+                "rows_before": 0, "rows_kept": 0,
+                "before_ts": int(before_ts), "ts": int(time.time()),
+            }
+        merged = self._deduped(self.read())
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts))
+                .cast("long")
+            ).alias("kept"),
+        ).collect()[0]
+        n_before, n_kept = int(row.n or 0), int(row.kept or 0)
+        self._rewrite(
+            merged.filter(
+                F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts)
+            )
+        )
+        rec = {
+            "rows_before": n_before,
+            "rows_kept": n_kept,
+            "before_ts": int(before_ts),
+            "ts": int(time.time()),
+        }
+        self._append_jsonl(self.path + ".retention.jsonl", rec)
+        return rec
 
     # -- advisory snapshots (round-9 #4): skew trends over a catalog's
     # lifetime without re-scanning history -----------------------------
@@ -397,24 +503,29 @@ class CatalogStore:
         the catalog itself."""
         import time
 
-        side = self.path + ".advise.jsonl"
-        line = json.dumps({"ts": int(time.time()), **stats})
+        self._append_jsonl(
+            self.path + ".advise.jsonl", {"ts": int(time.time()), **stats}
+        )
+
+    def _append_jsonl(self, side: str, obj: dict) -> None:
+        """Read-rewrite append through a staged sibling + rename (the
+        repo's double-rename discipline): a crash mid-write tears the
+        STAGED file, never the live history (ADVICE r8 — plain
+        overwrite could truncate every prior snapshot)."""
         prior = self.fs.read_text(side) if self.fs.exists(side) else ""
-        # read-rewrite through a staged sibling + rename (the repo's
-        # double-rename discipline): a crash mid-write tears the STAGED
-        # file, never the live history (ADVICE r8 — plain overwrite
-        # could truncate every prior snapshot)
         staged = side + "._staged"
-        self.fs.write_text(staged, prior + line + "\n")
+        self.fs.write_text(staged, prior + json.dumps(obj) + "\n")
         if self.fs.exists(side):
             self.fs.remove(side)
         self.fs.rename(staged, side)
 
-    def stats_history(self) -> list[dict]:
+    def stats_history(self, suffix: str = ".advise.jsonl") -> list[dict]:
         """All snapshots, oldest first (``[]`` before the first one).
         ``n_rows`` is the natural trend axis — monotone in registered
-        volume — with ``ts`` for calendar alignment."""
-        side = self.path + ".advise.jsonl"
+        volume — with ``ts`` for calendar alignment. ``suffix``
+        selects the sidecar (``.advise.jsonl`` advisory history,
+        ``.retention.jsonl`` eviction history)."""
+        side = self.path + suffix
         if not self.fs.exists(side):
             return []
         return [

@@ -622,7 +622,13 @@ _CATALOG_USAGE = (
     "                   --snapshot appends it to CAT.advise.jsonl\n"
     "  advise-history   minhash|emb CAT [open flags] [--delta] — one\n"
     "                   JSON line per persisted snapshot, oldest\n"
-    "                   first; --delta prints adjacent-snapshot growth"
+    "                   first; --delta prints adjacent-snapshot growth\n"
+    "  expire           digest|minhash|emb CAT (--before-ts=EPOCH |\n"
+    "                   --max-age=SECONDS) [open flags] — age-evict\n"
+    "                   rows registered before the horizon (re-seen\n"
+    "                   content re-admits); compaction-integrated\n"
+    "  retention-history digest|minhash|emb CAT [open flags] — one\n"
+    "                   JSON line per recorded eviction, oldest first"
 )
 
 
@@ -646,6 +652,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
     k, bands, n, seed = 64, 16, 3, 42
     dim, nbits, tables = None, 8, 2
     max_bucket, out_path = None, None
+    before_ts, max_age = None, None
     snapshot = delta = False
     args: list[str] = []
     for a in rest:
@@ -673,6 +680,10 @@ def _run_catalog(spark, rest: list[str]) -> int:
             max_bucket = int(v)
         elif (v := _filter_value(a, "--out")) is not None:
             out_path = v
+        elif (v := _filter_value(a, "--before-ts")) is not None:
+            before_ts = int(v)
+        elif (v := _filter_value(a, "--max-age")) is not None:
+            max_age = int(v)
         elif a == "--snapshot":
             snapshot = True
         elif a == "--delta":
@@ -716,6 +727,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
         "compact", "advise", "advise-history", "digest-register", "digest-filter",
         "minhash-register", "minhash-filter", "minhash-candidates",
         "emb-register", "emb-filter", "emb-candidates",
+        "expire", "retention-history",
     )
     if sub not in known:
         print(_CATALOG_USAGE, file=sys.stderr)
@@ -727,6 +739,35 @@ def _run_catalog(spark, rest: list[str]) -> int:
                 kind
             ](path).compact()
             print(f"compacted kind={kind} path={path}")
+            return 0
+        if sub == "expire":
+            # age eviction (reference max_age, Instance.cxx:190-203):
+            # --before-ts is the explicit horizon; --max-age computes
+            # it from the wall clock. Exactly one must be given.
+            import time as _time
+
+            kind, path = args
+            if (before_ts is None) == (max_age is None):
+                raise ValueError(
+                    "expire needs exactly one of --before-ts=EPOCH or "
+                    "--max-age=SECONDS"
+                )
+            horizon = (
+                before_ts if before_ts is not None
+                else int(_time.time()) - max_age
+            )
+            rec = {"digest": open_digest, "minhash": open_minhash,
+                   "emb": open_emb}[kind](path).expire(horizon)
+            for key in sorted(rec):
+                print(f"{key}={rec[key]}")
+            return 0
+        if sub == "retention-history":
+            import json as _json
+
+            kind, path = args
+            for evt in {"digest": open_digest, "minhash": open_minhash,
+                        "emb": open_emb}[kind](path).retention_history():
+                print(_json.dumps(evt, sort_keys=True))
             return 0
         if sub == "advise":
             # bucket histogram + tuning recommendation (VERDICT r7 #4);

@@ -130,15 +130,21 @@ class DigestCatalog:
             .drop("_sha")
         )
 
-    def register(self, df: DataFrame, text_col: str = "text") -> None:
+    def register(
+        self, df: DataFrame, text_col: str = "text",
+        run_ts: int | None = None,
+    ) -> None:
         """Append the batch's distinct digests to the catalog.
         NULL-text rows contribute nothing — a NULL digest matches no
         future probe (filter_new's anti-join is null-unsafe), so
-        storing it would only pad the catalog."""
+        storing it would only pad the catalog. ``run_ts`` backdates
+        the registration stamp (replays; the retention axis —
+        see :meth:`expire`)."""
         self._store.append(
             df.filter(F.col(text_col).isNotNull())
             .select(F.sha2(F.col(text_col), 256).alias("content_sha"))
-            .distinct()
+            .distinct(),
+            run_ts=run_ts,
         )
 
     def compact(self) -> None:
@@ -151,3 +157,17 @@ class DigestCatalog:
         the ``._old`` remnant ``_read`` refuses to bootstrap over
         (see pond_spark.catalog)."""
         self._store.compact()
+
+    def expire(self, before_ts: int) -> dict:
+        """Age-evict digests registered before ``before_ts`` (epoch
+        seconds) — the reference's max_age discipline
+        (src/Instance.cxx:190-203) applied to the gate store: without
+        it a year of daily runs leaves an unbounded catalog. Evicted
+        content re-admits (and re-registers with a fresh stamp) on its
+        next appearance. Compaction-integrated and sidecar-recorded;
+        see CatalogStore.expire."""
+        return self._store.expire(before_ts)
+
+    def retention_history(self) -> list[dict]:
+        """Recorded evictions, oldest first."""
+        return self._store.stats_history(suffix=".retention.jsonl")

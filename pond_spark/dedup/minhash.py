@@ -446,6 +446,7 @@ class MinHashCatalog:
         text_col: str = "text",
         id_col: str = "doc_id",
         snapshot: bool = False,
+        run_ts: int | None = None,
     ) -> None:
         """Append the batch's band rows (and pin the parameter sidecar
         on first use). ``snapshot=True`` persists the post-register
@@ -453,8 +454,9 @@ class MinHashCatalog:
         extra groupBy over the ids+ints key table per register, so
         reserve it for scheduled/daily registers rather than tight
         micro-batch loops (or snapshot from a cron via
-        ``catalog advise … --snapshot``)."""
-        self._store.append(self._banded(df, text_col, id_col))
+        ``catalog advise … --snapshot``). ``run_ts`` backdates the
+        registration stamp (see :meth:`expire`)."""
+        self._store.append(self._banded(df, text_col, id_col), run_ts=run_ts)
         if snapshot:
             self.advise(snapshot=True)
 
@@ -464,6 +466,19 @@ class MinHashCatalog:
         Crash-safe double rename (pond_spark.catalog); ``_read``
         refuses to bootstrap over a ``._old`` remnant."""
         self._store.compact()
+
+    def expire(self, before_ts: int) -> dict:
+        """Age-evict band rows registered before ``before_ts`` — the
+        reference's max_age discipline (src/Instance.cxx:190-203) for
+        the near-dup gate store (a 10M-doc day leaves 236.8M band rows;
+        without eviction a year of runs is a multi-TB gate). Evicted
+        docs re-admit — and re-register — on next appearance.
+        Compaction-integrated, recorded in ``.retention.jsonl``."""
+        return self._store.expire(before_ts)
+
+    def retention_history(self) -> list[dict]:
+        """Recorded evictions, oldest first."""
+        return self._store.stats_history(suffix=".retention.jsonl")
 
     def advise(
         self, max_bucket_size: int | None = None, snapshot: bool = False

@@ -280,9 +280,7 @@ def curate_foreach_batch(
             fresh = mcat.filter_new(fresh, text_col, id_col)
         if embedding_catalog_path is not None:
             ecat = _embedding_catalog(spark, embedding_catalog_path, config)
-            fresh = ecat.filter_new(
-                fresh, config.extra.get("emb_col", "embedding"), id_col
-            )
+            fresh = _emb_gate(ecat, fresh, config, id_col)
         # pin `fresh`: it feeds both the writer's curate chain and
         # register — unpinned, every micro-batch would pay the
         # catalog joins + within-batch sha256 dedup TWICE
@@ -399,7 +397,10 @@ def _minhash_catalog(spark, path: str, config: CurationConfig):
 def _embedding_catalog(spark, path: str, config: CurationConfig):
     """EmbeddingCatalog from the ``config.extra`` emb_* keys. emb_dim
     is mandatory (hyperplane shape); the vector column defaults to
-    ``embedding`` via emb_col."""
+    ``embedding`` via emb_col. ``emb_verify_cos`` implies the VERIFIED
+    gate, which needs the vector sibling store
+    (``emb_store_vectors``, defaulted on when a verify threshold is
+    configured)."""
     from pond_spark.similarity.catalog import EmbeddingCatalog
 
     x = config.extra
@@ -415,7 +416,31 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
         nbits=int(x.get("emb_nbits", 8)),
         n_tables=int(x.get("emb_tables", 2)),
         seed=int(x.get("emb_seed", 42)),
+        store_vectors=bool(
+            x.get("emb_store_vectors", "emb_verify_cos" in x)
+        ),
     )
+
+
+def _emb_gate(cat, df, config: CurationConfig, id_col: str):
+    """The embedding gate shared by curate_run and
+    curate_foreach_batch (VERDICT r8 #2): ``emb_verify_cos`` selects
+    the exact-cosine VERIFIED gate (only true near-dups drop);
+    otherwise the verify-less bucket gate runs behind
+    :meth:`EmbeddingCatalog.gate_check` — refusing when
+    ``emb_max_overshoot`` is configured and the predicted false-drop
+    rate exceeds it, warning above 5% when not — so occupancy-driven
+    content loss is loud, never silent."""
+    x = config.extra
+    vec_col = x.get("emb_col", "embedding")
+    vcos = x.get("emb_verify_cos")
+    if vcos is not None:
+        return cat.filter_new(df, vec_col, id_col,
+                              verify_cos=float(vcos))
+    bound = x.get("emb_max_overshoot")
+    if bound is not None or not x.get("emb_skip_gate_check", False):
+        cat.gate_check(float(bound) if bound is not None else None)
+    return cat.filter_new(df, vec_col, id_col)
 
 
 def curate_run(
@@ -489,8 +514,15 @@ def curate_run(
       carrying an embedding column (``config.extra``: emb_dim
       required; emb_col/emb_nbits/emb_tables/emb_seed optional): rows
       whose vector shares an RHP bucket with a registered vector are
-      dropped — cross-run SemDeDup, same conservatism note as the
-      minhash gate. NULL vectors always pass.
+      dropped — cross-run SemDeDup. NULL vectors always pass. Two
+      modes (VERDICT r8 #2 — bucket-only drops track occupancy):
+      ``emb_verify_cos`` selects the VERIFIED gate (vectors persist in
+      the catalog's sibling store; only exact-cosine-confirmed
+      near-dups drop); without it the bucket gate runs behind
+      ``gate_check`` — refusing when ``emb_max_overshoot`` is set and
+      exceeded, warning above 5% predicted false-drops otherwise
+      (``emb_skip_gate_check`` silences the advisory job for tight
+      micro-batch loops).
     - Registration follows ``curate_foreach_batch``'s at-least-once
       ordering: the gate stage's survivors are registered only AFTER
       the final stage's ``_SUCCESS`` exists, recorded by a
@@ -651,10 +683,9 @@ def curate_run(
                     spark, minhash_catalog_path, config
                 ).filter_new(out, text_col, id_col)
             if embedding_catalog_path is not None:
-                out = _embedding_catalog(
-                    spark, embedding_catalog_path, config
-                ).filter_new(
-                    out, config.extra.get("emb_col", "embedding"), id_col
+                out = _emb_gate(
+                    _embedding_catalog(spark, embedding_catalog_path, config),
+                    out, config, id_col,
                 )
         else:
             out = curate(

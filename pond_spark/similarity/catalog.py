@@ -10,10 +10,13 @@ Continuous corpus building needs "is this vector semantically close
 to anything already shipped" to survive job restarts; re-running
 ``lsh.embedding_near_pairs`` over old ∪ new re-buckets the whole
 store every time. This catalog persists ``(vec_id, table, bucket)``
-rows — ids and two ints, never vectors — over ``n_tables``
+rows — ids and two ints in the probe path — over ``n_tables``
 independent random-hyperplane signatures (independent seeds, OR-ed:
 the standard LSH recall amplification). A new batch buckets only
-ITSELF with the same stored seeds and probes the table.
+ITSELF with the same stored seeds and probes the table. With
+``store_vectors=True`` the vectors additionally persist to a sibling
+store that ONLY the exact-cosine verify leg reads (class docstring);
+the bucket probe stays ids+ints.
 
 Guarantee: within the RHP banding model, a vector sharing no
 (table, bucket) key with the catalog cannot be a bucket-join
@@ -37,10 +40,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["EmbeddingCatalog"]
+__all__ = ["EmbeddingCatalog", "GateOvershootError"]
+
+
+class GateOvershootError(RuntimeError):
+    """The verify-less gate's predicted false-drop rate exceeds the
+    caller's bound — raise instead of silently losing new content
+    (VERDICT r8 #2: at 10M stored random vectors and candidate-mode
+    nbits, 71-99% of genuinely-NEW content was falsely gated)."""
 
 
 class EmbeddingCatalog:
+    """See module docstring. Two gate modes (VERDICT r8 #2 — the
+    verify-less bucket gate's false-drop rate tracks stored-bucket
+    occupancy, so it needs either occupancy headroom or a verify leg):
+
+    - **bucket gate** (default): drop on any (table, bucket) collision.
+      Correct only while occupancy << 1 — size nbits from
+      ``advise()['recommended_gate_nbits']`` (≈ log2(n·tables/ε)+1,
+      ε = the tolerated false-drop rate) and guard with
+      :meth:`gate_check` / ``filter_new(max_overshoot=...)``.
+    - **verified gate** (``store_vectors=True`` +
+      ``filter_new(verify_cos=...)``): bucket collisions are only
+      CANDIDATES; an exact-cosine check against the persisted vectors
+      decides the drop — the cross-run analog of SemDeDup's exact
+      verify (similarity/semdedup.py), immune to occupancy: a random
+      new vector that merely shares a bucket passes.
+    """
+
     def __init__(
         self,
         spark,
@@ -49,6 +76,7 @@ class EmbeddingCatalog:
         nbits: int = 8,
         n_tables: int = 2,
         seed: int = 42,
+        store_vectors: bool = False,
     ):
         from pond_spark.catalog import CatalogStore
 
@@ -56,6 +84,7 @@ class EmbeddingCatalog:
         self.path = path
         self.params = {
             "dim": dim, "nbits": nbits, "n_tables": n_tables, "seed": seed,
+            "store_vectors": store_vectors,
         }
         # persistence discipline (sidecar pinning / bootstrap /
         # remnant-refusal / crash-safe compact): pond_spark.catalog
@@ -68,6 +97,24 @@ class EmbeddingCatalog:
             mismatch_hint=(
                 "bucket keys from different hyperplanes are incomparable"
             ),
+            # pre-r9 sidecars predate the verify leg: absent means the
+            # catalog never stored vectors
+            stored_defaults={"store_vectors": False},
+        )
+        # vectors live in a SIBLING store so probe joins stay ids+ints
+        # (the key table never carries the payload); only the verify
+        # leg reads it. At 10M x dim-32 float vectors this is ~1.3 GB —
+        # bucket it by vec_id (sources/bucketing.py) for repeated
+        # big-big verifies.
+        self._vstore = (
+            CatalogStore(
+                spark,
+                path + ".vectors",
+                "vec_id long, vec array<float>",
+                "embedding catalog vectors",
+            )
+            if store_vectors
+            else None
         )
 
     def _bucketed(
@@ -106,9 +153,61 @@ class EmbeddingCatalog:
         df: DataFrame,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        verify_cos: float | None = None,
+        max_overshoot: float | None = None,
     ) -> DataFrame:
-        """Rows sharing no (table, bucket) key with any registered
-        vector — definitely-new under the RHP banding model."""
+        """Rows with no registered near-duplicate.
+
+        Default (bucket gate): rows sharing no (table, bucket) key
+        with any registered vector — definitely-new under the RHP
+        banding model, but a SHARED bucket is only *possibly*-dup, and
+        the false-drop rate of treating it as dup tracks bucket
+        occupancy (VERDICT r8 #2). ``max_overshoot`` guards that mode:
+        the predicted false-drop rate (see
+        :meth:`predicted_gate_overshoot`) above the bound raises
+        :class:`GateOvershootError` instead of silently losing content.
+
+        ``verify_cos`` switches to the VERIFIED gate (requires
+        ``store_vectors=True``): bucket collisions become candidate
+        pairs, an exact cosine against the persisted vectors decides,
+        and only rows with a verified neighbor ``>= verify_cos`` drop.
+        Occupancy then costs candidate volume (use
+        recommended_gate_nbits anyway), never correctness. Plan: the
+        candidate pairs join vectors back by id — two narrow hash
+        joins; candidates are bucket-bounded, so the shuffle is
+        O(candidates + matched vectors), not O(catalog)."""
+        if verify_cos is not None:
+            if self._vstore is None:
+                raise ValueError(
+                    "filter_new(verify_cos=...) needs a catalog built "
+                    "with store_vectors=True — the exact-cosine verify "
+                    "leg reads the persisted vectors"
+                )
+            from pond_spark.similarity.brute import cosine_similarity
+
+            cand = self.near_candidates(df, vec_col, id_col)
+            new_vecs = df.select(
+                F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv")
+            )
+            old_vecs = self._vstore.read().select(
+                F.col("vec_id").alias("old_id"), F.col("vec").alias("_ov")
+            )
+            hits = (
+                cand.join(new_vecs, "new_id")
+                .join(old_vecs, "old_id")
+                .filter(
+                    cosine_similarity(
+                        F.col("_nv"), F.col("_ov"),
+                        dim=int(self.params["dim"]),
+                    )
+                    >= float(verify_cos)
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            return df.join(hits, id_col, "left_anti")
+        if max_overshoot is not None:
+            self.gate_check(max_overshoot)
         hits = (
             self._bucketed(df, vec_col, id_col)
             .join(
@@ -120,6 +219,57 @@ class EmbeddingCatalog:
             .distinct()
         )
         return df.join(hits, id_col, "left_anti")
+
+    def predicted_gate_overshoot(self) -> float:
+        """Predicted false-drop rate of the verify-less bucket gate on
+        UNRELATED new content: a random vector collides with an
+        occupied bucket with probability ≈ occupancy, OR-ed over
+        tables — ``1 - prod_t(1 - occupied_t / 2**nbits)``. Measured
+        calibration (PERF_NOTES r8, 10M random vectors): overshoot
+        tracks occupancy almost exactly, running ~1.2x above it from
+        sign-bit correlations — the +1 bit margin in
+        recommended_gate_nbits absorbs that. One groupBy job over the
+        ids+ints key table."""
+        rows = (
+            self._read()
+            .groupBy("table")
+            .agg(F.countDistinct("bucket").alias("n"))
+            .collect()
+        )
+        total = float(2 ** int(self.params["nbits"]))
+        p_pass = 1.0
+        for r in rows:
+            p_pass *= max(0.0, 1.0 - min(1.0, float(r.n) / total))
+        return 1.0 - p_pass
+
+    def gate_check(self, max_overshoot: float | None = None) -> float:
+        """Occupancy guard for verify-less gate use (VERDICT r8 #2):
+        returns the predicted false-drop rate; raises
+        :class:`GateOvershootError` when a bound is given and
+        exceeded, warns above 5% otherwise. Call it where a bucket
+        gate decides what SHIPS (curate_run does)."""
+        p = self.predicted_gate_overshoot()
+        if max_overshoot is not None:
+            if p > float(max_overshoot):
+                raise GateOvershootError(
+                    f"verify-less embedding gate at {self.path}: "
+                    f"predicted false-drop rate {p:.1%} exceeds the "
+                    f"bound {float(max_overshoot):.1%} — raise nbits to "
+                    "advise()['recommended_gate_nbits'] (re-register "
+                    "required), expire() old content, or switch to the "
+                    "verified gate (store_vectors=True + verify_cos=)"
+                )
+        elif p > 0.05:
+            import warnings
+
+            warnings.warn(
+                f"verify-less embedding gate at {self.path}: predicted "
+                f"false-drop rate {p:.1%} of genuinely-new content "
+                "(bucket occupancy) — see advise()"
+                "['recommended_gate_nbits'] or use the verified gate",
+                stacklevel=2,
+            )
+        return p
 
     def near_candidates(
         self,
@@ -162,19 +312,54 @@ class EmbeddingCatalog:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         snapshot: bool = False,
+        run_ts: int | None = None,
     ) -> None:
         """``snapshot=True`` persists the post-register bucket
         histogram to the advisory history (round-9 #4) — one extra
         groupBy over ids+ints per register; see
-        MinHashCatalog.register."""
-        self._store.append(self._bucketed(df, vec_col, id_col))
+        MinHashCatalog.register. ``run_ts`` backdates the registration
+        stamp (see :meth:`expire`). With ``store_vectors=True`` the
+        vectors themselves append to the sibling store (the verify
+        leg's corpus)."""
+        self._store.append(
+            self._bucketed(df, vec_col, id_col), run_ts=run_ts
+        )
+        if self._vstore is not None:
+            self._vstore.append(
+                df.filter(F.col(vec_col).isNotNull()).select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<float>").alias("vec"),
+                ),
+                run_ts=run_ts,
+            )
         if snapshot:
             self.advise(snapshot=True)
 
     def compact(self) -> None:
-        """Distinct rewrite with the crash-safe double rename
-        (pond_spark.catalog)."""
+        """Keyed rewrite with the crash-safe double rename
+        (pond_spark.catalog); the vector sibling compacts too."""
         self._store.compact()
+        if self._vstore is not None:
+            self._vstore.compact()
+
+    def expire(self, before_ts: int) -> dict:
+        """Age-evict bucket rows registered before ``before_ts`` — the
+        reference's max_age discipline (src/Instance.cxx:190-203) for
+        the semantic gate store. Doubly important here: eviction also
+        lowers bucket OCCUPANCY, which is what drives the verify-less
+        gate's false-drop rate (see advise()'s gate sizing). Evicted
+        vectors re-admit — and re-register — on next appearance.
+        Compaction-integrated, recorded in ``.retention.jsonl``; the
+        vector sibling expires on the same horizon so the verify
+        corpus never outlives its bucket keys."""
+        rec = self._store.expire(before_ts)
+        if self._vstore is not None:
+            self._vstore.expire(before_ts)
+        return rec
+
+    def retention_history(self) -> list[dict]:
+        """Recorded evictions, oldest first."""
+        return self._store.stats_history(suffix=".retention.jsonl")
 
     def advise(
         self, max_bucket_size: int | None = None, snapshot: bool = False
@@ -211,6 +396,30 @@ class EmbeddingCatalog:
             min(24, max(4, math.ceil(math.log2(n_vecs / 32))))
             if n_vecs > 32
             else 4
+        )
+        # GATE-mode sizing (VERDICT r8 #2): recommended_nbits targets
+        # CANDIDATE generation (mean occupancy ~32 feeds a verify
+        # leg); a VERIFY-LESS gate needs occupancy << 1 because its
+        # false-drop rate ≈ occupancy (measured: 60% occupancy → 71%
+        # overshoot at 10M random vectors, PERF_NOTES r8). For a
+        # tolerated false-drop rate ε=5%: nbits ≥ log2(n·tables/ε),
+        # +1 bit margin for the measured sign-correlation inflation.
+        # Signs of nbits hyperplanes in dim dimensions carry at most
+        # ~dim bits of bucket entropy (measured: nbits=24 at dim=16
+        # behaved like 16 bits), so the recommendation is capped at
+        # dim and flagged — a capped gate can't reach ε by nbits
+        # alone; use the verified gate (store_vectors=True).
+        dim = int(self.params["dim"])
+        n_tables = max(1, int(self.params["n_tables"]))
+        want = (
+            max(4, math.ceil(math.log2(n_vecs * n_tables / 0.05)) + 1)
+            if n_vecs > 0
+            else 4
+        )
+        stats["recommended_gate_nbits"] = min(want, dim)
+        stats["gate_nbits_capped_by_dim"] = bool(want > dim)
+        stats["predicted_gate_overshoot_ppm"] = int(
+            round(self.predicted_gate_overshoot() * 1_000_000)
         )
         if snapshot:
             self._store.snapshot_stats(stats)

@@ -998,3 +998,41 @@ def test_cli_pipeline_report_funnel(spark, store_dir, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("quality") and "in=         3" in out[0]
     assert out[1].startswith("exact_dedup") and "dropped=1" in out[1]
+
+
+def test_cli_catalog_expire_and_retention_history(spark, store_dir, tmp_path, capsys):
+    """catalog expire/retention-history: the age-eviction maintenance
+    job through the operator CLI (--max-age computes the horizon from
+    the wall clock; --before-ts pins it; exactly one required)."""
+    import json as _json
+
+    from pond_spark.cli import main
+    from pond_spark.dedup.exact import DigestCatalog
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    cat = str(tmp_path / "dcat")
+    DigestCatalog(spark, cat).register(
+        spark.read.parquet(docs), run_ts=1_000
+    )
+    assert main([f"--store={store_dir}", "catalog", "expire", "digest",
+                 cat, "--before-ts=1500"]) == 0
+    out = capsys.readouterr().out
+    assert "rows_before=2" in out and "rows_kept=0" in out
+    assert main([f"--store={store_dir}", "catalog", "retention-history",
+                 "digest", cat]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(lines[0])["before_ts"] == 1_500
+    # exactly one horizon flag: none or both is a usage error
+    assert main([f"--store={store_dir}", "catalog", "expire", "digest",
+                 cat]) == 2
+    assert main([f"--store={store_dir}", "catalog", "expire", "digest",
+                 cat, "--before-ts=1", "--max-age=1"]) == 2
+    capsys.readouterr()
+    # --max-age horizon: now - huge age keeps everything
+    assert main([f"--store={store_dir}", "catalog", "expire", "digest",
+                 cat, "--max-age=999999999"]) == 0
+    assert "rows_kept=0" in capsys.readouterr().out  # already evicted

@@ -531,6 +531,147 @@ def test_embedding_catalog_params_pinned_and_compact(spark, tmp_path):
     assert before == after and before
 
 
+def test_embedding_catalog_verified_gate(spark, tmp_path):
+    """VERDICT r8 #2: the exact-cosine verify leg. At tiny nbits the
+    bucket gate false-drops unrelated vectors (shared bucket, low
+    cosine); with store_vectors=True + verify_cos the drop decision is
+    the exact cosine against the persisted vectors, so only TRUE
+    near-dups drop regardless of bucket occupancy."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pond_spark.similarity.catalog import (
+        EmbeddingCatalog, GateOvershootError,
+    )
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (8 - len(xs))
+
+    # nbits=1: 2 buckets/table — everything collides with something
+    run1 = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1))], "vec_id long, embedding array<float>"
+    )
+    run2 = spark.createDataFrame(
+        [(11, v(0.99, 0.01)),        # true near-dup of 1
+         (12, v(0.6, -0.8)),         # unrelated (cos<=0.6 to both)
+         (13, None)],                # NULL always passes
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "vcat")
+    cat = EmbeddingCatalog(
+        spark, path, dim=8, nbits=1, n_tables=2, store_vectors=True
+    )
+    cat.register(run1)
+    # bucket gate at nbits=1 drops the unrelated vector too
+    bucket_fresh = {r.vec_id for r in cat.filter_new(run2).collect()}
+    assert 11 not in bucket_fresh and 13 in bucket_fresh
+    # verified gate: only the true near-dup drops
+    fresh = {
+        r.vec_id
+        for r in cat.filter_new(run2, verify_cos=0.9).collect()
+    }
+    assert fresh == {12, 13}
+    # the verify leg needs the vector store
+    nocat = EmbeddingCatalog(spark, str(tmp_path / "nv"), dim=8, nbits=1)
+    nocat.register(run1)
+    with _pytest.raises(ValueError, match="store_vectors"):
+        nocat.filter_new(run2, verify_cos=0.9)
+    # a pre-r9 sidecar (no store_vectors key) opens as False
+    import json as _json
+    side = _json.loads((tmp_path / "nv.params.json").read_text())
+    side.pop("store_vectors")
+    (tmp_path / "nv.params.json").write_text(_json.dumps(side))
+    EmbeddingCatalog(spark, str(tmp_path / "nv"), dim=8, nbits=1)  # no raise
+
+    # occupancy guard: nbits=1 with both buckets occupied predicts
+    # ~100% false drops — gate_check warns without a bound, refuses
+    # with one, and advise() sizes the gate explicitly
+    assert cat.predicted_gate_overshoot() > 0.5
+    with _pytest.warns(UserWarning, match="false-drop"):
+        cat.gate_check()
+    with _pytest.raises(GateOvershootError, match="exceeds the bound"):
+        cat.filter_new(run2, max_overshoot=0.05)
+    rep = cat.advise()
+    assert rep["predicted_gate_overshoot_ppm"] > 500_000
+    assert rep["recommended_gate_nbits"] >= 4
+    # expire keeps key store and vector store in lockstep
+    path2 = str(tmp_path / "vcat2")
+    cat2 = EmbeddingCatalog(
+        spark, path2, dim=8, nbits=1, n_tables=2, store_vectors=True
+    )
+    cat2.register(run1, run_ts=1_000)
+    cat2.register(
+        spark.createDataFrame(
+            [(3, v(-1, 0))], "vec_id long, embedding array<float>"
+        ),
+        run_ts=2_000,
+    )
+    cat2.expire(before_ts=1_500)
+    assert spark.read.parquet(path2 + ".vectors").select(
+        "vec_id"
+    ).distinct().count() == 1
+    # verified probe of the evicted content re-admits it
+    fresh2 = {
+        r.vec_id
+        for r in cat2.filter_new(
+            run1.withColumn("vec_id", F.col("vec_id") + 100),
+            verify_cos=0.9,
+        ).collect()
+    }
+    assert fresh2 == {101, 102}
+
+
+def test_curate_run_embedding_verified_gate(spark, tmp_path):
+    """The pipeline wiring (pipeline._emb_gate): emb_verify_cos turns
+    the cross-run semantic gate into the verified mode — unrelated
+    vectors survive a saturated bucket space; emb_max_overshoot makes
+    the verify-less mode refuse loudly instead."""
+    import pytest as _pytest
+
+    from pond_spark.pipeline import CurationConfig, curate_run, final_corpus_path
+    from pond_spark.similarity.catalog import GateOvershootError
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+
+    def day(path, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, embedding array<float>"
+        ).write.mode("overwrite").parquet(str(path))
+        return str(path)
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1b = [0.99, 0.01, 0.0, 0.0]   # near-dup of e1
+    e2 = [0.6, -0.8, 0.0, 0.0]     # unrelated
+    d1 = day(tmp_path / "d1", [(1, good + "one", e1)])
+    d2 = day(tmp_path / "d2", [(2, good + "two", e1b),
+                               (3, good + "three", e2)])
+    cat = str(tmp_path / "ecat")
+    cfg = CurationConfig(
+        min_words=10, stages=("quality",),
+        extra={"emb_dim": 4, "emb_nbits": 1, "emb_tables": 2,
+               "emb_verify_cos": 0.9},
+    )
+    curate_run(spark, d1, str(tmp_path / "w1"), cfg,
+               embedding_catalog_path=cat)
+    r2 = curate_run(spark, d2, str(tmp_path / "w2"), cfg,
+                    embedding_catalog_path=cat)
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(final_corpus_path(r2)).collect()
+    }
+    assert kept == {3}  # near-dup gated, unrelated survived nbits=1
+    # verify-less mode at the same nbits refuses via the bound
+    cfg_refuse = CurationConfig(
+        min_words=10, stages=("quality",),
+        extra={"emb_dim": 4, "emb_nbits": 1, "emb_tables": 2,
+               "emb_store_vectors": True,  # same sidecar, bucket probe
+               "emb_max_overshoot": 0.05},
+    )
+    with _pytest.raises(GateOvershootError):
+        curate_run(spark, d2, str(tmp_path / "w3"), cfg_refuse,
+                   embedding_catalog_path=cat)
+
+
 def test_bitext_ann_full_probe_equals_exact(spark):
     """With nbits=1 and multiprobe=1 every source row probes both
     buckets, so the ANN candidate set is the full cross matrix and
