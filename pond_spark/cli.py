@@ -1089,7 +1089,17 @@ _PIPELINE_USAGE = (
     "  report INPUT_PARQUET [stage/config flags as for run]\n"
     "         — funnel audit: rows in/out per configured stage\n"
     "           (pipeline.report; counts are jobs — audit cadence)\n"
-    "  status WORK_DIR — per-stage complete/missing, no computation"
+    "  report-runs WORK_DIR [WORK_DIR...]\n"
+    "         — gate-aware cross-run funnel over completed curate_run\n"
+    "           days: input -> gate drops -> stage drops -> shipped,\n"
+    "           registration state, latest catalog advise/eviction\n"
+    "           snapshots (pipeline.report_runs; reads persisted stage\n"
+    "           outputs, no recomputation)\n"
+    "  status WORK_DIR — per-stage complete/missing, no computation\n"
+    "  run extra gate flags: [--emb-verify-cos=C] exact-cosine verified\n"
+    "         gate (persists vectors); [--emb-max-overshoot=F] refuse a\n"
+    "         verify-less gate whose predicted false-drop rate exceeds F;\n"
+    "         [--emb-store-vectors] store vectors without verifying yet"
 )
 
 
@@ -1146,6 +1156,12 @@ def _run_pipeline(spark, rest: list[str]) -> int:
             near["emb_nbits"] = int(v)
         elif (v := _filter_value(a, "--emb-tables")) is not None:
             near["emb_tables"] = int(v)
+        elif (v := _filter_value(a, "--emb-verify-cos")) is not None:
+            near["emb_verify_cos"] = float(v)
+        elif (v := _filter_value(a, "--emb-max-overshoot")) is not None:
+            near["emb_max_overshoot"] = float(v)
+        elif a == "--emb-store-vectors":
+            near["emb_store_vectors"] = True
         elif (v := _filter_value(a, "--near-k")) is not None:
             near["near_k"] = int(v)
         elif (v := _filter_value(a, "--near-bands")) is not None:
@@ -1188,6 +1204,40 @@ def _run_pipeline(spark, rest: list[str]) -> int:
                 marker = work.rstrip("/") + "/_REGISTERED"
                 state = "complete" if fs.exists(marker) else "missing"
                 print(f"{state:8s} {'catalog_register':14s} {marker}")
+            return 0
+        if sub == "report-runs":
+            if not args:
+                print(_PIPELINE_USAGE, file=sys.stderr)
+                return 2
+            from pond_spark.pipeline import report_runs
+
+            for day in report_runs(spark, args):
+                reg = " registered" if day.get("registered") else ""
+                comp = "" if day.get("complete") else " INCOMPLETE"
+                print(
+                    f"run {day['work_dir']}: in={day['input_rows']} "
+                    f"shipped={day['shipped_rows']}{reg}{comp}"
+                )
+                for s in day["stages"]:
+                    o = "?" if s["rows_out"] is None else s["rows_out"]
+                    d = "?" if s["dropped"] is None else s["dropped"]
+                    print(f"  {s['stage']:14s} out={o:>10} dropped={d}")
+                for kind, snap in day.get("catalogs", {}).items():
+                    adv = snap.get("advise", {})
+                    ret = snap.get("retention", {})
+                    bits = [f"  catalog[{kind}] {snap['path']}"]
+                    if "predicted_gate_overshoot_ppm" in adv:
+                        bits.append(
+                            "overshoot_ppm="
+                            f"{adv['predicted_gate_overshoot_ppm']}"
+                        )
+                    if "n_rows" in adv:
+                        bits.append(f"rows={adv['n_rows']}")
+                    if ret:
+                        bits.append(
+                            f"last_eviction_kept={ret.get('rows_kept')}"
+                        )
+                    print(" ".join(bits))
             return 0
         if sub == "report":
             (inp,) = args

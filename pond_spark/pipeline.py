@@ -45,6 +45,7 @@ __all__ = [
     "curate_foreach_batch",
     "final_corpus_path",
     "report",
+    "report_runs",
 ]
 
 
@@ -743,6 +744,102 @@ def curate_run(
                  "status": "computed"}
             )
     return rows
+
+
+def report_runs(spark, work_dirs: list[str]) -> list[dict]:
+    """Gate-aware cross-run funnel audit (VERDICT r8 ask #7): the
+    :func:`report` companion for :func:`curate_run` days. For each
+    work_dir, read the pinned manifest and the PERSISTED stage outputs
+    (no recomputation) and produce the funnel — input rows → gate
+    drops → per-stage drops → shipped — plus registration state and
+    each gate catalog's latest advisory / eviction snapshot, so the
+    occupancy-overshoot class (r9 fix) is visible in operations, not
+    just stress tools.
+
+    Costs one count job per input + completed stage boundary (parquet
+    footer metadata counts — cheap, but still jobs): audit cadence,
+    not the hot path. Incomplete stages report ``rows_out: None``.
+    Returns one dict per work_dir, in the given order (the daily-run
+    shape: one work_dir per day against shared catalogs)."""
+    import json as _json
+
+    from pond_spark.catalog import _fs_for
+
+    cat_keys = (
+        ("digest", "digest_catalog_path"),
+        ("minhash", "minhash_catalog_path"),
+        ("emb", "embedding_catalog_path"),
+    )
+    out: list[dict] = []
+    for work in work_dirs:
+        fs = _fs_for(spark, work)
+        mpath = work.rstrip("/") + "/manifest.json"
+        if not fs.exists(mpath):
+            raise ValueError(f"no curate_run at {work} (manifest.json missing)")
+        man = _json.loads(fs.read_text(mpath))
+        for _, key in cat_keys:
+            man.setdefault(key, None)
+        gated = any(man[key] for _, key in cat_keys)
+        stages = (["catalog_gate"] if gated else []) + list(man["stages"])
+        input_rows = spark.read.parquet(man["input_path"]).count()
+        day: dict = {
+            "work_dir": work,
+            "input_path": man["input_path"],
+            "input_rows": input_rows,
+            "stages": [],
+            "registered": gated
+            and fs.exists(work.rstrip("/") + "/_REGISTERED"),
+        }
+        prev: int | None = input_rows
+        shipped = None
+        for idx, stage in enumerate(stages):
+            sdir = f"{work.rstrip('/')}/stage_{idx:02d}_{stage}"
+            if fs.exists(sdir + "/_SUCCESS"):
+                n = spark.read.parquet(sdir).count()
+                day["stages"].append(
+                    {
+                        "stage": stage,
+                        "rows_out": n,
+                        "dropped": (prev - n) if prev is not None else None,
+                    }
+                )
+                prev = n
+                shipped = n
+            else:
+                day["stages"].append(
+                    {"stage": stage, "rows_out": None, "dropped": None}
+                )
+                prev = None
+        day["shipped_rows"] = shipped
+        day["complete"] = all(
+            s["rows_out"] is not None for s in day["stages"]
+        )
+        # latest advisory + eviction snapshots per gate catalog — the
+        # ops-facing read of the gate's health (for emb:
+        # predicted_gate_overshoot_ppm is the r9 overshoot dial)
+        snapshots: dict = {}
+        for kind, key in cat_keys:
+            path = man[key]
+            if not path:
+                continue
+            cfs = _fs_for(spark, path)
+            entry: dict = {"path": path}
+            for label, suffix in (
+                ("advise", ".advise.jsonl"),
+                ("retention", ".retention.jsonl"),
+            ):
+                side = path + suffix
+                if cfs.exists(side):
+                    lines = [
+                        ln for ln in cfs.read_text(side).splitlines()
+                        if ln.strip()
+                    ]
+                    if lines:
+                        entry[label] = _json.loads(lines[-1])
+            snapshots[kind] = entry
+        day["catalogs"] = snapshots
+        out.append(day)
+    return out
 
 
 def report(

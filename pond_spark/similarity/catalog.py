@@ -185,7 +185,25 @@ class EmbeddingCatalog:
                 )
             from pond_spark.similarity.brute import cosine_similarity
 
-            cand = self.near_candidates(df, vec_col, id_col)
+            # candidates WITHOUT near_candidates' self-collision
+            # exclusion: that rule makes re-probes of a registered
+            # batch idempotent in CANDIDATE mode, but a GATE must drop
+            # already-registered content no matter its id — a same-id
+            # probe joins its own stored vector at cosine 1.0 and
+            # drops (r9 stress caught this: 500k same-id repeats
+            # sailed through the verified gate)
+            cand = (
+                self._bucketed(df, vec_col, id_col)
+                .select(F.col("vec_id").alias("new_id"), "table", "bucket")
+                .join(
+                    self._read().select(
+                        F.col("vec_id").alias("old_id"), "table", "bucket"
+                    ),
+                    ["table", "bucket"],
+                )
+                .select("new_id", "old_id")
+                .dropDuplicates(["new_id", "old_id"])
+            )
             new_vecs = df.select(
                 F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv")
             )
@@ -222,24 +240,48 @@ class EmbeddingCatalog:
 
     def predicted_gate_overshoot(self) -> float:
         """Predicted false-drop rate of the verify-less bucket gate on
-        UNRELATED new content: a random vector collides with an
-        occupied bucket with probability ≈ occupancy, OR-ed over
-        tables — ``1 - prod_t(1 - occupied_t / 2**nbits)``. Measured
-        calibration (PERF_NOTES r8, 10M random vectors): overshoot
-        tracks occupancy almost exactly, running ~1.2x above it from
-        sign-bit correlations — the +1 bit margin in
-        recommended_gate_nbits absorbs that. One groupBy job over the
-        ids+ints key table."""
+        genuinely-NEW content, per table then OR-ed across tables.
+
+        Two estimators, take the max (each covers the other's blind
+        spot; both from one histogram job over the ids+ints key
+        table):
+
+        - **Good-Turing**: a fresh probe drawn like the stored corpus
+          lands in an ALREADY-OCCUPIED bucket with probability
+          ``≈ 1 - n_singleton_buckets / n_rows`` (the G-T estimate of
+          unseen-outcome mass is the singleton fraction). This is the
+          estimator that survives contact with reality: the naive
+          ``occupied/2**nbits`` model under-predicted 4x at dim=64
+          (r9 stress, 1M vectors at nbits=26: predicted 2.1%, measured
+          8.4%) because nbits random hyperplanes in dim dimensions
+          have ~1/sqrt(dim) pairwise correlations, so sign-signatures
+          of INDEPENDENT vectors collide far above the uniform rate.
+          G-T sees the true bucket-mass skew directly.
+        - **uniform occupancy** ``occupied/2**nbits``: the floor for a
+          uniform, unrelated probe; also covers the support-exhausted
+          regime (tiny nbits, every bucket occupied but all stored
+          rows singletons — G-T alone would read ~0 there).
+        """
         rows = (
             self._read()
+            .groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
             .groupBy("table")
-            .agg(F.countDistinct("bucket").alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("occupied"),
+                F.sum("c").alias("n"),
+                F.sum((F.col("c") == 1).cast("long")).alias("singletons"),
+            )
             .collect()
         )
         total = float(2 ** int(self.params["nbits"]))
         p_pass = 1.0
         for r in rows:
-            p_pass *= max(0.0, 1.0 - min(1.0, float(r.n) / total))
+            if not r.n:
+                continue
+            good_turing = 1.0 - float(r.singletons) / float(r.n)
+            uniform = min(1.0, float(r.occupied) / total)
+            p_pass *= 1.0 - max(good_turing, uniform)
         return 1.0 - p_pass
 
     def gate_check(self, max_overshoot: float | None = None) -> float:
@@ -400,11 +442,16 @@ class EmbeddingCatalog:
         # GATE-mode sizing (VERDICT r8 #2): recommended_nbits targets
         # CANDIDATE generation (mean occupancy ~32 feeds a verify
         # leg); a VERIFY-LESS gate needs occupancy << 1 because its
-        # false-drop rate ≈ occupancy (measured: 60% occupancy → 71%
-        # overshoot at 10M random vectors, PERF_NOTES r8). For a
+        # false-drop rate tracks occupancy (measured: 60% occupancy →
+        # 71% overshoot at 10M random vectors, PERF_NOTES r8). For a
         # tolerated false-drop rate ε=5%: nbits ≥ log2(n·tables/ε),
-        # +1 bit margin for the measured sign-correlation inflation.
-        # Signs of nbits hyperplanes in dim dimensions carry at most
+        # +3 bit margin — sign-bit correlations between nbits random
+        # hyperplanes in dim dimensions (~1/sqrt(dim) pairwise) make
+        # independent vectors collide ~4x above the uniform rate at
+        # dim=64 (r9 stress: predicted 2.1% vs measured 8.4% at the
+        # old +1 margin), so the margin buys 8x headroom; the
+        # histogram-based predicted_gate_overshoot_ppm below is the
+        # measured check. Signs of nbits hyperplanes carry at most
         # ~dim bits of bucket entropy (measured: nbits=24 at dim=16
         # behaved like 16 bits), so the recommendation is capped at
         # dim and flagged — a capped gate can't reach ε by nbits
@@ -412,7 +459,7 @@ class EmbeddingCatalog:
         dim = int(self.params["dim"])
         n_tables = max(1, int(self.params["n_tables"]))
         want = (
-            max(4, math.ceil(math.log2(n_vecs * n_tables / 0.05)) + 1)
+            max(4, math.ceil(math.log2(n_vecs * n_tables / 0.05)) + 3)
             if n_vecs > 0
             else 4
         )

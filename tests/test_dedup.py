@@ -763,3 +763,46 @@ def test_minhash_and_embedding_catalog_expire(spark, tmp_path):
     ecat.expire(before_ts=1_500)
     assert {r.vec_id for r in
             ecat.filter_new(v1.unionByName(v2)).collect()} == {1}
+
+
+def test_catalog_mutations_lease_by_default(spark, tmp_path):
+    """Round-9 #8: register/compact/expire acquire a WriterLease by
+    default, so DIRECT catalog users get the scheduler-double-fire
+    gate — a foreign live lease refuses the mutation; the same
+    process's outer lease is re-entrant; lease_mutations=False opts
+    out; and the lease is released (not leaked) after each mutation."""
+    import pytest as _pytest
+
+    from pond_spark.catalog import LeaseHeldError, WriterLease
+    from pond_spark.dedup.exact import DigestCatalog
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "cat")
+    cat = DigestCatalog(spark, path)
+    cat.register(docs)
+    assert not (tmp_path / "cat.lease.json").exists()  # released
+
+    # a foreign writer (another process would have a different owner)
+    foreign = WriterLease(spark, path, owner="other-host:pid-1").acquire()
+    with _pytest.raises(LeaseHeldError):
+        cat.register(docs)
+    with _pytest.raises(LeaseHeldError):
+        cat.compact()
+    with _pytest.raises(LeaseHeldError):
+        cat.expire(before_ts=1)
+    # opt-out still mutates (caller serializes externally)
+    from pond_spark.catalog import CatalogStore
+    cat._store.lease_mutations = False
+    cat.compact()
+    cat._store.lease_mutations = True
+    foreign.release()
+
+    # same-process outer lease (process-stable default owner) is
+    # re-entrant: the mutation runs, and the OUTER lease survives it
+    outer = WriterLease(spark, path).acquire()
+    cat.register(docs)
+    assert (tmp_path / "cat.lease.json").exists()
+    outer.release()
+    assert not (tmp_path / "cat.lease.json").exists()

@@ -965,3 +965,62 @@ def test_curation_incremental_fuzz_oracle_parity(spark, tmp_path):
         assert got == want, f"case {case}: {got ^ want}"
         nonempty += bool(want)
     assert nonempty >= 10  # the fuzz exercised real survivors
+
+
+def test_report_runs_two_day_funnel(spark, tmp_path, capsys):
+    """VERDICT r8 ask #7: gate-aware cross-run funnel — two curate_run
+    days against one digest catalog; report_runs reads the persisted
+    stage outputs (no recomputation) and shows input -> gate drops ->
+    stage drops -> shipped per day, registration state, and the
+    catalog's latest advisory/eviction snapshots."""
+    from pond_spark.pipeline import CurationConfig, curate_run, report_runs
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    d1 = str(tmp_path / "d1")
+    spark.createDataFrame(
+        [(1, good + "one"), (2, good + "two"), (3, "short")],
+        "doc_id long, text string",
+    ).write.parquet(d1)
+    d2 = str(tmp_path / "d2")
+    spark.createDataFrame(
+        [(11, good + "one"),      # cross-day repeat -> gate drop
+         (12, good + "three"),    # new
+         (13, "tiny")],           # quality drop
+        "doc_id long, text string",
+    ).write.parquet(d2)
+    cat = str(tmp_path / "cat")
+    cfg = CurationConfig(min_words=10, stages=("quality", "exact_dedup"))
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    curate_run(spark, d1, w1, cfg, digest_catalog_path=cat)
+    curate_run(spark, d2, w2, cfg, digest_catalog_path=cat)
+
+    days = report_runs(spark, [w1, w2])
+    assert [d["work_dir"] for d in days] == [w1, w2]
+    day1, day2 = days
+    assert day1["input_rows"] == 3 and day1["shipped_rows"] == 2
+    assert day1["registered"] and day1["complete"]
+    assert [s["stage"] for s in day1["stages"]] == [
+        "catalog_gate", "quality", "exact_dedup"]
+    assert day1["stages"][0]["dropped"] == 0      # empty catalog day 1
+    assert day1["stages"][1]["dropped"] == 1      # "short"
+    # day 2: the repeat drops at the gate, the tiny doc at quality
+    assert day2["stages"][0]["dropped"] == 1
+    assert day2["stages"][1]["dropped"] == 1
+    assert day2["shipped_rows"] == 1
+    assert day2["catalogs"]["digest"]["path"] == cat
+
+    # incomplete day: missing _SUCCESS reports None rows, complete=False
+    import os
+    os.remove(os.path.join(w2, "stage_02_exact_dedup", "_SUCCESS"))
+    day2b = report_runs(spark, [w2])[0]
+    assert day2b["complete"] is False
+    assert day2b["stages"][2]["rows_out"] is None
+    assert day2b["shipped_rows"] == 1  # last COMPLETE stage (quality)
+
+    # CLI surface
+    from pond_spark.cli import main
+    store = str(tmp_path / "store")
+    assert main([f"--store={store}", "pipeline", "report-runs", w1]) == 0
+    out = capsys.readouterr().out
+    assert "shipped=2" in out and "catalog_gate" in out and "registered" in out
+    assert main([f"--store={store}", "pipeline", "report-runs"]) == 2
