@@ -441,25 +441,29 @@ class EmbeddingCatalog:
         )
         # GATE-mode sizing (VERDICT r8 #2): recommended_nbits targets
         # CANDIDATE generation (mean occupancy ~32 feeds a verify
-        # leg); a VERIFY-LESS gate needs occupancy << 1 because its
-        # false-drop rate tracks occupancy (measured: 60% occupancy →
-        # 71% overshoot at 10M random vectors, PERF_NOTES r8). For a
-        # tolerated false-drop rate ε=5%: nbits ≥ log2(n·tables/ε),
-        # +3 bit margin — sign-bit correlations between nbits random
-        # hyperplanes in dim dimensions (~1/sqrt(dim) pairwise) make
-        # independent vectors collide ~4x above the uniform rate at
-        # dim=64 (r9 stress: predicted 2.1% vs measured 8.4% at the
-        # old +1 margin), so the margin buys 8x headroom; the
-        # histogram-based predicted_gate_overshoot_ppm below is the
-        # measured check. Signs of nbits hyperplanes carry at most
-        # ~dim bits of bucket entropy (measured: nbits=24 at dim=16
-        # behaved like 16 bits), so the recommendation is capped at
-        # dim and flagged — a capped gate can't reach ε by nbits
-        # alone; use the verified gate (store_vectors=True).
+        # leg); a VERIFY-LESS gate needs collision mass << 1 because
+        # its false-drop rate IS that mass (measured: 60% occupancy →
+        # 71% overshoot at 10M random vectors, PERF_NOTES r8). Sizing,
+        # calibrated the hard way (r9 stress): random hyperplanes in
+        # dim dimensions have ~1/sqrt(dim) pairwise correlations, so
+        # each plane contributes only ~0.79 EFFECTIVE bits at dim=64 —
+        # independent-vector collision decays ~0.58x per added plane,
+        # not 0.5x. A constant bit-margin therefore fails at SOME
+        # scale (the +3 form held at 1M — 3.08% measured — and blew
+        # the 5% bound at 10M with 5.3% predicted, refused by
+        # gate_check exactly as designed); the coefficient form
+        # ``nbits = ceil(1.27 * log2(n·tables/ε))`` (1.27 = 1/0.786
+        # effective-bits ratio) spends ~4.2 bits per data decade and
+        # holds across scales. ε=5%. Signs of nbits hyperplanes carry
+        # at most ~dim bits of bucket entropy (measured: nbits=24 at
+        # dim=16 behaved like 16 bits), so the recommendation is
+        # capped at dim and flagged — a capped gate can't reach ε by
+        # nbits alone; use the verified gate (store_vectors=True),
+        # whose correctness does not depend on any of this.
         dim = int(self.params["dim"])
         n_tables = max(1, int(self.params["n_tables"]))
         want = (
-            max(4, math.ceil(math.log2(n_vecs * n_tables / 0.05)) + 3)
+            max(4, math.ceil(1.27 * math.log2(n_vecs * n_tables / 0.05)))
             if n_vecs > 0
             else 4
         )

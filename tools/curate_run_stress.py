@@ -220,13 +220,15 @@ def main() -> int:
 
             # (a) gate-sized verify-less: the a-priori form of
             # advise()['recommended_gate_nbits'] (the catalog can only
-            # recommend AFTER registering; sizing for the planned daily
-            # volume uses the same formula — +3 bits over the uniform-
-            # occupancy point, covering the measured ~4x sign-
-            # correlation inflation at dim=64). emb_max_overshoot=0.05
-            # makes the gate REFUSE rather than overshoot if the sizing
-            # is wrong — the operational mode.
-            gate_nbits = min(dim, math.ceil(math.log2(n * 1 / 0.05)) + 3)
+            # recommend AFTER registering; sizing for the planned
+            # daily volume uses the same formula — the 1.27
+            # coefficient is the measured 0.79-effective-bits-per-
+            # hyperplane correction at dim=64; the earlier constant +3
+            # margin passed at 1M and was REFUSED by gate_check at 10M
+            # with 5.3% predicted, which is that guard doing its job).
+            # emb_max_overshoot=0.05 keeps the refusing operational
+            # mode: wrong sizing raises, never silently drops.
+            gate_nbits = min(dim, math.ceil(1.27 * math.log2(n * 1 / 0.05)))
             ecfg = _replace(
                 cfg,
                 extra={"emb_dim": dim, "emb_nbits": gate_nbits,
