@@ -94,6 +94,36 @@ def main() -> None:
     )
     print(f"catalog digests: {spark.read.parquet(catalog).count()}")
 
+    # --- operations view (round 9): the cross-run funnel from the
+    # persisted stage outputs — input -> gate drops -> stage drops ->
+    # shipped per day, no recomputation
+    from pond_spark.pipeline import report_runs
+
+    print("--- funnel (pipeline.report_runs)")
+    for day in report_runs(spark, [f"{base}/day1", f"{base}/day2"]):
+        print(
+            f"  {day['work_dir']}: in={day['input_rows']} "
+            f"shipped={day['shipped_rows']} "
+            f"registered={day['registered']}"
+        )
+        for s in day["stages"]:
+            print(f"    {s['stage']:16s} out={s['rows_out']} "
+                  f"dropped={s['dropped']}")
+
+    # --- retention (round 9): the reference's max_age discipline on
+    # the gate store — evict everything registered so far, and the
+    # same content re-admits (it would re-register on its next run)
+    from pond_spark.dedup.exact import DigestCatalog
+
+    cat = DigestCatalog(spark, catalog)
+    rec = cat.expire(before_ts=2**62)  # horizon far in the future
+    print(
+        f"--- retention: expire kept {rec['rows_kept']} of "
+        f"{rec['rows_before']} digests"
+    )
+    readmitted = cat.filter_new(spark.read.parquet(day1_path)).count()
+    print(f"  day-1 content re-admitted after eviction: {readmitted} rows")
+
 
 if __name__ == "__main__":
     main()

@@ -74,3 +74,8 @@ def test_example_curate_daily(tmp_path, capsys):
     # the retry resumes everything, including the registration
     assert out.count("resumed") >= 5
     assert "catalog digests:" in out
+    # round-9 surface: the cross-run funnel and the retention cycle
+    assert "funnel (pipeline.report_runs)" in out
+    assert "registered=True" in out
+    assert "expire kept 0 of" in out
+    assert "re-admitted after eviction" in out
