@@ -56,6 +56,21 @@ def main() -> None:
     except Exception:
         pass
 
+    # host-episode calibration (VERDICT r8 #4, measured r9): this host
+    # shows multi-MINUTE noise episodes where sub-second rows run
+    # 3-12x slow — within-row resampling can't reject an episode that
+    # outlives the row. A fixed JVM-codegen micro-probe (range+sum,
+    # no IO) is timed before each noise-sensitive sample; a sample
+    # attempted while the probe runs >1.6x its session-start baseline
+    # is DISCARDED as a host artifact (bounded retries so a sustained
+    # episode degrades to the old behavior instead of hanging).
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(30_000_000).selectExpr("sum(id % 97)").collect()
+        return time.perf_counter() - t0
+
+    cal_base = min(_calibrate() for _ in range(3))
+
     times: dict[str, float] = {}
     for name, fn in qs.items():
         # best of N runs: the first pays one-time codegen/JIT compile
@@ -70,7 +85,15 @@ def main() -> None:
         best = -1.0
         try:
             samples: list[float] = []
+            discards = 0
             while True:
+                # reject samples attempted inside a host episode —
+                # only once the row is known noise-sensitive (<2s)
+                if samples and min(samples) < 2.0 and discards < 5:
+                    if _calibrate() > 1.6 * cal_base:
+                        discards += 1
+                        time.sleep(2.0)
+                        continue
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
@@ -78,9 +101,13 @@ def main() -> None:
                 # and later queries aren't timed under accumulated
                 # cache + GC pressure
                 spark.catalog.clearCache()
-                need = 3 if min(samples) < 2.0 else 2
+                best_now = min(samples)
+                # <2s: min-of-3; <0.6s (where a single GC pause is a
+                # 1.5x outlier): min-of-4 — the extra sample costs
+                # ~0.3s and halves the spread of the min statistic
+                need = 2 if best_now >= 2.0 else (3 if best_now >= 0.6 else 4)
                 if len(samples) == 2 and max(samples) > 1.5 * min(samples):
-                    need = 3
+                    need = max(need, 3)
                 if len(samples) >= need:
                     break
             best = min(samples)
