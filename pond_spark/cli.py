@@ -612,7 +612,11 @@ _CATALOG_USAGE = (
     "                   [--max-bucket-size=N] [--out=]\n"
     "  emb-register     CAT VECS_PARQUET --dim=D [--vec-col=embedding]\n"
     "                   [--id-col=vec_id] [--nbits=8 --tables=2 --seed=42]\n"
+    "                   [--store-vectors] — persist vectors for the\n"
+    "                   exact-cosine verified gate\n"
     "  emb-filter       CAT VECS_PARQUET --dim=D [same flags] [--out=]\n"
+    "                   [--verify-cos=C] — verified gate: drop only\n"
+    "                   rows with a stored neighbor at cosine >= C\n"
     "  emb-candidates   CAT VECS_PARQUET --dim=D [same flags]\n"
     "                   [--max-bucket-size=N] [--out=]\n"
     "  compact          digest|minhash|emb CAT [open flags, --dim for emb]\n"
@@ -653,7 +657,8 @@ def _run_catalog(spark, rest: list[str]) -> int:
     dim, nbits, tables = None, 8, 2
     max_bucket, out_path = None, None
     before_ts, max_age = None, None
-    snapshot = delta = False
+    snapshot = delta = store_vectors = False
+    verify_cos = None
     args: list[str] = []
     for a in rest:
         if (v := _filter_value(a, "--text-col")) is not None:
@@ -688,6 +693,10 @@ def _run_catalog(spark, rest: list[str]) -> int:
             snapshot = True
         elif a == "--delta":
             delta = True
+        elif a == "--store-vectors":
+            store_vectors = True
+        elif (v := _filter_value(a, "--verify-cos")) is not None:
+            verify_cos = float(v)
         else:
             args.append(a)
     if not args:
@@ -711,7 +720,8 @@ def _run_catalog(spark, rest: list[str]) -> int:
         if dim is None:
             raise ValueError("emb catalogs need --dim=D (hyperplane shape)")
         return EmbeddingCatalog(
-            spark, path, dim=dim, nbits=nbits, n_tables=tables, seed=seed
+            spark, path, dim=dim, nbits=nbits, n_tables=tables, seed=seed,
+            store_vectors=store_vectors or verify_cos is not None,
         )
 
     def emit(df) -> int:
@@ -828,7 +838,13 @@ def _run_catalog(spark, rest: list[str]) -> int:
             print(f"registered path={path}")
             return 0
         if sub == "emb-filter":
-            return emit(open_emb(path).filter_new(docs, vec_col, emb_id))
+            # --verify-cos selects the exact-cosine VERIFIED gate
+            # (needs a --store-vectors catalog; implied on open)
+            return emit(
+                open_emb(path).filter_new(
+                    docs, vec_col, emb_id, verify_cos=verify_cos
+                )
+            )
         if sub == "emb-candidates":
             return emit(
                 open_emb(path).near_candidates(

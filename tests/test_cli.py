@@ -1036,3 +1036,46 @@ def test_cli_catalog_expire_and_retention_history(spark, store_dir, tmp_path, ca
     assert main([f"--store={store_dir}", "catalog", "expire", "digest",
                  cat, "--max-age=999999999"]) == 0
     assert "rows_kept=0" in capsys.readouterr().out  # already evicted
+
+
+def test_cli_catalog_emb_verified_gate(spark, store_dir, tmp_path, capsys):
+    """catalog emb-register --store-vectors + emb-filter --verify-cos:
+    the exact-cosine verified gate through the operator CLI (a
+    saturated nbits=1 bucket space false-drops nothing; only the true
+    near-dup goes)."""
+    from pond_spark.cli import main
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (4 - len(xs))
+
+    d1 = str(tmp_path / "v1")
+    spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1))], "vec_id long, embedding array<float>"
+    ).write.parquet(d1)
+    d2 = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(11, v(0.99, 0.01)), (12, v(0.6, -0.8))],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(d2)
+    cat = str(tmp_path / "vcat")
+    flags = ["--dim=4", "--nbits=1", "--tables=2"]
+    assert main([f"--store={store_dir}", "catalog", "emb-register",
+                 cat, d1, "--store-vectors", *flags]) == 0
+    capsys.readouterr()
+    # bucket-only filter: the near-parallel probe (11) is a CERTAIN
+    # collision (shares every sign bit with stored vector 1), so at
+    # most the unrelated probe survives
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 cat, d2, "--store-vectors", *flags]) == 0
+    assert capsys.readouterr().out.strip() in ("rows=0", "rows=1")
+    # ...the verified gate keeps the unrelated one
+    out_dir = str(tmp_path / "fresh")
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 cat, d2, "--verify-cos=0.9", f"--out={out_dir}",
+                 *flags]) == 0
+    assert "rows=1" in capsys.readouterr().out
+    assert [r.vec_id for r in spark.read.parquet(out_dir).collect()] == [12]
+    # opening a store_vectors catalog WITHOUT the flag refuses loudly
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 cat, d2, *flags]) == 2
+    assert "incomparable" in capsys.readouterr().err
