@@ -1900,6 +1900,32 @@ def _time_today_sql() -> str:
 # north-star extensions: dedup / text analysis / similarity / multimodal
 
 
+def _clean_catalog_twin(path: str, vectors: bool = False) -> None:
+    """Remove a throwaway twin catalog and EVERY sidecar it can leave
+    behind — params/advise/retention sidecars, compaction remnants,
+    and (ADVICE r9, medium) the ``.lease.json`` files CatalogStore's
+    lease-by-default mutations create: a killed driver leaves a
+    live-looking lease (different pid ⇒ not re-entrant), and every
+    correctness/bench re-run within ttl_s would fail LeaseHeldError if
+    the lease survived the cleanup. ``vectors=True`` also clears the
+    ``.vectors`` sibling's family (the verified-gate store)."""
+    import shutil
+
+    roots = [path] + ([path + ".vectors"] if vectors else [])
+    suffixes = (
+        "", "._old", "._compact", ".params.json", ".lease.json",
+        ".advise.jsonl", ".advise.jsonl._staged",
+        ".retention.jsonl", ".retention.jsonl._staged",
+    )
+    for root in roots:
+        for suf in suffixes:
+            p = root + suf
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -2945,7 +2971,6 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no curation pipeline; this extends the S2/S3 store discipline
     (reference src/Clone.cxx append/clone semantics) to corpus runs."""
     import hashlib
-    import shutil
     import tempfile
 
     from pond_spark.pipeline import (
@@ -2960,6 +2985,8 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"pond_curate_inc_{tag}")
     if os.path.isdir(root):
+        import shutil
+
         shutil.rmtree(root)
     day1_path, day2_path = os.path.join(root, "day1"), os.path.join(root, "day2")
     docs.filter(F.col("doc_id") % 2 == 0).write.parquet(day1_path)
@@ -3545,7 +3572,6 @@ def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle computes the exact cross-run set, so one missed pair
     hash-mismatches."""
     import hashlib
-    import shutil
     import tempfile
 
     from pond_spark.dedup import MinHashCatalog, ngram_jaccard_pairs
@@ -3555,11 +3581,7 @@ def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     run2 = docs.filter(F.col("doc_id") % 2 == 1)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_mh_cat_{tag}")
-    for p in (path, path + ".params.json", path + "._old"):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        elif os.path.exists(p):
-            os.remove(p)
+    _clean_catalog_twin(path)
     cat = MinHashCatalog(spark, path, n=3)
     cat.register(run1, "text", "doc_id")
     cand = cat.near_candidates(run2, "text", "doc_id")
@@ -4153,7 +4175,6 @@ def q_embedding_catalog_incremental(
     pattern), so the row is a hash row over the operator's actual
     candidate model, misses included."""
     import hashlib
-    import shutil
     import tempfile
 
     from pond_spark.similarity.brute import cross_scores
@@ -4164,11 +4185,7 @@ def q_embedding_catalog_incremental(
     run2 = emb.filter(F.col("vec_id") % 2 == 1)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_emb_cat_{tag}")
-    for p in (path, path + ".params.json", path + "._old"):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        elif os.path.exists(p):
-            os.remove(p)
+    _clean_catalog_twin(path)
     cat = EmbeddingCatalog(spark, path, dim=64, nbits=4, n_tables=2)
     cat.register(run1)
     cand = cat.near_candidates(run2)
@@ -4221,7 +4238,6 @@ def q_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine verify deterministically, so this is a hash row over
     the verified gate's full semantics."""
     import hashlib
-    import shutil
     import tempfile
 
     from pond_spark.similarity.catalog import EmbeddingCatalog
@@ -4231,14 +4247,7 @@ def q_embedding_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     run2 = emb.filter(F.col("vec_id") % 2 == 1)
     tag = hashlib.md5((sf_dir + "|vgate").encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_emb_vgate_{tag}")
-    for p in (
-        path, path + ".params.json", path + "._old",
-        path + ".vectors", path + ".vectors._old",
-    ):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        elif os.path.exists(p):
-            os.remove(p)
+    _clean_catalog_twin(path, vectors=True)
     cat = EmbeddingCatalog(
         spark, path, dim=64, nbits=4, n_tables=2, store_vectors=True
     )
@@ -4265,6 +4274,34 @@ WHERE s.vec_id NOT IN (SELECT new_id FROM dropped)
 """
 
 
+def q_embedding_gate_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified gate over a vec_id-BUCKETED vector sibling
+    (round-10 #3): ``vector_buckets`` changes the sibling's FILE
+    LAYOUT (hash-bucketed so the verify join's payload side plans
+    exchange-free at scale) and must change NOTHING about results —
+    this row pins that invariance cross-engine by replaying the exact
+    q:embedding_gate_verified semantics (same planes, same bucket
+    joins, same cosine verify, same oracle SQL) through the bucketed
+    store."""
+    import hashlib
+    import tempfile
+
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    emb = _fan(_embeddings(spark, sf_dir))
+    run1 = emb.filter(F.col("vec_id") % 2 == 0)
+    run2 = emb.filter(F.col("vec_id") % 2 == 1)
+    tag = hashlib.md5((sf_dir + "|vbkt").encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"pond_emb_vbkt_{tag}")
+    _clean_catalog_twin(path, vectors=True)
+    cat = EmbeddingCatalog(
+        spark, path, dim=64, nbits=4, n_tables=2, store_vectors=True,
+        vector_buckets=8,
+    )
+    cat.register(run1)
+    return cat.filter_new(run2, verify_cos=0.35).select("vec_id")
+
+
 def q_catalog_retention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run gate semantics AFTER age eviction (VERDICT r8 missing
     #3 — the reference's max_age discipline, src/Instance.cxx:190-203,
@@ -4279,7 +4316,6 @@ def q_catalog_retention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays all of it on text equality (digest ↔ text is 1:1
     for the twin)."""
     import hashlib
-    import shutil
     import tempfile
 
     from pond_spark.dedup.exact import DigestCatalog
@@ -4287,11 +4323,7 @@ def q_catalog_retention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fan(_documents(spark, sf_dir)).select("doc_id", "text")
     tag = hashlib.md5((sf_dir + "|retgate").encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_retgate_{tag}")
-    for p in (path, path + "._old", path + ".retention.jsonl"):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-        elif os.path.exists(p):
-            os.remove(p)
+    _clean_catalog_twin(path)
     cat = DigestCatalog(spark, path)
     cat.register(docs.filter(F.col("doc_id") % 3 == 0), run_ts=1_000)
     cat.register(docs.filter(F.col("doc_id") % 3 == 1), run_ts=2_000)
@@ -4772,44 +4804,44 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-9 layout
-    # (VERDICT r8 ask #5):
-    #   1-16  the sixteen r4-era attestations rotated back in
-    #         (scan_window, filter_surface, last, group_site,
-    #         uri_prefix, unsafe_method, duration_longer,
-    #         value_quantiles[_approx], daily_uniques[_approx],
-    #         promo_revenue, time_rollup, site_delta,
-    #         rollup_hierarchy, line_dedup) — the oldest carries;
-    #         4-round-old greens are drift risk against driver-harness
-    #         evolution even with provably-unchanged code
-    #   17-50 the r8 window minus sixteen demotions (the _words text
-    #         family, asof_join, temperature_mixture, corpus_drift,
-    #         funnel, bpe rows, quality_outliers — all r8-green on
-    #         modules untouched in r9), keeping every query whose
-    #         closure changed this round: the catalog family
-    #         (CatalogStore retention/registered_ts), the curation/
-    #         pipeline rows (gate modes, lease renewal), and the NEW
-    #         embedding_gate_verified (exact-cosine verify leg,
-    #         VERDICT r8 #2).
+    # FIRST 50 = the driver's per-round check window. Round-10 layout
+    # (VERDICT r9 ask #5):
+    #   1-15  the fifteen r6-era carries rotated back in (the oldest
+    #         attestations after the r9 refresh: the ANN family,
+    #         embedding/semantic pairs, media hash rows, psl/pii,
+    #         pack_shards, fingerprint, bloom_prefilter, bitext,
+    #         hard_negatives)
+    #   16    embedding_gate_bucketed (NEW r10: the vec_id-bucketed
+    #         verify sibling must be layout-invariant)
+    #   17-50 the r9 window minus the sixteen r4-era rows refreshed
+    #         LAST round (scan_window ... line_dedup — now the
+    #         freshest attestations in the registry, their modules
+    #         untouched in r10), keeping every query whose closure
+    #         changed this round: the catalog family (CatalogStore
+    #         bucket_by/sidecar/lease changes), the curation/pipeline
+    #         rows (gate cadence, shared register stamp), and the
+    #         embedding gate rows.
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
-    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "last": (q_last, LAST_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "group_site": (q_group_site, GROUP_SITE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "unsafe_method": (q_unsafe_method, None),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "duration_longer": (q_duration_longer, DURATION_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "site_delta": (q_site_delta, SITE_DELTA_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # rotated into the r9 window (r4-era attestation refresh, VERDICT r8 ask #5)
+    "ann_pq_topk": (q_ann_pq_topk, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "semantic_pairs": (q_semantic_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "psl_domains": (q_psl_domains, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "pii_scrub": (q_pii_scrub, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "pack_shards": (q_pack_shards, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "fingerprint": (q_fingerprint, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "bloom_prefilter": (q_bloom_prefilter, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "hard_negatives": (q_hard_negatives, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "bitext_pairs": (q_bitext_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
+    "embedding_gate_bucketed": (
+        q_embedding_gate_bucketed, None,
+    ),  # lazy sql (NEW r10: layout-invariance pin for the vec_id-bucketed verify sibling, VERDICT r9 #3)
     "retention": (q_retention, RETENTION_SQL),  # rotated into the r8 window (r3-era attestation refresh, VERDICT r7 ask #2)
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r8 window (r3-era refresh)
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r8 window (r3-era refresh)
@@ -4852,6 +4884,22 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),  # lazy sql (NEW r9: exact-cosine verify leg, VERDICT r8 #2)
     # ---- window boundary (index 50): everything below is green on --
     # ---- files unchanged since its last attestation (legit carry) --
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "last": (q_last, LAST_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "group_site": (q_group_site, GROUP_SITE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "unsafe_method": (q_unsafe_method, None),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "duration_longer": (q_duration_longer, DURATION_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "site_delta": (q_site_delta, SITE_DELTA_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
     "tfidf_keywords": (q_tfidf_keywords, None),  # demoted r9 (r8-green, module unchanged this round)
     "bm25_search": (q_bm25_search, None),  # demoted r9 (r8-green, module unchanged this round)
     "nb_classify": (q_nb_classify, None),  # demoted r9 (r8-green, module unchanged this round)
@@ -4886,35 +4934,20 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
-    "hard_negatives": (q_hard_negatives, None),  # below-window carry (r6 green, unchanged r7)
-    "bitext_pairs": (q_bitext_pairs, None),  # below-window carry (r6 green, unchanged r7)
     "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # below-window carry (r6 green, unchanged r7)
-    "ann_pq_topk": (q_ann_pq_topk, None),  # lazy sql (shared codebooks)
     "pagerank_top": (q_pagerank_top, None),  # below-window carry (r6 green, unchanged r7)
     "stats": (q_stats, STATS_SQL),  # below-window carry (r6 green, unchanged r7)
     "time_sugar": (q_time_sugar, None),  # below-window carry (r6 green, unchanged r7)
     "time_today": (q_time_today, None),  # below-window carry (r6 green, unchanged r7)
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # below-window carry (r6 green, unchanged r7)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),  # below-window carry (r6 green, unchanged r7)
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # below-window carry (r6 green, unchanged r7)
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # below-window carry (r6 green, unchanged r7)
-    "semantic_pairs": (q_semantic_pairs, None),  # below-window carry (r6 green, unchanged r7)
-    "psl_domains": (q_psl_domains, None),  # below-window carry (r6 green, unchanged r7)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
-    "pii_scrub": (q_pii_scrub, None),  # below-window carry (r6 green, unchanged r7)
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated below r6 boundary
-    "pack_shards": (q_pack_shards, None),  # lazy sql
     "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
     "method_filter": (q_method_filter, None),  # lazy sql (F8)
-    "fingerprint": (q_fingerprint, None),  # lazy sql
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated below r6 boundary (exempt: hamming path)
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
     "age_only": (q_age_only, AGE_ONLY_SQL),
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
-    "bloom_prefilter": (q_bloom_prefilter, None),  # rotated below r6 boundary (exempt: false edges)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
@@ -4926,6 +4959,7 @@ _LAZY_SQL: dict[str, Callable[[], str]] = {
     "bitext_pairs_ann": _bitext_pairs_ann_sql,
     "embedding_catalog_incremental": _embedding_catalog_sql,
     "embedding_gate_verified": _embedding_gate_verified_sql,
+    "embedding_gate_bucketed": _embedding_gate_verified_sql,  # layout-invariant: same semantics, bucketed files
     "kanon_export": _kanon_export_sql,
     "cm_heavy_hitters": _cm_heavy_hitters_sql,
     "bloom_prefilter": _bloom_prefilter_sql,
@@ -5042,6 +5076,11 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _documents(spark, sf_dir)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = os.path.join(tempfile.gettempdir(), f"pond_mh_cat_{tag}")
+        if not os.path.exists(path):
+            # a killed prior run can leave a live-looking lease with no
+            # catalog behind it — clear the whole sidecar family before
+            # the fresh register (ADVICE r9)
+            _clean_catalog_twin(path)
         cat = MinHashCatalog(spark, path, n=3)
         if not os.path.exists(path):
             cat.register(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
@@ -5058,6 +5097,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _embeddings(spark, sf_dir)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = os.path.join(tempfile.gettempdir(), f"pond_emb_cat_{tag}")
+        if not os.path.exists(path):
+            _clean_catalog_twin(path)
         cat = EmbeddingCatalog(spark, path, dim=64, nbits=4, n_tables=2)
         if not os.path.exists(path):
             cat.register(emb.filter(F.col("vec_id") % 2 == 0))

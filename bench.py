@@ -87,13 +87,16 @@ def main() -> None:
             samples: list[float] = []
             discards = 0
             while True:
-                # reject samples attempted inside a host episode —
-                # only once the row is known noise-sensitive (<2s)
-                if samples and min(samples) < 2.0 and discards < 5:
-                    if _calibrate() > 1.6 * cal_base:
-                        discards += 1
-                        time.sleep(2.0)
-                        continue
+                # reject samples attempted inside a host episode — for
+                # EVERY sample of EVERY row (round-10 #4: the r9 guard
+                # only armed on sub-2s rows, and the >2s family then
+                # drifted a correlated ~1.2x through an episode the
+                # calibration never sampled; the ~0.22s probe is noise
+                # against a 2-7s row and decisive for it)
+                if discards < 5 and _calibrate() > 1.6 * cal_base:
+                    discards += 1
+                    time.sleep(2.0)
+                    continue
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.perf_counter() - t0, 3))
@@ -106,8 +109,14 @@ def main() -> None:
                 # 1.5x outlier): min-of-4 — the extra sample costs
                 # ~0.3s and halves the spread of the min statistic
                 need = 2 if best_now >= 2.0 else (3 if best_now >= 0.6 else 4)
-                if len(samples) == 2 and max(samples) > 1.5 * min(samples):
-                    need = max(need, 3)
+                # a disagreeing pair takes a tie-breaker: >1.5x for
+                # fast rows (GC-pause territory), and already >1.2x
+                # for >=2s rows, where a real plan regression and an
+                # episode tail are otherwise indistinguishable
+                if len(samples) == 2:
+                    ratio = max(samples) / max(1e-9, min(samples))
+                    if ratio > (1.2 if best_now >= 2.0 else 1.5):
+                        need = max(need, 3)
                 if len(samples) >= need:
                     break
             best = min(samples)

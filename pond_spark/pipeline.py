@@ -255,7 +255,18 @@ def curate_foreach_batch(
     ``embedding_catalog_path`` likewise adds the cross-batch SEMANTIC
     gate over the batch's embedding column (``config.extra`` emb_*
     keys; emb_dim required).
+
+    Verify-less gate_check cadence (ADVICE r9): the occupancy
+    advisory is a full-catalog groupBy + collect — per-micro-batch it
+    dominates small triggers, and the estimate drifts only with
+    registered volume. The streaming path therefore runs it on the
+    FIRST gated batch and then every ``config.extra
+    ['emb_gate_check_every']`` batches (default 16; batches between
+    checks gate with the last verdict standing). ``curate_run`` still
+    checks once per run unconditionally; ``emb_skip_gate_check``
+    still disables entirely; the verified gate never needs it.
     """
+    checks_done = {"n": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if (
@@ -281,7 +292,12 @@ def curate_foreach_batch(
             fresh = mcat.filter_new(fresh, text_col, id_col)
         if embedding_catalog_path is not None:
             ecat = _embedding_catalog(spark, embedding_catalog_path, config)
-            fresh = _emb_gate(ecat, fresh, config, id_col)
+            every = max(1, int(config.extra.get("emb_gate_check_every", 16)))
+            fresh = _emb_gate(
+                ecat, fresh, config, id_col,
+                check=checks_done["n"] % every == 0,
+            )
+            checks_done["n"] += 1
         # pin `fresh`: it feeds both the writer's curate chain and
         # register — unpinned, every micro-batch would pay the
         # catalog joins + within-batch sha256 dedup TWICE
@@ -410,6 +426,7 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
             "embedding_catalog_path needs config.extra['emb_dim'] "
             "(the hyperplane shape is pinned per catalog)"
         )
+    vb = x.get("emb_vector_buckets")
     return EmbeddingCatalog(
         spark,
         path,
@@ -420,10 +437,12 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
         store_vectors=bool(
             x.get("emb_store_vectors", "emb_verify_cos" in x)
         ),
+        vector_buckets=int(vb) if vb is not None else None,
     )
 
 
-def _emb_gate(cat, df, config: CurationConfig, id_col: str):
+def _emb_gate(cat, df, config: CurationConfig, id_col: str,
+              check: bool = True):
     """The embedding gate shared by curate_run and
     curate_foreach_batch (VERDICT r8 #2): ``emb_verify_cos`` selects
     the exact-cosine VERIFIED gate (only true near-dups drop);
@@ -431,7 +450,10 @@ def _emb_gate(cat, df, config: CurationConfig, id_col: str):
     :meth:`EmbeddingCatalog.gate_check` — refusing when
     ``emb_max_overshoot`` is configured and the predicted false-drop
     rate exceeds it, warning above 5% when not — so occupancy-driven
-    content loss is loud, never silent."""
+    content loss is loud, never silent. ``check=False`` skips this
+    batch's advisory job (the streaming path's cadence control,
+    ADVICE r9 — a full-catalog groupBy+collect per micro-batch is a
+    hot-path cost the estimate's slow drift doesn't justify)."""
     x = config.extra
     vec_col = x.get("emb_col", "embedding")
     vcos = x.get("emb_verify_cos")
@@ -439,7 +461,9 @@ def _emb_gate(cat, df, config: CurationConfig, id_col: str):
         return cat.filter_new(df, vec_col, id_col,
                               verify_cos=float(vcos))
     bound = x.get("emb_max_overshoot")
-    if bound is not None or not x.get("emb_skip_gate_check", False):
+    if check and (
+        bound is not None or not x.get("emb_skip_gate_check", False)
+    ):
         cat.gate_check(float(bound) if bound is not None else None)
     return cat.filter_new(df, vec_col, id_col)
 

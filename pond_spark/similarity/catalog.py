@@ -40,7 +40,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["EmbeddingCatalog", "GateOvershootError"]
+__all__ = [
+    "EmbeddingCatalog", "GateOvershootError", "rhp_gate_coefficient",
+]
+
+
+#: Measured gate-sizing coefficients per dimension (round-10 #1 — the
+#: r9 value 1.27 was a dim=64 fit; tools/gate_dim_calibration.py
+#: measured the independent-pair signature-collision physics at four
+#: dims). Two legs per dim, cross-validated: exact bucket counting of
+#: 300-400k vectors signed with the repo's ACTUAL splitmix/Box-Muller
+#: planes (ground truth, resolvable to m≈24), and the plane-averaged
+#: angle Monte Carlo E[(1-θ/π)^m] (any m; ≥ the exact estimate
+#: everywhere both resolve, i.e. conservative). The table anchors the
+#: MC curve to the r9 EMPIRICALLY-VALIDATED dim=64 point (1.27 held
+#: 0.42% overshoot at 10M/day, PERF_NOTES r9): each MC conservative
+#: coefficient × (1.27 / 1.1912). Low dims pay real extra bits —
+#: finite-dim angle fluctuation σ(cosθ)≈1/√dim makes independent
+#: vectors collide far above 2^-m — while high dims approach the
+#: ideal 1 bit/plane.
+_GATE_COEF_TABLE = (
+    (16, 1.872),
+    (64, 1.270),
+    (256, 1.148),
+    (1024, 1.129),
+)
+
+
+def rhp_gate_coefficient(dim: int) -> float:
+    """Bits-per-decade sizing coefficient for the verify-less RHP
+    bucket gate at ``dim`` dimensions: ``nbits = ceil(coef(dim) ·
+    log2(n·tables/ε))``. Interpolated in log2(dim) between the
+    measured points (table above), clamped to the endpoints — the
+    curve is monotone-decreasing and flattens above ~256, so endpoint
+    clamping is conservative on both sides."""
+    import math
+
+    d = float(max(1, dim))
+    pts = _GATE_COEF_TABLE
+    if d <= pts[0][0]:
+        return pts[0][1]
+    if d >= pts[-1][0]:
+        return pts[-1][1]
+    for (d0, c0), (d1, c1) in zip(pts, pts[1:]):
+        if d0 <= d <= d1:
+            f = (math.log2(d) - math.log2(d0)) / (
+                math.log2(d1) - math.log2(d0)
+            )
+            return c0 + f * (c1 - c0)
+    return pts[-1][1]
 
 
 class GateOvershootError(RuntimeError):
@@ -77,6 +125,7 @@ class EmbeddingCatalog:
         n_tables: int = 2,
         seed: int = 42,
         store_vectors: bool = False,
+        vector_buckets: int | None = None,
     ):
         from pond_spark.catalog import CatalogStore
 
@@ -85,6 +134,7 @@ class EmbeddingCatalog:
         self.params = {
             "dim": dim, "nbits": nbits, "n_tables": n_tables, "seed": seed,
             "store_vectors": store_vectors,
+            "vector_buckets": vector_buckets,
         }
         # persistence discipline (sidecar pinning / bootstrap /
         # remnant-refusal / crash-safe compact): pond_spark.catalog
@@ -98,20 +148,29 @@ class EmbeddingCatalog:
                 "bucket keys from different hyperplanes are incomparable"
             ),
             # pre-r9 sidecars predate the verify leg: absent means the
-            # catalog never stored vectors
-            stored_defaults={"store_vectors": False},
+            # catalog never stored vectors; pre-r10 sidecars predate
+            # the bucketed sibling
+            stored_defaults={"store_vectors": False,
+                             "vector_buckets": None},
         )
         # vectors live in a SIBLING store so probe joins stay ids+ints
         # (the key table never carries the payload); only the verify
-        # leg reads it. At 10M x dim-32 float vectors this is ~1.3 GB —
-        # bucket it by vec_id (sources/bucketing.py) for repeated
-        # big-big verifies.
+        # leg reads it. ``vector_buckets`` (round-10 #3) hash-buckets
+        # the sibling's FILES on vec_id, so the verify join's payload
+        # side plans with ZERO exchange — at 10M x dim-64 vectors the
+        # ~4 GB payload otherwise crosses the wire on every day-2
+        # probe; bucketed, only the candidate ids do.
         self._vstore = (
             CatalogStore(
                 spark,
                 path + ".vectors",
                 "vec_id long, vec array<float>",
                 "embedding catalog vectors",
+                bucket_by=(
+                    (["vec_id"], int(vector_buckets))
+                    if vector_buckets
+                    else None
+                ),
             )
             if store_vectors
             else None
@@ -362,18 +421,31 @@ class EmbeddingCatalog:
         MinHashCatalog.register. ``run_ts`` backdates the registration
         stamp (see :meth:`expire`). With ``store_vectors=True`` the
         vectors themselves append to the sibling store (the verify
-        leg's corpus)."""
-        self._store.append(
-            self._bucketed(df, vec_col, id_col), run_ts=run_ts
-        )
+        leg's corpus).
+
+        The two appends share ONE resolved timestamp (ADVICE r9): with
+        separately-resolved wall clocks an expire horizon could fall
+        between the two stamps and evict vectors whose bucket rows
+        survive — the verified gate's inner join would then find no
+        vector for a live bucket key and silently RE-ADMIT registered
+        content. Vectors append FIRST for the same reason: a crash
+        between the appends must leave vectors-without-buckets (dead
+        rows, aged out by expire) rather than buckets-without-vectors
+        (silent re-admission)."""
+        import time
+
+        ts = int(time.time()) if run_ts is None else int(run_ts)
         if self._vstore is not None:
             self._vstore.append(
                 df.filter(F.col(vec_col).isNotNull()).select(
                     F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<float>").alias("vec"),
                 ),
-                run_ts=run_ts,
+                run_ts=ts,
             )
+        self._store.append(
+            self._bucketed(df, vec_col, id_col), run_ts=ts
+        )
         if snapshot:
             self.advise(snapshot=True)
 
@@ -439,36 +511,53 @@ class EmbeddingCatalog:
             if n_vecs > 32
             else 4
         )
-        # GATE-mode sizing (VERDICT r8 #2): recommended_nbits targets
-        # CANDIDATE generation (mean occupancy ~32 feeds a verify
-        # leg); a VERIFY-LESS gate needs collision mass << 1 because
-        # its false-drop rate IS that mass (measured: 60% occupancy →
-        # 71% overshoot at 10M random vectors, PERF_NOTES r8). Sizing,
-        # calibrated the hard way (r9 stress): random hyperplanes in
-        # dim dimensions have ~1/sqrt(dim) pairwise correlations, so
-        # each plane contributes only ~0.79 EFFECTIVE bits at dim=64 —
-        # independent-vector collision decays ~0.58x per added plane,
-        # not 0.5x. A constant bit-margin therefore fails at SOME
-        # scale (the +3 form held at 1M — 3.08% measured — and blew
-        # the 5% bound at 10M with 5.3% predicted, refused by
-        # gate_check exactly as designed); the coefficient form
-        # ``nbits = ceil(1.27 * log2(n·tables/ε))`` (1.27 = 1/0.786
-        # effective-bits ratio) spends ~4.2 bits per data decade and
-        # holds across scales. ε=5%. Signs of nbits hyperplanes carry
-        # at most ~dim bits of bucket entropy (measured: nbits=24 at
-        # dim=16 behaved like 16 bits), so the recommendation is
-        # capped at dim and flagged — a capped gate can't reach ε by
-        # nbits alone; use the verified gate (store_vectors=True),
-        # whose correctness does not depend on any of this.
+        # GATE-mode sizing (VERDICT r8 #2, dim-generalized r10 #1):
+        # recommended_nbits targets CANDIDATE generation (mean
+        # occupancy ~32 feeds a verify leg); a VERIFY-LESS gate needs
+        # collision mass << 1 because its false-drop rate IS that mass
+        # (measured: 60% occupancy → 71% overshoot at 10M random
+        # vectors, PERF_NOTES r8). The independent-pair collision
+        # probability decays 2^(-r·m) with r < 1 effective bits per
+        # plane — finite-dim angle fluctuation (σ(cosθ) ≈ 1/√dim)
+        # makes it dim-dependent, so the sizing coefficient is a
+        # MEASURED per-dim curve (rhp_gate_coefficient: 1.87 at dim=16
+        # down to ~1.13 at 1024; tools/gate_dim_calibration.py), not
+        # the r9 dim=64 constant. A constant bit-margin fails at SOME
+        # scale (the +3 form held at 1M and blew the 5% bound at 10M,
+        # refused by gate_check exactly as designed); the coefficient
+        # form ``nbits = ceil(coef(dim) · log2(n·tables/ε))`` holds
+        # across scales. ε=5%. Signs of nbits hyperplanes carry at
+        # most ~dim bits of bucket entropy (measured: nbits=24 at
+        # dim=16 behaved like 16 bits) and the int64 signature packs
+        # 63, so the recommendation is capped at min(dim, 63) and
+        # flagged — a capped gate can't reach ε by nbits alone; use
+        # the verified gate (store_vectors=True), whose correctness
+        # does not depend on any of this.
         dim = int(self.params["dim"])
         n_tables = max(1, int(self.params["n_tables"]))
+        coef = rhp_gate_coefficient(dim)
+        stats["gate_sizing_coefficient"] = round(coef, 4)
         want = (
-            max(4, math.ceil(1.27 * math.log2(n_vecs * n_tables / 0.05)))
+            max(4, math.ceil(coef * math.log2(n_vecs * n_tables / 0.05)))
             if n_vecs > 0
             else 4
         )
-        stats["recommended_gate_nbits"] = min(want, dim)
-        stats["gate_nbits_capped_by_dim"] = bool(want > dim)
+        cap = min(dim, 63)
+        stats["recommended_gate_nbits"] = min(want, cap)
+        stats["gate_nbits_capped_by_dim"] = bool(want > cap)
+        # VERIFY-mode sizing (round-10 #3): with the exact-cosine leg
+        # deciding drops, nbits buys candidate-volume reduction, not
+        # correctness — the optimum is ~1 unrelated candidate per
+        # probe, i.e. n·tables·p_col(m) ≈ 1, which is the gate formula
+        # at ε=1: ~coef·log2(20) ≈ 5-6 fewer planes than the gate
+        # size (cheaper register) at bounded verify cost. Occupancy
+        # above that costs candidate cosine evaluations linearly; the
+        # r9 rows ran DELIBERATELY saturated (nbits=24 at 10M) and
+        # paid 3.8x the digest gate for it.
+        stats["recommended_verify_nbits"] = min(
+            cap,
+            max(4, math.ceil(coef * math.log2(max(2.0, n_vecs * n_tables)))),
+        )
         stats["predicted_gate_overshoot_ppm"] = int(
             round(self.predicted_gate_overshoot() * 1_000_000)
         )

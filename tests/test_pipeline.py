@@ -1024,3 +1024,214 @@ def test_report_runs_two_day_funnel(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "shipped=2" in out and "catalog_gate" in out and "registered" in out
     assert main([f"--store={store}", "pipeline", "report-runs"]) == 2
+
+
+def test_embedding_gate_fuzz_oracle_parity(spark, tmp_path):
+    """Round-10 #6 (model: the curation_near fuzz): 50 randomized
+    vector corpora replayed through the q:embedding_gate_verified twin
+    builder — planted near-dup clusters at varying cosine, NULL
+    vectors, same-id re-deliveries (the r9 bug class: a re-delivered
+    registered vector must drop no matter its id), saturated and
+    sized nbits, 1-2 tables, plain and BUCKETED vector siblings. The
+    oracle is the same literal-hyperplane DuckDB replay the registry
+    twin runs (_sql_bucket/_sql_cos), not a copy of the operator.
+    Coordinates are float32-exact (multiples of 1/256) and the verify
+    threshold is nudged away from every observed cross cosine, so
+    cross-engine float drift cannot flip a borderline pair."""
+    import math
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from __spark_entry__ import _sql_bucket, _sql_cos
+    from pond_spark.similarity.catalog import (
+        EmbeddingCatalog, rhp_gate_coefficient,
+    )
+    from pond_spark.similarity.lsh import hyperplanes
+
+    rng = random.Random(0xE9B)
+    nonempty_drops = 0
+    for case in range(50):
+        dim = rng.choice([8, 16])
+        n_tables = rng.choice([1, 2])
+        seed = rng.randrange(1000)
+
+        def q(x):
+            return round(x * 256.0) / 256.0  # float32-exact coords
+
+        def rand_vec():
+            return [q(rng.uniform(-1, 1)) for _ in range(dim)]
+
+        def near_of(base, eps):
+            return [q(b + rng.uniform(-eps, eps)) for b in base]
+
+        run1, vid = [], 0
+        bases = []
+        for _ in range(rng.randint(2, 5)):
+            base = rand_vec()
+            bases.append(base)
+            for _ in range(rng.randint(1, 3)):
+                vid += 1
+                run1.append((vid, near_of(base, rng.uniform(0, 0.3))))
+        for _ in range(rng.randint(2, 8)):  # singletons
+            vid += 1
+            run1.append((vid, rand_vec()))
+
+        run2 = []
+        pid = 1000
+        for base in bases:  # probes at varying closeness
+            for _ in range(rng.randint(0, 2)):
+                pid += 1
+                run2.append((pid, near_of(base, rng.uniform(0, 0.5))))
+        for _ in range(rng.randint(2, 6)):  # unrelated probes
+            pid += 1
+            run2.append((pid, rand_vec()))
+        for _ in range(rng.randint(0, 2)):  # NULL always passes
+            pid += 1
+            run2.append((pid, None))
+        # same-id re-deliveries (the r9 bug class)
+        for row in rng.sample(run1, k=min(2, len(run1))):
+            run2.append(row)
+
+        # sized vs deliberately saturated nbits
+        if rng.random() < 0.5:
+            nbits = rng.choice([2, 3])  # saturated
+        else:
+            nbits = min(dim, 63, math.ceil(
+                rhp_gate_coefficient(dim)
+                * math.log2(max(2.0, len(run1) / 0.05))
+            ))
+
+        # threshold nudged away from every observed cross cosine
+        thr = rng.choice([0.8, 0.9])
+        cos_vals = []
+        for _, a in run2:
+            if a is None:
+                continue
+            for _, b in run1:
+                na, nb = np.array(a), np.array(b)
+                denom = float(np.linalg.norm(na) * np.linalg.norm(nb))
+                if denom:
+                    cos_vals.append(float(na @ nb) / denom)
+        while any(abs(c - thr) < 1e-4 for c in cos_vals):
+            thr += 3.1e-4
+
+        sdf1 = spark.createDataFrame(
+            run1, "vec_id long, embedding array<float>"
+        )
+        sdf2 = spark.createDataFrame(
+            run2, "vec_id long, embedding array<float>"
+        )
+        path = str(tmp_path / f"fz{case}")
+        cat = EmbeddingCatalog(
+            spark, path, dim=dim, nbits=nbits, n_tables=n_tables,
+            seed=seed, store_vectors=True,
+            vector_buckets=4 if case % 5 == 0 else None,
+        )
+        cat.register(sdf1)
+        got = {
+            r.vec_id
+            for r in cat.filter_new(sdf2, verify_cos=thr).collect()
+        }
+
+        buckets = [
+            _sql_bucket(hyperplanes(dim, nbits, seed + t))
+            for t in range(n_tables)
+        ]
+        sig_cols = ", ".join(
+            f"{b} AS b{t}" for t, b in enumerate(buckets)
+        )
+        on = " OR ".join(f"s.b{t} = t.b{t}" for t in range(n_tables))
+        sql = f"""
+WITH s AS (SELECT vec_id, embedding, {sig_cols} FROM r2
+           WHERE embedding IS NOT NULL),
+t AS (SELECT vec_id, embedding, {sig_cols} FROM r1),
+dropped AS (
+  SELECT DISTINCT s.vec_id FROM s JOIN t ON ({on})
+  WHERE {_sql_cos('s.embedding', 't.embedding')} >= {thr!r})
+SELECT vec_id FROM r2 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE r1(vec_id BIGINT, embedding DOUBLE[])")
+            con.execute("CREATE TABLE r2(vec_id BIGINT, embedding DOUBLE[])")
+            con.executemany("INSERT INTO r1 VALUES (?, ?)", run1)
+            con.executemany("INSERT INTO r2 VALUES (?, ?)", run2)
+            exp = {r[0] for r in con.execute(sql).fetchall()}
+        finally:
+            con.close()
+        assert got == exp, (
+            f"case {case} (dim={dim} nbits={nbits} tables={n_tables} "
+            f"thr={thr}): spark-only={sorted(got - exp)[:5]} "
+            f"duck-only={sorted(exp - got)[:5]}"
+        )
+        if len(exp) < len(run2):
+            nonempty_drops += 1
+    # the draws actually dropped content (seeded: same-id redeliveries
+    # alone guarantee most cases drop)
+    assert nonempty_drops >= 40
+
+
+def test_foreach_batch_gate_check_cadence(spark, tmp_path):
+    """ADVICE r9: the verify-less gate_check (full-catalog groupBy +
+    collect) must not run on EVERY micro-batch — the streaming path
+    checks on the first gated batch and then every
+    emb_gate_check_every batches."""
+    from unittest import mock
+
+    from pond_spark.pipeline import CurationConfig, curate_foreach_batch
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    cfg = CurationConfig(
+        stages=("exact_dedup",),
+        extra={"emb_dim": 8, "emb_nbits": 4, "emb_tables": 1,
+               "emb_gate_check_every": 3},
+    )
+    sink: list = []
+    apply = curate_foreach_batch(
+        lambda df, bid: sink.append(df.count()),
+        cfg,
+        text_col="text",
+        id_col="doc_id",
+        embedding_catalog_path=str(tmp_path / "egate"),
+    )
+    batch = spark.createDataFrame(
+        [(i, f"doc {i}", [float(i + j) for j in range(8)])
+         for i in range(4)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    with mock.patch.object(
+        EmbeddingCatalog, "gate_check", autospec=True, return_value=0.0
+    ) as gc:
+        for bid in range(6):
+            apply(
+                batch.withColumn(
+                    "doc_id", batch.doc_id + bid * 10
+                ),
+                bid,
+            )
+    # 6 batches, every=3 -> checks on batch 0 and 3 only
+    assert gc.call_count == 2
+    assert len(sink) == 6
+
+
+def test_concurrent_curate_runs_two_processes(spark, tmp_path):
+    """Round-10 #2: the lease discipline driven by two REAL OS
+    processes (own SparkSessions) racing one work_dir + shared digest
+    catalog — the scheduler-double-fire and ttl-takeover scenarios the
+    unit tests only fake in-process. Loser refuses loudly
+    (LeaseHeldError), takeover victim aborts at renew (LeaseLostError)
+    without registering, and the catalog equals the single-writer
+    reference both times. Shares the child entry with
+    tools/concurrent_curate_stress.py."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from tools.concurrent_curate_stress import run_legs
+
+    report = run_legs(
+        5_000, spark=spark, verbose=False, slow1=30, slow2=75
+    )
+    assert report["doublefire"]["b"] == "CHILD_ERR:LeaseHeldError"
+    assert report["takeover"]["a"] == "CHILD_ERR:LeaseLostError"

@@ -780,3 +780,113 @@ def test_lloyd_centroids_empty_sample_raises_clearly():
 
     with _pytest.raises(ValueError, match="empty training sample"):
         lloyd_centroids([], n_centroids=4)
+
+
+def test_embedding_catalog_bucketed_vector_sibling(spark, tmp_path):
+    """Round-10 #3: ``vector_buckets`` hash-buckets the verify
+    corpus's files on vec_id, so the verified gate's payload join
+    plans with the vector scan bucketed and one fewer shuffle than
+    the plain sibling — identical survivors either way."""
+    from pyspark.sql import functions as F
+
+    from pond_spark.plans.inspect import count_exchanges, formatted_plan
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    rows = [
+        (i, [float((i * 13 + j) % 7 - 3) for j in range(8)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    run1 = emb.filter(F.col("vec_id") % 2 == 0)
+    run2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    plain = EmbeddingCatalog(
+        spark, str(tmp_path / "vp"), dim=8, nbits=2, n_tables=1,
+        store_vectors=True,
+    )
+    bucketed = EmbeddingCatalog(
+        spark, str(tmp_path / "vb"), dim=8, nbits=2, n_tables=1,
+        store_vectors=True, vector_buckets=4,
+    )
+    plain.register(run1)
+    bucketed.register(run1)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_p = plain.filter_new(run2, verify_cos=0.9)
+        out_b = bucketed.filter_new(run2, verify_cos=0.9)
+        assert "Bucketed: true" in formatted_plan(out_b)
+        assert count_exchanges(out_b) < count_exchanges(out_p)
+        assert (
+            {r.vec_id for r in out_b.collect()}
+            == {r.vec_id for r in out_p.collect()}
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # the sibling params are pinned: reopening without buckets refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incomparable"):
+        EmbeddingCatalog(
+            spark, str(tmp_path / "vb"), dim=8, nbits=2, n_tables=1,
+            store_vectors=True,
+        )
+
+
+def test_embedding_register_shares_one_timestamp(spark, tmp_path):
+    """ADVICE r9: the bucket rows and their verify vectors must carry
+    the SAME registration stamp — separately-resolved clocks let an
+    expire horizon fall between them and evict vectors whose bucket
+    keys survive (silent re-admission)."""
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    cat = EmbeddingCatalog(
+        spark, str(tmp_path / "ts"), dim=8, nbits=2, n_tables=2,
+        store_vectors=True,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    cat.register(emb)  # wall-clock path (no run_ts)
+    bucket_ts = {r.registered_ts for r in cat._read().collect()}
+    vec_ts = {r.registered_ts for r in cat._vstore.read().collect()}
+    assert len(bucket_ts) == 1 and bucket_ts == vec_ts
+
+
+def test_rhp_gate_coefficient_dim_aware(spark, tmp_path):
+    """Round-10 #1: the gate-sizing coefficient is a measured per-dim
+    curve (tools/gate_dim_calibration.py), monotone non-increasing in
+    dim, anchored at the r9-validated dim=64 value; advise() surfaces
+    it and derives both gate- and verify-mode nbits from it."""
+    from pond_spark.similarity.catalog import (
+        EmbeddingCatalog, rhp_gate_coefficient,
+    )
+
+    c16, c64, c128, c256, c1024 = (
+        rhp_gate_coefficient(d) for d in (16, 64, 128, 256, 1024)
+    )
+    assert c16 > c64 > c128 > c256 > c1024  # finite-dim cost falls
+    assert abs(c64 - 1.27) < 1e-9  # the r9-validated anchor
+    assert rhp_gate_coefficient(8) == c16      # clamped below
+    assert rhp_gate_coefficient(4096) == c1024  # clamped above
+
+    cat = EmbeddingCatalog(
+        spark, str(tmp_path / "adv"), dim=16, nbits=4, n_tables=1
+    )
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
+         for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    cat.register(emb)
+    stats = cat.advise()
+    assert stats["gate_sizing_coefficient"] == round(c16, 4)
+    # verify-mode sizing sits BELOW the gate sizing (epsilon=1 vs
+    # 0.05: ~coef*log2(20) fewer planes) and both cap at min(dim, 63)
+    assert stats["recommended_verify_nbits"] <= stats["recommended_gate_nbits"]
+    assert stats["recommended_gate_nbits"] <= 16
+    # at dim=16 and 300 vectors the uncapped want exceeds dim
+    assert stats["gate_nbits_capped_by_dim"] is True

@@ -46,10 +46,16 @@ def main() -> int:
     # daily leg always runs (it builds day2 and the reference counts
     # the other legs assert against). `--legs=` alone = digest only —
     # the cheap configuration for large-n scale points.
+    # --dim=256 re-runs the emb legs at another dimensionality (the
+    # round-10 dim-generalization validation: the coefficient-sized
+    # gate must hold <=5% at dims besides the r9-calibrated 64).
     legs = {"resume", "minhash", "emb"}
+    dim = 64
     for a in sys.argv[1:]:
         if a.startswith("--legs="):
             legs = {x for x in a.split("=", 1)[1].split(",") if x}
+        elif a.startswith("--dim="):
+            dim = int(a.split("=", 1)[1])
 
     from pond_spark.pipeline import CurationConfig, curate_run
     from pond_spark.session import get_spark
@@ -193,8 +199,6 @@ def main() -> int:
 
             from pyspark.sql import functions as F
 
-            dim = 64
-
             def with_vecs(src_path, out_path):
                 (
                     spark.read.parquet(src_path)
@@ -221,14 +225,19 @@ def main() -> int:
             # (a) gate-sized verify-less: the a-priori form of
             # advise()['recommended_gate_nbits'] (the catalog can only
             # recommend AFTER registering; sizing for the planned
-            # daily volume uses the same formula — the 1.27
-            # coefficient is the measured 0.79-effective-bits-per-
-            # hyperplane correction at dim=64; the earlier constant +3
-            # margin passed at 1M and was REFUSED by gate_check at 10M
-            # with 5.3% predicted, which is that guard doing its job).
-            # emb_max_overshoot=0.05 keeps the refusing operational
-            # mode: wrong sizing raises, never silently drops.
-            gate_nbits = min(dim, math.ceil(1.27 * math.log2(n * 1 / 0.05)))
+            # daily volume uses the same formula). The coefficient is
+            # the MEASURED per-dim curve (round-10 #1,
+            # tools/gate_dim_calibration.py + rhp_gate_coefficient) —
+            # the r9 constant 1.27 was a dim=64 fit; low dims need
+            # more bits/decade, high dims fewer. emb_max_overshoot
+            # keeps the refusing operational mode: wrong sizing
+            # raises, never silently drops.
+            from pond_spark.similarity.catalog import rhp_gate_coefficient
+
+            coef = rhp_gate_coefficient(dim)
+            gate_nbits = min(
+                dim, 63, math.ceil(coef * math.log2(n * 1 / 0.05))
+            )
             ecfg = _replace(
                 cfg,
                 extra={"emb_dim": dim, "emb_nbits": gate_nbits,
@@ -258,6 +267,8 @@ def main() -> int:
             emb_leg = {
                 "n_docs_per_day": n,
                 "mode": "verify-less, gate-sized",
+                "dim": dim,
+                "coefficient": round(coef, 4),
                 "gate_nbits": gate_nbits,
                 "day1_emb_gated_s": e_day1_s,
                 "day2_emb_gated_s": e_day2_s,
@@ -321,6 +332,81 @@ def main() -> int:
             # ~0 even with the bucket space saturated. Both directions
             # asserted: no repeat leaks, no new content lost.
             assert rows_gated * 0.99 <= v_rows <= rows_gated * 1.01, ver_leg
+
+            # (c) verified gate at the RECOMMENDED configuration
+            # (round-10 #3): verify-mode nbits (candidate-volume
+            # optimum, ~1 unrelated candidate per probe — coef·log2(n)
+            # instead of the saturated 24) + the BUCKETED vector
+            # sibling (vec_id-bucketed files: the verify join's
+            # payload side plans with zero exchange; only candidate
+            # ids cross the wire). Same correctness asserts as (b);
+            # the day-2 delta vs (b) is the measured cost reduction
+            # the r9 VERDICT asked for (r9 rows: 75.2 s at 1M / 276 s
+            # at 10M, saturated + plain-parquet sibling).
+            vnbits = min(dim, 63, math.ceil(coef * math.log2(max(2, n))))
+            scfg = _replace(
+                cfg,
+                extra={"emb_dim": dim, "emb_nbits": vnbits,
+                       "emb_tables": 1, "emb_verify_cos": 0.9,
+                       "emb_vector_buckets": 32},
+            )
+            scat = os.path.join(root, "sbuckets")
+            t0 = time.perf_counter()
+            curate_run(
+                spark, d1v, os.path.join(root, "ws1"), scfg,
+                embedding_catalog_path=scat,
+            )
+            s_day1_s = round(time.perf_counter() - t0, 1)
+            t0 = time.perf_counter()
+            s2 = curate_run(
+                spark, d2v, os.path.join(root, "ws2"), scfg,
+                embedding_catalog_path=scat,
+            )
+            s_day2_s = round(time.perf_counter() - t0, 1)
+            s_rows = spark.read.parquet(final_corpus_path(s2)).count()
+            # plan audit: the bucketed sibling must scan bucketed and
+            # save (at least) the payload exchange vs a plain read
+            from pond_spark.plans.inspect import (
+                count_exchanges, formatted_plan,
+            )
+            from pond_spark.similarity.catalog import EmbeddingCatalog
+
+            sized_cat = EmbeddingCatalog(
+                spark, scat, dim=dim, nbits=vnbits, n_tables=1,
+                store_vectors=True, vector_buckets=32,
+            )
+            probe = spark.read.parquet(d2v)
+            prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = formatted_plan(
+                    sized_cat.filter_new(probe, id_col="doc_id",
+                                         verify_cos=0.9)
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev_thr
+                )
+            sized_leg = {
+                "n_docs_per_day": n,
+                "mode": "verified, verify-sized nbits + bucketed vectors",
+                "dim": dim,
+                "verify_nbits": vnbits,
+                "vector_buckets": 32,
+                "day1_s": s_day1_s,
+                "day2_s": s_day2_s,
+                "rows_day2": s_rows,
+                "new_content_overshoot_ppm": int(
+                    (1 - s_rows / max(1, rows_gated)) * 1_000_000
+                ),
+                "day2_vs_saturated_ratio": round(
+                    s_day2_s / max(0.1, v_day2_s), 3
+                ),
+                "vector_scan_bucketed": "Bucketed: true" in plan,
+            }
+            print("DAILYSTRESS_EMB_SIZED " + json.dumps(sized_leg))
+            assert sized_leg["vector_scan_bucketed"], "vector scan not bucketed"
+            assert rows_gated * 0.99 <= s_rows <= rows_gated * 1.01, sized_leg
 
         if "retention" in legs:
             # ---- retention leg (VERDICT r8 missing #3): N simulated
