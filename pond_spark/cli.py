@@ -611,6 +611,8 @@ _CATALOG_USAGE = (
     "  minhash-candidates CAT DOCS_PARQUET [same flags]\n"
     "                   [--max-bucket-size=N] [--out=]\n"
     "  emb-register     CAT VECS_PARQUET --dim=D [--vec-col=embedding]\n"
+    "                   [--vector-buckets=N] — vec_id-bucketed verify\n"
+    "                   sibling files (exchange-free payload joins)\n"
     "                   [--id-col=vec_id] [--nbits=8 --tables=2 --seed=42]\n"
     "                   [--store-vectors] — persist vectors for the\n"
     "                   exact-cosine verified gate\n"
@@ -659,6 +661,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
     before_ts, max_age = None, None
     snapshot = delta = store_vectors = False
     verify_cos = None
+    vector_buckets = None
     args: list[str] = []
     for a in rest:
         if (v := _filter_value(a, "--text-col")) is not None:
@@ -697,6 +700,8 @@ def _run_catalog(spark, rest: list[str]) -> int:
             store_vectors = True
         elif (v := _filter_value(a, "--verify-cos")) is not None:
             verify_cos = float(v)
+        elif (v := _filter_value(a, "--vector-buckets")) is not None:
+            vector_buckets = int(v)
         else:
             args.append(a)
     if not args:
@@ -722,6 +727,7 @@ def _run_catalog(spark, rest: list[str]) -> int:
         return EmbeddingCatalog(
             spark, path, dim=dim, nbits=nbits, n_tables=tables, seed=seed,
             store_vectors=store_vectors or verify_cos is not None,
+            vector_buckets=vector_buckets,
         )
 
     def emit(df) -> int:

@@ -1079,3 +1079,41 @@ def test_cli_catalog_emb_verified_gate(spark, store_dir, tmp_path, capsys):
     assert main([f"--store={store_dir}", "catalog", "emb-filter",
                  cat, d2, *flags]) == 2
     assert "incomparable" in capsys.readouterr().err
+
+
+def test_cli_catalog_emb_vector_buckets(spark, store_dir, tmp_path, capsys):
+    """catalog emb-register --vector-buckets=N: the verify sibling's
+    bucketed layout through the operator CLI — results identical to
+    the plain sibling (layout invariance), sidecar-pinned (re-opening
+    without the flag refuses)."""
+    from pond_spark.cli import main
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (4 - len(xs))
+
+    d1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 1))], "vec_id long, embedding array<float>"
+    ).write.parquet(d1)
+    d2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(11, v(0.99, 0.01)), (12, v(0.6, -0.8))],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(d2)
+    cat = str(tmp_path / "bcat")
+    flags = ["--dim=4", "--nbits=1", "--tables=2", "--store-vectors",
+             "--vector-buckets=2"]
+    assert main([f"--store={store_dir}", "catalog", "emb-register",
+                 cat, d1, *flags]) == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "bfresh")
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 cat, d2, "--verify-cos=0.9", f"--out={out_dir}",
+                 *flags]) == 0
+    assert "rows=1" in capsys.readouterr().out
+    assert [r.vec_id for r in spark.read.parquet(out_dir).collect()] == [12]
+    # bucket count is pinned in the sidecar
+    assert main([f"--store={store_dir}", "catalog", "emb-filter",
+                 cat, d2, "--verify-cos=0.9", "--dim=4", "--nbits=1",
+                 "--tables=2", "--store-vectors"]) == 2
+    assert "incomparable" in capsys.readouterr().err
