@@ -177,7 +177,10 @@ def main() -> int:
             print("DAILYSTRESS_MINHASH " + json.dumps(minhash_leg))
             assert m_rows <= rows_gated  # near gate is strictly stronger
 
-        if "emb" in legs:
+        if "emb" in legs or "embv" in legs:
+            # (``embv`` runs ONLY the verified legs (b)+(c) — the
+            # cheap configuration for 10M-scale verified-gate points
+            # where the verify-less leg's 10M number already exists)
             # ---- embedding-gated leg: the SEMANTIC gate. Vectors are
             # a pure function of doc_id, so day-2 repeats carry
             # identical vectors (certain bucket collision, cosine 1.0);
@@ -238,55 +241,58 @@ def main() -> int:
             gate_nbits = min(
                 dim, 63, math.ceil(coef * math.log2(n * 1 / 0.05))
             )
-            ecfg = _replace(
+            if "emb" not in legs:
+                gate_nbits = None  # embv: skip the verify-less leg
+            ecfg = None if gate_nbits is None else _replace(
                 cfg,
                 extra={"emb_dim": dim, "emb_nbits": gate_nbits,
                        "emb_tables": 1, "emb_max_overshoot": 0.05},
             )
-            ecat = os.path.join(root, "buckets")
-            t0 = time.perf_counter()
-            curate_run(
-                spark, d1v, os.path.join(root, "we1"), ecfg,
-                embedding_catalog_path=ecat,
-            )
-            e_day1_s = round(time.perf_counter() - t0, 1)
-            t0 = time.perf_counter()
-            e2 = curate_run(
-                spark, d2v, os.path.join(root, "we2"), ecfg,
-                embedding_catalog_path=ecat,
-            )
-            e_day2_s = round(time.perf_counter() - t0, 1)
-            e_rows = spark.read.parquet(final_corpus_path(e2)).count()
-            from pond_spark.similarity.catalog import EmbeddingCatalog
+            if ecfg is not None:
+                ecat = os.path.join(root, "buckets")
+                t0 = time.perf_counter()
+                curate_run(
+                    spark, d1v, os.path.join(root, "we1"), ecfg,
+                    embedding_catalog_path=ecat,
+                )
+                e_day1_s = round(time.perf_counter() - t0, 1)
+                t0 = time.perf_counter()
+                e2 = curate_run(
+                    spark, d2v, os.path.join(root, "we2"), ecfg,
+                    embedding_catalog_path=ecat,
+                )
+                e_day2_s = round(time.perf_counter() - t0, 1)
+                e_rows = spark.read.parquet(final_corpus_path(e2)).count()
+                from pond_spark.similarity.catalog import EmbeddingCatalog
 
-            predicted_ppm = int(
-                EmbeddingCatalog(
-                    spark, ecat, dim=dim, nbits=gate_nbits, n_tables=1
-                ).predicted_gate_overshoot() * 1_000_000
-            )
-            emb_leg = {
-                "n_docs_per_day": n,
-                "mode": "verify-less, gate-sized",
-                "dim": dim,
-                "coefficient": round(coef, 4),
-                "gate_nbits": gate_nbits,
-                "day1_emb_gated_s": e_day1_s,
-                "day2_emb_gated_s": e_day2_s,
-                "rows_day2_emb_gated": e_rows,
-                # fraction of NEW content (digest-gate survivors) the
-                # semantic gate ALSO dropped — the overshoot bound under
-                # test (<= 5% at the advised nbits)
-                "new_content_overshoot_ppm": int(
-                    (1 - e_rows / max(1, rows_gated)) * 1_000_000
-                ),
-                "predicted_overshoot_ppm": predicted_ppm,
-                "catalog_bucket_rows": spark.read.parquet(ecat).count(),
-            }
-            print("DAILYSTRESS_EMB " + json.dumps(emb_leg))
-            assert 0 < e_rows <= rows_gated
-            # the round-9 acceptance bound: <=5% of genuinely-new
-            # content falsely gated at the advised gate nbits
-            assert e_rows >= rows_gated * 0.95, emb_leg
+                predicted_ppm = int(
+                    EmbeddingCatalog(
+                        spark, ecat, dim=dim, nbits=gate_nbits, n_tables=1
+                    ).predicted_gate_overshoot() * 1_000_000
+                )
+                emb_leg = {
+                    "n_docs_per_day": n,
+                    "mode": "verify-less, gate-sized",
+                    "dim": dim,
+                    "coefficient": round(coef, 4),
+                    "gate_nbits": gate_nbits,
+                    "day1_emb_gated_s": e_day1_s,
+                    "day2_emb_gated_s": e_day2_s,
+                    "rows_day2_emb_gated": e_rows,
+                    # fraction of NEW content (digest-gate survivors) the
+                    # semantic gate ALSO dropped — the overshoot bound under
+                    # test (<= 5% at the advised nbits)
+                    "new_content_overshoot_ppm": int(
+                        (1 - e_rows / max(1, rows_gated)) * 1_000_000
+                    ),
+                    "predicted_overshoot_ppm": predicted_ppm,
+                    "catalog_bucket_rows": spark.read.parquet(ecat).count(),
+                }
+                print("DAILYSTRESS_EMB " + json.dumps(emb_leg))
+                assert 0 < e_rows <= rows_gated
+                # the round-9 acceptance bound: <=5% of genuinely-new
+                # content falsely gated at the advised gate nbits
+                assert e_rows >= rows_gated * 0.95, emb_leg
 
             # (b) verified gate at the r8 failure point (nbits=24 x 1):
             # occupancy may be arbitrarily high — the exact-cosine
