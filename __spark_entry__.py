@@ -4843,7 +4843,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_embedding_gate_bucketed, None,
     ),  # lazy sql (NEW r10: layout-invariance pin for the vec_id-bucketed verify sibling, VERDICT r9 #3)
     "retention": (q_retention, RETENTION_SQL),  # rotated into the r8 window (r3-era attestation refresh, VERDICT r7 ask #2)
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r8 window (r3-era refresh)
+    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # rotated into the r10 window (reaches the r10 vectorized-signature symbols in similarity/lsh.py)
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r8 window (r3-era refresh)
     "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # r8 window (r3-era refresh)
     "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # r8 window (r3-era refresh)
@@ -4884,6 +4884,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),  # lazy sql (NEW r9: exact-cosine verify leg, VERDICT r8 #2)
     # ---- window boundary (index 50): everything below is green on --
     # ---- files unchanged since its last attestation (legit carry) --
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # demoted r10 in trade for bitext_pairs_ann (r9-driver-green; sessionize.py unchanged this round)
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
     "last": (q_last, LAST_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
@@ -4934,7 +4935,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
     "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
     "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
-    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # below-window carry (r6 green, unchanged r7)
     "pagerank_top": (q_pagerank_top, None),  # below-window carry (r6 green, unchanged r7)
     "stats": (q_stats, STATS_SQL),  # below-window carry (r6 green, unchanged r7)
     "time_sugar": (q_time_sugar, None),  # below-window carry (r6 green, unchanged r7)

@@ -890,3 +890,55 @@ def test_rhp_gate_coefficient_dim_aware(spark, tmp_path):
     assert stats["recommended_gate_nbits"] <= 16
     # at dim=16 and 300 vectors the uncapped want exceeds dim
     assert stats["gate_nbits_capped_by_dim"] is True
+
+
+def test_rhp_bucket_vectorized_bit_exact(spark):
+    """Round-10 perf path: the Arrow/numpy signature must be
+    BIT-IDENTICAL to the HOF fold at every dim — catalogs pin bucket
+    keys across runs, so a catalog registered through one backend
+    must probe identically through the other. Random float32 vectors
+    plus the degenerate rows (NULL, wrong length, NaN element) at
+    dims spanning both sides of the auto-switch threshold."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pond_spark.similarity.lsh import rhp_bucket
+
+    rng = random.Random(0xB17)
+    for dim, nbits in ((16, 8), (64, 24), (256, 28), (1024, 20)):
+        rows = []
+        for i in range(300):
+            vec = [
+                # float32-exact values AND raw floats — the cast is
+                # exact either way, exercise both
+                rng.uniform(-1, 1) for _ in range(dim)
+            ]
+            rows.append((i, vec))
+        rows.append((9001, None))
+        rows.append((9002, [0.5] * (dim - 1)))          # wrong length
+        rows.append((9003, [math.nan] + [0.1] * (dim - 1)))  # NaN
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        hof = {
+            r.vec_id: r.bucket
+            for r in rhp_bucket(
+                df, dim, nbits, vec_col="embedding", vectorized=False
+            ).collect()
+        }
+        vec = {
+            r.vec_id: r.bucket
+            for r in rhp_bucket(
+                df, dim, nbits, vec_col="embedding", vectorized=True
+            ).collect()
+        }
+        diff = {k for k in hof if hof[k] != vec[k]}
+        assert not diff, (dim, nbits, sorted(diff)[:5],
+                          [(hof[k], vec[k]) for k in sorted(diff)[:3]])
+        # degenerate rows: null dot -> 0; NaN dot -> all bits set
+        # (Spark's NaN>=0 is true — NaN sorts above every numeric)
+        assert hof[9001] == vec[9001] == 0
+        assert hof[9002] == vec[9002] == 0
+        assert hof[9003] == vec[9003] == (1 << nbits) - 1
