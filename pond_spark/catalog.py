@@ -391,6 +391,10 @@ class CatalogStore:
         self.bucket_by = (
             (list(bucket_by[0]), int(bucket_by[1])) if bucket_by else None
         )
+        #: per-sidecar observed mean line length (bytes), learned at
+        #: each truncation pass — sizes _append_jsonl's byte budget so
+        #: long historical lines can't re-trip it every append
+        self._sidecar_line_est: dict[str, int] = {}
         if self.bucket_by:
             import hashlib
 
@@ -688,15 +692,26 @@ class CatalogStore:
             self.fs.append_text(side, line)
             # amortized horizon: the size probe is O(1); the read-
             # truncate-rewrite runs only past the byte budget (~2x the
-            # horizon at this append's line size), so appends stay
+            # horizon at the estimated line size), so appends stay
             # O(1) between truncations and the file is bounded at
-            # roughly 2x keep_last lines
-            budget = max(4096, keep_last * 2 * max(64, len(line)))
-            if self.fs.size(side) > budget:
+            # roughly 2x keep_last lines. The per-line estimate is the
+            # max of this line and the OBSERVED mean from the last
+            # truncation pass (ADVICE r10: sizing from the current
+            # line alone re-trips the budget on every append once
+            # historical lines are longer than the current ones —
+            # size > budget while count <= keep_last re-reads the
+            # whole file each time, the exact O(history) behavior the
+            # budget was meant to amortize away)
+            est = self._sidecar_line_est
+            per_line = max(64, len(line), est.get(side, 0))
+            budget = max(4096, keep_last * 2 * per_line)
+            size = self.fs.size(side)
+            if size > budget:
                 lines = [
                     ln for ln in self.fs.read_text(side).splitlines()
                     if ln.strip()
                 ]
+                est[side] = size // max(1, len(lines))
                 if len(lines) > keep_last:
                     self.fs.write_text(
                         staged, "\n".join(lines[-keep_last:]) + "\n"

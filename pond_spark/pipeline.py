@@ -264,7 +264,10 @@ def curate_foreach_batch(
     ['emb_gate_check_every']`` batches (default 16; batches between
     checks gate with the last verdict standing). ``curate_run`` still
     checks once per run unconditionally; ``emb_skip_gate_check``
-    still disables entirely; the verified gate never needs it.
+    still disables entirely; the verified gate never needs it. The
+    cadence governs only the ADVISORY path: an explicitly configured
+    ``emb_max_overshoot`` refusal bound is re-checked on EVERY batch
+    (ADVICE r10 — see :func:`_emb_gate`).
     """
     checks_done = {"n": 0}
 
@@ -451,9 +454,14 @@ def _emb_gate(cat, df, config: CurationConfig, id_col: str,
     ``emb_max_overshoot`` is configured and the predicted false-drop
     rate exceeds it, warning above 5% when not — so occupancy-driven
     content loss is loud, never silent. ``check=False`` skips this
-    batch's advisory job (the streaming path's cadence control,
+    batch's ADVISORY job only (the streaming path's cadence control,
     ADVICE r9 — a full-catalog groupBy+collect per micro-batch is a
-    hot-path cost the estimate's slow drift doesn't justify)."""
+    hot-path cost the estimate's slow drift doesn't justify). An
+    explicitly configured ``emb_max_overshoot`` is a hard safety
+    bound and runs EVERY batch regardless of cadence (ADVICE r10:
+    registered volume grows every batch, so the predicted overshoot
+    can cross the bound between cadence checks — a skipped refusal is
+    silent content loss, the one thing the gate exists to prevent)."""
     x = config.extra
     vec_col = x.get("emb_col", "embedding")
     vcos = x.get("emb_verify_cos")
@@ -461,10 +469,10 @@ def _emb_gate(cat, df, config: CurationConfig, id_col: str,
         return cat.filter_new(df, vec_col, id_col,
                               verify_cos=float(vcos))
     bound = x.get("emb_max_overshoot")
-    if check and (
-        bound is not None or not x.get("emb_skip_gate_check", False)
-    ):
-        cat.gate_check(float(bound) if bound is not None else None)
+    if bound is not None:
+        cat.gate_check(float(bound))  # refusal path: cadence-exempt
+    elif check and not x.get("emb_skip_gate_check", False):
+        cat.gate_check(None)
     return cat.filter_new(df, vec_col, id_col)
 
 

@@ -114,7 +114,16 @@ def _sig_vectorized(vec: Column, planes: list[list[float]]) -> Column:
     NULL vector and wrong-length vector (zip_with null-pads -> null
     dot -> every when() falls to otherwise) yield bucket 0; a NaN
     element yields ALL bits set — Spark's total order puts NaN above
-    every numeric, so a NaN dot passes ``>= 0`` on every plane."""
+    every numeric, so a NaN dot passes ``>= 0`` on every plane.
+
+    Element-level NULLs (ADVICE r10): a null ELEMENT inside an
+    otherwise-well-formed vector nulls the HOF dot (product with null
+    is null) -> bucket 0, but Arrow delivers that null to the numpy
+    fold as NaN — indistinguishable from a GENUINE NaN element once
+    float64. The caller (rhp_bucket) therefore nulls such vectors
+    Spark-side (``exists(vec, x -> x IS NULL)``, where null and NaN
+    are still distinct) before this UDF, so both backends agree:
+    null-element row -> bucket 0, genuine-NaN row -> all bits set."""
     import pandas as pd
 
     globals()["pd"] = pd  # the pandas_udf type-hint resolver reads
@@ -175,8 +184,16 @@ def rhp_bucket(
     planes = hyperplanes(dim, nbits, seed)
     if vectorized is None:
         vectorized = dim * nbits >= _VECTORIZED_MIN_WORK
-    builder = _sig_vectorized if vectorized else _sig
-    return df.withColumn("bucket", builder(F.col(vec_col), planes))
+    if vectorized:
+        # null ELEMENTS become NaN across Arrow (ADVICE r10) — mask
+        # whole-vector here, while null vs NaN are still distinct, so
+        # the numpy fold sees NULL and lands on the HOF's bucket 0
+        src = F.when(
+            F.exists(F.col(vec_col), lambda x: x.isNull()),
+            F.lit(None).cast(df.schema[vec_col].dataType),
+        ).otherwise(F.col(vec_col))
+        return df.withColumn("bucket", _sig_vectorized(src, planes))
+    return df.withColumn("bucket", _sig(F.col(vec_col), planes))
 
 
 def lsh_topk(

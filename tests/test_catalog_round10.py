@@ -49,6 +49,40 @@ def test_sidecar_append_is_o1_on_local(spark, tmp_path):
     assert os.path.getsize(side) - size_before < 64
 
 
+def test_sidecar_long_lines_do_not_retrip_budget(spark, tmp_path):
+    """ADVICE r10: the trim budget was sized from the CURRENT line's
+    length alone — a file of long historical lines plus short new
+    appends kept size > budget while the line count never reached
+    keep_last, so every append re-read the whole file (the O(history)
+    behavior the budget exists to amortize away). The fix learns the
+    observed mean line length at each truncation pass; after ONE
+    re-read the budget is re-sized and short appends go back to
+    O(1)."""
+    st = _store(spark, tmp_path / "cat")
+    side = st.path + ".advise.jsonl"
+    # 8 long lines (~4 KB each): count 8 <= keep_last 20, but size
+    # ~32 KB dwarfs a budget sized from the short lines appended next
+    for i in range(8):
+        st._append_jsonl(side, {"seq": i, "pad": "y" * 4000}, keep_last=20)
+
+    reads = {"n": 0}
+    orig_read = st.fs.read_text
+
+    def counting_read(p):
+        reads["n"] += 1
+        return orig_read(p)
+
+    st.fs.read_text = counting_read
+    for i in range(40):
+        st._append_jsonl(side, {"seq": 100 + i}, keep_last=20)
+    # at most one learning pass (plus one later legitimate trim once
+    # the re-sized budget genuinely trips) — never one read per append
+    assert reads["n"] <= 2, f"{reads['n']} full-file re-reads in 40 appends"
+    # history still well-formed and bounded, newest lines kept
+    seqs = [h["seq"] for h in st.stats_history()]
+    assert seqs[-1] == 139 and len(seqs) <= 48
+
+
 def test_sidecar_torn_tail_and_staged_fallback(spark, tmp_path):
     """ADVICE r9: a crash mid-append can tear only the last line
     (skipped on read, never fatal), and a crash inside the Hadoop-path

@@ -1216,6 +1216,50 @@ def test_foreach_batch_gate_check_cadence(spark, tmp_path):
     assert len(sink) == 6
 
 
+def test_foreach_batch_refusal_bound_is_cadence_exempt(spark, tmp_path):
+    """ADVICE r10: an explicitly configured emb_max_overshoot is a
+    hard safety bound, not an advisory — registered volume grows
+    every batch, so the predicted overshoot can cross the bound
+    BETWEEN cadence checks and drops would go silent. The refusal
+    check must therefore run on every gated batch, cadence or not."""
+    from unittest import mock
+
+    from pond_spark.pipeline import CurationConfig, curate_foreach_batch
+    from pond_spark.similarity.catalog import EmbeddingCatalog
+
+    cfg = CurationConfig(
+        stages=("exact_dedup",),
+        extra={"emb_dim": 8, "emb_nbits": 4, "emb_tables": 1,
+               "emb_gate_check_every": 3, "emb_max_overshoot": 0.02},
+    )
+    sink: list = []
+    apply = curate_foreach_batch(
+        lambda df, bid: sink.append(df.count()),
+        cfg,
+        text_col="text",
+        id_col="doc_id",
+        embedding_catalog_path=str(tmp_path / "egate_bound"),
+    )
+    batch = spark.createDataFrame(
+        [(i, f"doc {i}", [float(i + j) for j in range(8)])
+         for i in range(4)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    with mock.patch.object(
+        EmbeddingCatalog, "gate_check", autospec=True, return_value=0.0
+    ) as gc:
+        for bid in range(6):
+            apply(
+                batch.withColumn("doc_id", batch.doc_id + bid * 10),
+                bid,
+            )
+    # the bound is checked on EVERY batch, each time with the
+    # configured refusal threshold (never the advisory None)
+    assert gc.call_count == 6
+    assert all(c.args[1] == 0.02 for c in gc.call_args_list)
+    assert len(sink) == 6
+
+
 def test_concurrent_curate_runs_two_processes(spark, tmp_path):
     """Round-10 #2: the lease discipline driven by two REAL OS
     processes (own SparkSessions) racing one work_dir + shared digest

@@ -919,6 +919,10 @@ def test_rhp_bucket_vectorized_bit_exact(spark):
         rows.append((9001, None))
         rows.append((9002, [0.5] * (dim - 1)))          # wrong length
         rows.append((9003, [math.nan] + [0.1] * (dim - 1)))  # NaN
+        rows.append((9004, [None] + [0.1] * (dim - 1)))  # null ELEMENT
+        # (ADVICE r10: Arrow turns the null element into NaN, which
+        # would set all bits; the Spark-side exists() mask must pin
+        # the HOF's null-dot -> bucket 0 behavior instead)
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         )
@@ -942,3 +946,4 @@ def test_rhp_bucket_vectorized_bit_exact(spark):
         assert hof[9001] == vec[9001] == 0
         assert hof[9002] == vec[9002] == 0
         assert hof[9003] == vec[9003] == (1 << nbits) - 1
+        assert hof[9004] == vec[9004] == 0  # null element -> null dot
