@@ -70,6 +70,32 @@ def tws_available() -> bool:
         return False
 
 
+def _zero_lit(dt) -> "Column | None":
+    """A typed zero literal for coalescing nulls out of a value column
+    before the Arrow hop (see _AsofProcessor's null-transport note).
+    None for types with no cheap zero — those keep their nulls and ride
+    as pandas object columns, which are already lossless."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    if isinstance(dt, BooleanType):
+        return F.lit(False)
+    if isinstance(dt, NumericType):
+        return F.lit(0).cast(dt)
+    if isinstance(dt, StringType):
+        return F.lit("")
+    if isinstance(dt, TimestampType):
+        return F.timestamp_seconds(F.lit(0))
+    if isinstance(dt, DateType):
+        return F.date_from_unix_date(F.lit(0))
+    return None
+
+
 def _rank_key(vals: tuple) -> tuple:
     """Total order for payload tie-breaks matching the batch twin's
     max(struct(...)): NULL sorts smallest, else natural order —
@@ -81,16 +107,29 @@ class _AsofProcessor(StatefulProcessor):
     """Per-key state: ``lefts`` (pending rows as (ts_us, *left_vals)),
     ``rights`` ((ts_us, *payload_vals)). Flush on every input batch
     and on timer expiry; prune rights behind the horizon after each
-    flush."""
+    flush.
+
+    Null transport (ADVICE r10): the unified stream carries every
+    value column COALESCED to a typed zero plus an explicit boolean
+    mask column (``c IS NULL``, computed Spark-side where null and NaN
+    are still distinct). The pandas batch therefore never sees a null
+    in a value column — long columns stay int64 (no float64 upcast,
+    no silent precision loss past 2^53 on the way into LongType
+    state), float columns keep GENUINE NaN payloads (the old
+    ``v != v -> None`` sentinel erased them), and a genuine null is
+    recovered exactly from its mask bit. Row layout:
+    keys, left_vals, payload, left_masks, payload_masks, _ets, _side.
+    """
 
     def __init__(self, left_state_schema, right_state_schema,
                  horizon_us: int, n_key: int, n_left: int,
-                 out_cols: list[str]):
+                 n_pay: int, out_cols: list[str]):
         self._lschema = left_state_schema
         self._rschema = right_state_schema
         self._horizon_us = horizon_us
         self._n_key = n_key
         self._n_left = n_left
+        self._n_pay = n_pay
         self._out_cols = out_cols
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -105,8 +144,12 @@ class _AsofProcessor(StatefulProcessor):
         rights = list(self._rights.get())
         if not lefts and not rights:
             return
-        emit = [lv for lv in lefts if lv[0] <= wm_us]
-        hold = [lv for lv in lefts if lv[0] > wm_us]
+        # STRICTLY past the watermark (ADVICE r10): a right row with
+        # event time EQUAL to the watermark is still on-time and can
+        # arrive in a later trigger; the match bound is inclusive
+        # (right.ts <= left.ts), so a left closes only at wm > ts
+        emit = [lv for lv in lefts if lv[0] < wm_us]
+        hold = [lv for lv in lefts if lv[0] >= wm_us]
         out_rows = []
         for lv in emit:
             ts_us = lv[0]
@@ -142,6 +185,9 @@ class _AsofProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues) -> Iterator:
         new_lefts: list[tuple] = []
         new_rights: list[tuple] = []
+        n_lv = self._n_left - self._n_key
+        lm_off = self._n_left + self._n_pay       # left masks start
+        rm_off = lm_off + n_lv                    # payload masks start
         for pdf in rows:
             for row in pdf.itertuples(index=False):
                 side = row[-1]
@@ -151,13 +197,17 @@ class _AsofProcessor(StatefulProcessor):
                 ts_us = int(ts.value // 1000)  # pandas ns -> micros
                 if side == 0:
                     new_lefts.append((ts_us,) + tuple(
-                        None if isinstance(v, float) and v != v else v
-                        for v in row[self._n_key: self._n_left]
+                        None if row[lm_off + i] else v
+                        for i, v in enumerate(
+                            row[self._n_key: self._n_left]
+                        )
                     ))
                 else:
                     new_rights.append((ts_us,) + tuple(
-                        None if isinstance(v, float) and v != v else v
-                        for v in row[self._n_left:-2]
+                        None if row[rm_off + i] else v
+                        for i, v in enumerate(
+                            row[self._n_left: self._n_left + self._n_pay]
+                        )
                     ))
         if new_lefts:
             self._lefts.appendList(new_lefts)
@@ -216,31 +266,53 @@ def asof_join_stream_fused(
         (c, f"asof_{c}" if c in taken else c) for c in payload_src
     ]
 
-    # unified tagged stream: left columns + right payload + (_ets, _side)
+    # unified tagged stream (ADVICE r10 null transport): every value
+    # column travels coalesced to a typed zero next to an explicit
+    # boolean null-mask, so the Arrow batch never carries a null in a
+    # value column — int64 columns stay int64 across the union (the
+    # old NULL padding upcast them to float64 per batch, silently
+    # losing precision past 2^53 into LongType state) and genuine NaN
+    # float payloads survive (the old NaN sentinel erased them).
+    # Layout: keys, left_vals, payload, left masks, payload masks,
+    # (_ets, _side).
+    lv_type = {c: left.schema[c].dataType for c in left_vals}
+    pay_type = {c: right.schema[c].dataType for c in payload_src}
+
+    def _present(name: str, dt) -> Column:
+        z = _zero_lit(dt)
+        return F.coalesce(F.col(name), z) if z is not None else F.col(name)
+
+    def _padding(dt) -> Column:
+        z = _zero_lit(dt)
+        return z if z is not None else F.lit(None).cast(dt)
+
     lhs = left.withWatermark(ts_col, watermark).select(
         *[F.col(c) for c in key_cols],
-        *[F.col(c) for c in left_vals],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in payload_src],
+        *[_present(c, lv_type[c]).alias(c) for c in left_vals],
+        *[_padding(pay_type[c]).alias(f"_r_{c}") for c in payload_src],
+        *[F.col(c).isNull().alias(f"_ml_{c}") for c in left_vals],
+        *[F.lit(True).alias(f"_mr_{c}") for c in payload_src],
         F.col(ts_col).alias("_ets"),
         F.lit(0).alias("_side"),
     )
     rhs = right.withWatermark(rts, watermark).select(
         *[F.col(c) for c in key_cols],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_vals],
-        *[F.col(c).alias(f"_r_{c}") for c in payload_src],
+        *[_padding(lv_type[c]).alias(c) for c in left_vals],
+        *[_present(c, pay_type[c]).alias(f"_r_{c}") for c in payload_src],
+        *[F.lit(True).alias(f"_ml_{c}") for c in left_vals],
+        *[F.col(c).isNull().alias(f"_mr_{c}") for c in payload_src],
         F.col(rts).alias("_ets"),
         F.lit(1).alias("_side"),
     )
     unified = lhs.unionByName(rhs)
 
-    # state schemas: ts_us + the natural column types
+    # state schemas: ts_us + the natural column types (nullable — the
+    # masks recover genuine nulls, which DO land in state)
     lf = [StructField("ts_us", LongType())] + [
-        unified.schema[c] for c in left_vals
+        StructField(c, lv_type[c]) for c in left_vals
     ]
     rf = [StructField("ts_us", LongType())] + [
-        StructField(c, right.schema[c].dataType) for c in payload_src
+        StructField(c, pay_type[c]) for c in payload_src
     ]
     out_fields = (
         [left.schema[c] for c in key_cols]
@@ -252,6 +324,7 @@ def asof_join_stream_fused(
         horizon_us=int(horizon_seconds) * 1_000_000,
         n_key=len(key_cols),
         n_left=len(key_cols) + len(left_vals),
+        n_pay=len(payload_src),
         out_cols=[f.name for f in out_fields],
     )
     if state_partitions is not None:
