@@ -4804,150 +4804,137 @@ def entry(spark: SparkSession) -> DataFrame:
 #: time-capped) always covers the least-recently-verified code before
 #: re-confirming long-stable rows.
 _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # FIRST 50 = the driver's per-round check window. Round-10 layout
-    # (VERDICT r9 ask #5):
-    #   1-15  the fifteen r6-era carries rotated back in (the oldest
-    #         attestations after the r9 refresh: the ANN family,
-    #         embedding/semantic pairs, media hash rows, psl/pii,
-    #         pack_shards, fingerprint, bloom_prefilter, bitext,
-    #         hard_negatives)
-    #   16    embedding_gate_bucketed (NEW r10: the vec_id-bucketed
-    #         verify sibling must be layout-invariant)
-    #   17-50 the r9 window minus the sixteen r4-era rows refreshed
-    #         LAST round (scan_window ... line_dedup — now the
-    #         freshest attestations in the registry, their modules
-    #         untouched in r10), keeping every query whose closure
-    #         changed this round: the catalog family (CatalogStore
-    #         bucket_by/sidecar/lease changes), the curation/pipeline
-    #         rows (gate cadence, shared register stamp), and the
-    #         embedding gate rows.
+    # FIRST 50 = the driver's per-round check window. Round-11 layout
+    # (VERDICT r10 ask #2):
+    #   1-13  every query whose closure changed this round: the
+    #         catalog/curation family (catalog.py sidecar budget +
+    #         pipeline.py gate-cadence/sized-gate-default changes)
+    #         and the rhp_bucket callers (lsh.py null-element mask)
+    #   14-50 the stalest driver attestations in the registry —
+    #         the r6/r7-era carries (media family, recall harnesses,
+    #         TPC-H-ish block, kanon/quality_outliers/cusum/unimax/
+    #         pagerank, time sugar) plus the r8-era lm/bpe tail —
+    #         rotated in; the r9/r10-green rows demoted in trade
+    #         (their modules untouched this round).
     # tools/check_window.py verifies the invariant at any commit;
     # tests/test_window_invariant.py runs it in CI and MUST be green
     # at snapshot time (the round-5 lesson, twice learned).
-    "ann_pq_topk": (q_ann_pq_topk, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "knn_join": (q_knn_join, KNN_JOIN_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "embedding_near_pairs": (q_embedding_near_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "ann_lsh_topk": (q_ann_lsh_topk, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "semantic_pairs": (q_semantic_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "psl_domains": (q_psl_domains, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "pii_scrub": (q_pii_scrub, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "pack_shards": (q_pack_shards, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "fingerprint": (q_fingerprint, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "bloom_prefilter": (q_bloom_prefilter, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "hard_negatives": (q_hard_negatives, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "bitext_pairs": (q_bitext_pairs, None),  # rotated into the r10 window (r6-era attestation refresh, VERDICT r9 ask #5)
-    "embedding_gate_bucketed": (
-        q_embedding_gate_bucketed, None,
-    ),  # lazy sql (NEW r10: layout-invariance pin for the vec_id-bucketed verify sibling, VERDICT r9 #3)
-    "retention": (q_retention, RETENTION_SQL),  # rotated into the r8 window (r3-era attestation refresh, VERDICT r7 ask #2)
-    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # rotated into the r10 window (reaches the r10 vectorized-signature symbols in similarity/lsh.py)
-    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r8 window (r3-era refresh)
-    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # r8 window (r3-era refresh)
-    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # r8 window (r3-era refresh)
-    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # r8 window (r3-era refresh)
-    "anonymize": (q_anonymize, ANONYMIZE_SQL),  # r8 window (r3-era refresh)
-    "event_transitions": (q_event_transitions, None),  # lazy sql; r8 window (r3-era refresh)
-    "chunk_documents": (q_chunk_documents, None),  # lazy sql; r8 window (r3-era refresh)
-    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # lazy sql; r8 window (compact_partition_dirs guard)
-    "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # NEW r6
-    "near_dup_groups": (q_near_dup_groups, None),  # lazy sql
-    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
-    "curation": (q_curation, None),  # lazy sql (chained twin builders)
-    "curation_near": (q_curation_near, None),  # lazy sql (chained twins)
-    "curation_incremental": (q_curation_incremental, CURATION_INCREMENTAL_SQL),  # NEW r8 (cross-run catalog gate; demotes ann_ivf_topk below the boundary — ivf.py unchanged r8, r6-green carry)
-    "mixture": (q_mixture, None),  # lazy sql
-    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
-    "corpus_profile": (q_corpus_profile, None),  # rotated into the r7 window (NULL-as-unique fix)
-    "pack_sequences": (q_pack_sequences, None),  # lazy sql (NEW r6, recursive FFD replay)
-    "kmv_churn": (q_kmv_churn, None),  # lazy sql (NEW r6, theta set algebra)
-    "cm_join_size": (q_cm_join_size, None),  # lazy sql (NEW r6, CM inner product)
-    "dsir_weights": (q_dsir_weights, None),  # lazy sql
-    "dsir_topk": (q_dsir_topk, None),  # lazy sql
-    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # rotated into the r6 window (sketches.py + oracle changed)
-    "quality_rules": (q_quality_rules, None),  # rotated into the r6 window (_word_ngrams fix)
-    "bm25_index_search": (q_bm25_index_search, None),  # rotated into the r6 window (lexindex.py changed)
-    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
-    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # rotated into the r6 window (sketches.py changed)
-    "catalog_retention_gate": (
-        q_catalog_retention_gate, CATALOG_RETENTION_GATE_SQL,
-    ),  # NEW r9: gate semantics after age eviction (VERDICT r8 missing #3)
-    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # lazy sql
-    "hybrid_search": (q_hybrid_search, None),  # lazy sql (shared legs)
-    "embedding_catalog_incremental": (
-        q_embedding_catalog_incremental, None,
-    ),  # lazy sql (NEW r6)
-    "embedding_gate_verified": (
-        q_embedding_gate_verified, None,
-    ),  # lazy sql (NEW r9: exact-cosine verify leg, VERDICT r8 #2)
+    "retention": (q_retention, RETENTION_SQL),  # store retention reaches catalog-adjacent store code
+    "ann_ivf_index_topk": (q_ann_ivf_index_topk, None),  # persisted index via CatalogStore
+    "minhash_catalog_incremental": (q_minhash_catalog_incremental, MINHASH_CATALOG_SQL),  # cross-run catalog (catalog.py changed r11)
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),  # DigestCatalog module shares catalog.py
+    "curation": (q_curation, None),  # pipeline.py changed r11 (gate cadence + sized-gate default)
+    "curation_near": (q_curation_near, None),  # pipeline.py changed r11
+    "curation_incremental": (q_curation_incremental, CURATION_INCREMENTAL_SQL),  # pipeline.py + catalog.py changed r11
+    "catalog_retention_gate": (q_catalog_retention_gate, CATALOG_RETENTION_GATE_SQL),  # catalog.py changed r11
+    "embedding_catalog_incremental": (q_embedding_catalog_incremental, None),  # similarity/catalog.py + lsh.py changed r11
+    "embedding_gate_verified": (q_embedding_gate_verified, None),  # verified gate; lsh.py null-mask fix r11
+    "embedding_gate_bucketed": (q_embedding_gate_bucketed, None),  # bucketed verify sibling; sized-gate default r11
+    "ann_lsh_topk": (q_ann_lsh_topk, None),  # rhp_bucket caller; lsh.py changed r11
+    "bitext_pairs_ann": (q_bitext_pairs_ann, None),  # ANN tier routes through rhp_bucket; lsh.py changed r11
+    "embedding_near_pairs": (q_embedding_near_pairs, None),  # rhp_bucket caller; lsh.py changed r11 (checker-flagged)
+    "repetition": (q_repetition, REPETITION_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "range_join": (q_range_join, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "cusum_alerts": (q_cusum_alerts, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "unimax_mixture": (q_unimax_mixture, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "pagerank_top": (q_pagerank_top, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "stats": (q_stats, STATS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "time_sugar": (q_time_sugar, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "time_today": (q_time_today, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "host_generator_uri": (q_host_generator_uri, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "method_filter": (q_method_filter, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "age_only": (q_age_only, AGE_ONLY_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "kanon_export": (q_kanon_export, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "quality_outliers": (q_quality_outliers, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "shuffle_shards": (q_shuffle_shards, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "stratified_sample": (q_stratified_sample, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "funnel": (q_funnel, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "bpe_vocab": (q_bpe_vocab, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "bpe_tokenize": (q_bpe_tokenize, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     # ---- window boundary (index 50): everything below is green on --
     # ---- files unchanged since its last attestation (legit carry) --
-    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # demoted r10 in trade for bitext_pairs_ann (r9-driver-green; sessionize.py unchanged this round)
-    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "last": (q_last, LAST_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "group_site": (q_group_site, GROUP_SITE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "unsafe_method": (q_unsafe_method, None),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "duration_longer": (q_duration_longer, DURATION_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "site_delta": (q_site_delta, SITE_DELTA_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # demoted r10 (r9-driver-green — the freshest attestations; modules unchanged this round)
-    "tfidf_keywords": (q_tfidf_keywords, None),  # demoted r9 (r8-green, module unchanged this round)
-    "bm25_search": (q_bm25_search, None),  # demoted r9 (r8-green, module unchanged this round)
-    "nb_classify": (q_nb_classify, None),  # demoted r9 (r8-green, module unchanged this round)
-    "nb_confusion": (q_nb_confusion, None),  # demoted r9 (r8-green, module unchanged this round)
-    "text_stats": (q_text_stats, None),  # demoted r9 (r8-green, module unchanged this round)
-    "lang_id": (q_lang_id, None),  # demoted r9 (r8-green, module unchanged this round)
-    "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # demoted r9 (r8-green, module unchanged this round)
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # demoted r9 (r8-green, module unchanged this round)
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # demoted r9 (r8-green, module unchanged this round)
-    "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # demoted r9 (r8-green, module unchanged this round)
-    "temperature_mixture": (q_temperature_mixture, None),  # demoted r9 (r8-green, module unchanged this round)
-    "corpus_drift": (q_corpus_drift, None),  # demoted r9 (r8-green, module unchanged this round)
-    "funnel": (q_funnel, None),  # demoted r9 (r8-green, module unchanged this round)
-    "bpe_vocab": (q_bpe_vocab, None),  # demoted r9 (r8-green, module unchanged this round)
-    "quality_outliers": (q_quality_outliers, None),  # demoted r9 (r8-green, module unchanged this round)
-    "bpe_tokenize": (q_bpe_tokenize, None),  # demoted r9 (r8-green, module unchanged this round)
-    "ann_ivf_topk": (q_ann_ivf_topk, None),  # lazy sql (shared centroids)
-    "stratified_sample": (q_stratified_sample, None),  # lazy sql; demoted r9 for embedding_gate_verified (r8-green, sampling.py unchanged)
-    "kanon_export": (q_kanon_export, None),  # demoted r9 for catalog_retention_gate (r8-green, kanon module unchanged)
-    "repetition": (q_repetition, REPETITION_SQL),  # demoted late-r8 for curation_incremental (r7-green, functions/text.py unchanged this round)
-    "shuffle_shards": (q_shuffle_shards, None),  # lazy sql
-    "ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),  # below-window carry (r7 green, module unchanged r8)
-    "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),  # r7-green carry (substr.py unchanged r8)
-    "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
-    "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # recall harness; r7-green carry
-    "range_join": (q_range_join, None),  # lazy sql; r7-green carry
-    "geoip": (q_geoip, GEOIP_SQL),  # r7-green carry
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # r7-green carry
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # r7-green carry
-    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # r7-green carry
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r7-green carry
-    "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated below r6 boundary
-    "cusum_alerts": (q_cusum_alerts, None),  # lazy sql
-    "unimax_mixture": (q_unimax_mixture, None),  # lazy sql
-    "pagerank_top": (q_pagerank_top, None),  # below-window carry (r6 green, unchanged r7)
-    "stats": (q_stats, STATS_SQL),  # below-window carry (r6 green, unchanged r7)
-    "time_sugar": (q_time_sugar, None),  # below-window carry (r6 green, unchanged r7)
-    "time_today": (q_time_today, None),  # below-window carry (r6 green, unchanged r7)
-    "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # below-window carry (r6 green, unchanged r7)
-    "host_generator_uri": (q_host_generator_uri, None),  # lazy sql
-    "method_filter": (q_method_filter, None),  # lazy sql (F8)
-    "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),
-    "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),
-    "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),
-    "age_only": (q_age_only, AGE_ONLY_SQL),
-    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # r8-driver-green carry (lm module unchanged; traded for embedding_near_pairs' changed closure)
+    "ann_pq_topk": (q_ann_pq_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "knn_join": (q_knn_join, KNN_JOIN_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "semantic_pairs": (q_semantic_pairs, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "psl_domains": (q_psl_domains, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "pii_scrub": (q_pii_scrub, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "pack_shards": (q_pack_shards, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "fingerprint": (q_fingerprint, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "bloom_prefilter": (q_bloom_prefilter, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "hard_negatives": (q_hard_negatives, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "bitext_pairs": (q_bitext_pairs, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "resolve_forwarded": (q_resolve_forwarded, RESOLVE_FORWARDED_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "format_one_line": (q_format_one_line, FORMAT_ONE_LINE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "accumulate_more": (q_accumulate_more, ACCUMULATE_MORE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "anonymize": (q_anonymize, ANONYMIZE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "event_transitions": (q_event_transitions, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "chunk_documents": (q_chunk_documents, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "near_dup_groups": (q_near_dup_groups, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "mixture": (q_mixture, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "corpus_profile": (q_corpus_profile, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "pack_sequences": (q_pack_sequences, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "kmv_churn": (q_kmv_churn, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "cm_join_size": (q_cm_join_size, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "dsir_weights": (q_dsir_weights, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "dsir_topk": (q_dsir_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "cm_heavy_hitters": (q_cm_heavy_hitters, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "quality_rules": (q_quality_rules, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "bm25_index_search": (q_bm25_index_search, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "hybrid_search": (q_hybrid_search, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r9-driver-green carry
+    "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # r9-driver-green carry
+    "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # r9-driver-green carry
+    "last": (q_last, LAST_SQL),  # r9-driver-green carry
+    "group_site": (q_group_site, GROUP_SITE_SQL),  # r9-driver-green carry
+    "uri_prefix": (q_uri_prefix, URI_PREFIX_SQL),  # r9-driver-green carry
+    "unsafe_method": (q_unsafe_method, None),  # r9-driver-green carry
+    "duration_longer": (q_duration_longer, DURATION_SQL),  # r9-driver-green carry
+    "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # r9-driver-green carry
+    "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # r9-driver-green carry
+    "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # r9-driver-green carry
+    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # r9-driver-green carry
+    "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # r9-driver-green carry
+    "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # r9-driver-green carry
+    "site_delta": (q_site_delta, SITE_DELTA_SQL),  # r9-driver-green carry
+    "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # r9-driver-green carry
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # r9-driver-green carry
+    "tfidf_keywords": (q_tfidf_keywords, None),  # r8-driver-green carry
+    "bm25_search": (q_bm25_search, None),  # r8-driver-green carry
+    "nb_classify": (q_nb_classify, None),  # r8-driver-green carry
+    "nb_confusion": (q_nb_confusion, None),  # r8-driver-green carry
+    "text_stats": (q_text_stats, None),  # r8-driver-green carry
+    "lang_id": (q_lang_id, None),  # r8-driver-green carry
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # r8-driver-green carry
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # r8-driver-green carry
+    "temperature_mixture": (q_temperature_mixture, None),  # r8-driver-green carry
+    "corpus_drift": (q_corpus_drift, None),  # r8-driver-green carry
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)
