@@ -61,15 +61,48 @@ def main() -> None:
     # 3-12x slow — within-row resampling can't reject an episode that
     # outlives the row. A fixed JVM-codegen micro-probe (range+sum,
     # no IO) is timed before each noise-sensitive sample; a sample
-    # attempted while the probe runs >1.6x its session-start baseline
-    # is DISCARDED as a host artifact (bounded retries so a sustained
+    # attempted while the probe runs >1.6x the reference baseline is
+    # DISCARDED as a host artifact (bounded retries so a sustained
     # episode degrades to the old behavior instead of hanging).
+    #
+    # The reference is min(session-start baseline, ABSOLUTE baseline
+    # from BASELINE_CAL.json) — VERDICT r10 #1: a session-relative
+    # baseline alone is blind to an episode that already spans session
+    # start (it inflates cal_base itself ~1.4x, so the 1.6x discard
+    # never fires; that is exactly how BENCH_r10 shipped a uniform
+    # phantom regression). The absolute number is the healthy
+    # session-start min-of-3 measured on this host class at idle; on
+    # a healthy session the session base is at or below it and
+    # nothing changes, while an episode-contaminated session falls
+    # back to the absolute reference and discards correctly. All
+    # calibration facts are EMITTED in the bench JSON so a
+    # contaminated run is machine-detectable post-hoc.
     def _calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(30_000_000).selectExpr("sum(id % 97)").collect()
         return time.perf_counter() - t0
 
-    cal_base = min(_calibrate() for _ in range(3))
+    cal_abs = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BASELINE_CAL.json")
+        ) as f:
+            cal_abs = float(json.load(f)["cal_abs_sec"])
+    except Exception:  # noqa: BLE001 — missing file: session-only guard
+        pass
+    cal_session = min(_calibrate() for _ in range(3))
+    cal_base = min(cal_session, cal_abs) if cal_abs else cal_session
+    calibration = {
+        "cal_abs_sec": cal_abs,
+        "cal_session_sec": round(cal_session, 4),
+        "cal_ref_sec": round(cal_base, 4),
+        # session start already inside an episode: the r10 blind spot
+        "episode_suspect": bool(cal_abs and cal_session > 1.3 * cal_abs),
+        "discards": {},
+        "n_discards": 0,
+        "probe_max_sec": 0.0,
+    }
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
@@ -93,8 +126,14 @@ def main() -> None:
                 # drifted a correlated ~1.2x through an episode the
                 # calibration never sampled; the ~0.22s probe is noise
                 # against a 2-7s row and decisive for it)
-                if discards < 5 and _calibrate() > 1.6 * cal_base:
+                probe = _calibrate()
+                calibration["probe_max_sec"] = round(
+                    max(calibration["probe_max_sec"], probe), 4
+                )
+                if discards < 5 and probe > 1.6 * cal_base:
                     discards += 1
+                    calibration["n_discards"] += 1
+                    calibration["discards"][name] = discards
                     time.sleep(2.0)
                     continue
                 t0 = time.perf_counter()
@@ -153,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "calibration": calibration,
             }
         )
     )
