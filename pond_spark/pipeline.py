@@ -444,6 +444,87 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
     )
 
 
+def _derive_emb_sizing(spark, input_path: str, catalog_path: str,
+                       config: CurationConfig) -> CurationConfig:
+    """Default the SIZED + BUCKETED verified-gate configuration
+    (VERDICT r10 ask #3 — the r10 win was opt-in; nothing applied it).
+
+    Applies only to the VERIFIED gate (``emb_verify_cos`` /
+    ``emb_store_vectors``) with no explicit ``emb_nbits`` /
+    ``emb_vector_buckets``: correctness there never depends on sizing
+    (the exact-cosine leg decides drops), so nbits/buckets are purely
+    cost dials this helper can safely pick. The verify-less bucket
+    gate keeps its explicit-sizing + gate_check refusal discipline —
+    auto-sizing a gate whose FALSE-DROP RATE rides on the choice is
+    not a default, it is a policy.
+
+    Derivation, pinned for resume:
+
+    - catalog already exists → ADOPT the stored params sidecar
+      (``<path>.params.json``): nbits is hyperplane-pinned per catalog
+      and buckets are file-layout-pinned; deriving anything else would
+      refuse at open.
+    - new catalog → nbits from advise()'s verify-mode formula
+      (``ceil(coef(dim) · log2(n · tables))``, the ~1-unrelated-
+      candidate-per-probe optimum; similarity/catalog.py) with n = the
+      day-1 input row count (parquet footer metadata, no scan), and
+      vector_buckets a power of two near n/300k for n ≥ 1M (10M/day →
+      32, the measured r10 configuration; below 1M the payload
+      broadcasts and bucketing is a wash, so None).
+
+    The derived values land in ``config.extra`` BEFORE the manifest is
+    pinned, so ``work_dir/manifest.json`` records them and a resumed
+    or day-2 run reopens the catalog with identical parameters (a
+    crash before first register re-derives from the same input count;
+    after it, the params sidecar exists and is adopted)."""
+    import json as _json
+    import math
+
+    from pond_spark.catalog import _fs_for
+
+    x = dict(config.extra)
+    verified = "emb_verify_cos" in x or bool(x.get("emb_store_vectors"))
+    if not verified or (
+        "emb_nbits" in x and "emb_vector_buckets" in x
+    ):
+        return config
+    from dataclasses import replace
+
+    fs = _fs_for(spark, catalog_path)
+    sidecar = catalog_path + ".params.json"
+    if fs.exists(sidecar):
+        stored = _json.loads(fs.read_text(sidecar))
+        x.setdefault("emb_nbits", int(stored["nbits"]))
+        vb = stored.get("vector_buckets")
+        x.setdefault("emb_vector_buckets", int(vb) if vb else None)
+        # marker must be IDENTICAL across the derive/adopt branches:
+        # a day-1 crash after first register resumes through adoption
+        # while its manifest was pinned through derivation — the
+        # values agree (the sidecar stores the derived params), so the
+        # marker must too or the manifest check refuses its own run
+        x["emb_sizing_derived"] = True
+        return replace(config, extra=x)
+    from pond_spark.similarity.catalog import rhp_gate_coefficient
+
+    n = spark.read.parquet(input_path).count()
+    dim = int(x["emb_dim"])
+    tables = int(x.get("emb_tables", 2))
+    coef = rhp_gate_coefficient(dim)
+    nbits = min(
+        min(dim, 63),
+        max(4, math.ceil(coef * math.log2(max(2.0, n * tables)))),
+    )
+    buckets = (
+        max(4, min(512, 2 ** round(math.log2(n / 300_000))))
+        if n >= 1_000_000
+        else None
+    )
+    x.setdefault("emb_nbits", nbits)
+    x.setdefault("emb_vector_buckets", buckets)
+    x["emb_sizing_derived"] = True
+    return replace(config, extra=x)
+
+
 def _emb_gate(cat, df, config: CurationConfig, id_col: str,
               check: bool = True):
     """The embedding gate shared by curate_run and
@@ -618,6 +699,12 @@ def curate_run(
         or minhash_catalog_path is not None
         or embedding_catalog_path is not None
     )
+    if embedding_catalog_path is not None:
+        # default the sized+bucketed verified gate BEFORE the manifest
+        # is pinned, so derived values resume identically (r10 ask #3)
+        config = _derive_emb_sizing(
+            spark, input_path, embedding_catalog_path, config
+        )
     fs = _fs_for(spark, work_dir)
     fs.mkdirs(work_dir)
     manifest_path = work_dir.rstrip("/") + "/manifest.json"

@@ -749,6 +749,91 @@ def test_curate_run_embedding_gate(spark, tmp_path):
         )
 
 
+def test_curate_run_derives_sized_bucketed_verified_gate(spark, tmp_path):
+    """VERDICT r10 ask #3: with the VERIFIED gate selected
+    (emb_verify_cos) and no explicit emb_nbits/emb_vector_buckets,
+    curate_run derives the sized configuration (advise()'s verify-mode
+    formula from the day-1 input count), pins it in the work_dir
+    manifest, and a day-2 run ADOPTS the catalog's stored params —
+    identical values without any flags. Explicit values still win, and
+    the verify-less bucket gate is never auto-sized."""
+    import json
+    import math
+
+    from pond_spark.pipeline import curate_run
+    from pond_spark.similarity.catalog import rhp_gate_coefficient
+
+    good = "clean prose with plenty of ordinary readable words " * 3
+    schema = "doc_id long, text string, embedding array<float>"
+    rng_rows = [
+        (i, good + str(i),
+         [float((i * 7 + j * 3) % 11 - 5) for j in range(16)])
+        for i in range(40)
+    ]
+    day1 = str(tmp_path / "d1")
+    spark.createDataFrame(rng_rows, schema).write.parquet(day1)
+    cat = str(tmp_path / "ecat")
+    cfg = CurationConfig(
+        min_words=10, stages=("quality",),
+        extra={"emb_dim": 16, "emb_verify_cos": 0.95},
+    )
+    curate_run(
+        spark, day1, str(tmp_path / "w1"), cfg,
+        embedding_catalog_path=cat,
+    )
+    # the derived values in the pinned manifest: verify-mode nbits
+    # from n=40 docs x 2 tables, no buckets below 1M vectors
+    want_nbits = min(16, max(4, math.ceil(
+        rhp_gate_coefficient(16) * math.log2(40 * 2))))
+    man = json.loads((tmp_path / "w1" / "manifest.json").read_text())
+    extra = man["config"]["extra"]
+    assert extra["emb_nbits"] == want_nbits
+    assert extra["emb_vector_buckets"] is None
+    assert extra["emb_sizing_derived"] is True
+    # the catalog's params sidecar pins the same derivation
+    stored = json.loads((tmp_path / "ecat.params.json").read_text())
+    assert stored["nbits"] == want_nbits
+    assert stored["store_vectors"] is True
+
+    # day 2, fresh work_dir, NO flags: adopts the stored sizing
+    day2 = str(tmp_path / "d2")
+    spark.createDataFrame(
+        [(100, good + "new", [1.0] * 16)], schema
+    ).write.parquet(day2)
+    curate_run(
+        spark, day2, str(tmp_path / "w2"), cfg,
+        embedding_catalog_path=cat,
+    )
+    man2 = json.loads((tmp_path / "w2" / "manifest.json").read_text())
+    assert man2["config"]["extra"]["emb_nbits"] == want_nbits
+
+    # explicit sizing wins over derivation
+    cat3 = str(tmp_path / "ecat3")
+    cfg3 = CurationConfig(
+        min_words=10, stages=("quality",),
+        extra={"emb_dim": 16, "emb_verify_cos": 0.95,
+               "emb_nbits": 6, "emb_vector_buckets": None},
+    )
+    curate_run(
+        spark, day1, str(tmp_path / "w3"), cfg3,
+        embedding_catalog_path=cat3,
+    )
+    stored3 = json.loads((tmp_path / "ecat3.params.json").read_text())
+    assert stored3["nbits"] == 6
+
+    # the verify-less bucket gate keeps its explicit default (8):
+    # its false-drop rate rides on nbits, so auto-sizing is policy
+    cat4 = str(tmp_path / "ecat4")
+    curate_run(
+        spark, day1, str(tmp_path / "w4"),
+        CurationConfig(min_words=10, stages=("quality",),
+                       extra={"emb_dim": 16}),
+        embedding_catalog_path=cat4,
+    )
+    stored4 = json.loads((tmp_path / "ecat4.params.json").read_text())
+    assert stored4["nbits"] == 8 and stored4["store_vectors"] is False
+
+
 def test_curate_run_on_schemed_work_dir(spark, tmp_path):
     """The resumable driver's markers/manifests work through the
     Hadoop FS layer: a file://-schemed work_dir computes, resumes, and
