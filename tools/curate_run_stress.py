@@ -349,12 +349,21 @@ def main() -> int:
             # the day-2 delta vs (b) is the measured cost reduction
             # the r9 VERDICT asked for (r9 rows: 75.2 s at 1M / 276 s
             # at 10M, saturated + plain-parquet sibling).
+            # NO emb_nbits / emb_vector_buckets: round-11 #3 made the
+            # sized+bucketed configuration the curate_run DEFAULT for
+            # the verified gate — this leg now runs FLAG-FREE and
+            # asserts the derivation lands on the values the r10 leg
+            # passed by hand (verify-mode nbits from the day-1 count;
+            # buckets = 2^round(log2(n/300k)) at n >= 1M, else None)
             vnbits = min(dim, 63, math.ceil(coef * math.log2(max(2, n))))
+            want_buckets = (
+                max(4, min(512, 2 ** round(math.log2(n / 300_000))))
+                if n >= 1_000_000 else None
+            )
             scfg = _replace(
                 cfg,
-                extra={"emb_dim": dim, "emb_nbits": vnbits,
-                       "emb_tables": 1, "emb_verify_cos": 0.9,
-                       "emb_vector_buckets": 32},
+                extra={"emb_dim": dim, "emb_tables": 1,
+                       "emb_verify_cos": 0.9},
             )
             scat = os.path.join(root, "sbuckets")
             t0 = time.perf_counter()
@@ -370,6 +379,12 @@ def main() -> int:
             )
             s_day2_s = round(time.perf_counter() - t0, 1)
             s_rows = spark.read.parquet(final_corpus_path(s2)).count()
+            # the derivation must have pinned the expected sizing in
+            # the catalog's params sidecar (and the manifest)
+            with open(scat + ".params.json") as f:
+                derived = json.load(f)
+            assert derived["nbits"] == vnbits, derived
+            assert derived["vector_buckets"] == want_buckets, derived
             # plan audit: the bucketed sibling must scan bucketed and
             # save (at least) the payload exchange vs a plain read
             from pond_spark.plans.inspect import (
@@ -379,7 +394,7 @@ def main() -> int:
 
             sized_cat = EmbeddingCatalog(
                 spark, scat, dim=dim, nbits=vnbits, n_tables=1,
-                store_vectors=True, vector_buckets=32,
+                store_vectors=True, vector_buckets=want_buckets,
             )
             probe = spark.read.parquet(d2v)
             prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -395,10 +410,10 @@ def main() -> int:
                 )
             sized_leg = {
                 "n_docs_per_day": n,
-                "mode": "verified, verify-sized nbits + bucketed vectors",
+                "mode": "verified, DERIVED sizing (flag-free default)",
                 "dim": dim,
                 "verify_nbits": vnbits,
-                "vector_buckets": 32,
+                "vector_buckets": want_buckets,
                 "day1_s": s_day1_s,
                 "day2_s": s_day2_s,
                 "rows_day2": s_rows,
@@ -411,7 +426,9 @@ def main() -> int:
                 "vector_scan_bucketed": "Bucketed: true" in plan,
             }
             print("DAILYSTRESS_EMB_SIZED " + json.dumps(sized_leg))
-            assert sized_leg["vector_scan_bucketed"], "vector scan not bucketed"
+            if want_buckets:
+                assert sized_leg["vector_scan_bucketed"], \
+                    "vector scan not bucketed"
             assert rows_gated * 0.99 <= s_rows <= rows_gated * 1.01, sized_leg
 
         if "retention" in legs:
