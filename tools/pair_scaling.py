@@ -1,0 +1,140 @@
+"""Pair-family scaling point at the next decade (VERDICT r10 ask #6).
+
+SURVEY §6 measures the quadratic-risk pair operators (MinHash-LSH,
+SimHash pigeonhole, prefix-filtered n-gram Jaccard) at 5k → 50k docs
+and claims cost tracks OUTPUT size, not the n² pair space, because
+candidate generation stays key-local (band/chunk/prefix equi-joins).
+This tool extends the curve one decade — 500k docs — with planted
+dup mass held exactly proportional, and records whether the claim
+survives: the acceptance line is output-pairs/second at 500k within
+~2x of the 50k point.
+
+Corpus construction: the sf0.1 documents table (50k docs, the corpus
+the 50k row measured) replicated R times with a BIJECTIVE per-replica
+token salt — every token t becomes ``t_k`` in replica k, so within a
+replica every shingle relation (and therefore every Jaccard value,
+every planted pair) is preserved exactly, while across replicas no
+shingle ever matches. Dup mass is exactly R x the sf0.1 corpus's;
+anything superlinear in the measurement is operator cost, not
+fixture drift. (Suffix-salting the TEXT instead would make each doc a
+~0.98-Jaccard near-dup of its 9 siblings — 45·n phantom pairs.)
+
+Usage::
+
+    python tools/pair_scaling.py [replicas=10] [sf_dir=/root/testdata/sf0.1]
+
+Prints one PAIRSCALE JSON line per (scale, operator) and a
+PAIRSCALE_RATIO summary per operator. Run solo on an idle host —
+these are timing rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from pond_spark.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+    from pond_spark.session import get_spark
+
+    spark = get_spark("pair_scaling")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text", "lang")
+    n_base = base.count()
+
+    def salted(k: int):
+        # bijective token map: shingle equality within a replica is
+        # preserved exactly; across replicas nothing matches
+        return base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"_{k}")),
+                ),
+                " ",
+            ).alias("text"),
+            F.col("lang"),
+        )
+
+    ops = {
+        # the SURVEY §6 trio, operator-only configurations matching
+        # the registry rows (q_minhash_pairs/q_simhash_pairs/
+        # q_ngram_jaccard) minus the exact-twin recall legs
+        "minhash": lambda d: minhash_lsh_pairs(
+            d, "text", "doc_id", threshold=0.8, n=3
+        ),
+        "simhash": lambda d: simhash_near_pairs(
+            d, "text", "doc_id", max_hamming=12, n=3, block_col="lang"
+        ),
+        "ngram_jaccard": lambda d: ngram_jaccard_pairs(
+            d, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+        ),
+    }
+
+    results: dict[str, dict[int, dict]] = {k: {} for k in ops}
+    for scale in (1, replicas):
+        if scale == 1:
+            docs = base
+        else:
+            docs = salted(0)
+            for k in range(1, scale):
+                docs = docs.unionByName(salted(k))
+        docs = docs.repartition(32).persist()
+        n = docs.count()  # materialize BEFORE timing the operators
+        for name, fn in ops.items():
+            best, pairs = None, None
+            for _ in range(2):  # best-of-2: first run pays codegen
+                t0 = time.perf_counter()
+                pairs = fn(docs).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            row = {
+                "op": name,
+                "n_docs": n,
+                "scale": scale,
+                "secs": round(best, 2),
+                "pairs": pairs,
+                "pairs_per_sec": round(pairs / best, 1),
+            }
+            results[name][scale] = row
+            print("PAIRSCALE " + json.dumps(row), flush=True)
+        docs.unpersist()
+
+    ok = True
+    for name in ops:
+        lo, hi = results[name][1], results[name][replicas]
+        # cost-tracks-output acceptance: throughput (pairs/sec) at the
+        # big point within ~2x of the small point, either direction
+        r = hi["pairs_per_sec"] / max(1e-9, lo["pairs_per_sec"])
+        verdict = "OK" if 0.5 <= r else "DEGRADED"
+        if r < 0.5:
+            ok = False
+        print(
+            f"PAIRSCALE_RATIO {name}: {lo['n_docs']}→{hi['n_docs']} docs, "
+            f"pairs {lo['pairs']}→{hi['pairs']} "
+            f"({hi['pairs'] / max(1, lo['pairs']):.1f}x), "
+            f"secs {lo['secs']}→{hi['secs']}, "
+            f"throughput ratio {r:.2f} [{verdict}]"
+        )
+    print("OK: cost tracks output size at the 500k decade" if ok
+          else "DEGRADED: a pair operator lost >2x throughput at scale")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
