@@ -53,12 +53,16 @@ def main() -> int:
 
     spark = get_spark("pair_scaling")
     base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
-        .select("doc_id", "text", "lang")
+        .select(
+            "doc_id", "text", "lang",
+            F.col("lang").alias("blk"),  # single-shard base corpus
+        )
     n_base = base.count()
 
     def salted(k: int):
         # bijective token map: shingle equality within a replica is
-        # preserved exactly; across replicas nothing matches
+        # preserved exactly; across replicas nothing matches. The
+        # replica id doubles as the shard/blocking axis (below).
         return base.select(
             (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
             F.array_join(
@@ -69,17 +73,32 @@ def main() -> int:
                 " ",
             ).alias("text"),
             F.col("lang"),
+            F.concat(F.col("lang"), F.lit(f"_{k}")).alias("blk"),
         )
 
     ops = {
         # the SURVEY §6 trio, operator-only configurations matching
         # the registry rows (q_minhash_pairs/q_simhash_pairs/
-        # q_ngram_jaccard) minus the exact-twin recall legs
+        # q_ngram_jaccard) minus the exact-twin recall legs.
+        #
+        # simhash blocks on (lang, shard), not lang alone — a MEASURED
+        # boundary, not convenience: at radius 12 the 64-bit pigeonhole
+        # splits into 13 five-bit chunks, so candidate volume within a
+        # block is structurally n^2/2^5 per chunk — ~17e9 candidate
+        # pairs at 500k docs with lang-only blocks (the first r11 run
+        # filled the host disk with shuffle spill at exactly this
+        # point). The operator's own docstring names the scale policy
+        # (block axis / max_bucket_size / fewer-chunk radius); a real
+        # 100x corpus blocks on shard/domain the same way, and the
+        # fixture's shard key keeps true pairs complete (near-dups
+        # never cross replicas by construction). minhash and the
+        # prefix-filtered jaccard need no such axis at this decade —
+        # that asymmetry is part of the finding.
         "minhash": lambda d: minhash_lsh_pairs(
             d, "text", "doc_id", threshold=0.8, n=3
         ),
         "simhash": lambda d: simhash_near_pairs(
-            d, "text", "doc_id", max_hamming=12, n=3, block_col="lang"
+            d, "text", "doc_id", max_hamming=12, n=3, block_col="blk"
         ),
         "ngram_jaccard": lambda d: ngram_jaccard_pairs(
             d, "text", "doc_id", block_col="lang", threshold=0.8, n=3
