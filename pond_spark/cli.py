@@ -1121,7 +1121,13 @@ _PIPELINE_USAGE = (
     "  run extra gate flags: [--emb-verify-cos=C] exact-cosine verified\n"
     "         gate (persists vectors); [--emb-max-overshoot=F] refuse a\n"
     "         verify-less gate whose predicted false-drop rate exceeds F;\n"
-    "         [--emb-store-vectors] store vectors without verifying yet"
+    "         [--emb-store-vectors] store vectors without verifying yet.\n"
+    "         With the verified gate and no explicit --emb-nbits /\n"
+    "         --emb-vector-buckets, curate_run derives the sized+bucketed\n"
+    "         configuration from the day-1 input count, pins it in the\n"
+    "         manifest, and adopts the catalog's stored params on later\n"
+    "         days (round-11 default; measured 0.525x the saturated\n"
+    "         day-2 cost at 10M/day)"
 )
 
 
