@@ -420,7 +420,17 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
     ``embedding`` via emb_col. ``emb_verify_cos`` implies the VERIFIED
     gate, which needs the vector sibling store
     (``emb_store_vectors``, defaulted on when a verify threshold is
-    configured)."""
+    configured).
+
+    Sizing keys absent from ``extra`` ADOPT an existing catalog's
+    params sidecar (round 11): a catalog built through curate_run's
+    derived sizing (e.g. nbits=30 at 10M/day) must reopen identically
+    from a flag-less streaming run — the pre-r11 literal defaults
+    (nbits=8) would refuse at open with a params mismatch. Explicit
+    keys still win (and still refuse a genuine mismatch)."""
+    import json as _json
+
+    from pond_spark.catalog import _fs_for
     from pond_spark.similarity.catalog import EmbeddingCatalog
 
     x = config.extra
@@ -429,6 +439,17 @@ def _embedding_catalog(spark, path: str, config: CurationConfig):
             "embedding_catalog_path needs config.extra['emb_dim'] "
             "(the hyperplane shape is pinned per catalog)"
         )
+    if "emb_nbits" not in x or "emb_vector_buckets" not in x:
+        fs = _fs_for(spark, path)
+        sidecar = path + ".params.json"
+        if fs.exists(sidecar):
+            stored = _json.loads(fs.read_text(sidecar))
+            x = dict(x)
+            x.setdefault("emb_nbits", int(stored["nbits"]))
+            svb = stored.get("vector_buckets")
+            x.setdefault(
+                "emb_vector_buckets", int(svb) if svb else None
+            )
     vb = x.get("emb_vector_buckets")
     return EmbeddingCatalog(
         spark,

@@ -807,6 +807,26 @@ def test_curate_run_derives_sized_bucketed_verified_gate(spark, tmp_path):
     man2 = json.loads((tmp_path / "w2" / "manifest.json").read_text())
     assert man2["config"]["extra"]["emb_nbits"] == want_nbits
 
+    # a flag-less STREAMING run against the derived catalog adopts the
+    # stored sizing too (round 11: the pre-r11 literal default nbits=8
+    # would refuse at open with a params mismatch); only the cost
+    # dials adopt — semantic dials (store_vectors) still refuse
+    from pond_spark.pipeline import curate_foreach_batch
+
+    sink: list = []
+    apply = curate_foreach_batch(
+        lambda df, bid: sink.append(df.count()),
+        cfg, text_col="text", id_col="doc_id",
+        embedding_catalog_path=cat,
+    )
+    apply(spark.createDataFrame(
+        # alternating signs: orthogonal to the registered [1.0]*16
+        # (a [0.5]*16 vector would be a genuine cosine-1.0 near-dup
+        # and the verified gate would rightly drop it)
+        [(200, good + "streamed", [0.5, -0.5] * 8)], schema
+    ), 0)
+    assert sink == [1]
+
     # explicit sizing wins over derivation
     cat3 = str(tmp_path / "ecat3")
     cfg3 = CurationConfig(
