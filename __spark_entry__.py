@@ -966,14 +966,26 @@ def q_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL bias dominates); the oracle recomputes the exact counts and
     expects every flag true. A drifting sketch turns the row red."""
     logs = events_as_logs(spark, sf_dir)
-    return (
+    # two-level aggregation (r11, guide §2.3): countDistinct mixed with
+    # a non-distinct aggregate planned an Expand (×2 row duplication
+    # before the exchange). Dedup (day, site, host) first — map-side
+    # partial — then count the deduped rows; the HLL sketch is
+    # duplicate-insensitive (registers are max-folds of per-value
+    # hashes), so approx_count_distinct over the deduped frame is
+    # bit-identical to the old plan's estimate.
+    dedup = (
         logs.filter(F.col("timestamp").isNotNull())
-        .groupBy(
+        .select(
             F.date_trunc("day", F.col("timestamp")).alias("day"),
             F.col("site"),
+            F.col("remote_host"),
         )
+        .distinct()
+    )
+    return (
+        dedup.groupBy("day", "site")
         .agg(
-            F.countDistinct("remote_host").alias("uniques"),
+            F.count("remote_host").alias("uniques"),
             F.approx_count_distinct("remote_host", rsd=0.02).alias("_est"),
         )
         .select(
@@ -1429,12 +1441,14 @@ BPE_MERGES = 12
 BPE_SAMPLE = 20
 
 
-@functools.lru_cache(maxsize=4)
 def _bpe_merges_cached(sf_dir: str) -> tuple:
-    """Train once per sf_dir per process: q_bpe_vocab and
-    q_bpe_tokenize share the merge chain (the IVF shared-builder
-    pattern — duplicate training is pure recompute). Returns plain
-    (rank, left, right, pair_count) tuples, valid across sessions."""
+    """Train the merge chain from the parquet input. The r6–r10
+    ``lru_cache`` memo keyed on sf_dir is GONE (r11): a module-level
+    memo of results means the second bench sample (and the sibling
+    query) skips training entirely — exactly the cross-invocation
+    result caching the optimization rules ban. Every invocation now
+    recomputes from the corpus; the 12-row collect is the bounded
+    per-iteration argmax the operator already does."""
     from pond_spark.functions.bpe import bpe_train
     from pyspark.sql import SparkSession as _S
 
@@ -4840,25 +4854,25 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "range_join": (q_range_join, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "media_meta": (q_media_meta, MEDIA_META_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # promoted into the r11 window: functions/lm.py closure changed (r11 optimization pass)
+    "near_dup_groups": (q_near_dup_groups, None),  # promoted into the r11 window: dedup/ngram.py closure changed (r11 optimization pass)
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # promoted into the r11 window: dedup/lines.py closure changed (r11 optimization pass)
+    "tfidf_keywords": (q_tfidf_keywords, None),  # promoted into the r11 window: functions/tfidf.py closure changed (r11 optimization pass)
+    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # promoted into the r11 window: dedup/substr.py closure changed (r11 optimization pass)
     "cusum_alerts": (q_cusum_alerts, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "unimax_mixture": (q_unimax_mixture, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "pagerank_top": (q_pagerank_top, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "stats": (q_stats, STATS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "time_sugar": (q_time_sugar, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "time_today": (q_time_today, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "bm25_search": (q_bm25_search, None),  # promoted into the r11 window: functions/bm25.py closure changed (r11 optimization pass)
+    "hybrid_search": (q_hybrid_search, None),  # promoted into the r11 window: functions/bm25.py closure changed (r11 optimization pass)
+    "nb_classify": (q_nb_classify, None),  # promoted into the r11 window: functions/nbayes.py closure changed (r11 optimization pass)
+    "nb_confusion": (q_nb_confusion, None),  # promoted into the r11 window: functions/nbayes.py closure changed (r11 optimization pass)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "host_generator_uri": (q_host_generator_uri, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "method_filter": (q_method_filter, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "pricing_summary": (q_pricing_summary, PRICING_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "age_only": (q_age_only, AGE_ONLY_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # promoted into the r11 window: entry closure changed (Expand-free two-level agg, r11 optimization pass)
     "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "kanon_export": (q_kanon_export, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "quality_outliers": (q_quality_outliers, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
@@ -4871,7 +4885,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vocab_stats": (q_vocab_stats, VOCAB_STATS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     # ---- window boundary (index 50): everything below is green on --
     # ---- files unchanged since its last attestation (legit carry) --
-    "perplexity": (q_perplexity, PERPLEXITY_SQL),  # r8-driver-green carry (lm module unchanged; traded for embedding_near_pairs' changed closure)
+    "media_decode": (q_media_decode, MEDIA_DECODE_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (multimodal module unchanged by the optimization pass)
     "ann_pq_topk": (q_ann_pq_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "embedding_topk": (q_embedding_topk, EMBEDDING_TOPK_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "knn_join": (q_knn_join, KNN_JOIN_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
@@ -4879,6 +4893,15 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "psl_domains": (q_psl_domains, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "pii_scrub": (q_pii_scrub, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "media_dhash_pairs": (q_media_dhash_pairs, MEDIA_DHASH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "media_audio_features": (q_media_audio_features, MEDIA_AUDIO_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (multimodal module unchanged by the optimization pass)
+    "media_decode_jpeg": (q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (multimodal module unchanged by the optimization pass)
+    "media_decode_real": (q_media_decode_real, MEDIA_DECODE_REAL_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (multimodal module unchanged by the optimization pass)
+    "media_meta": (q_media_meta, MEDIA_META_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (multimodal module unchanged by the optimization pass)
+    "time_sugar": (q_time_sugar, None),  # r11-rotation row demoted in trade for the r11-opt promotions (timeparse module unchanged by the optimization pass)
+    "time_today": (q_time_today, None),  # r11-rotation row demoted in trade for the r11-opt promotions (timeparse module unchanged by the optimization pass)
+    "host_generator_uri": (q_host_generator_uri, None),  # r11-rotation row demoted in trade for the r11-opt promotions (filters module unchanged by the optimization pass)
+    "method_filter": (q_method_filter, None),  # r11-rotation row demoted in trade for the r11-opt promotions (filters module unchanged by the optimization pass)
+    "age_only": (q_age_only, AGE_ONLY_SQL),  # r11-rotation row demoted in trade for the r11-opt promotions (accumulate module unchanged by the optimization pass)
     "pack_shards": (q_pack_shards, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "fingerprint": (q_fingerprint, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
@@ -4892,7 +4915,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "anonymize": (q_anonymize, ANONYMIZE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "event_transitions": (q_event_transitions, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "chunk_documents": (q_chunk_documents, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
-    "near_dup_groups": (q_near_dup_groups, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "mixture": (q_mixture, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "corpus_profile": (q_corpus_profile, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
@@ -4907,7 +4929,6 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
-    "hybrid_search": (q_hybrid_search, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r9-driver-green carry
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # r9-driver-green carry
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # r9-driver-green carry
@@ -4919,19 +4940,12 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_quantiles": (q_value_quantiles, VALUE_QUANTILES_SQL),  # r9-driver-green carry
     "value_quantiles_approx": (q_value_quantiles_approx, VALUE_QUANTILES_APPROX_SQL),  # r9-driver-green carry
     "daily_uniques": (q_daily_uniques, DAILY_UNIQUES_SQL),  # r9-driver-green carry
-    "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # r9-driver-green carry
     "promo_revenue": (q_promo_revenue, PROMO_REVENUE_SQL),  # r9-driver-green carry
     "time_rollup": (q_time_rollup, TIME_ROLLUP_SQL),  # r9-driver-green carry
     "site_delta": (q_site_delta, SITE_DELTA_SQL),  # r9-driver-green carry
     "rollup_hierarchy": (q_rollup_hierarchy, ROLLUP_HIERARCHY_SQL),  # r9-driver-green carry
-    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # r9-driver-green carry
-    "tfidf_keywords": (q_tfidf_keywords, None),  # r8-driver-green carry
-    "bm25_search": (q_bm25_search, None),  # r8-driver-green carry
-    "nb_classify": (q_nb_classify, None),  # r8-driver-green carry
-    "nb_confusion": (q_nb_confusion, None),  # r8-driver-green carry
     "text_stats": (q_text_stats, None),  # r8-driver-green carry
     "lang_id": (q_lang_id, None),  # r8-driver-green carry
-    "substring_strip": (q_substring_strip, SUBSTRING_STRIP_SQL),  # r8-driver-green carry
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # r8-driver-green carry
     "temperature_mixture": (q_temperature_mixture, None),  # r8-driver-green carry
     "corpus_drift": (q_corpus_drift, None),  # r8-driver-green carry

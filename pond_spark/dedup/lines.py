@@ -119,7 +119,12 @@ def strip_duplicate_lines(
         lines = chunk_paragraphs(df, text_col, id_col, words_per_chunk)
     else:
         lines = split_lines(df, text_col, id_col, delimiter)
-    lines = lines.withColumn("line_hash", F.xxhash64(F.col("line")))
+    # the line frame feeds the duplicate table, the anti-join AND the
+    # per-doc totals; persist so the split/chunk explode runs once
+    # (guide §2.4 — no cross-branch CSE). Lifecycle: session pin,
+    # cleared by loop drivers (bench.py clearCache), the ngram-pin
+    # contract.
+    lines = lines.withColumn("line_hash", F.xxhash64(F.col("line"))).persist()
     dup = duplicate_line_table(lines, id_col, min_docs)
     kept = lines.join(dup, on="line_hash", how="left_anti")
     sep = " " if words_per_chunk is not None else delimiter

@@ -29,14 +29,23 @@ from pond_spark.util import fan_out
 
 
 def gram_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, _grams): sorted distinct xxhash64 of word n-grams."""
+    """(id, *carry_cols, _grams): sorted distinct xxhash64 of word
+    n-grams. ``carry_cols`` are projected through the gram stage so a
+    blocked caller doesn't need a join to re-attach them (the join was
+    a whole SortMergeJoin + two Exchanges in the persisted base of
+    every pair-family query — guide §2.4, r11)."""
     # two-stage: materialize the token array once, then gram it — an
     # inline split inside the transform lambda is re-derived per gram
     # position (HOF-vs-CSE trap, PERF_NOTES.md)
     staged = fan_out(df).select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         _words(F.col(text_col)).alias("_t"),
     )
     toks = F.col("_t")
@@ -46,7 +55,9 @@ def gram_hashes(
     hashed = F.array_sort(
         F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
     )
-    return staged.select(F.col(id_col), hashed.alias("_grams"))
+    return staged.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], hashed.alias("_grams")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -58,11 +69,11 @@ def ngram_jaccard_pairs(
     n: int = 1,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= tau."""
-    base = gram_hashes(df, text_col, id_col, n)
+    base = gram_hashes(
+        df, text_col, id_col, n, carry_cols=(block_col,) if block_col else ()
+    )
     if block_col:
-        base = base.join(
-            df.select(F.col(id_col), F.col(block_col).alias("_blk")), id_col
-        )
+        base = base.withColumnRenamed(block_col, "_blk")
     # feeds three branches (prefix explode + both verify sides); persist
     # so the scan + gram hashing run once. Lifecycle: the pin lives
     # until the session drops it; loop drivers clearCache between

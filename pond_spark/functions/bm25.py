@@ -78,20 +78,52 @@ def bm25_search(
     ``(doc_id, n_terms, score_q)`` — integer columns, ties by id."""
     if not query_terms:
         raise ValueError("bm25_search needs at least one query term")
-    terms = [t.lower() for t in query_terms]
+    # dedupe while preserving order: a repeated query term must count
+    # once, exactly as the old groupBy(word) made it
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
     w = docs.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
     )
-    dl = w.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE pass over the exploded tokens (r11, guide §2.3/§2.4): the old
+    # shape exploded the corpus twice (doc-length pass + term-frequency
+    # pass) and shuffled a (doc, word) key; the query terms are a fixed
+    # small list, so per-term TFs fold into the same map-side-combined
+    # per-doc aggregation as the doc length — one explode, one id-keyed
+    # exchange, then a bounded ×|terms| unpivot. Persisted: feeds the
+    # corpus stats AND the scoring frame (session pin, ngram contract).
+    per_doc = (
+        w.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("word") == t).cast("long")).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .persist()
+    )
+    stats = per_doc.agg(
         F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
     )
-    tf = (
-        w.filter(F.col("word").isin(terms))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfc = tf.groupBy("word").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    tf = per_doc.select(
+        F.col(id_col),
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("word"), F.col(f"_tf{i}").alias("tf")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ).alias("_wt"),
+    ).select(
+        F.col(id_col), "dl", F.col("_wt.word").alias("word"),
+        F.col("_wt.tf").alias("tf"),
+    ).filter(F.col("tf") > 0)
+    # the DF table is at most |terms| rows — broadcast it
+    dfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     contrib_q = bm25_contribution_q(
@@ -99,8 +131,7 @@ def bm25_search(
     )
 
     scored = (
-        tf.join(dfc, "word")
-        .join(dl, id_col)
+        tf.join(F.broadcast(dfc), "word")
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), contrib_q.alias("cq"))
     )

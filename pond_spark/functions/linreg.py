@@ -83,7 +83,12 @@ def linreg_outliers(
         F.col(y_col).cast("long").alias("y"),
     ).filter(
         F.col("x1").isNotNull() & F.col("x2").isNotNull() & F.col("y").isNotNull()
-    )
+    ).persist()
+    # persisted (r11, guide §2.4): the feature frame feeds BOTH the
+    # model's sample aggregation and the full-corpus scoring pass —
+    # unpinned, the caller's feature expressions (regex token counts)
+    # ran twice. Four longs per doc; session pin, cleared by loop
+    # drivers (the ngram-pin contract).
     sample = rows.filter(F.col("doc") % sample_mod == 0)
 
     def s(e: Column) -> Column:

@@ -85,12 +85,24 @@ def perplexity(
     tables — correct whenever the LM comes from a bounded reference
     corpus (the CCNet setup).
     """
-    bigrams, unigrams, vocab = lm if lm is not None else bigram_lm(
-        df, text_col, id_col
-    )
+    if lm is not None:
+        bigrams, unigrams, vocab = lm
+        pairs = _doc_bigrams(df, text_col, id_col)
+    else:
+        # self-trained: the scoring pairs ARE the training pairs —
+        # persist the bigram explode so it runs once instead of twice,
+        # and pin the (vocab-sized) unigram table, which feeds both the
+        # vocab count and the scoring join (r11, guide §2.4; session
+        # pins, cleared by loop drivers — the ngram-pin contract)
+        pairs = _doc_bigrams(df, text_col, id_col).persist()
+        bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        words = df.select(F.explode(_words(F.col(text_col))).alias("w1"))
+        unigrams = words.groupBy("w1").agg(
+            F.count(F.lit(1)).alias("c1")
+        ).persist()
+        vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
     if broadcast_lm:
         bigrams, unigrams = F.broadcast(bigrams), F.broadcast(unigrams)
-    pairs = _doc_bigrams(df, text_col, id_col)
     scored = (
         pairs.join(bigrams, on=["w1", "w2"], how="left")
         .join(unigrams, on="w1", how="left")

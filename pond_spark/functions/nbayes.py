@@ -81,10 +81,18 @@ def nb_classify(
         F.col(label_col).alias("cls"),
         F.explode(_words(F.col(text_col))).alias("word"),
     )
-    # per-class token totals + vocabulary size (one small dim each)
-    counts = tw.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    totals = tw.groupBy("cls").agg(F.count(F.lit(1)).alias("total_c"))
-    vocab = tw.select(F.count_distinct("word").alias("v"))
+    # ONE pass over the exploded train tokens (r11, guide §2.3/§2.4):
+    # totals and vocab are exact rollups OF the (cls, word) count table
+    # (sum of cnt per class == token total; distinct words == count-
+    # table words), so the old three independent aggregations — each
+    # re-running the scan+explode — collapse into one. Persisted: the
+    # count table feeds totals, vocab AND the scoring map (session pin,
+    # cleared by loop drivers — the ngram-pin contract).
+    counts = (
+        tw.groupBy("cls", "word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    totals = counts.groupBy("cls").agg(F.sum("cnt").alias("total_c"))
+    vocab = counts.select(F.count_distinct("word").alias("v"))
     # priors from per-class doc counts
     cls_docs = train.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("n_docs_c")
@@ -107,22 +115,50 @@ def nb_classify(
         F.col(label_col).alias("label"),
         F.explode(_words(F.col(text_col))).alias("word"),
     )
+    # score per DISTINCT (doc, word) instead of per token×class (r11,
+    # guide §2.3): sum over tokens of logq(word, cls) equals the sum
+    # over distinct words of occurrences × logq — exact BIGINT either
+    # way. The big join input shrinks from |test tokens| × |classes|
+    # rows to |distinct (doc, word)| rows, the count table collapses
+    # to one row per word (class → cnt map), and the ×|classes|
+    # fan-out happens AFTER the join, on the aggregated frame.
+    sw2 = sw.groupBy(id_col, "label", "word").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    # NULL-class rows can't be map keys; the old (cls, word) equi-join
+    # never matched them either, so dropping them is exactly equivalent
+    wmap = (
+        counts.filter(F.col("cls").isNotNull())
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cls"), F.col("cnt")))
+            ).alias("_m")
+        )
+    )
     scored = (
-        sw.crossJoin(F.broadcast(classes))
-        .join(counts, ["cls", "word"], "left")
+        sw2.join(wmap, "word", "left")
+        .crossJoin(F.broadcast(classes))
         .select(
             F.col(id_col),
             "label",
             "cls",
             "prior_q",
-            _logq(
-                F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1),
-                F.col("total_c") + F.col("v"),
-            ).alias("logq"),
+            F.col("_k"),
+            (
+                F.col("_k")
+                * _logq(
+                    F.coalesce(
+                        F.element_at(F.col("_m"), F.col("cls")), F.lit(0)
+                    )
+                    + F.lit(1),
+                    F.col("total_c") + F.col("v"),
+                )
+            ).alias("logq_k"),
         )
     )
     per_class = scored.groupBy(id_col, "label", "cls", "prior_q").agg(
-        F.sum("logq").alias("sum_logq"), F.count(F.lit(1)).alias("n_tokens")
+        F.sum("logq_k").alias("sum_logq"), F.sum("_k").alias("n_tokens")
     )
     win = Window.partitionBy(id_col).orderBy(
         (F.col("prior_q") + F.col("sum_logq")).desc(), F.col("cls").asc()

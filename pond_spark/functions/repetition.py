@@ -52,11 +52,16 @@ def repetition_metrics(
     hashing; empty documents score 0.0 everywhere.
     """
     kept = F.col(id_col)
-    staged = df.select(
+    # persisted (r11, guide §2.4): the tokenized frame feeds BOTH the
+    # single-pass metric projection and the top-n-gram explode branch —
+    # unpinned, the scan + split ran twice. Session pin, cleared by
+    # loop drivers (the ngram-pin contract).
+    tokenized = df.select(
         kept,
         F.length(F.col(text_col)).cast("double").alias("_nchars"),
         _words(F.col(text_col)).alias("_w"),
-    ).select(
+    ).persist()
+    staged = tokenized.select(
         kept,
         F.col("_nchars"),
         F.col("_w"),
@@ -85,11 +90,9 @@ def repetition_metrics(
         ).alias(f"dup_{dup_ngram}gram_frac"),
     )
     # top-n-gram coverage: explode + two groupBys, linear in doc length
-    # (split staged first — HOF-vs-CSE trap, PERF_NOTES.md)
-    grams = df.select(
-        kept, _words(F.col(text_col)).alias("_gw")
-    ).select(
-        kept, F.explode(_word_ngrams(F.col("_gw"), top_ngram)).alias("gram")
+    # (re-uses the persisted tokenized frame — no second scan/split)
+    grams = tokenized.select(
+        kept, F.explode(_word_ngrams(F.col("_w"), top_ngram)).alias("gram")
     )
     # argmax by count (NOT max over count*length: a longer but rarer
     # gram must not win) — struct-max gives a deterministic tie-break

@@ -55,10 +55,17 @@ def tfidf_keywords(
     w = docs.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
     )
-    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: tf feeds BOTH the document-frequency rollup and the
+    # scoring join — and df is derived FROM tf (count of (doc, word)
+    # rows per word == count_distinct(doc) per word, exactly), so the
+    # corpus is exploded once instead of twice and the DF aggregation
+    # runs over the (much smaller) per-doc term table (guide §2.3/§2.4).
+    # Lifecycle: session pin, cleared by loop drivers (the ngram-pin
+    # contract).
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfc = (
-        w.groupBy("word")
-        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
     ndocs = docs.select(F.count_distinct(F.col(id_col)).alias("n_docs"))

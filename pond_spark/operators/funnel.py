@@ -19,6 +19,7 @@ hash-stability rule — no float ratios in hashed output).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,7 +43,6 @@ def funnel(
     user count (integer division)."""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    spark = events.sparkSession
     frontier = (
         events.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
@@ -55,10 +55,23 @@ def funnel(
         )
     # each frontier is both counted AND joined by the next step —
     # persist it so counting step i doesn't re-execute the whole
-    # prefix chain (unpersisted, K steps would re-run O(K²) scans)
-    frontiers = [frontier.persist()]
-    counts = [frontier.count()]
-    for step in steps[1:]:
+    # prefix chain (unpersisted, K steps would re-run O(K²) scans).
+    # r11 (guide §5): the per-step counts are LAZY one-row aggregates
+    # unioned into a single plan instead of K eager .count() driver
+    # actions — one job instead of K sequential job launches, no
+    # driver-side result assembly. Pins follow the session-lifecycle
+    # contract (loop drivers clearCache between queries).
+    frontier = frontier.persist()
+
+    def step_count(i: int, s: str, f: DataFrame) -> DataFrame:
+        return f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+
+    counts = [step_count(0, steps[0], frontier)]
+    for i, step in enumerate(steps[1:], start=1):
         nxt = (
             events.filter(F.col(type_col) == step)
             .select(user_col, F.col(ts_col).alias("_ts"))
@@ -73,17 +86,16 @@ def funnel(
             # deterministic way to carry it through the aggregate
             agg.append(F.min("_deadline").alias("_deadline"))
         frontier = nxt.groupBy(user_col).agg(*agg).persist()
-        frontiers.append(frontier)
-        counts.append(frontier.count())
-    for f in frontiers:  # counts are materialized; release the pins
-        f.unpersist()
-    base = counts[0] or 1
-    rows = [
-        (i + 1, s, n, n * 1_000_000 // base)
-        for i, (s, n) in enumerate(zip(steps, counts))
-    ]
-    return spark.createDataFrame(
-        rows, "step_idx int, step string, n_users long, conversion_ppm long"
+        counts.append(step_count(i, step, frontier))
+    all_counts = reduce(lambda a, b: a.unionByName(b), counts)
+    base = counts[0].select(
+        F.greatest(F.col("n_users"), F.lit(1)).alias("_base")
+    )
+    return all_counts.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.expr("n_users * 1000000 div _base").alias("conversion_ppm"),
     )
 
 

@@ -65,22 +65,36 @@ def kanonymize_counts(
             F.count(F.lit(1)).alias("n"), basis
         )
 
-    g = agg_at(df, list(dims))
+    # persisted (r11, guide §2.4): the group-level aggregate feeds the
+    # keep/suppress split AND (via sup) both suppressed_rows() call
+    # sites — unpinned, every consumer re-ran the full input
+    # aggregation. Group-cardinality-sized, tiny. Session pin, cleared
+    # by loop drivers (the ngram-pin contract).
+    g = agg_at(df, list(dims)).persist()
     keep = g.filter(F.col("_basis") >= k).select(*dims, "n")
     sup = g.filter(F.col("_basis") < k)
 
     lead, trail = dims[0], list(dims[1:])
 
+    _sr_cache: list[DataFrame] = []
+
     def suppressed_rows() -> DataFrame:
         """Input rows belonging to suppressed groups (null-safe keys,
-        broadcast — the rare-combo key set is small by definition)."""
+        broadcast — the rare-combo key set is small by definition).
+        Persisted on first use: with ``protect`` + trailing dims it is
+        consumed by BOTH the generalized re-aggregation and the
+        catchall basis (two full input scans without the pin)."""
+        if _sr_cache:
+            return _sr_cache[0]
         cond = reduce(
             lambda a, b: a & b,
             [df[d].eqNullSafe(sup[d]) for d in dims],
         )
-        return df.alias("_raw").join(
+        sr = df.alias("_raw").join(
             F.broadcast(sup.select(*dims)), cond, "left_semi"
-        )
+        ).persist()
+        _sr_cache.append(sr)
+        return sr
 
     if trail:
         if protect:
