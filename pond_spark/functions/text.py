@@ -241,7 +241,12 @@ def quality_keep_ids(
     derived ratios equal quality_metrics'/the DuckDB twin's to the
     last bit. Three narrow shuffles on the id, map-side combined.
     """
-    staged = df.select(F.col(id_col), _words(F.col(text_col)).alias("_w"))
+    # persisted (r11, guide §2.4): the tokenized frame feeds BOTH the
+    # word and the bigram explode — unpinned, the scan + split ran
+    # twice. Session pin, cleared by loop drivers (ngram-pin contract).
+    staged = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_w")
+    ).persist()
     w = staged.select(F.col(id_col), F.explode("_w").alias("word"))
     agg_w = w.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_nw"),
@@ -253,9 +258,15 @@ def quality_keep_ids(
     bi = staged.select(
         F.col(id_col), F.explode(_word_ngrams(F.col("_w"), 2)).alias("g")
     )
-    agg_b = bi.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_nbi"),
-        F.count_distinct(F.col("g")).alias("_dbi"),
+    # two-level aggregation (r11, guide §2.3): count + count_distinct
+    # in one agg planned an Expand (×2 duplication of the exploded
+    # bigram stream); per-(id, gram) partials first — map-side combined
+    # — then an exact rollup (sum == bigram count, row count ==
+    # distinct bigrams; grams are never NULL).
+    bc = bi.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("_k"))
+    agg_b = bc.groupBy(id_col).agg(
+        F.sum("_k").alias("_nbi"),
+        F.count(F.lit(1)).alias("_dbi"),
     )
     j = agg_w.join(agg_b, on=id_col)
     nw = F.col("_nw").cast("double")

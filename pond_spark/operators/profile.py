@@ -36,15 +36,30 @@ def corpus_profile(
     mass — ``count_distinct`` excludes NULL digests, so the NULL-doc
     count is added back explicitly in both engines."""
     t = F.col(text_col)
+    # two-level aggregation (r11, guide §2.3): count_distinct mixed
+    # with plain sums planned an Expand (×2 duplication of the input
+    # rows before the exchange). Aggregate per (group, digest) first —
+    # map-side combined — then roll up: sum of per-digest counts/sums
+    # reproduces every total exactly, a non-null digest row contributes
+    # 1 unique, and the NULL-digest row contributes its doc count (the
+    # NULL-as-unique rule, one each).
+    per_digest = docs.groupBy(
+        *group_cols, F.sha2(t, 256).alias("_dg")
+    ).agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(token_count(t)).alias("_nt"),
+        F.sum(F.length(t)).alias("_nc"),
+    )
     return (
-        docs.groupBy(*group_cols)
+        per_digest.groupBy(*group_cols)
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(t)).alias("n_tokens"),
-            F.sum(F.length(t)).alias("n_chars"),
-            (
-                F.count_distinct(F.sha2(t, 256))
-                + F.sum(F.when(t.isNull(), 1).otherwise(0))
+            F.sum("_nd").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum("_nc").alias("n_chars"),
+            F.sum(
+                F.when(F.col("_dg").isNull(), F.col("_nd")).otherwise(
+                    F.lit(1).cast("long")
+                )
             ).alias("n_unique"),
         )
         .withColumn(
