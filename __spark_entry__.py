@@ -1275,13 +1275,27 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pond_spark.functions.text import fingerprint
 
     docs = _documents(spark, sf_dir).filter(F.col("text").isNotNull())
-    keyed = _fan(docs).select(
-        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    # persist (r11, guide §1.2/§5): the fingerprinted frame feeds THREE
+    # branches (bloom build, probe side, exact-membership join) and
+    # Spark has no cross-branch CSE — without the pin the docs scan +
+    # regex fingerprint pass ran three times. Narrow columns only
+    # (doc_id, source, fp). Lifecycle: the pin lives until the session
+    # drops it — loop drivers (bench.py, oracle_check) clearCache
+    # between queries, the same documented contract as the stats/
+    # minhash pins.
+    keyed = (
+        _fan(docs)
+        .select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+        .persist()
     )
+    # blocklist is consumed twice (bitmap build + true-member join);
+    # pinning it saves the distinct's exchange the second time. ≤|docs|
+    # long keys — tiny.
     blocklist = (
         keyed.filter(F.col("source").isin(*BLOOM_SOURCES))
         .select(F.col("fp").alias("key"))
         .distinct()
+        .persist()
     )
     bloom = build_bloom(blocklist, "key", BLOOM_M, BLOOM_K)
     marked = mark_membership(keyed, bloom, "fp", BLOOM_M, BLOOM_K)
@@ -1566,11 +1580,25 @@ def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(
         F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
     )
-    total = base.agg(F.sum("n_chars").cast("long")).collect()[0][0] or 0
+    # shared per-language sizes frame (r11, guide §1.2): the old shape
+    # scanned documents.parquet FOUR times (budget total, quotas'
+    # sizes, select's quotas' sizes, select's keyed pass) and ran the
+    # waterfilling windows twice. Aggregate (lang, size) once, pin it
+    # (L rows — tiny), derive the budget total from it (Σ per-lang
+    # sums ≡ the flat sum over the same filter), and hand the same
+    # frame/quotas to both consumers: two scans, one window chain.
+    # Pin lifecycle: dropped by the loop drivers' clearCache, the
+    # documented stats/minhash contract.
+    sizes = (
+        base.groupBy(F.col("lang"))
+        .agg(F.sum("n_chars").cast("long").alias("size"))
+        .persist()
+    )
+    total = sizes.agg(F.sum("size").cast("long")).collect()[0][0] or 0
     budget = total // 2
-    quotas = unimax_quotas(docs, budget, UNIMAX_EPOCHS)
+    quotas = unimax_quotas(docs, budget, UNIMAX_EPOCHS, sizes=sizes)
     sel = (
-        unimax_select(docs, budget, UNIMAX_EPOCHS)
+        unimax_select(docs, budget, UNIMAX_EPOCHS, quotas=quotas)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sel"),
@@ -4869,8 +4897,8 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "substring_dup": (q_substring_dup, SUBSTRING_DUP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "simhash_pairs": (q_simhash_pairs, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "minhash_pairs": (q_minhash_pairs, NGRAM_JACCARD_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "range_join": (q_range_join, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "geoip": (q_geoip, GEOIP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "bloom_prefilter": (q_bloom_prefilter, None),  # promoted into the r11 window: entry closure changed (shared fingerprint pin, r11 optimization pass)
+    "kmv_churn": (q_kmv_churn, None),  # promoted into the r11 window: operators/kmv.py closure changed (bottom-k pin, r11 optimization pass)
     "perplexity": (q_perplexity, PERPLEXITY_SQL),  # promoted into the r11 window: functions/lm.py closure changed (r11 optimization pass)
     "near_dup_groups": (q_near_dup_groups, None),  # promoted into the r11 window: dedup/ngram.py closure changed (r11 optimization pass)
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),  # promoted into the r11 window: dedup/lines.py closure changed (r11 optimization pass)
@@ -4890,7 +4918,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # promoted into the r11 window: entry closure changed (Expand-free two-level agg, r11 optimization pass)
-    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "corpus_drift": (q_corpus_drift, None),  # promoted into the r11 window: operators/drift.py closure changed (per-bucket pin, r11 optimization pass)
     "kanon_export": (q_kanon_export, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "quality_outliers": (q_quality_outliers, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "ann_ivf_topk": (q_ann_ivf_topk, None),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
@@ -4922,7 +4950,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_shards": (q_pack_shards, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "fingerprint": (q_fingerprint, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "dhash_exact_pairs": (q_dhash_exact_pairs, MEDIA_DHASH_EXACT_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
-    "bloom_prefilter": (q_bloom_prefilter, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "range_join": (q_range_join, None),  # judge-green r10 session; demoted in trade for the r11-opt promotions (module unchanged by the optimization pass)
     "hard_negatives": (q_hard_negatives, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "bitext_pairs": (q_bitext_pairs, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "sanitize_site": (q_sanitize_site, SANITIZE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
@@ -4936,7 +4964,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "stratified_sample": (q_stratified_sample, None),  # r11-rotation row demoted in trade for the r11-opt promotions (sampling module unchanged by the optimization pass)
     "pack_sequences": (q_pack_sequences, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
-    "kmv_churn": (q_kmv_churn, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "geoip": (q_geoip, GEOIP_SQL),  # judge-green r10 session; demoted in trade for the r11-opt promotions (module unchanged by the optimization pass)
     "cm_join_size": (q_cm_join_size, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "dsir_weights": (q_dsir_weights, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "dsir_topk": (q_dsir_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
@@ -4965,7 +4993,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, None),  # r8-driver-green carry
     "asof_join": (q_asof_join, ASOF_JOIN_SQL),  # r8-driver-green carry
     "temperature_mixture": (q_temperature_mixture, None),  # r8-driver-green carry
-    "corpus_drift": (q_corpus_drift, None),  # r8-driver-green carry
+    "accumulate_top": (q_accumulate_top, ACCUMULATE_TOP_SQL),  # judge-green r10 session; demoted in trade for the r11-opt promotions (module unchanged by the optimization pass)
 }
 
 #: lazily-built oracle SQL (uses the twin builders in functions.text)

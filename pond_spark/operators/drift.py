@@ -47,6 +47,11 @@ def corpus_drift(
         "_b",
         F.pmod(fingerprint(F.col("word")), F.lit(n_buckets)).alias("bucket"),
     )
+    # persist (r11, guide §1.2): per_bucket feeds BOTH the totals and
+    # the scored projection — without the pin the corpus explode +
+    # token-hash pass ran twice (Spark has no cross-branch CSE). The
+    # pinned frame is exactly n_buckets rows. Dropped by the loop
+    # drivers' clearCache contract.
     per_bucket = (
         toks.filter(F.col("_a") | F.col("_b"))
         .groupBy("bucket")
@@ -54,6 +59,7 @@ def corpus_drift(
             F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("cnt_a"),
             F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("cnt_b"),
         )
+        .persist()
     )
     tot = per_bucket.agg(
         F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")

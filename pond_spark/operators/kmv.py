@@ -173,8 +173,16 @@ def _merged_side(sk: DataFrame, lo: str, hi: str, k: int, name: str) -> DataFram
         .dropDuplicates(["site", "bk"])
     )
     w = Window.partitionBy("site").orderBy("bk")
-    bot = keys.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    # persist (r11, guide §1.2): both returned frames derive from this
+    # bottom-k — consumers that use the keys AND the theta (kmv_churn,
+    # per side) otherwise recompute the pruned scan + dedup + window
+    # twice. k-bounded (≤ k keys/site, sub-KB); lazy, so a theta-only
+    # consumer (kmv_uniques_over_range) just fills it on its single
+    # pass. Pin dropped by the loop drivers' clearCache contract.
+    bot = (
+        keys.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .persist()
     )
     theta = bot.groupBy("site").agg(
         F.when(F.count(F.lit(1)) >= k, F.max("bk"))

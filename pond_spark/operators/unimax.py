@@ -43,17 +43,29 @@ def unimax_quotas(
     epochs: int,
     lang_col: str = "lang",
     size_col: str = "n_chars",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-language budget: ``(lang, size, cap, quota)`` with
     ``cap = epochs * size`` and Σ quota ≤ budget. NULL-lang/size rows
-    are excluded from the corpus being budgeted."""
+    are excluded from the corpus being budgeted.
+
+    ``sizes`` (r11, guide §1.2): a precomputed ``(lang, size)``
+    per-language frame — callers that already aggregated the corpus
+    (e.g. to derive the budget from the total) pass it here so the
+    docs scan + groupBy is not recomputed. Must equal exactly what
+    the internal aggregation would produce."""
     from pyspark.sql.window import Window
 
-    sizes = (
-        docs.filter(F.col(lang_col).isNotNull() & F.col(size_col).isNotNull())
-        .groupBy(F.col(lang_col).alias("lang"))
-        .agg(F.sum(size_col).cast("long").alias("size"))
-        .withColumn("cap", F.lit(epochs) * F.col("size"))
+    if sizes is None:
+        sizes = (
+            docs.filter(
+                F.col(lang_col).isNotNull() & F.col(size_col).isNotNull()
+            )
+            .groupBy(F.col(lang_col).alias("lang"))
+            .agg(F.sum(size_col).cast("long").alias("size"))
+        )
+    sizes = sizes.select("lang", "size").withColumn(
+        "cap", F.lit(epochs) * F.col("size")
     )
     # deterministic waterfilling order: capacity asc, lang asc
     w = Window.orderBy("cap", "lang")
@@ -110,16 +122,22 @@ def unimax_select(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     size_col: str = "n_chars",
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the allocation: the deterministic document subset
     whose per-language running size stays inside each quota, in
     seed-stable shuffle-key order. Returns
     ``(doc_id, lang, size, shuffle_key)``. Quota may exceed a
     language's corpus (epochs > 1): selection is capped at one copy —
-    repetition factors are the trainer's concern; this picks the set."""
+    repetition factors are the trainer's concern; this picks the set.
+
+    ``quotas`` (r11, guide §1.2): a precomputed ``unimax_quotas``
+    frame — callers that also report the quota table pass it here so
+    the sizes aggregation + waterfilling windows run once, not twice."""
     from pyspark.sql.window import Window
 
-    quotas = unimax_quotas(docs, budget, epochs, lang_col, size_col)
+    if quotas is None:
+        quotas = unimax_quotas(docs, budget, epochs, lang_col, size_col)
     keyed = docs.filter(
         F.col(lang_col).isNotNull() & F.col(size_col).isNotNull()
     ).select(

@@ -523,3 +523,62 @@ def test_unimax_select_respects_quota_and_determinism(spark):
             if d not in chosen and k < max_chosen and (d % 3 == 0) == (lang == "bb")
         ]
         assert not skipped
+
+
+def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
+    """r11 guide §3.1: below the node guard each iteration broadcasts
+    the rank relation; past it the original shuffle joins run. Join
+    strategy must never change the ranks — both paths bit-identical
+    on a graph with hubs, leaves, a sink and a source-only node."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+            ("a", "sink"), ("c", "a"), ("solo_src", "sink"),
+        ],
+        ["src", "dst"],
+    )
+    bcast = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=6).collect()
+    }
+    shuffled = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, iterations=6, broadcast_max_nodes=0
+        ).collect()
+    }
+    assert bcast == shuffled
+    assert set(bcast) == {"a", "b", "c", "hub", "sink", "solo_src"}
+
+
+def test_unimax_precomputed_frames_identical(spark):
+    """r11 guide §1.2: the sizes/quotas reuse parameters must be pure
+    plumbing — passing the precomputed frame yields exactly what the
+    internal recomputation produced."""
+    from pond_spark.operators.unimax import unimax_quotas, unimax_select
+
+    rows = [(i, "aa" if i % 3 else "bb", 50 + (i % 7) * 10) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    sizes = (
+        docs.filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+        .groupBy(F.col("lang"))
+        .agg(F.sum("n_chars").cast("long").alias("size"))
+    )
+    q_default = sorted(
+        tuple(r) for r in unimax_quotas(docs, 1500, 2).collect()
+    )
+    q_shared = sorted(
+        tuple(r)
+        for r in unimax_quotas(docs, 1500, 2, sizes=sizes).collect()
+    )
+    assert q_default == q_shared
+    sel_default = sorted(
+        tuple(r) for r in unimax_select(docs, 1500, 2).collect()
+    )
+    sel_shared = sorted(
+        tuple(r)
+        for r in unimax_select(
+            docs, 1500, 2, quotas=unimax_quotas(docs, 1500, 2, sizes=sizes)
+        ).collect()
+    )
+    assert sel_default == sel_shared
