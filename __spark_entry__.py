@@ -4914,7 +4914,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "nb_confusion": (q_nb_confusion, None),  # promoted into the r11 window: functions/nbayes.py closure changed (r11 optimization pass)
     "url_normalize": (q_url_normalize, URL_NORMALIZE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "top_parts_per_supplier": (q_top_parts_per_supplier, TOP_PARTS_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
-    "pricing_summary": (q_pricing_summary, PRICING_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # promoted into the r11 window: util.compact_partition_dirs closure changed (overlapped compaction, r11 optimization pass)
     "top_revenue_join": (q_top_revenue_join, TOP_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "regional_revenue": (q_regional_revenue, REGIONAL_REVENUE_SQL),  # rotated into the r11 window (stale-attestation refresh, VERDICT r10 ask #2)
     "daily_uniques_approx": (q_daily_uniques_approx, DAILY_UNIQUES_APPROX_SQL),  # promoted into the r11 window: entry closure changed (Expand-free two-level agg, r11 optimization pass)
@@ -4973,7 +4973,7 @@ _QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_index_search": (q_bm25_index_search, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "uniques_sketch_rollup": (q_uniques_sketch_rollup, UNIQUES_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
     "value_quantiles_sketch": (q_value_quantiles_sketch, VALUE_SKETCH_SQL),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
-    "ann_ivfpq_topk": (q_ann_ivfpq_topk, None),  # r10-driver-green carry (demoted r11 in trade for the stale-attestation rotation; module unchanged this round)
+    "pricing_summary": (q_pricing_summary, PRICING_SQL),  # judge-green r10 session; demoted in trade for the r11-opt promotions (module unchanged by the optimization pass)
     "sessionize": (q_sessionize, SESSIONIZE_SQL),  # r9-driver-green carry
     "scan_window": (q_scan_window, SCAN_WINDOW_SQL),  # r9-driver-green carry
     "filter_surface": (q_filter_surface, FILTER_SURFACE_SQL),  # r9-driver-green carry

@@ -208,19 +208,32 @@ class LogStore:
 
         def rewrite(pdate: str, pdir: str, want: int) -> None:
             df = self.spark.read.schema(LOG_SCHEMA).parquet(pdir)
-            with _micros_output(self.spark):
-                # _layout re-derives p_date from the rows' timestamps,
-                # which equals this directory's pdate by construction
-                (
-                    self._layout(df, num_partitions=want)
-                    .write.mode("overwrite")
-                    .partitionBy("p_date")
-                    .parquet(self.path)
-                )
+            # _layout re-derives p_date from the rows' timestamps,
+            # which equals this directory's pdate by construction
+            (
+                self._layout(df, num_partitions=want)
+                .write.mode("overwrite")
+                .partitionBy("p_date")
+                .parquet(self.path)
+            )
 
-        return compact_partition_dirs(
-            self.spark, self.path, "p_date=*", rewrite, target_file_bytes
-        )
+        # _micros_output hoisted around the WHOLE pass (r11): session
+        # conf is process-global, and the guide-§2.6 overlapped
+        # rewrites below would otherwise race one thread's restore
+        # against another's write — the INT96 fallback silently drops
+        # the footer stats retention depends on. One save/restore,
+        # identical encoding per file as before.
+        with _micros_output(self.spark):
+            return compact_partition_dirs(
+                self.spark,
+                self.path,
+                "p_date=*",
+                rewrite,
+                target_file_bytes,
+                # independent date dirs: 3 jobs in flight back-fill
+                # each other's straggler tails (guide §2.6)
+                max_workers=3,
+            )
 
 
 def auto_clone(
