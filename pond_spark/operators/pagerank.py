@@ -62,37 +62,19 @@ def click_edges(
     return steps.distinct()
 
 
-#: broadcast the rank relation per iteration only below this node
-#: count (≈1M nodes × (id + long) is tens of MB framed — the guide
-#: §3.1 comfortable-broadcast band). Above it, fall back to the
-#: shuffle joins: rank broadcasting on a billion-node graph would be
-#: a driver OOM, not an optimization.
-PAGERANK_BROADCAST_MAX_NODES = 1_000_000
-
-
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000,
-    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
 ) -> DataFrame:
     """Integer PageRank over distinct directed ``(src, dst)`` edges.
 
     Returns ``(node, rank)`` with rank ×``scale``; every node seen as
     a src or dst gets a row (sink nodes receive inflow; source-only
     nodes keep the teleport floor). Deterministic: pure integer
-    arithmetic, fixed iteration count, no sampling.
-
-    Join strategy (r11, guide §3.1/§2.4): the rank relation is |V|
-    narrow rows — when |V| ≤ ``broadcast_max_nodes`` (measured once,
-    a single-long count against the pinned node set) each iteration
-    BROADCASTS ranks into the cached fanout relation and inflow into
-    the node set, leaving ONE exchange per iteration (the groupBy(dst)
-    transpose, which is fundamental) instead of three. Join strategy
-    never changes the joined rows, so ranks are bit-identical either
-    way; past the guard the shuffle path below is unchanged."""
+    arithmetic, fixed iteration count, no sampling."""
     edges = edges.select("src", "dst").distinct().persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -105,27 +87,18 @@ def pagerank(
     fanout = edges.join(outdeg, "src").persist()
 
     try:
-        # bounded driver action (the IVF-Lloyd pattern): one long —
-        # and it materializes the node pin every iteration reuses
-        small = nodes.count() <= broadcast_max_nodes
         teleport = ((damping_den - damping_num) * scale) // damping_den
         ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
         for i in range(iterations):
-            joined = (
-                fanout.join(F.broadcast(ranks), ranks.node == fanout.src)
-                if small
-                else ranks.join(fanout, ranks.node == fanout.src)
-            )
             inflow = (
-                joined.select(
+                ranks.join(fanout, ranks.node == fanout.src)
+                .select(
                     F.col("dst").alias("node"),
                     F.expr("rank div outdeg").alias("share"),
                 )
                 .groupBy("node")
                 .agg(F.sum("share").alias("_in"))
             )
-            if small:
-                inflow = F.broadcast(inflow)
             ranks = (
                 nodes.join(inflow, "node", "left")
                 .select(

@@ -525,32 +525,6 @@ def test_unimax_select_respects_quota_and_determinism(spark):
         assert not skipped
 
 
-def test_pagerank_broadcast_and_shuffle_paths_identical(spark):
-    """r11 guide §3.1: below the node guard each iteration broadcasts
-    the rank relation; past it the original shuffle joins run. Join
-    strategy must never change the ranks — both paths bit-identical
-    on a graph with hubs, leaves, a sink and a source-only node."""
-    edges = spark.createDataFrame(
-        [
-            ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
-            ("a", "sink"), ("c", "a"), ("solo_src", "sink"),
-        ],
-        ["src", "dst"],
-    )
-    bcast = {
-        r.node: r.rank
-        for r in pagerank(edges, iterations=6).collect()
-    }
-    shuffled = {
-        r.node: r.rank
-        for r in pagerank(
-            edges, iterations=6, broadcast_max_nodes=0
-        ).collect()
-    }
-    assert bcast == shuffled
-    assert set(bcast) == {"a", "b", "c", "hub", "sink", "solo_src"}
-
-
 def test_unimax_precomputed_frames_identical(spark):
     """r11 guide §1.2: the sizes/quotas reuse parameters must be pure
     plumbing — passing the precomputed frame yields exactly what the
