@@ -1465,23 +1465,44 @@ BPE_MERGES = 12
 BPE_SAMPLE = 20
 
 
-def _bpe_merges_cached(sf_dir: str) -> tuple:
+def _bpe_merges_cached(sf_dir: str, vocab=None) -> tuple:
     """Train the merge chain from the parquet input. The r6–r10
     ``lru_cache`` memo keyed on sf_dir is GONE (r11): a module-level
     memo of results means the second bench sample (and the sibling
     query) skips training entirely — exactly the cross-invocation
     result caching the optimization rules ban. Every invocation now
     recomputes from the corpus; the 12-row collect is the bounded
-    per-iteration argmax the operator already does."""
+    per-iteration argmax the operator already does. ``vocab``: a
+    precomputed materialized (word, cnt) frame shared with the
+    caller's own vocabulary consumers (guide §1.2)."""
     from pond_spark.functions.bpe import bpe_train
     from pyspark.sql import SparkSession as _S
 
     spark = _S.getActiveSession()
     docs = _fan(_documents(spark, sf_dir))
-    m = bpe_train(docs, n_merges=BPE_MERGES)
+    m = bpe_train(docs, n_merges=BPE_MERGES, vocab=vocab)
     return tuple(
         (r.rank, r.left, r.right, r.pair_count)
         for r in m.orderBy("rank").collect()
+    )
+
+
+def _bpe_vocab_frame(spark: SparkSession, sf_dir: str):
+    """The (word, cnt) vocabulary frame both BPE queries train on AND
+    consume (sample ranking / tokenize join) — built once per
+    invocation, localCheckpoint-materialized so the corpus explode +
+    groupBy is a single pass (r11, guide §1.2). localCheckpoint over
+    persist: the blocks release with the frame (ContextCleaner), not
+    pinned in the cache manager."""
+    from pond_spark.functions.text import _words
+
+    docs = _fan(_documents(spark, sf_dir))
+    return (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
 
 
@@ -1494,11 +1515,24 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     document; piece counts include the </w> marker. The oracle replays
     the identical merge chain (the bpe_vocab CTEs) and joins word
     piece counts back the same way."""
-    from pond_spark.functions.bpe import bpe_segment
+    from pond_spark.functions.bpe import bpe_apply
+    from pond_spark.functions.text import _words
 
     docs = _fan(_documents(spark, sf_dir))
-    mrows = [(l, r) for (_rk, l, r, _pc) in _bpe_merges_cached(sf_dir)]
-    seg = bpe_segment(docs, mrows)
+    # one shared vocabulary pass (r11, guide §1.2): the old
+    # bpe_segment path exploded the corpus for training's vocab, AGAIN
+    # for its own distinct-word frame, and a third time for the token
+    # stream. The training vocab IS the distinct-word frame — apply
+    # the merges to it and broadcast onto the single token-stream
+    # explode: two corpus passes, not three. Same rows out
+    # (distinct(word) of the stream == vocab's word set).
+    words = _bpe_vocab_frame(spark, sf_dir)
+    mrows = [(l, r) for (_rk, l, r, _pc) in _bpe_merges_cached(sf_dir, vocab=words)]
+    pieces = bpe_apply(words.select("word"), mrows)
+    toks = docs.select(
+        F.col("doc_id"), F.explode(_words(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    seg = toks.join(F.broadcast(pieces), "word")
     return seg.groupBy(F.col("doc_id").alias("doc")).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
@@ -1528,21 +1562,17 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiter-wrapped string replace. The 12-row merge collect here
     is the bounded per-iteration argmax the operator already does."""
     from pond_spark.functions.bpe import bpe_apply
-    from pond_spark.functions.text import _words
     from pyspark.sql.window import Window
 
-    docs = _fan(_documents(spark, sf_dir))
-    cached = _bpe_merges_cached(sf_dir)
+    # one corpus pass: the same materialized vocabulary feeds training
+    # AND the segmented sample below (r11, guide §1.2 — the old shape
+    # exploded the corpus twice)
+    words = _bpe_vocab_frame(spark, sf_dir)
+    cached = _bpe_merges_cached(sf_dir, vocab=words)
     merges = spark.createDataFrame(
         list(cached), "rank long, left string, right string, pair_count long"
     )
     mrows = [(l, r) for (_rk, l, r, _pc) in cached]
-    words = (
-        docs.select(F.explode(_words(F.col("text"))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     top = words.orderBy(F.col("cnt").desc(), F.col("word")).limit(BPE_SAMPLE)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
     sample = bpe_apply(top, mrows).select(

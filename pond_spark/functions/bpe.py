@@ -93,11 +93,68 @@ def _adjacent_pairs(words: DataFrame) -> DataFrame:
     )
 
 
+#: vocabulary bound under which the merge loop runs driver-side over
+#: the collected (word, cnt) frame (r11, guide §8): each Spark
+#: iteration on a vocabulary-sized frame is ~2 fixed-cost jobs — 24
+#: scheduling round-trips to argmax over a few thousand rows. Below
+#: the bound the SAME deterministic loop runs in Python on the
+#: collected vocab (32k words × ~8 symbols × n_merges ≈ 3M scalar ops,
+#: well under a second); past it (real web-scale vocabularies) the
+#: distributed loop below is unchanged. Results are bit-identical:
+#: same greedy leftmost fold, same (count desc, left, right) argmax —
+#: Python's code-point string order equals Spark's UTF8 byte order
+#: for every code point (UTF-8 preserves code-point order) — pinned
+#: by tests against the Spark loop and the pure-Python reference.
+BPE_LOCAL_TRAIN_MAX_VOCAB = 32_768
+
+
+def _train_merges_local(
+    vocab: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side replica of the distributed merge loop — identical
+    arithmetic, ordering and early stop."""
+    syms: list[tuple[list[str], int]] = [
+        (list(word) + [END], int(cnt)) for word, cnt in vocab
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in syms:
+            for pair in zip(sym, sym[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        best = None
+        for (left, right), c in counts.items():
+            if c < min_pair_count:
+                continue
+            key = (-c, left, right)
+            if best is None or key < best[0]:
+                best = (key, left, right, c)
+        if best is None:
+            break
+        _key, a, b, n = best
+        merges.append((rank, a, b, n))
+        merged = a + b
+        nxt: list[tuple[list[str], int]] = []
+        for sym, cnt in syms:
+            out: list[str] = []
+            for x in sym:
+                # greedy leftmost non-overlapping — the _merge_expr fold
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            nxt.append((out, cnt))
+        syms = nxt
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
+    local_vocab_bound: int = BPE_LOCAL_TRAIN_MAX_VOCAB,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus. Returns an
     ordered merge table ``(rank, left, right, pair_count)``.
@@ -105,16 +162,42 @@ def bpe_train(
     Deterministic: argmax ties break lexicographically on
     (left, right); training stops early when no pair reaches
     ``min_pair_count`` (merging singleton pairs only memorizes
-    individual words)."""
+    individual words). One corpus pass builds the (word, cnt)
+    vocabulary; when it fits ``local_vocab_bound`` the merge loop runs
+    driver-side (see BPE_LOCAL_TRAIN_MAX_VOCAB), else distributed.
+    ``local_vocab_bound=0`` forces the distributed loop.
+
+    ``vocab`` (r11, guide §1.2): a precomputed ``(word, cnt)``
+    vocabulary frame — callers that also consume the vocabulary (a
+    segmented sample, the tokenize join) pass it so the corpus explode
+    + groupBy runs once. Must equal exactly what the internal
+    aggregation would produce, and should be materialized
+    (localCheckpoint/persist) since training reads it repeatedly."""
     spark = docs.sparkSession
-    words = (
-        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(_initial_symbols(F.col("word")).alias("sym"), "cnt")
-        .localCheckpoint()
-    )
+    schema = "rank long, left string, right string, pair_count long"
+    if vocab is None:
+        vocab = (
+            docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            # the ONE corpus-wide pass; everything after is vocab-sized
+            .localCheckpoint()
+        )
+    if local_vocab_bound:
+        # bounded probe and collect fused into ONE job: pull at most
+        # bound+1 rows — if the extra row arrives the vocabulary is
+        # over the bound (rows discarded, distributed loop below),
+        # else these rows ARE the vocabulary. Never corpus-scale.
+        rows = vocab.limit(local_vocab_bound + 1).collect()
+        if len(rows) <= local_vocab_bound:
+            return spark.createDataFrame(
+                _train_merges_local(
+                    [(r.word, r.cnt) for r in rows], n_merges, min_pair_count
+                ),
+                schema,
+            )
+    words = vocab.select(_initial_symbols(F.col("word")).alias("sym"), "cnt")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (

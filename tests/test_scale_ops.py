@@ -556,3 +556,25 @@ def test_unimax_precomputed_frames_identical(spark):
         ).collect()
     )
     assert sel_default == sel_shared
+
+
+def test_bpe_train_local_and_distributed_paths_identical(spark):
+    """r11 guide §8: below BPE_LOCAL_TRAIN_MAX_VOCAB the merge loop
+    runs driver-side on the collected vocabulary. Both paths must
+    yield the identical merge table (and match the pure-Python
+    reference) — the merge chain is an oracle-replayed artifact."""
+    from pond_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+    local = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, 8).orderBy("rank").collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(docs, 8, local_vocab_bound=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    exp, _ = _ref_bpe(_bpe_word_counts(), 8)
+    assert local == dist == exp
