@@ -89,12 +89,14 @@ def perplexity(
         bigrams, unigrams, vocab = lm
         pairs = _doc_bigrams(df, text_col, id_col)
     else:
-        # self-trained: the scoring pairs ARE the training pairs —
-        # persist the bigram explode so it runs once instead of twice,
-        # and pin the (vocab-sized) unigram table, which feeds both the
-        # vocab count and the scoring join (r11, guide §2.4; session
-        # pins, cleared by loop drivers — the ngram-pin contract)
-        pairs = _doc_bigrams(df, text_col, id_col).persist()
+        # self-trained: pin the (vocab-sized) unigram table, which
+        # feeds both the vocab count and the scoring join (r11, guide
+        # §2.4; session pin, cleared by loop drivers — the ngram-pin
+        # contract). The wide (id, w1, w2) pairs frame is deliberately
+        # NOT persisted: materializing three string columns costs more
+        # than recomputing the explode for the bigram-count branch
+        # (measured 1.2-1.4x slower persisted, solo A/B at sf0.1).
+        pairs = _doc_bigrams(df, text_col, id_col)
         bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
         words = df.select(F.explode(_words(F.col(text_col))).alias("w1"))
         unigrams = words.groupBy("w1").agg(
