@@ -3663,19 +3663,30 @@ def q_minhash_catalog_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     import hashlib
     import tempfile
 
-    from pond_spark.dedup import MinHashCatalog, ngram_jaccard_pairs
+    from pond_spark.dedup import MinHashCatalog, gram_hashes, ngram_jaccard_pairs
 
     docs = _dedup_docs(spark, sf_dir)
-    run1 = docs.filter(F.col("doc_id") % 2 == 0)
-    run2 = docs.filter(F.col("doc_id") % 2 == 1)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"pond_mh_cat_{tag}")
     _clean_catalog_twin(path)
     cat = MinHashCatalog(spark, path, n=3)
-    cat.register(run1, "text", "doc_id")
-    cand = cat.near_candidates(run2, "text", "doc_id")
+    # ONE tokenize+gram+hash pass feeds all three corpus consumers
+    # (r11, guide §1.2): register(run1), near_candidates(run2) and the
+    # exact branch each re-grammed their slice before. Band keys are
+    # identical for >= 3-word docs; sub-3-word docs band to nothing in
+    # grams mode, which cannot change the semi-join output (no
+    # 3-grams → never in the exact set) — see MinHashCatalog._banded.
+    base = gram_hashes(
+        docs, "text", "doc_id", n=3, carry_cols=("lang",)
+    ).persist()
+    even = F.col("doc_id") % 2 == 0
+    cat.register(None, "text", "doc_id", grams=base.filter(even))
+    cand = cat.near_candidates(
+        None, "text", "doc_id", grams=base.filter(~even)
+    )
     exact = ngram_jaccard_pairs(
-        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3,
+        base=base,
     )
     odd_a = F.col("id_a") % 2 == 1
     cross = exact.filter((F.col("id_a") % 2) != (F.col("id_b") % 2)).select(
@@ -3741,15 +3752,28 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recalls every true near-dup (the xxhash64 signatures aren't
     replicable in DuckDB, so the oracle checks the RECALL property:
     oracle = the exact set; a single missed pair hash-mismatches)."""
-    from pond_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from pond_spark.dedup import gram_hashes, minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _dedup_docs(spark, sf_dir)
+    # ONE tokenize+gram+hash pass feeds BOTH branches (r11, guide
+    # §1.2): the exact prefix-filter branch and the MinHash signature
+    # branch previously each re-scanned and re-grammed the corpus.
+    # Signature parity is exact for every doc that can appear in the
+    # exact pair set (>= 3 words); sub-3-word docs drop out of LSH
+    # banding, which cannot change the semi-join (they have no
+    # 3-grams, so they are never exact pairs) — see
+    # minhash_signatures_from_grams.
+    base = gram_hashes(
+        docs, "text", "doc_id", n=3, carry_cols=("lang",)
+    ).persist()
     exact = ngram_jaccard_pairs(
-        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3,
+        base=base,
     )
-    cand = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n=3).select(
-        "id_a", "id_b"
-    )
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, n=3,
+        grams_df=base.select("doc_id", "_grams"),
+    ).select("id_a", "id_b")
     return exact.join(cand, ["id_a", "id_b"], "left_semi")
 
 
@@ -3766,14 +3790,24 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks/2^width, here 13 x 1/16 per block — measured fine at
     sf0.1; a corpus 100x larger would pair max_hamming with
     max_bucket_size to cap boilerplate buckets."""
-    from pond_spark.dedup import ngram_jaccard_pairs, simhash_near_pairs
+    from pond_spark.dedup import gram_hashes, ngram_jaccard_pairs, simhash_near_pairs
 
     docs = _dedup_docs(spark, sf_dir)
+    # shared gram base across the exact and SimHash branches (r11,
+    # guide §1.2) — bit-identical fingerprints: simhash64 derives its
+    # feature set via the same _words/_word_ngrams helpers as
+    # gram_hashes, and the per-bit counter folds are order-insensitive
+    # (simhash64_from_hashes docstring).
+    base = gram_hashes(
+        docs, "text", "doc_id", n=3, carry_cols=("lang",)
+    ).persist()
     exact = ngram_jaccard_pairs(
-        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3
+        docs, "text", "doc_id", block_col="lang", threshold=0.8, n=3,
+        base=base,
     )
     cand = simhash_near_pairs(
-        docs, "text", "doc_id", max_hamming=12, n=3, block_col="lang"
+        docs, "text", "doc_id", max_hamming=12, n=3, block_col="lang",
+        hashes_df=base.select("doc_id", "lang", "_grams"),
     ).select("id_a", "id_b")
     return exact.join(cand, ["id_a", "id_b"], "left_semi")
 

@@ -6,20 +6,29 @@ from pond_spark.dedup.minhash import (
     band_keys,
     minhash_lsh_pairs,
     minhash_signatures,
+    minhash_signatures_from_grams,
 )
-from pond_spark.dedup.ngram import ngram_jaccard_pairs
-from pond_spark.dedup.simhash import hamming_near_pairs, simhash64, simhash_near_pairs
+from pond_spark.dedup.ngram import gram_hashes, ngram_jaccard_pairs
+from pond_spark.dedup.simhash import (
+    hamming_near_pairs,
+    simhash64,
+    simhash64_from_hashes,
+    simhash_near_pairs,
+)
 
 __all__ = [
     "dedup_exact",
     "DigestCatalog",
     "exact_duplicate_groups",
     "minhash_signatures",
+    "minhash_signatures_from_grams",
     "minhash_lsh_pairs",
     "MinHashCatalog",
     "band_keys",
+    "gram_hashes",
     "ngram_jaccard_pairs",
     "simhash64",
+    "simhash64_from_hashes",
     "simhash_near_pairs",
     "hamming_near_pairs",
     "connected_components",

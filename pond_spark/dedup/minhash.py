@@ -80,17 +80,12 @@ def shingle_hashes(
     ).drop("_t")
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 64,
-    n: int = 1,
-    seed: int = 42,
+def _sigs_over_shingles(
+    sh: DataFrame, id_col: str, k: int, seed: int
 ) -> DataFrame:
-    """(id, _shingles, _sig[k]) — one row per doc, no explode."""
-    sh = shingle_hashes(df, text_col, n)
-
+    """(id, _shingles, _sig[k]) from a frame carrying ``_shingles``
+    (distinct int64 feature hashes; element ORDER is irrelevant —
+    every signature slot is an ``array_min``)."""
     # Stage pmod(x, p) ONCE per shingle: all k permutations share the
     # same [0, p) mapping of the signed xxhash, so computing it inside
     # each perm lambda walks every array k extra times. A staged column
@@ -114,6 +109,48 @@ def minhash_signatures(
         for a, b in _perm_params(k, seed)
     ]
     return sh.select(F.col(id_col), "_shingles", F.array(*sig_cols).alias("_sig"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    n: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _shingles, _sig[k]) — one row per doc, no explode."""
+    return _sigs_over_shingles(shingle_hashes(df, text_col, n), id_col, k, seed)
+
+
+def minhash_signatures_from_grams(
+    grams_df: DataFrame,
+    id_col: str = "doc_id",
+    grams_col: str = "_grams",
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _shingles, _sig[k]) from PRECOMPUTED distinct gram hashes
+    (``ngram.gram_hashes`` output) — lets a caller that already pays
+    the tokenize+gram+hash pass for an exact-Jaccard branch feed the
+    SAME persisted frame to the MinHash branch instead of re-scanning
+    the corpus (guide §1.2: the gram pass is the dominant per-doc
+    cost of the whole pair family).
+
+    Signature parity with :func:`minhash_signatures` at the same n:
+    identical for every doc with >= n words (same distinct hash set;
+    ``array_min`` is order-insensitive, so ``gram_hashes``'s
+    ``array_sort`` is invisible). Sub-n-word docs DIFFER by design:
+    gram semantics give them zero grams, where ``shingle_hashes``
+    fabricates one partial gram — zero-feature rows are DROPPED here
+    (banding a shared empty signature would glue every short doc into
+    one giant candidate bucket). Callers must tolerate missing
+    short-doc candidates; the recall harnesses do (a sub-n-word doc
+    has no n-grams, so it can never appear in the exact pair set)."""
+    sh = grams_df.select(
+        F.col(id_col), F.col(grams_col).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+    return _sigs_over_shingles(sh, id_col, k, seed)
 
 
 def band_keys(
@@ -162,9 +199,17 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
     skew_salt: int | str | None = "auto",
     hot_id_threshold: int = 64,
+    grams_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with
     jaccard >= threshold, id_a < id_b.
+
+    ``grams_df``: optional PRECOMPUTED ``(id, _grams)`` distinct-hash
+    frame (``ngram.gram_hashes`` output, ideally already persisted by
+    the caller) — skips this operator's own tokenize+gram+hash pass.
+    See :func:`minhash_signatures_from_grams` for the exact parity
+    contract (identical signatures at >= n words; zero-gram docs drop
+    out of banding). ``text_col``/``n`` are ignored when it is given.
 
     ``max_bucket_size`` is the skew guard for pathological boilerplate:
     a cluster of m near-identical docs shares every band key, making
@@ -197,7 +242,11 @@ def minhash_lsh_pairs(
     # (band explode + both verify sides) — without it the scan and the
     # k-permutation work run once per branch. MEMORY_AND_DISK spills
     # instead of OOMing at cluster scale.
-    sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
+    sigs = (
+        minhash_signatures_from_grams(grams_df, id_col, k=k, seed=seed)
+        if grams_df is not None
+        else minhash_signatures(df, text_col, id_col, k, n, seed)
+    ).persist()
 
     # Band join carries ONLY (id, band_key) — shingle arrays would blow
     # up the shuffle and get duplicated per candidate pair. Candidates
@@ -369,7 +418,11 @@ class MinHashCatalog:
         )
 
     def _banded(
-        self, df: DataFrame, text_col: str, id_col: str
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        grams: DataFrame | None = None,
     ) -> DataFrame:
         # NULL text contributes NO band keys (the r7 rule: absent
         # content is never a duplicate — DigestCatalog.register's NULL
@@ -380,11 +433,26 @@ class MinHashCatalog:
         # in-query minhash_lsh_pairs is shielded by its exact-Jaccard
         # verify leg (NULL jaccard fails any threshold); the catalog
         # gate has no verify leg, so the filter is the guard.
+        #
+        # ``grams``: optional precomputed (id, _grams) hash frame for
+        # this batch (ngram.gram_hashes at the catalog's pinned n) —
+        # skips the tokenize+gram pass when the caller already pays it
+        # for an exact branch. Band keys are identical to the default
+        # path for >= n-word docs; sub-n and NULL/empty docs band to
+        # NOTHING here (minhash_signatures_from_grams drops
+        # zero-feature rows, which also covers the NULL-text rule),
+        # where the shingle path bands their fabricated partial gram.
+        # Use ONE mode per catalog if short-doc gating matters.
         p = self.params
-        sigs = minhash_signatures(
-            df.filter(F.col(text_col).isNotNull()),
-            text_col, id_col, p["k"], p["n"], p["seed"],
-        )
+        if grams is not None:
+            sigs = minhash_signatures_from_grams(
+                grams, id_col, k=p["k"], seed=p["seed"]
+            )
+        else:
+            sigs = minhash_signatures(
+                df.filter(F.col(text_col).isNotNull()),
+                text_col, id_col, p["k"], p["n"], p["seed"],
+            )
         return band_keys(sigs, id_col, p["k"], p["bands"]).select(
             F.col(id_col).alias("doc_id"),
             F.col("_band_key").alias("band_key"),
@@ -412,6 +480,7 @@ class MinHashCatalog:
         text_col: str = "text",
         id_col: str = "doc_id",
         max_bucket_size: int | None = None,
+        grams: DataFrame | None = None,
     ) -> DataFrame:
         """Distinct ``(new_id, old_id)`` band-collision pairs for
         downstream exact verification. Self-collisions (a re-run of an
@@ -430,7 +499,7 @@ class MinHashCatalog:
                 .select("band_key")
             )
             cat = cat.join(F.broadcast(hot), "band_key", "left_anti")
-        new = self._banded(df, text_col, id_col).select(
+        new = self._banded(df, text_col, id_col, grams=grams).select(
             F.col("doc_id").alias("new_id"), "band_key"
         )
         return (
@@ -447,6 +516,7 @@ class MinHashCatalog:
         id_col: str = "doc_id",
         snapshot: bool = False,
         run_ts: int | None = None,
+        grams: DataFrame | None = None,
     ) -> None:
         """Append the batch's band rows (and pin the parameter sidecar
         on first use). ``snapshot=True`` persists the post-register
@@ -455,8 +525,11 @@ class MinHashCatalog:
         reserve it for scheduled/daily registers rather than tight
         micro-batch loops (or snapshot from a cron via
         ``catalog advise … --snapshot``). ``run_ts`` backdates the
-        registration stamp (see :meth:`expire`)."""
-        self._store.append(self._banded(df, text_col, id_col), run_ts=run_ts)
+        registration stamp (see :meth:`expire`). ``grams``: see
+        :meth:`_banded` — precomputed gram hashes for this batch."""
+        self._store.append(
+            self._banded(df, text_col, id_col, grams=grams), run_ts=run_ts
+        )
         if snapshot:
             self.advise(snapshot=True)
 

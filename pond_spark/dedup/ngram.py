@@ -67,18 +67,29 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.8,
     n: int = 1,
+    base: DataFrame | None = None,
 ) -> DataFrame:
-    """Pairs ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= tau."""
-    base = gram_hashes(
-        df, text_col, id_col, n, carry_cols=(block_col,) if block_col else ()
-    )
+    """Pairs ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard >= tau.
+
+    ``base``: optional precomputed :func:`gram_hashes` output (same
+    id/block/n, ALREADY persisted by the caller) — the recall-harness
+    queries share one pinned gram frame between this exact branch and
+    their MinHash/SimHash branch instead of re-running the
+    tokenize+gram+hash pass per branch (guide §1.2).
+    ``df``/``text_col``/``n`` are ignored when it is given."""
+    if base is None:
+        base = gram_hashes(
+            df, text_col, id_col, n,
+            carry_cols=(block_col,) if block_col else (),
+        )
+        # feeds three branches (prefix explode + both verify sides);
+        # persist so the scan + gram hashing run once. Lifecycle: the
+        # pin lives until the session drops it; loop drivers clearCache
+        # between queries (bench.py does), same as the minhash/LSH
+        # pins. A caller-supplied base arrives pinned already.
+        base = base.persist()
     if block_col:
         base = base.withColumnRenamed(block_col, "_blk")
-    # feeds three branches (prefix explode + both verify sides); persist
-    # so the scan + gram hashing run once. Lifecycle: the pin lives
-    # until the session drops it; loop drivers clearCache between
-    # queries (bench.py does), same as the minhash/LSH pins.
-    base = base.persist()
 
     # prefix length |g| - ceil(tau*|g|) + 1 (sorted-ascending hash order
     # is the global total order); the epsilon keeps float up-rounding

@@ -56,8 +56,38 @@ def simhash64(
     # shared tokenization/gramming (functions.text) — see ngram.py
     grams = words if n == 1 else _word_ngrams(words, n)
     hashes = F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
-    base = staged.select(
-        F.col(id_col), *carry, hashes.alias("_h"), F.size(hashes).alias("_n")
+    return simhash64_from_hashes(
+        staged.select(F.col(id_col), *carry, hashes.alias("_h")),
+        hashes_col="_h",
+        id_col=id_col,
+        carry_cols=carry_cols,
+    )
+
+
+def simhash64_from_hashes(
+    df: DataFrame,
+    hashes_col: str = "_grams",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, simhash) from a PRECOMPUTED distinct feature-hash array —
+    the fold core of :func:`simhash64`, exposed so a caller that
+    already pays the tokenize+gram+hash pass for an exact-Jaccard
+    branch (``ngram.gram_hashes``) can feed the SAME persisted frame
+    here instead of re-scanning the corpus (guide §1.2).
+
+    Bit-identical to :func:`simhash64` at the same n for EVERY doc:
+    both derive the feature set via functions.text ``_words`` /
+    ``_word_ngrams`` (same empty/short-doc rules), the per-bit
+    counters are sums over the set (element order is irrelevant, so
+    ``gram_hashes``'s ``array_sort`` is invisible), and NULL arrays
+    propagate to NULL fingerprints on both paths."""
+    carry = [F.col(c) for c in carry_cols]
+    base = df.select(
+        F.col(id_col),
+        *carry,
+        F.col(hashes_col).alias("_h"),
+        F.size(hashes_col).alias("_n"),
     )
 
     def lanes(f: int):
@@ -110,6 +140,7 @@ def simhash_near_pairs(
     n: int = 1,
     block_col: str | None = None,
     max_bucket_size: int | None = None,
+    hashes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, hamming)`` with Hamming distance <= d.
 
@@ -118,13 +149,26 @@ def simhash_near_pairs(
     chunk-value space shrinks to a few bits, so blocking divides the
     candidate volume by the block count. ``max_bucket_size`` drops
     pathological chunk buckets (boilerplate skew guard — see
-    minhash.minhash_lsh_pairs)."""
+    minhash.minhash_lsh_pairs).
+
+    ``hashes_df``: optional PRECOMPUTED ``(id [, block], _grams)``
+    distinct-hash frame (``ngram.gram_hashes`` with the block carried,
+    ideally already persisted by the caller) — skips this operator's
+    own tokenize+gram+hash pass; fingerprints are bit-identical
+    (:func:`simhash64_from_hashes`). ``text_col``/``n`` are ignored
+    when it is given."""
     carry = (block_col,) if block_col else ()
     # both join sides derive from fps — persist so the explode +
     # 64-bit-sum aggregation runs once, not per side. Lifecycle: the
     # pin lives until the session drops it; loop drivers clearCache
     # between queries (bench.py does), same as the minhash/LSH pins.
-    fps = simhash64(df, text_col, id_col, n, carry_cols=carry).persist()
+    fps = (
+        simhash64_from_hashes(
+            hashes_df, hashes_col="_grams", id_col=id_col, carry_cols=carry
+        )
+        if hashes_df is not None
+        else simhash64(df, text_col, id_col, n, carry_cols=carry)
+    ).persist()
     return hamming_near_pairs(
         fps,
         sig_col="simhash",

@@ -806,3 +806,169 @@ def test_catalog_mutations_lease_by_default(spark, tmp_path):
     assert (tmp_path / "cat.lease.json").exists()
     outer.release()
     assert not (tmp_path / "cat.lease.json").exists()
+
+
+# -- r11 shared-gram-base paths: the recall harnesses feed ONE pinned
+# gram_hashes frame to both their exact and approx branches (guide
+# §1.2). These pin the parity contracts the optimization relies on.
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    """>=3-word near-dups + the sub-n/empty/NULL edge shapes of
+    _DEDUP_EDGE_ROWS (entry file)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),
+        (3, "the quick brown fox leaps over the lazy dog", "en"),
+        (4, "completely different content about spark engines", "en"),
+        (5, "tiny dup", "en"),      # 2 words: zero 3-grams
+        (6, "tiny dup", "en"),
+        (7, "", "en"),              # empty: zero tokens
+        (8, "  \t  ", "en"),        # whitespace-only: zero tokens
+        (9, None, "en"),            # NULL text
+        (10, "solo", "en"),         # 1 word
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).cache()
+
+
+def test_minhash_signatures_from_grams_parity(edge_docs):
+    """Signatures from gram_hashes equal the shingle-path signatures
+    for every >= n-word doc (array_min is order-insensitive over the
+    same distinct hash set); zero-gram docs (sub-n/empty/NULL) are
+    DROPPED rather than given a shared degenerate signature."""
+    from pond_spark.dedup import gram_hashes, minhash_signatures
+    from pond_spark.dedup.minhash import minhash_signatures_from_grams
+
+    via_shingles = {
+        r.doc_id: r._sig
+        for r in minhash_signatures(edge_docs, n=3).collect()
+    }
+    grams = gram_hashes(edge_docs, n=3)
+    via_grams = {
+        r.doc_id: r._sig
+        for r in minhash_signatures_from_grams(grams).collect()
+    }
+    # >= 3-word docs: bit-identical signatures
+    for d in (1, 2, 3, 4):
+        assert via_grams[d] == via_shingles[d], d
+    # sub-n / empty / NULL rows dropped from the grams path
+    assert set(via_grams) == {1, 2, 3, 4}
+
+
+def test_simhash64_from_hashes_bit_identical(edge_docs):
+    """simhash64_from_hashes over gram_hashes output matches simhash64
+    for EVERY row — same _words/_word_ngrams feature rules, fold is
+    order-insensitive, NULL propagates on both paths."""
+    from pond_spark.dedup import gram_hashes, simhash64
+    from pond_spark.dedup.simhash import simhash64_from_hashes
+
+    direct = {r.doc_id: r.simhash for r in simhash64(edge_docs, n=3).collect()}
+    grams = gram_hashes(edge_docs, n=3, carry_cols=("lang",))
+    via = {
+        r.doc_id: r.simhash
+        for r in simhash64_from_hashes(
+            grams, hashes_col="_grams", carry_cols=("lang",)
+        ).collect()
+    }
+    assert via == direct
+
+
+def test_recall_harness_shared_base_output_invariant(edge_docs):
+    """The exact ⋉ candidates semi-join — what the contract rows
+    compute — is IDENTICAL with and without the shared gram base,
+    edge rows included (a sub-n-word doc has no n-grams, so it can
+    never appear in the exact set, and only such docs' candidates
+    differ between the paths)."""
+    from pond_spark.dedup import (
+        gram_hashes,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    def harness(cand):
+        exact = ngram_jaccard_pairs(
+            edge_docs, block_col="lang", threshold=0.8, n=3, base=base
+        )
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in exact.join(
+                cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+            ).collect()
+        )
+
+    base = gram_hashes(edge_docs, n=3, carry_cols=("lang",)).persist()
+    legacy_mh = minhash_lsh_pairs(edge_docs, threshold=0.8, n=3)
+    shared_mh = minhash_lsh_pairs(
+        edge_docs, threshold=0.8, n=3,
+        grams_df=base.select("doc_id", "_grams"),
+    )
+    assert harness(shared_mh) == harness(legacy_mh)
+    legacy_sh = simhash_near_pairs(
+        edge_docs, max_hamming=12, n=3, block_col="lang"
+    )
+    shared_sh = simhash_near_pairs(
+        edge_docs, max_hamming=12, n=3, block_col="lang",
+        hashes_df=base.select("doc_id", "lang", "_grams"),
+    )
+    assert harness(shared_sh) == harness(legacy_sh)
+    # the harness must be non-trivially populated (dup pairs exist)
+    assert harness(shared_mh), "fixture lost its planted near-dups"
+    base.unpersist()
+
+
+def test_minhash_catalog_grams_mode_query_invariant(edge_docs, tmp_path):
+    """Catalog register/near_candidates in grams mode: candidates
+    match the default path exactly on >= n-word docs; the contract
+    query's semi-join output is identical."""
+    from pond_spark.dedup import MinHashCatalog, gram_hashes, ngram_jaccard_pairs
+
+    base = gram_hashes(edge_docs, n=3, carry_cols=("lang",)).persist()
+    even = F.col("doc_id") % 2 == 0
+
+    def run(path, grams_mode):
+        cat = MinHashCatalog(edge_docs.sparkSession, str(path), n=3)
+        if grams_mode:
+            cat.register(None, grams=base.filter(even))
+            cand = cat.near_candidates(None, grams=base.filter(~even))
+        else:
+            cat.register(edge_docs.filter(even))
+            cand = cat.near_candidates(edge_docs.filter(~even))
+        return {(r.new_id, r.old_id) for r in cand.collect()}
+
+    default_cand = run(tmp_path / "cat_default", False)
+    grams_cand = run(tmp_path / "cat_grams", True)
+    # grams-mode candidates are a subset; the difference involves only
+    # sub-n-word docs (ids 5..10 in the fixture)
+    assert grams_cand <= default_cand
+    assert all(
+        a >= 5 or b >= 5 for (a, b) in default_cand - grams_cand
+    )
+    # query-level: exact cross-run pairs ⋉ candidates is unchanged
+    exact = ngram_jaccard_pairs(
+        edge_docs, block_col="lang", threshold=0.8, n=3, base=base
+    )
+    odd_a = F.col("id_a") % 2 == 1
+    cross = exact.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    ).select(
+        F.when(odd_a, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"),
+        F.when(odd_a, F.col("id_b")).otherwise(F.col("id_a")).alias("old_id"),
+        "jaccard",
+    )
+    spark = edge_docs.sparkSession
+
+    def semi(cand_set):
+        cdf = spark.createDataFrame(
+            list(cand_set) or [(None, None)], "new_id long, old_id long"
+        )
+        return sorted(
+            (r.new_id, r.old_id, r.jaccard)
+            for r in cross.join(cdf, ["new_id", "old_id"], "left_semi").collect()
+        )
+
+    assert semi(grams_cand) == semi(default_cand)
+    base.unpersist()
