@@ -15,10 +15,16 @@ Representation: the bit array lives as a DataFrame of
 ``(word: long, bits: long)`` rows — 32 bits per word so the shift
 arithmetic stays inside non-negative int64 in every engine (DuckDB's
 ``<<`` and Spark's ``shiftleft`` agree exactly on this range). At the
-classic 10 bits/key the table is ~0.04% the size of the key set; the
-membership probe is ``k`` chained **broadcast** hash joins — zero
-exchanges, fully inside whole-stage codegen (plan-asserted in
-tests/test_dedup.py).
+classic 10 bits/key the table is ~0.04% the size of the key set. For
+probing, the words collapse into ONE dense array row (gap-filled
+zeros, O(#words) via a sorted scatter — see ``_dense_bitmap``) that is
+broadcast once; the membership test is then pure O(1)-indexed
+expressions behind a single 1-row BroadcastNestedLoopJoin — zero
+probe-side exchanges (plan-asserted in tests/test_scale_ops.py). The
+pre-r11 shape was ``k`` chained BroadcastHashJoins: correct and
+exchange-free too, but it planned k broadcast builds of the same
+bitmap (no exchange reuse across the differently-aliased sides) and
+measured ~1.2s of serial broadcast latency per query at k=5.
 
 Hashing is the repo's portable affine family (same constants as
 operators/packing.reproducible_shuffle / operators/sketches) over a
@@ -93,6 +99,56 @@ def build_bloom(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame
     )
 
 
+def _dense_bitmap(bloom: DataFrame, n_words: int) -> DataFrame:
+    """Collapse the ``(word, bits)`` rows into ONE row holding the
+    dense ``array<long>`` bitmap (absent words = 0), for a single
+    broadcast + O(1)-indexed probes.
+
+    The scatter is LINEAR in n_words: entries are sorted by word, each
+    entry contributes its gap of zero-words (``array_repeat``) plus its
+    own bits, and ``flatten`` concatenates — the obvious alternative
+    (``transform(sequence(0, n_words-1), w -> map[w])``) is a linear
+    MAP lookup per position, O(n_words * #entries) total, measured 80 s
+    at m_bits = 2^20 where this shape is sub-second."""
+    ent = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("word").cast("long").alias("w"), F.col("bits").alias("b")
+            )
+        )
+    )
+    agg = bloom.agg(ent.alias("_e"))
+    e = F.col("_e")
+    zero = F.lit(0).cast("long")
+    # element_at(e, i) is the PREVIOUS entry: lambda index i is
+    # 0-based, element_at is 1-based, so position i = 0-based i-1
+    body = F.flatten(
+        F.transform(
+            e,
+            lambda x, i: F.concat(
+                F.array_repeat(
+                    zero,
+                    (
+                        x["w"]
+                        - F.when(i == 0, F.lit(0)).otherwise(
+                            F.element_at(e, i)["w"] + 1
+                        )
+                    ).cast("int"),
+                ),
+                F.array(x["b"]),
+            ),
+        )
+    )
+    tail = F.array_repeat(
+        zero,
+        (F.lit(n_words) - (F.element_at(e, F.size(e))["w"] + 1)).cast("int"),
+    )
+    full = F.when(
+        F.size(e) == 0, F.array_repeat(zero, F.lit(n_words))
+    ).otherwise(F.concat(body, tail))
+    return agg.select(full.alias("_bf_arr"))
+
+
 def mark_membership(
     df: DataFrame,
     bloom: DataFrame,
@@ -104,35 +160,24 @@ def mark_membership(
     """Append ``out_col``: True iff every one of the key's ``k`` bloom
     bits is set (the standard no-false-negative test).
 
-    Plan shape: ``k`` chained BroadcastHashJoins against the bitmap —
-    no exchange, no groupBy; rows whose word is absent from the bitmap
-    read as bits=0 (left join + coalesce). The bitmap broadcast is
-    m_bits/8 bytes total, the quantity a Bloom filter exists to keep
-    small."""
+    Plan shape (r11): the dense bitmap row is broadcast ONCE through a
+    1-row BroadcastNestedLoopJoin (the documented scalar-cross pattern,
+    PLANS.md) and the k probes are pure O(1) ``element_at`` index
+    expressions — no exchange, no groupBy, one broadcast of m_bits/4
+    bytes. Replaces k chained BroadcastHashJoins that planned k
+    broadcast builds of the same bitmap (~1.2 s serial broadcast
+    latency at k=5, measured sf0.1)."""
     key = F.col(key_col).cast("long")
-    out = df
+    out = df.crossJoin(F.broadcast(_dense_bitmap(bloom, m_bits // WORD_BITS)))
     cond: Column = key.isNotNull()
-    drop: list[str] = []
     for i in range(k):
         pos = _pos(key, i, m_bits)
-        word_i, bits_i = f"_bf_w{i}", f"_bf_b{i}"
-        side = bloom.select(
-            F.col("word").alias(word_i), F.col("bits").alias(bits_i)
-        )
-        out = out.withColumn(
-            word_i + "_p", (pos / WORD_BITS).cast("long")
-        ).withColumn(word_i + "_m", _mask(F.pmod(pos, F.lit(WORD_BITS))))
-        out = out.join(
-            F.broadcast(side), out[word_i + "_p"] == side[word_i], "left"
-        )
+        word = (pos / WORD_BITS).cast("int")
+        mask = _mask(F.pmod(pos, F.lit(WORD_BITS)))
         cond = cond & (
-            F.coalesce(F.col(bits_i), F.lit(0)).bitwiseAND(
-                F.col(word_i + "_m")
-            )
-            != 0
+            F.element_at(F.col("_bf_arr"), word + 1).bitwiseAND(mask) != 0
         )
-        drop += [word_i, bits_i, word_i + "_p", word_i + "_m"]
-    return out.withColumn(out_col, cond).drop(*drop)
+    return out.withColumn(out_col, cond).drop("_bf_arr")
 
 
 def bloom_prefilter_new(

@@ -55,8 +55,10 @@ def test_bloom_prefilter_equals_plain_anti_join(spark):
 
 
 def test_bloom_probe_is_broadcast_only(spark):
-    """The membership probe is k BroadcastHashJoins — never a
-    shuffle-side join on the probe relation."""
+    """The membership probe is ONE 1-row broadcast of the dense bitmap
+    (scalar-cross BroadcastNestedLoopJoin) + pure index expressions —
+    never a shuffle-side join on the probe relation, and no longer k
+    separate broadcast builds (r11)."""
     cat = spark.createDataFrame([(i,) for i in range(50)], ["key"])
     bloom = build_bloom(cat, "key", M, K)
     probe = spark.createDataFrame([(i,) for i in range(100)], ["key"])
@@ -66,7 +68,8 @@ def test_bloom_probe_is_broadcast_only(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == K
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
 
 
