@@ -109,6 +109,22 @@ def curate(
                 min_words=config.min_words,
                 max_words=config.max_words,
             )
+            # pin the ids-only keep set (r11, guide §1.2/§5): the
+            # gated `out` is consumed by MORE than one downstream
+            # branch in every non-trivial chain (dedup_exact's keeper
+            # aggregation + join-back; near_dedup's pair source + the
+            # final anti-join), and Spark has no cross-branch CSE —
+            # unpinned, the whole quality-metrics aggregation re-runs
+            # once per consumer. Ids only, so the pin is tiny; the
+            # docs scan itself stays lazy per branch. Measured at
+            # sf0.1 (in-session interleaved, both orders): curation
+            # 2.36 -> 1.69, curation_near 4.12 -> 3.14. Lifecycle:
+            # batch drivers clearCache between queries (bench.py,
+            # oracle_check); in foreachBatch the frame becomes
+            # unreferenced after the batch and ContextCleaner
+            # unpersists it — the same contract as the in-operator
+            # ngram/minhash pins.
+            keep = keep.persist()
             out = out.join(keep, on=id_col, how="left_semi")
         elif stage == "exact_dedup":
             from pond_spark.dedup.exact import dedup_exact
